@@ -1,0 +1,124 @@
+"""Table IO: partitioned parquet read/write + schema-drift normalization.
+
+Replaces the reference's hand-built hive layout (``os.makedirs`` + path
+f-strings, F1_Data_PreProcessing.ipynb:134-139) and path-constructed
+partition reads (F1_web_dashboard_app.py:110-113) with native Spark
+``partitionBy`` writes and Catalyst partition pruning (SURVEY §2.1 S9-S12,
+§4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from bigdataproject_formula1_telemetry_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated testdata table with its declared schema.
+
+    The explicit schema skips parquet footer-based inference on the driver
+    (SURVEY §1.3 decision: no inference in production paths).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — illegal for Spark's reader —
+    so it comes in as long (``nanosAsLong``) and is converted to a µs
+    timestamp here with exact integer math (``div 1000``; the testdata has
+    no sub-µs components, verified, so this is lossless and matches what
+    DuckDB sees).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        phys = StructType(
+            [
+                StructField("ts", LongType(), True)
+                if f.name == "ts"
+                else f
+                for f in schemas.EVENTS.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = schemas.TESTDATA_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def write_partitioned(
+    df: DataFrame,
+    root: str,
+    partition_cols: tuple[str, ...] = ("Year", "Round"),
+    mode: str = "overwrite",
+) -> None:
+    """S9: hive-partitioned snappy parquet write.
+
+    With ``partitionOverwriteMode=dynamic`` (set in the session factory),
+    ``mode="overwrite"`` replaces only the partitions present in ``df`` —
+    the exact semantics of the reference's delete-then-insert re-ingest
+    (F1_Data_Collect.ipynb:122) without a full-table rewrite.
+    """
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .option("compression", "snappy")
+        .parquet(root)
+    )
+
+
+def read_partition(
+    spark: SparkSession, root: str, **partition_values: object
+) -> DataFrame:
+    """S11: single-partition read via predicate → Catalyst partition pruning.
+
+    Replaces the reference's manual ``.../year={y}/round={r}/telemetry.parquet``
+    path construction; ``.explain`` shows PartitionFilters, so only the
+    matching directories are listed/scanned regardless of table size.
+    """
+    df = spark.read.parquet(root)
+    for col_name, val in partition_values.items():
+        df = df.where(F.col(col_name) == F.lit(val))
+    return df
+
+
+def normalize_telemetry_columns(df: DataFrame) -> DataFrame:
+    """Canonicalize known column-name drift: ``Gear`` → ``nGear``.
+
+    The reference patches this ad hoc at two call sites
+    (F1_web_dashboard_app.py:115-116, train_by_circuit.py:133-134); the
+    engine absorbs it once at the IO boundary.
+    """
+    if "Gear" in df.columns and "nGear" not in df.columns:
+        df = df.withColumnRenamed("Gear", "nGear")
+    return df
+
+
+def existing_partitions(
+    spark: SparkSession, root: str, partition_cols: tuple[str, ...]
+) -> set[tuple]:
+    """Distinct partition tuples already materialized under ``root``.
+
+    Driver-side planner input for incremental ingest (mirrors the
+    skip-if-already-collected check at F1_Data_Collect.ipynb:98).  Listing
+    partition values is metadata-only — Spark reads directory names, not data.
+    """
+    try:
+        rows = (
+            spark.read.parquet(root)
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return set()
+    return {tuple(r[c] for c in partition_cols) for r in rows}

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extensions (SURVEY §7 M7): exact dedup, MinHash+LSH near-dedup,
+SimHash, and n-gram Jaccard — all designed so no step materializes the
+corpus on the driver and every shuffle is keyed by a bounded-cardinality
+bucket (band hash / simhash prefix), which is what keeps candidate
+generation sub-quadratic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup by content hash: within each md5(text) group keep the row
+    with the smallest id (deterministic keeper).  One hash-shuffle on the
+    digest — the canonical 100 TB exact-dedup plan (hash is tiny vs text,
+    and the groupBy key is uniformly distributed)."""
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), built with JVM-side functions:
+    lowercase → split on non-alphanumerics → sliding n-grams via
+    transform(sequence) → array_distinct.  No Python in the loop."""
+    words = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    cnt = F.size(words) - F.lit(n - 1)
+    grams = F.when(cnt <= 0, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed k, min over shingles of xxhash64(shingle,
+    seed k).  Vectorized as a transform over seeds of array_min of
+    transforms — all JVM expression-tree, no UDF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, k))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows-per-band),
+    hash each band, group by (band_idx, band_hash), and emit intra-bucket
+    pairs.  The pair join is per-bucket, so the shuffle key cardinality is
+    ~corpus-size × bands / bucket-size — never an all-pairs cross join.
+
+    Returns (id_a, id_b) candidate pairs with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
+    (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → exact Jaccard verify → drop the
+    higher id of every pair above threshold (greedy keep-lowest-id; a
+    single-linkage union-find refinement is a later extension)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    dups = (
+        jaccard_pairs(df, cand, text_col, id_col, shingle_n)
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash fingerprint: per-shingle xxhash64, then per-bit majority vote
+    across shingles, folded back into one 64-bit value.
+
+    Expressed as JVM intrinsics only (no UDF).  The per-bit loop is
+    unrolled in Python because shift amounts must be literals; each bit is
+    one ``aggregate`` popcount over the shingle-hash array.  The top bit
+    wraps into the long sign bit — fingerprints are opaque ids, so the
+    wrap is harmless and deterministic.
+    """
+    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    n = F.size(hashes).cast("long")
+    one = F.lit(1).cast("long")
+
+    def popcount_at(b: int) -> Column:
+        # closure (not a lambda default) so the HOF lambda keeps 2 params
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda a, h: a + F.shiftrightunsigned(h, b).bitwiseAND(one),
+        )
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(popcount_at(b) * 2 > n, one).otherwise(F.lit(0).cast("long"))
+        total = total + F.shiftleft(bit, b)
+    return total

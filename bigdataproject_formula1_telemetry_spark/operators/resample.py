@@ -1,0 +1,220 @@
+"""W8 — distance-grid resampling / interpolation: the engine's signature
+custom operator (SURVEY §2.5 W8; reference F1_Data_PreProcessing.ipynb:65-103).
+
+The reference rebuilds every lap on a fixed 10 m distance grid: linear
+interpolation for continuous channels (Speed/RPM/Throttle), nearest-neighbor
+for stepped channels (Brake/nGear/DRS), with linear extrapolation at the lap
+edges (scipy ``fill_value="extrapolate"``).
+
+Two implementations, per the SURVEY §7 plan:
+
+- ``resample_grouped`` (parity mode): ``groupBy(keys).applyInPandas`` with a
+  numpy kernel reproducing scipy's ``kind='linear'`` / ``kind='nearest'`` +
+  extrapolate semantics exactly.  Arrow-vectorized; one shuffle on the lap
+  keys; each task handles whole laps (≲ thousands of rows), so memory per
+  task is bounded at any table size.
+
+- ``resample_linear_sql`` (scale mode): pure DataFrame/SQL — grid explode +
+  union with samples + two ordered-window passes to find the bracketing
+  samples + a lerp expression.  Whole-stage-codegen JVM-side, no Python, for
+  the 100 TB path.  The bracketing uses last/first(ignorenulls) over one
+  per-key sort (shared by both windows), never a range join — linear in
+  input, no O(n·m) blowup.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+# --------------------------------------------------------------------------
+# numpy kernels (scipy-free: only numpy is available in the runtime)
+# --------------------------------------------------------------------------
+
+def interp_linear_extrap(xg: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """np.interp + linear extrapolation beyond both edges (scipy
+    ``interp1d(kind='linear', fill_value='extrapolate')`` semantics)."""
+    out = np.interp(xg, x, y)
+    if len(x) >= 2:
+        lo = xg < x[0]
+        if lo.any():
+            slope = (y[1] - y[0]) / (x[1] - x[0])
+            out[lo] = y[0] + slope * (xg[lo] - x[0])
+        hi = xg > x[-1]
+        if hi.any():
+            slope = (y[-1] - y[-2]) / (x[-1] - x[-2])
+            out[hi] = y[-1] + slope * (xg[hi] - x[-1])
+    return out
+
+
+def interp_nearest(xg: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """scipy ``interp1d(kind='nearest')`` semantics: midpoint ties take the
+    left sample; outside the domain, clamps to the edge sample (which is
+    also what 'nearest' extrapolation degenerates to)."""
+    if len(x) == 1:
+        return np.full_like(xg, y[0], dtype=float)
+    mid = (x[1:] + x[:-1]) / 2.0
+    idx = np.searchsorted(mid, xg, side="left")
+    return y[idx]
+
+
+# --------------------------------------------------------------------------
+# Parity mode: applyInPandas
+# --------------------------------------------------------------------------
+
+def resample_grouped(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    linear_cols: Sequence[str],
+    nearest_cols: Sequence[str] = (),
+    step: float = 10.0,
+    start: float = 0.0,
+    min_rows: int = 10,
+    min_extent: float | None = 2000.0,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group fixed-grid resample (reference parity).
+
+    Grid is ``np.arange(start, max(x), step)`` per group (the reference's
+    grid at F1_Data_PreProcessing.ipynb:76).  Groups with fewer than
+    ``min_rows`` samples after x-dedup, or ``max(x) < min_extent``, are
+    dropped (guards at :70-71).  ``carry_cols`` are copied from the group's
+    first row (metadata like Compound/TyreLife).
+    """
+    keys = list(keys)
+    linear_cols = list(linear_cols)
+    nearest_cols = list(nearest_cols)
+    carry_cols = list(carry_cols)
+
+    out_fields = [df.schema[k] for k in keys]
+    out_fields.append(StructField(x_col, DoubleType(), False))
+    out_fields += [StructField(c, DoubleType(), True) for c in linear_cols + nearest_cols]
+    out_fields += [df.schema[c] for c in carry_cols]
+    out_schema = StructType(out_fields)
+
+    def _resample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[x_col]).drop_duplicates(subset=[x_col])
+        pdf = pdf.sort_values(x_col)
+        if len(pdf) < min_rows:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        x = pdf[x_col].to_numpy(dtype=float)
+        max_x = x[-1]
+        if min_extent is not None and max_x < min_extent:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        xg = np.arange(start, max_x, step)
+        out = {k: np.repeat(pdf[k].iloc[0], len(xg)) for k in keys}
+        out[x_col] = xg
+        for c in linear_cols:
+            out[c] = interp_linear_extrap(xg, x, pdf[c].to_numpy(dtype=float))
+        for c in nearest_cols:
+            out[c] = interp_nearest(xg, x, pdf[c].to_numpy(dtype=float))
+        for c in carry_cols:
+            out[c] = np.repeat(pdf[c].iloc[0], len(xg))
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(_resample, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Scale mode: pure-SQL lerp
+# --------------------------------------------------------------------------
+
+def resample_linear_sql(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_cols: Sequence[str],
+    step: float,
+    start: float | None = None,
+    edge: str = "clamp",
+) -> DataFrame:
+    """Pure-DataFrame linear resample onto ``arange(start, max(x), step)``
+    per key group.  ``start=None`` → per-group ``min(x)``.
+
+    ``edge``: 'clamp' holds the first/last sample value outside the sampled
+    domain; 'null' leaves NULL; 'drop' removes out-of-domain grid rows.
+    (Reference-parity linear *extrapolation* lives in ``resample_grouped``;
+    the SQL path targets interior interpolation at scale.)
+
+    Output: keys + ``x_col`` (grid value) + one interpolated column per
+    ``y_cols`` (same names).
+    """
+    keys = list(keys)
+    y_cols = list(y_cols)
+
+    samples = df.select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        *[F.col(c).cast("double").alias(f"__y_{c}") for c in y_cols],
+    )
+
+    # Per-key grid: k = 0 .. ceil((max-start)/step)-1, x = start + k*step
+    # (mirrors np.arange end-exclusive semantics).
+    bounds = samples.groupBy(*keys).agg(
+        F.min("__x").alias("__xmin"), F.max("__x").alias("__xmax")
+    )
+    g_start = F.lit(float(start)) if start is not None else F.col("__xmin")
+    n_steps = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("__xmax") - g_start) / F.lit(float(step))).cast("long"),
+    )
+    grid = (
+        bounds.withColumn("__k", F.explode(F.sequence(F.lit(0).cast("long"), n_steps)))
+        .where(F.col("__k") < n_steps)
+        .select(
+            *keys,
+            (g_start + F.col("__k") * F.lit(float(step))).alias("__x"),
+            F.lit(1).alias("__is_grid"),
+        )
+    )
+
+    sample_struct = F.struct(
+        F.col("__x").alias("x"), *[F.col(f"__y_{c}").alias(c) for c in y_cols]
+    )
+    s = samples.withColumn("__s", sample_struct).withColumn("__is_grid", F.lit(0))
+    g = grid.withColumn("__s", F.lit(None).cast(s.schema["__s"].dataType))
+    for c in y_cols:
+        g = g.withColumn(f"__y_{c}", F.lit(None).cast("double"))
+    g = g.select(*s.columns)
+    unioned = s.unionByName(g)
+
+    # Samples sort before grid rows at equal x so an exact-hit grid point
+    # lerps to the sample value with t=0.
+    order = [F.col("__x"), F.col("__is_grid")]
+    w_prev = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    br = (
+        unioned.withColumn("__p", F.last("__s", ignorenulls=True).over(w_prev))
+        .withColumn("__n", F.first("__s", ignorenulls=True).over(w_next))
+        .where(F.col("__is_grid") == 1)
+    )
+
+    px, nx = F.col("__p.x"), F.col("__n.x")
+    t = (F.col("__x") - px) / (nx - px)
+    out_cols: list = [*keys, F.col("__x").alias(x_col)]
+    for c in y_cols:
+        py, ny = F.col(f"__p.{c}"), F.col(f"__n.{c}")
+        interior = F.when(nx == px, py).otherwise(py + t * (ny - py))
+        if edge == "clamp":
+            v = F.coalesce(interior, py, ny)
+        else:
+            v = interior
+        out_cols.append(v.alias(c))
+    out = br.select(*out_cols)
+    if edge == "drop":
+        out = out.na.drop(subset=y_cols, how="any")
+    return out

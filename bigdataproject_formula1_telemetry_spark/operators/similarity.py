@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random hyperplane / sign-LSH) variant as the scale path: at 100 TB the
+corpus side is hash-partitioned by bucket id, queries are broadcast, and
+each task only scans its bucket — the classic ANN trade of recall for a
+bounded per-task candidate set.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM expression tree, no
+Python).  All math in double precision for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, keep k per query via row_number.
+
+    The corpus is never shuffled by pair — only the scored rows shuffle,
+    keyed by query id, and AQE's skew handling splits a hot query if needed.
+    Ties broken by corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(q), corpus[id_col] != q[query_id_col]).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: sign of the dot product against each fixed
+    hyperplane becomes one bit.  ``planes`` are literal (seeded, driver-
+    generated) so the expression folds to pure column math."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    sign-LSH bucket.  Equi-join on bucket id → hash-partitioned, scalable;
+    recall is tuned by the number of planes (fewer planes → bigger buckets).
+    """
+    b = lambda df, idc: df.withColumn("__bucket", signlsh_bucket(F.col(vec_col), planes))
+    qb = b(queries, id_col).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        "__bucket",
+    )
+    cb = b(corpus, id_col)
+    scored = cb.join(F.broadcast(qb), "__bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

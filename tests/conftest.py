@@ -1,0 +1,93 @@
+"""Shared pytest fixtures: one local SparkSession + a DuckDB oracle helper
+that mirrors the driver's compare (row count, schema shape, order-insensitive
+value match with column-name alignment)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from bigdataproject_formula1_telemetry_spark import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, coerce datetimes to ns, sort rows by all
+    columns — the order-insensitive canonical form."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns {list(a.columns)} vs oracle {list(b.columns)}"
+    )
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9)
+            ok = both_nan | close
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} mismatches, e.g. rows "
+                f"{np.where(~ok)[0][:5]}: {av[~ok][:5]} vs {bv[~ok][:5]}"
+            )
+        else:
+            mism = av != bv
+            # treat None == None for object cols
+            if av.dtype == object:
+                mism = np.array(
+                    [x != y and not (x is None and y is None) for x, y in zip(av, bv)]
+                )
+            assert not mism.any(), (
+                f"{name}.{c}: {int(mism.sum())} mismatches, e.g. "
+                f"{av[mism][:5]} vs {bv[mism][:5]}"
+            )
