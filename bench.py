@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop datasource write (full
+computation on executors, no driver collect bottleneck), after a small
+warm-up query to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdataproject_formula1_telemetry_spark import get_spark
+from bigdataproject_formula1_telemetry_spark.plans import queries as Q
+
+#: Headline set: one per operator family (agg, filter, star join, window
+#: ratio/lag/cumsum, gaps-islands, top-k, 107%-rule, as-of, sessionize,
+#: tumbling, SQL resample, exact dedup, text stats, knn, minhash).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_star_join",
+    "q05_top1_per_group",
+    "q06_window_ratio",
+    "q08_window_cumsum",
+    "q09_gaps_islands",
+    "q16_107_rule",
+    "q22_asof_join",
+    "q23_sessionize",
+    "q24_tumbling_window",
+    "q28_resample_grid",
+    "q25_dedup_exact",
+    "q26_text_stats",
+    "q27_knn_cosine",
+    "q30_minhash_near_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM classloading + codegen paths, not measured.
+    Q.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

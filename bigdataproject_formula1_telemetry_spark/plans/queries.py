@@ -847,9 +847,11 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (per-bit majority vote over shingle hashes).
     Deterministic but hash-function-specific → rows-only check."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dedup.simhash(F.col("text")).alias("simhash64")
-    ).orderBy("doc_id")
+    return (
+        dedup.simhash_table(docs)
+        .select(F.col("id").alias("doc_id"), "simhash64")
+        .orderBy("doc_id")
+    )
 
 
 @_q("q32_fingerprint_knn_lsh")
