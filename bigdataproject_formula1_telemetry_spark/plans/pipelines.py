@@ -1,0 +1,165 @@
+"""Batch pipelines re-expressing the reference's ETL chain (SURVEY §3.1-3.2)
+as single Spark jobs.
+
+Reference: F1_Data_PreProcessing.ipynb — a ProcessPoolExecutor fans out one
+OS process per (year, round), each pulling from Mongo into pandas, looping
+over lap groups, and writing one parquet partition (2h06m for 7 years).
+Here the whole thing is one declarative plan: scan → clean → grouped
+resample → partitioned write.  Spark schedules per-partition tasks (the
+pool disappears), and partitionBy replaces the hand-built hive paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import functions as FN
+from bigdataproject_formula1_telemetry_spark.operators import (
+    relational as R,
+    resample,
+    windows as W,
+)
+
+LAP_KEYS = ["Year", "Round", "Driver", "LapNumber"]
+
+
+def clean_bronze(df: DataFrame) -> DataFrame:
+    """Null/type cleanup (F1_Data_PreProcessing.ipynb:58-61): drop rows
+    missing Speed/Distance/LapNumber, Brake → 0/1 int-ish, nGear/DRS
+    fillna(0)."""
+    return (
+        df.na.drop(subset=["Speed", "Distance", "LapNumber"])
+        .withColumn("Brake", F.coalesce(F.col("Brake"), F.lit(0.0)).cast("double"))
+        .na.fill({"nGear": 0.0, "DRS": 0.0})
+    )
+
+
+def build_warehouse(bronze: DataFrame, step: float = 10.0) -> DataFrame:
+    """Bronze → 10 m-grid warehouse (the reference's ``process_single_round``
+    body, F1_Data_PreProcessing.ipynb:33-146, for ALL rounds in one job).
+
+    Per (Year, Round, Driver, LapNumber): dedup Distance (keep first by
+    Time), drop laps with <10 samples or max(Distance) < 2000, resample
+    all channels onto arange(0, max_dist, 10) — linear for Speed/RPM/
+    Throttle, nearest for Brake/nGear/DRS/TyreLife — and attach
+    LapTime_Sec = max(Time) − min(Time) (W9) + Compound metadata.
+
+    One shuffle on the lap keys; the grouped-map UDF is Arrow-vectorized
+    and bounded per lap, so this scales with executors, not driver RAM.
+    """
+    cleaned = clean_bronze(bronze)
+    deduped = R.dedup_by_key(
+        cleaned, LAP_KEYS + ["Distance"], [F.col("Time").asc_nulls_last()]
+    )
+
+    # Lap-level scalars computed relationally (one window pass), then
+    # carried through the resampler as group-constant columns.
+    w = Window.partitionBy(*LAP_KEYS)
+    enriched = (
+        deduped.withColumn(
+            "LapTime_Sec", F.max("Time").over(w) - F.min("Time").over(w)
+        )
+        .withColumn("Compound", F.coalesce(F.col("Compound"), F.lit("UNKNOWN")))
+        .withColumn("TyreLife", F.coalesce(F.col("TyreLife"), F.lit(0.0)))
+    )
+
+    resampled = resample.resample_grouped(
+        enriched,
+        keys=LAP_KEYS,
+        x_col="Distance",
+        linear_cols=["Speed", "RPM", "Throttle"],
+        nearest_cols=["Brake", "nGear", "DRS", "TyreLife"],
+        step=step,
+        start=0.0,
+        min_rows=10,
+        min_extent=2000.0,
+        carry_cols=["Compound", "LapTime_Sec"],
+    )
+    # float32 downcasts per the reference's storage optimization
+    # (F1_Data_PreProcessing.ipynb:128-131).
+    return resampled.select(
+        F.col("Distance").cast("float").alias("Distance"),
+        F.col("Speed").cast("float").alias("Speed"),
+        F.col("RPM").cast("float").alias("RPM"),
+        F.col("Throttle").cast("float").alias("Throttle"),
+        F.col("Brake").cast("double"),
+        F.col("nGear").cast("double"),
+        F.col("DRS").cast("double"),
+        F.col("TyreLife").cast("double"),
+        F.col("LapTime_Sec").cast("double"),
+        "Year",
+        "Round",
+        "Driver",
+        "LapNumber",
+        "Compound",
+    )
+
+
+def build_lap_dataset(warehouse: DataFrame) -> DataFrame:
+    """Warehouse → lap-summary training dataset
+    (``create_clean_dataset``, F1_Data_PreProcessing.ipynb:271-353):
+    A1 group-agg, the 107%-rule filter per (Year, Round), compound
+    encoding, encoded≠0 filter."""
+    laps = warehouse.groupBy(*LAP_KEYS).agg(
+        F.avg("Speed").alias("Speed_mean"),
+        F.avg("Throttle").alias("Throttle_mean"),
+        F.avg("Brake").alias("Brake_mean"),
+        F.max("TyreLife").alias("TyreLife_max"),
+        F.first("Compound").alias("Compound"),
+        F.max("LapTime_Sec").alias("LapTime_Sec"),
+    )
+    valid = R.pct_of_group_min_filter(
+        laps.where(F.col("LapTime_Sec") > 50),
+        ["Year", "Round"],
+        "LapTime_Sec",
+        pct=1.07,
+    )
+    encoded = valid.withColumn(
+        "Compound_Encoded", FN.encode_compound(F.col("Compound"))
+    )
+    return encoded.where(F.col("Compound_Encoded") != 0)
+
+
+def add_pace_features(lap_dataset: DataFrame) -> DataFrame:
+    """Training features (P1-...ipynb:441-466): session-fastest ratio (W1)
+    + per-driver lag features (W2) + first-lap drop (P6)."""
+    with_ratio = W.group_min_ratio(
+        lap_dataset,
+        ["Year", "Round"],
+        "LapTime_Sec",
+        out_col="Pace_Ratio",
+        best_col="Session_Fastest",
+    )
+    with_ratio = with_ratio.withColumn(
+        "Pace_Ratio", F.col("LapTime_Sec") / F.col("Session_Fastest")
+    )
+    lagged = W.lag_features(
+        with_ratio,
+        ["Year", "Round", "Driver"],
+        ["LapNumber"],
+        ["Pace_Ratio", "Speed_mean"],
+    )
+    return lagged.na.drop(subset=["Prev_Pace_Ratio"])
+
+
+def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
+    """§5 audit as a real assertable query (detailed_data_audit,
+    F1_Data_Test.ipynb:135-240): expected races left-joined to per-round
+    aggregates; missing rounds get zero rows/drivers."""
+    actual = warehouse.groupBy(
+        F.col("Year").alias("year"), F.col("Round").alias("round")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("Driver").alias("n_drivers"),
+        F.countDistinct("LapNumber").alias("n_laps"),
+    )
+    audited = R.left_join_audit(
+        meta, actual, ["year", "round"], ["n_rows", "n_drivers", "n_laps"]
+    )
+    return audited.withColumn(
+        "status",
+        F.when(F.col("n_rows") == 0, F.lit("MISSING"))
+        .when(F.col("n_drivers") < 15, F.lit("INCOMPLETE"))
+        .otherwise(F.lit("OK")),
+    )

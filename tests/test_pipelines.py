@@ -1,0 +1,115 @@
+"""ETL pipeline tests on reference-shaped telemetry fixtures: warehouse
+build invariants, lap-dataset rules (107%, compound encoding), pace
+features, and the §5 audit as real asserts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+from bigdataproject_formula1_telemetry_spark import schemas
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def bronze(spark):
+    pdf = fixtures.gen_telemetry_raw()
+    return spark.createDataFrame(pdf, schema=schemas.TELEMETRY_RAW)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, bronze):
+    df = P.build_warehouse(bronze)
+    df = df.localCheckpoint()  # computed once, reused across tests
+    return df
+
+
+def test_warehouse_grid_and_schema(warehouse):
+    pdf = warehouse.toPandas()
+    assert len(pdf) > 0
+    # exact 10 m grid from 0
+    assert (np.mod(pdf["Distance"].to_numpy(), 10.0) == 0).all()
+    per_lap_min = pdf.groupby(["Year", "Round", "Driver", "LapNumber"])["Distance"].min()
+    assert (per_lap_min == 0.0).all()
+    # float32 channels per the reference downcast
+    assert str(pdf["Speed"].dtype) == "float32"
+    assert str(pdf["Distance"].dtype) == "float32"
+
+
+def test_warehouse_guards(warehouse):
+    pdf = warehouse.toPandas()
+    # the short-sampled lap (driver 1, lap 5) and short-extent lap
+    # (driver 16, lap 6) must be gone
+    assert len(pdf[(pdf["Driver"] == 1) & (pdf["LapNumber"] == 5)]) == 0
+    assert len(pdf[(pdf["Driver"] == 16) & (pdf["LapNumber"] == 6)]) == 0
+    # every surviving lap reaches at least 2000 m
+    ext = pdf.groupby(["Year", "Round", "Driver", "LapNumber"])["Distance"].max()
+    assert (ext >= 2000.0 - 10.0).all()
+
+
+def test_warehouse_laptime_constant_per_lap(warehouse):
+    pdf = warehouse.toPandas()
+    g = pdf.groupby(["Year", "Round", "Driver", "LapNumber"])["LapTime_Sec"]
+    assert (g.nunique() == 1).all()
+    assert (g.first() > 0).all()
+
+
+def test_lap_dataset_rules(warehouse):
+    laps = P.build_lap_dataset(warehouse).toPandas()
+    assert len(laps) > 0
+    # >50 s rule
+    assert (laps["LapTime_Sec"] > 50).all()
+    # 107% rule holds against the surviving group minima (and the known
+    # 1.2x outlier lap is gone)
+    grp_min = laps.groupby(["Year", "Round"])["LapTime_Sec"].transform("min")
+    assert (laps["LapTime_Sec"] <= 1.07 * grp_min + 1e-9).all()
+    # compound encoding: only known compounds, lowercase normalized
+    assert set(laps["Compound_Encoded"].unique()) <= {1, 2, 3, 4, 5}
+    soft = laps[laps["Compound"].str.upper() == "SOFT"]
+    assert (soft["Compound_Encoded"] == 1).all()
+
+
+def test_pace_features(warehouse):
+    feats = P.add_pace_features(P.build_lap_dataset(warehouse)).toPandas()
+    assert len(feats) > 0
+    assert feats["Prev_Pace_Ratio"].notna().all()
+    assert (feats["Pace_Ratio"] >= 1.0 - 1e-9).all()
+    # lag alignment: within each (Year,Round,Driver) ordered by LapNumber,
+    # Prev_Pace_Ratio equals the previous row's Pace_Ratio
+    for _, g in feats.groupby(["Year", "Round", "Driver"]):
+        g = g.sort_values("LapNumber")
+        if len(g) >= 2:
+            assert np.allclose(
+                g["Prev_Pace_Ratio"].to_numpy()[1:], g["Pace_Ratio"].to_numpy()[:-1]
+            )
+
+
+def test_audit(spark, warehouse):
+    meta = spark.createDataFrame(fixtures.gen_race_meta(), schema=schemas.RACE_META)
+    audit = P.audit_warehouse(meta, warehouse).toPandas()
+    assert len(audit) == 6  # 2 years x 3 planned rounds
+    by = audit.set_index(["year", "round"])["status"]
+    assert by[(2023, 3)] == "MISSING"
+    assert by[(2024, 3)] == "MISSING"
+    # collected rounds have 4 drivers < 15 → INCOMPLETE (by design)
+    assert by[(2023, 1)] == "INCOMPLETE"
+    rows = audit.set_index(["year", "round"])["n_rows"]
+    assert rows[(2023, 3)] == 0 and rows[(2023, 1)] > 0
+
+
+def test_partitioned_roundtrip(spark, warehouse, tmp_path):
+    """S9/S10/S11: partitioned write → partition-pruned read."""
+    from bigdataproject_formula1_telemetry_spark import io
+
+    root = str(tmp_path / "wh")
+    io.write_partitioned(warehouse, root, ("Year", "Round"))
+    back = spark.read.parquet(root)
+    assert back.count() == warehouse.count()
+    one = io.read_partition(spark, root, Year=2023, Round=1)
+    expected = warehouse.where((F.col("Year") == 2023) & (F.col("Round") == 1))
+    assert one.count() == expected.count()
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reached the scan
+    assert "PartitionFilters: [" in plan
