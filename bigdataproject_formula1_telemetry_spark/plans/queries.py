@@ -829,6 +829,252 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q33_aligned_gap",
+    """
+    WITH d1 AS (
+      SELECT date_trunc('day', ts) AS d, round(sum(value), 4) AS v
+      FROM events WHERE user_id = 1 GROUP BY 1
+    ), d2 AS (
+      SELECT date_trunc('day', ts) AS d, round(sum(value), 4) AS v
+      FROM events WHERE user_id = 2 GROUP BY 1
+    )
+    SELECT d1.d AS d,
+      round(d1.v - d2.v, 4) AS diff,
+      round(sum(d1.v - d2.v) OVER (ORDER BY d1.d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_gap
+    FROM d1 JOIN d2 ON d1.d = d2.d
+    """,
+)
+def q33_aligned_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+W3+W7 — align two entities on a shared axis, diff, accumulate
+    the running gap (the two-driver race-gap analysis,
+    P1-...ipynb:605-616)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("d")
+    mk = lambda uid: (
+        ev.where(F.col("user_id") == uid)
+        .groupBy(day)
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    aligned = R.aligned_diff(mk(1), mk(2), ["d"], "v", out_col="diff")
+    out = W.cumulative_sum(aligned, [], ["d"], "diff", "cum_gap")
+    return out.select(
+        "d", F.round("diff", 4).alias("diff"), F.round("cum_gap", 4).alias("cum_gap")
+    )
+
+
+@_q(
+    "q34_global_scalars",
+    """
+    SELECT round(max(value), 6) AS max_value, round(min(value), 6) AS min_value,
+      round(avg(value), 6) AS avg_value,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events
+    """,
+)
+def q34_global_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — global scalar aggregates in one pass (dashboard KPIs,
+    F1_web_dashboard_app.py:225-229)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@_q(
+    "q35_collect_set",
+    """
+    SELECT event_type,
+      array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS user_buckets,
+      CAST(len(list(DISTINCT user_id % 10)) AS BIGINT) AS n_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def q35_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — distinct-set aggregation + cardinality ($addToSet + $size,
+    F1_Data_Test.ipynb:150-165); sorted + stringified for deterministic
+    cross-engine comparison."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = F.array_sort(F.collect_set(F.col("user_id") % 10))
+    return ev.groupBy("event_type").agg(
+        F.array_join(buckets, ",").alias("user_buckets"),
+        F.size(buckets).cast("long").alias("n_buckets"),
+    )
+
+
+@_q(
+    "q36_map_encode",
+    """
+    SELECT c_custkey,
+      CAST(CASE upper(c_mktsegment)
+        WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2 WHEN 'MACHINERY' THEN 3
+        WHEN 'HOUSEHOLD' THEN 4 WHEN 'FURNITURE' THEN 5 ELSE 0
+      END AS BIGINT) AS segment_code
+    FROM customer
+    """,
+)
+def q36_map_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — upper + dict-map encode with 0 default (the compound encoding,
+    F1_Data_PreProcessing.ipynb:336-341, on generic data)."""
+    c = _t(spark, sf_dir, "customer")
+    code = FN.map_lookup(
+        F.upper(F.col("c_mktsegment")),
+        {"BUILDING": 1, "AUTOMOBILE": 2, "MACHINERY": 3, "HOUSEHOLD": 4, "FURNITURE": 5},
+        default=0,
+    )
+    return c.select("c_custkey", code.cast("long").alias("segment_code"))
+
+
+@_q(
+    "q37_threshold_ladder",
+    """
+    SELECT CASE WHEN value > 300 THEN 'critical'
+                WHEN value > 150 THEN 'major'
+                ELSE 'minor' END AS severity,
+      count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q37_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — threshold-ladder classification (coaching advice rules,
+    P3-...ipynb:180-185) + group counts."""
+    ev = _t(spark, sf_dir, "events")
+    sev = FN.threshold_ladder(
+        F.col("value"), [(300.0, "critical"), (150.0, "major")], "minor"
+    )
+    return ev.groupBy(sev.alias("severity")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@_q(
+    "q38_degradation_curve",
+    """
+    SELECT c.code AS compound_code, CAST(l.lap AS BIGINT) AS lap,
+      round(90.0 * (1 + 0.005 * l.lap * c.code), 6) AS predicted_time
+    FROM (SELECT unnest(range(1, 4)) AS code) c,
+         (SELECT unnest(range(1, 41)) AS lap) l
+    """,
+)
+def q38_degradation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — synthetic tyre-degradation curve generation
+    (base*(1+0.005*lap*compound), F1_web_dashboard_app.py:381-383)."""
+    base = spark.range(1, 4).select(F.col("id").alias("compound_code"))
+    curve = base.withColumn("lap", F.explode(F.sequence(F.lit(1), F.lit(40))))
+    return curve.select(
+        "compound_code",
+        F.col("lap").cast("long").alias("lap"),
+        F.round(
+            F.lit(90.0) * (1 + F.lit(0.005) * F.col("lap") * F.col("compound_code")), 6
+        ).alias("predicted_time"),
+    )
+
+
+@_q(
+    "q39_sliding_windows",
+    """
+    SELECT event_id, user_id,
+      CAST(count(*) OVER w AS BIGINT) AS win_len,
+      round(sum(value) OVER w, 4) AS win_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w = 5
+    """,
+)
+def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — fixed-length sliding sequence windows (the 20-step LSTM
+    windows, train_by_circuit.py:164-167; length 5 here).  Built via the
+    collect_list operator, summarized so the oracle can verify with plain
+    window sums."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = W.sliding_sequences(
+        ev, ["user_id"], ["ts", "event_id"], ["value"], length=5, out_col="win"
+    )
+    return seqs.select(
+        "event_id",
+        "user_id",
+        F.size("win").cast("long").alias("win_len"),
+        F.round(
+            F.aggregate(
+                F.transform("win", lambda v: v.getItem(0)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            4,
+        ).alias("win_sum"),
+    )
+
+
+@_q(
+    "q40_head_tail",
+    """
+    SELECT tag, count(*) AS n, round(sum(value), 4) AS total
+    FROM (
+      SELECT 'head' AS tag, value FROM
+        (SELECT * FROM events ORDER BY ts, event_id LIMIT 1000)
+      UNION ALL
+      SELECT 'tail' AS tag, value FROM
+        (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 1000)
+    ) GROUP BY tag
+    """,
+)
+def q40_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — head/tail row caps (the 200k-row tail cap,
+    train_by_circuit.py:160-162) summarized per side."""
+    ev = _t(spark, sf_dir, "events")
+    head = (
+        ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(1000)
+        .select(F.lit("head").alias("tag"), "value")
+    )
+    tail = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1000)
+        .select(F.lit("tail").alias("tag"), "value")
+    )
+    return head.unionByName(tail).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+@_q(
+    "q42_embedding_norms",
+    """
+    SELECT label,
+      round(avg(nrm), 6) AS avg_norm,
+      round(max(nrm), 6) AS max_norm,
+      count(*) AS n_vecs
+    FROM (
+      SELECT e.label, sqrt(sum(CAST(e.embedding[u.i] AS DOUBLE) ** 2)) AS nrm
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY e.vec_id, e.label
+    ) GROUP BY label
+    """,
+)
+def q42_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-lambda math over the embedding column: per-label L2-norm
+    stats — the vector-column hygiene check of the similarity stack."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", sim.l2_norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 @_q("q30_minhash_near_dedup")
