@@ -1077,6 +1077,103 @@ def q42_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
+@_q(
+    "q43_resample_parity",
+    """
+    WITH s0 AS (
+      SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y FROM events
+    ), b AS (
+      SELECT user_id, min(x) AS xmin, max(x) AS xmax FROM s0 GROUP BY user_id
+    ), s AS (
+      SELECT s0.user_id, s0.x - b.xmin AS x, s0.y
+      FROM s0 JOIN b ON s0.user_id = b.user_id
+    ), g AS (
+      SELECT b.user_id, k.k * 21600000000.0 AS gx
+      FROM b, (SELECT unnest(range(0, 10000)) AS k) k
+      WHERE k.k * 21600000000.0 < b.xmax - b.xmin
+    ), p AS (
+      SELECT g.user_id, g.gx, s.x AS px, s.y AS py
+      FROM g ASOF LEFT JOIN s ON g.user_id = s.user_id AND g.gx >= s.x
+    ), n AS (
+      SELECT p.user_id, p.gx, p.px, p.py, s.x AS nx, s.y AS ny
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.gx <= s.x
+    )
+    SELECT user_id, CAST(gx AS BIGINT) AS rel_us,
+      round(CASE WHEN nx = px THEN py
+                 ELSE py + (gx - px) / (nx - px) * (ny - py) END, 6)
+        AS value_interp
+    FROM n
+    """,
+)
+def q43_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (parity mode) — the ``applyInPandas`` numpy resampler on the
+    events time axis (relative µs per user, 6-hour grid).  Same semantics
+    as q28's pure-SQL plan but through the Arrow grouped-map kernel — the
+    reference's exact per-lap interpolation path
+    (F1_Data_PreProcessing.ipynb:65-103), oracle-checked."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    wmin = Window.partitionBy("user_id")
+    rel = ev.withColumn(
+        "rel_us", (F.col("tus") - F.min("tus").over(wmin)).cast("double")
+    )
+    step = float(6 * 3600 * 1_000_000)
+    out = resample.resample_grouped(
+        rel,
+        keys=["user_id"],
+        x_col="rel_us",
+        linear_cols=["value"],
+        step=step,
+        start=0.0,
+        min_rows=2,
+        min_extent=None,
+    )
+    return out.select(
+        "user_id",
+        F.col("rel_us").cast("long").alias("rel_us"),
+        F.round("value", 6).alias("value_interp"),
+    )
+
+
+@_q("q41_decode_packets")
+def q41_decode_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — binary record decode through the contract: deterministic
+    packed datagrams (telemetry + lap + garbage) decoded with the
+    mapInPandas struct.unpack kernel, demuxed, and summarized.  Binary
+    wire format has no SQL oracle → rows-only check; exact field values
+    are asserted in tests/test_decoder.py."""
+    import datetime as dt
+
+    from bigdataproject_formula1_telemetry_spark import schemas
+    from bigdataproject_formula1_telemetry_spark.sources import telemetry as tel
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(60):
+        cars = [{"speed": 100 + i + c, "rpm": 9000 + c} for c in range(tel.N_CARS)]
+        rows.append(
+            (t0 + dt.timedelta(milliseconds=16 * i), tel.encode_telemetry_packet(4, cars))
+        )
+        if i % 30 == 0:
+            laps = [{"lap_num": 1 + i // 30, "lap_distance": 100.0 * i}] * tel.N_CARS
+            rows.append(
+                (t0 + dt.timedelta(milliseconds=16 * i + 1), tel.encode_lap_packet(4, laps))
+            )
+    rows.append((t0, b"\x00\x01"))  # truncated garbage must be skipped
+    raw = spark.createDataFrame(rows, schema=schemas.LIVE_PACKET_RAW)
+    decoded = tel.decode_packets(raw)
+    return (
+        decoded.groupBy("packet_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("Speed"), 6).alias("avg_speed"),
+            F.max("LapNumber").alias("max_lap"),
+        )
+        .orderBy("packet_id")
+    )
+
+
 @_q("q30_minhash_near_dedup")
 def q30_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup (shingle→minhash→band→bucket-join→verify).

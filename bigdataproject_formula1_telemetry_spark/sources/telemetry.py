@@ -190,6 +190,11 @@ def decode_packets(
             for c in cols:
                 if c not in out.columns:
                     out[c] = None
+            # mixed packet types in one batch leave NaN in the array
+            # columns (BrakeTemps/TyrePressures); Arrow needs real None there
+            for c in ("BrakeTemps", "TyrePressures"):
+                if len(out):
+                    out[c] = out[c].where(pd.notna(out[c]), None)
             yield out[cols] if len(out) else pd.DataFrame(columns=cols)
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
