@@ -61,6 +61,26 @@ def main() -> None:
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Reference-shaped ETL benchmark: bronze → 10 m-grid warehouse via the
+    # grouped-map resampler (BASELINE.md: reference did 62M rows in ~2h06m
+    # ≈ 8.2k input-rows/s with a process pool; we report input rows/s).
+    from bigdataproject_formula1_telemetry_spark import schemas
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+    from tests.fixtures import gen_telemetry_raw
+
+    bronze_pdf = gen_telemetry_raw(
+        years=(2021, 2022, 2023, 2024),
+        rounds=(1, 2, 3),
+        drivers=(1, 4, 11, 16, 44, 55, 63, 81),
+        laps_per_driver=8,
+    )
+    bronze = spark.createDataFrame(bronze_pdf, schema=schemas.TELEMETRY_RAW)
+    n_bronze = len(bronze_pdf)
+    t0 = time.perf_counter()
+    pipelines.build_warehouse(bronze).write.format("noop").mode("overwrite").save()
+    etl_sec = time.perf_counter() - t0
+    timings["etl_resample_warehouse"] = round(etl_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "etl_input_rows": n_bronze,
+                "etl_rows_per_sec": round(n_bronze / etl_sec, 1),
             }
         )
     )

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -144,6 +144,98 @@ def predict_global(
         feature_cols,
         out_col,
     ).drop("__g")
+
+
+def ghost_inference(
+    df: DataFrame,
+    models: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    feature_cols: Sequence[str],
+    length: int = 20,
+    stride: int = 5,
+    strict_factor: float = 1.05,
+    out_col: str = "ghost_pred",
+) -> DataFrame:
+    """U5 — sequential "ghost car" inference over sliding windows.
+
+    Reference semantics (F1_web_dashboard_app.py:469-495): fixed-length
+    windows over the ordered lap trace, predict per window with a stride
+    (step_size=5 in the dashboard, 1 in the analyzers), multiply by the
+    ×1.05 strict-mode boost (P3-...ipynb:316).
+
+    Here the window is built with W5 (bounded collect_list), flattened to
+    a (length × features) vector, and scored against the per-group model
+    with a JVM dot product — the reference's per-window ``model.predict``
+    Python loop (its stated latency hotspot) disappears entirely.
+    """
+    from bigdataproject_formula1_telemetry_spark.operators import windows as W
+
+    group_cols = list(group_cols)
+    seqs = W.sliding_sequences(
+        df, group_cols, list(order_by), list(feature_cols), length=length,
+        out_col="__win", lookback_only=True,
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    strided = (
+        seqs.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") - 1) % stride == 0)
+        .drop("__rn")
+    )
+    flat = F.flatten(F.col("__win"))
+    joined = strided.join(F.broadcast(models), group_cols, "inner")
+    dot = F.aggregate(
+        F.zip_with(flat, F.col("coef"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        joined.withColumn(
+            out_col, (dot + F.col("intercept")) * F.lit(float(strict_factor))
+        )
+        .drop("__win", "coef", "intercept", "rmse", "n_rows")
+    )
+
+
+def train_ghost_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    feature_cols: Sequence[str],
+    label_col: str,
+    length: int = 20,
+    l2: float = 1e-3,
+    min_rows: int = 100,
+    max_rows_per_group: int = 200_000,
+) -> DataFrame:
+    """U4 — per-group sequence-model training (the per-circuit LSTM loop,
+    train_by_circuit.py:117-199, with a linear window model): build W5
+    windows, flatten, fit one ridge model per group on
+    (window → next value).  ``max_rows_per_group`` mirrors the reference's
+    200k-row tail cap (train_by_circuit.py:160-162)."""
+    from bigdataproject_formula1_telemetry_spark.operators import windows as W
+
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(*[F.col(c).desc() for c in order_by])
+    capped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows_per_group)
+        .drop("__rn")
+    )
+    seqs = W.sliding_sequences(
+        capped, group_cols, list(order_by), list(feature_cols), length=length,
+        out_col="__win", lookback_only=True,
+    )
+    flat_cols = [f"__f{i}" for i in range(length * len(feature_cols))]
+    flat = seqs.select(
+        *group_cols,
+        F.col(label_col).alias("__y"),
+        *[
+            F.flatten("__win").getItem(i).alias(c)
+            for i, c in enumerate(flat_cols)
+        ],
+    )
+    return train_per_group(flat, group_cols, flat_cols, "__y", l2=l2, min_rows=min_rows)
 
 
 def coaching_report(

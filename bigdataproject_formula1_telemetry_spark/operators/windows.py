@@ -170,6 +170,7 @@ def sliding_sequences(
     feature_cols: Sequence[str],
     length: int = 20,
     out_col: str = "sequence",
+    lookback_only: bool = False,
 ) -> DataFrame:
     """W5 — fixed-length sliding windows of feature vectors (the reference's
     20-step × 5-feature LSTM windows, train_by_circuit.py:164-167).
@@ -178,8 +179,13 @@ def sliding_sequences(
     arrays per row — memory is O(length × features) per row, independent of
     group size, so this scales to arbitrarily long laps.  Rows with fewer
     than ``length`` predecessors are dropped (parity with ``range(20, n)``).
+
+    ``lookback_only=True`` excludes the current row (frame [-length, -1]) —
+    the supervised form where the current row's value is the label
+    (``X = scaled[i-20:i]; y = scaled[i]``).
     """
-    w = _win(partition_by, order_by).rowsBetween(-(length - 1), 0)
+    frame = (-length, -1) if lookback_only else (-(length - 1), 0)
+    w = _win(partition_by, order_by).rowsBetween(*frame)
     feat = F.array(*[F.col(c).cast("double") for c in feature_cols])
     out = df.withColumn(out_col, F.collect_list(feat).over(w))
     return out.where(F.size(out_col) == length)

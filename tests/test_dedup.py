@@ -1,0 +1,119 @@
+"""Near-dedup exactness vs a brute-force oracle (sf0.001 documents):
+candidate verification must make every drop justified (precision = 1 by
+construction), and LSH banding must catch high-similarity pairs (recall)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.7
+
+
+def py_shingles(text: str, n: int = 3) -> frozenset:
+    words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    if len(words) < n:
+        return frozenset({" ".join(words)})
+    return frozenset(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+
+
+def py_jaccard(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return io.read_table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(docs_pdf):
+    """All pairs with exact 3-gram Jaccard ≥ THRESHOLD (brute force)."""
+    sh = {r.doc_id: py_shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = py_jaccard(sh[a], sh[b])
+            if j >= THRESHOLD:
+                out[(a, b)] = j
+    return out
+
+
+def test_jaccard_pairs_exact(spark, docs_pdf, oracle_pairs):
+    """The Spark n-gram Jaccard must equal the brute-force python value."""
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    cand = dedup.minhash_lsh_candidates(docs)
+    got = dedup.jaccard_pairs(docs, cand).toPandas()
+    sh = {r.doc_id: py_shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    for r in got.itertuples(index=False):
+        exp = py_jaccard(sh[r.id_a], sh[r.id_b])
+        assert abs(r.jaccard - exp) < 1e-12, (r.id_a, r.id_b)
+
+
+def test_near_dedup_recall_and_precision(spark, docs_pdf, oracle_pairs):
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    kept = set(
+        r.doc_id
+        for r in dedup.near_dedup_minhash(docs, threshold=THRESHOLD)
+        .select("doc_id")
+        .collect()
+    )
+    all_ids = set(docs_pdf["doc_id"])
+    dropped = all_ids - kept
+
+    # precision: every dropped doc has a true near-duplicate partner
+    sh = {r.doc_id: py_shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    for d in dropped:
+        assert any(
+            py_jaccard(sh[d], sh[o]) >= THRESHOLD for o in all_ids if o != d
+        ), f"doc {d} dropped without a true near-dup"
+
+    # recall on strong pairs (j ≥ 0.85 → banding catch prob ≈ 1): at most
+    # one member of each strong pair survives
+    strong = [(a, b) for (a, b), j in oracle_pairs.items() if j >= 0.85]
+    if strong:
+        missed = [(a, b) for a, b in strong if a in kept and b in kept]
+        assert len(missed) <= max(1, len(strong) // 10), missed
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 3, 7, 5],
+            "text": ["same text", "same text", "other", "same text"],
+        }
+    )
+    kept = dedup.exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert sorted(kept["doc_id"]) == [3, 7]
+
+
+def test_simhash_near_for_near_texts(spark):
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base.replace("today", "tonight"), "completely different words here entirely unrelated content"],
+        }
+    )
+    out = dedup.simhash_table(spark.createDataFrame(pdf)).toPandas().set_index("id")
+
+    def hamming(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = hamming(out.loc[1, "simhash64"], out.loc[2, "simhash64"])
+    far = hamming(out.loc[1, "simhash64"], out.loc[3, "simhash64"])
+    assert near < far
+    assert near <= 16
