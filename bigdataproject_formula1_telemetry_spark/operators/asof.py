@@ -52,7 +52,16 @@ def asof_join(
         F.col(ts_col),
         F.lit(side_rank_right).alias("__side"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col is not None
+            else []
+        ),
     )
+    if tiebreak_col is not None:
+        # the tiebreak disambiguates equal-ts RIGHT rows (last one wins);
+        # left rows carry NULL — they never compete with each other here
+        l = l.withColumn("__tb", F.lit(None).cast(r.schema["__tb"].dataType))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -60,7 +69,7 @@ def asof_join(
 
     order = [F.col(ts_col), F.col("__side")]
     if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col))
+        order.append(F.col("__tb").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

@@ -1,0 +1,108 @@
+"""S15/S16 sink tests + property-based as-of join checks (hypothesis)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import ml, sinks
+from bigdataproject_formula1_telemetry_spark.operators import asof
+
+
+def test_html_report_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("A", 1, 2.5), ("B<script>", 2, 3.5)], "grp string, n long, v double"
+    )
+    path = str(tmp_path / "r" / "report.html")
+    n = sinks.write_html_report(df, path, title="Audit <summary>")
+    assert n == 2
+    content = open(path).read()
+    assert "<table" in content and "B&lt;script&gt;" in content
+    assert "Audit &lt;summary&gt;" in content
+
+
+def test_report_sink_row_cap(spark, tmp_path):
+    big = spark.range(sinks.MAX_REPORT_ROWS + 10)
+    with pytest.raises(ValueError, match="aggregate first"):
+        sinks.write_html_report(big, str(tmp_path / "x.html"))
+
+
+def test_model_artifact_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"g": [0, 1], "x": [1.0, 2.0], "y": [2.0, 4.0]})
+    big = pd.concat([pdf] * 30, ignore_index=True)
+    models = ml.train_per_group(spark.createDataFrame(big), ["g"], ["x"], "y", min_rows=2)
+    path = str(tmp_path / "models")
+    sinks.write_model_artifacts(models, path)
+    back = sinks.read_model_artifacts(spark, path)
+    a = models.toPandas().sort_values("g").reset_index(drop=True)
+    b = back.toPandas().sort_values("g").reset_index(drop=True)
+    assert np.allclose(np.stack(a["coef"]), np.stack(b["coef"]))
+    assert sinks.safe_name("Marina Bay (Singapore)!") == "MarinaBaySingapore"
+
+
+# --------------------------------------------------------------------------
+# Property-based: asof_join vs pandas merge_asof on random inputs
+# --------------------------------------------------------------------------
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 25))
+    n_right = draw(st.integers(0, 25))
+    ts = st.integers(0, 50)
+    left = sorted(draw(st.lists(ts, min_size=n_left, max_size=n_left)))
+    right = sorted(draw(st.lists(ts, min_size=n_right, max_size=n_right)))
+    return left, right
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    left_ts, right_ts = case
+    left = pd.DataFrame(
+        {"k": 1, "ts": pd.array(left_ts, dtype="int64"),
+         "lid": np.arange(len(left_ts), dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": 1, "ts": pd.array(right_ts, dtype="int64"),
+         "val": np.array(right_ts, dtype="float64") * 10.0,
+         "rid": np.arange(len(right_ts), dtype="int64")}
+    )
+    got = (
+        asof.asof_join(
+            spark.createDataFrame(left, schema="k long, ts long, lid long"),
+            spark.createDataFrame(
+                right, schema="k long, ts long, val double, rid long"
+            ),
+            on=["k"],
+            ts_col="ts",
+            value_cols=["val"],
+            tiebreak_col="rid",
+        )
+        .toPandas()
+        .sort_values(["ts", "lid"])
+        .reset_index(drop=True)
+    )
+    # pandas oracle: backward (latest right.ts <= left.ts); equal-ts rights
+    # are visible (non-strict), ties keep the last right row
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values(["ts", "rid"]).rename(columns={"val": "exp_val"})[
+            ["ts", "exp_val"]
+        ],
+        on="ts",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values(["ts", "lid"]).reset_index(drop=True)
+    got_vals = got["asof_val"].to_numpy(dtype=float)
+    exp_vals = exp["exp_val"].to_numpy(dtype=float)
+    assert len(got_vals) == len(exp_vals)
+    both_nan = np.isnan(got_vals) & np.isnan(exp_vals)
+    assert (both_nan | (got_vals == exp_vals)).all(), (got_vals, exp_vals)
