@@ -103,6 +103,41 @@ def normalize_telemetry_columns(df: DataFrame) -> DataFrame:
     return df
 
 
+def upsert_dim(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """S4 — dimension upsert (Mongo ``update_one(..., upsert=True)`` on
+    race_meta, F1_Data_Collect.ipynb:114-118) without a table format:
+    read-modify-overwrite with new rows winning per key.
+
+    Small-dim only (race_meta is 149 rows): the whole table rewrites,
+    which is exactly what a dim of this size wants.  For large upserts,
+    use partition-level dynamic overwrite (write_partitioned) or a table
+    format with MERGE."""
+    try:
+        existing = spark.read.parquet(path)
+        merged = new_rows.withColumn("__prio", F.lit(0)).unionByName(
+            existing.withColumn("__prio", F.lit(1)), allowMissingColumns=True
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*keys).orderBy(F.col("__prio").asc())
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__prio")
+        )
+    except Exception:
+        deduped = new_rows
+    pdf = deduped.toPandas()  # small dim by contract; breaks read-write cycle
+    out = spark.createDataFrame(pdf, schema=deduped.schema)
+    out.write.mode("overwrite").parquet(path)
+    return out
+
+
 def existing_partitions(
     spark: SparkSession, root: str, partition_cols: tuple[str, ...]
 ) -> set[tuple]:
