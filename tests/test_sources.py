@@ -41,29 +41,35 @@ def test_udp_source_live(spark):
         .start()
     )
 
+    stop = threading.Event()
+
     def send():
+        # the reader binds lazily in its first micro-batch (timing varies
+        # under load) — keep producing like a real 60 Hz game until the
+        # stream has observably consumed something
         s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        # the reader binds lazily in the first micro-batch; keep sending
-        # across several triggers like a real 60 Hz producer
-        for _ in range(8):
+        while not stop.is_set():
             for p in payloads:
+                if stop.is_set():
+                    break
                 s.sendto(p, ("127.0.0.1", UDP_PORT))
                 time.sleep(0.004)
         s.close()
 
-    t = threading.Thread(target=send)
-    # give the stream a moment to bind the socket before sending
-    time.sleep(2)
+    t = threading.Thread(target=send, daemon=True)
     t.start()
-    t.join()
-    deadline = time.time() + 30
+    deadline = time.time() + 60
     n = 0
-    while time.time() < deadline:
-        n = spark.sql("SELECT count(*) FROM udp_live").collect()[0][0]
-        if n >= 1:
-            break
-        time.sleep(0.5)
-    q.stop()
+    try:
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM udp_live").collect()[0][0]
+            if n >= 1:
+                break
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        q.stop()
     assert n >= 1, "no datagrams made it through the UDP source"
     row = spark.sql(
         "SELECT Speed, packet_id, player_car_index FROM udp_live LIMIT 1"
