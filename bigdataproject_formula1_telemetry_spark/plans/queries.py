@@ -1078,6 +1078,86 @@ def q42_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only checks (no SQL-expressible oracle) --------------------------
 
 @_q(
+    "q44_semi_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_cust
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q44_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 — explicit left-semi join (the reference's J5 group↔detail
+    rejoin is a semi-join in disguise; here surfaced directly)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@_q(
+    "q45_anti_join",
+    """
+    SELECT n.n_name, count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    GROUP BY n.n_name
+    """,
+)
+def q45_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 — left-anti join: customers with no orders, per nation (the
+    audit's missing-entities direction)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@_q(
+    "q46_set_ops",
+    """
+    SELECT 'both' AS tag, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS tag, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q46_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — intersect / except surfaced natively (the reference only
+    has union-all; these come free in Spark and are declared here)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("tag"), "n"
+    )
+    only_f = f.subtract(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_f").alias("tag"), "n"
+    )
+    return both.unionByName(only_f)
+
+
+@_q(
     "q43_resample_parity",
     """
     WITH s0 AS (
