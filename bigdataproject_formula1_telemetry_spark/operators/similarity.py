@@ -88,28 +88,52 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | list[list[list[float]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors sharing the query's
-    sign-LSH bucket.  Equi-join on bucket id → hash-partitioned, scalable;
-    recall is tuned by the number of planes (fewer planes → bigger buckets).
+    """Approximate top-k via multi-table sign-LSH: candidates are corpus
+    vectors sharing a bucket with the query in ANY of the L independent
+    hash tables (union), then scored exactly and ranked.
+
+    ``planes`` is either one table (list of hyperplanes) or a list of
+    tables.  Recall ≈ 1-(1-p^b)^L for per-plane agreement p, bucket bits
+    b, tables L — tune tables up for recall, planes up for smaller
+    buckets.  The join key is (table, bucket) → hash-partitioned and
+    bounded per bucket; candidate pairs are deduped before the (exact)
+    scoring, so each survivor is scored once.
     """
-    b = lambda df, idc: df.withColumn("__bucket", signlsh_bucket(F.col(vec_col), planes))
-    qb = b(queries, id_col).select(
+    tables: list[list[list[float]]] = (
+        [planes] if planes and isinstance(planes[0][0], (int, float)) else planes  # type: ignore[index]
+    )
+    bucket_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                signlsh_bucket(F.col(vec_col), tbl).alias("b"),
+            )
+            for t, tbl in enumerate(tables)
+        ]
+    )
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(bucket_arr).alias("__tb")
+    ).select(id_col, vec_col, "__tb.t", "__tb.b")
+    qb = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
-        "__bucket",
+        F.explode(bucket_arr).alias("__tb"),
+    ).select(query_id_col, "__qv", "__tb.t", "__tb.b")
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "b"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "__qv", vec_col)
+        .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    cb = b(corpus, id_col)
-    scored = cb.join(F.broadcast(qb), "__bucket").where(
-        F.col(id_col) != F.col(query_id_col)
-    ).select(
+    scored = cand.select(
         query_id_col,
-        F.col(id_col).alias("neighbor_id"),
+        "neighbor_id",
         cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(

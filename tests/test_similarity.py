@@ -1,0 +1,68 @@
+"""Similarity search tests: brute-force kNN sanity on real embeddings and
+sign-LSH recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return io.read_table(spark, SF_SMOKE, "embeddings")
+
+
+def np_topk(pdf, qid, k=5):
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples(index=False)}
+    q = vecs[qid]
+    scores = []
+    for vid, v in vecs.items():
+        if vid == qid:
+            continue
+        cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        scores.append((-cos, vid))
+    return [vid for _, vid in sorted(scores)[:k]]
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sim.knn_bruteforce(emb, queries, k=5).toPandas()
+    for qid in range(3):
+        g = got[got["query_id"] == qid].sort_values("cos_sim", ascending=False)
+        assert list(g["neighbor_id"]) == np_topk(pdf, qid, 5)
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    rng = np.random.default_rng(42)
+    dim = 64
+    # 10 independent tables × 3 planes: recall from the union of buckets
+    tables = [rng.normal(size=(3, dim)).tolist() for _ in range(10)]
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.knn_bruteforce(emb, queries, k=5).toPandas()
+    approx = sim.knn_lsh(emb, queries, tables, k=5).toPandas()
+    recalls = []
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        if e:
+            recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > 0.5, np.mean(recalls)
+    # approx scores are true cosines (scoring is exact inside the bucket)
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cos_sim_a"], merged["cos_sim_e"], atol=1e-9)
+
+
+def test_lsh_bucket_determinism(spark, emb):
+    rng = np.random.default_rng(1)
+    planes = rng.normal(size=(4, 64)).tolist()
+    a = emb.select("vec_id", sim.signlsh_bucket(F.col("embedding"), planes).alias("b")).toPandas()
+    b = emb.select("vec_id", sim.signlsh_bucket(F.col("embedding"), planes).alias("b")).toPandas()
+    m = a.merge(b, on="vec_id")
+    assert (m["b_x"] == m["b_y"]).all()
+    assert a["b"].nunique() > 1
