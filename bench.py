@@ -28,6 +28,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_star_join",
+    "q47_shipping_priority",
+    "q48_regional_revenue",
     "q05_top1_per_group",
     "q06_window_ratio",
     "q08_window_cumsum",

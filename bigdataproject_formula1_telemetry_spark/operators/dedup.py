@@ -78,10 +78,17 @@ def shingle_sets(
     Catalyst's CollapseProject would otherwise re-inline it into every
     downstream consumer (64 minhash transforms, 16 band slices, both
     sides of the verify join) — measured 40× slowdown without it.
+
+    Also materializes ``h`` (xxhash64 per shingle) so the signature stage
+    applies 64 cheap affine permutations to longs instead of re-hashing
+    strings 64×.
     """
-    return df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).localCheckpoint()
+    sh = shingles(F.col(text_col), shingle_n)
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .withColumn("h", F.transform("sh", lambda s: F.xxhash64(s)))
+        .localCheckpoint()
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -92,11 +99,18 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
     Pass a materialized column (see ``shingle_sets``) — not a shingle
     *expression* — or Catalyst will clone the expression per hash."""
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
+    """Signature from pre-computed shingle hashes (``shingle_sets``'s ``h``
+    column): 64 affine passes over longs, no string re-hashing."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
-            F.transform(base, lambda h: h * (k * 2 + 1) + k)
+            F.transform(hash_col, lambda h: h * (k * 2 + 1) + k)
         ),
     )
 
@@ -121,9 +135,12 @@ def minhash_lsh_candidates(
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n)
     # second barrier: the signature array feeds all 16 band slices
-    sig = sh.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    ).localCheckpoint()
+    sig_expr = (
+        minhash_signature_from_hashes(F.col("h"), num_hashes)
+        if "h" in sh.columns
+        else minhash_signature(F.col("sh"), num_hashes)
+    )
+    sig = sh.select("id", sig_expr.alias("sig")).localCheckpoint()
     banded = sig.select(
         "id",
         F.explode(
@@ -170,6 +187,7 @@ def jaccard_pairs(
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n)
+    sh = sh.select("id", "sh")
     out = (
         pairs.join(
             sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
