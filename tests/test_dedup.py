@@ -85,6 +85,24 @@ def test_near_dedup_recall_and_precision(spark, docs_pdf, oracle_pairs):
         assert len(missed) <= max(1, len(strong) // 10), missed
 
 
+def test_arrow_signature_bit_identical_to_expression(spark):
+    """The production Arrow minhash path must reproduce the JVM expression
+    path exactly (two's-complement wrap + signed min)."""
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    sh = dedup.shingle_sets(docs)
+    from pyspark.sql import functions as F
+
+    expr = sh.select("id", dedup.minhash_signature_from_hashes(F.col("h")).alias("sig"))
+    arrow = sh.select("id", dedup.minhash_signature_arrow(64)(F.col("h")).alias("sig"))
+    diff = (
+        expr.alias("a")
+        .join(arrow.alias("b"), "id")
+        .where(F.expr("a.sig <> b.sig"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_exact_dedup_keeps_min_id(spark):
     import pandas as pd
 
