@@ -20,6 +20,26 @@ from bigdataproject_formula1_telemetry_spark import schemas
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet ``ts`` column is TIMESTAMP(NANOS) — illegal
+    for Spark's reader, so it needs the long+convert path.  Footer-only
+    check (pyarrow), cached per path."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        is_nanos = str(schema.field("ts").type) == "timestamp[ns]"
+    except Exception:
+        is_nanos = True  # conservative: the driver testdata is nanos
+    _NANOS_CACHE[path] = is_nanos
+    return is_nanos
+
+
+_NANOS_CACHE: dict[str, bool] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated testdata table with its declared schema.
 
@@ -33,7 +53,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB sees).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         phys = StructType(
             [
                 StructField("ts", LongType(), True)

@@ -33,6 +33,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Reference writes snappy parquet (F1_Data_PreProcessing.ipynb:139).
     "spark.sql.parquet.compression.codec": "snappy",
+    # Write timestamps as INT64 micros, not legacy INT96 — round-trippable
+    # by every reader (incl. our own explicit-schema read paths).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Idempotent per-partition re-ingest (SURVEY §2.1 S5).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # Deterministic event-time across Spark and the DuckDB oracle.
