@@ -9,10 +9,6 @@ generation sub-quadratic at 100 TB.
 
 from __future__ import annotations
 
-import re
-import struct
-from collections.abc import Sequence
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -72,7 +68,7 @@ def shingle_sets(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sh) distinct-shingle sets, materialized behind a lineage
+    """(id, h) hashed distinct-shingle sets, materialized behind a lineage
     barrier (``localCheckpoint``).
 
     The barrier is load-bearing for performance, not correctness:
@@ -81,16 +77,16 @@ def shingle_sets(
     downstream consumer (64 minhash transforms, 16 band slices, both
     sides of the verify join) — measured 40× slowdown without it.
 
-    Also materializes ``h`` (xxhash64 per shingle) so the signature stage
-    applies 64 cheap affine permutations to longs instead of re-hashing
-    strings 64×.
+    Only the xxhash64 of each shingle is kept: the signature stage wants
+    longs anyway, and set Jaccard over 64-bit hashes equals string
+    Jaccard up to a ~2⁻⁶⁴ collision probability — while the checkpoint
+    stores 8 bytes per shingle instead of the string.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .withColumn("h", F.transform("sh", lambda s: F.xxhash64(s)))
-        .localCheckpoint()
-    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("h"),
+    ).localCheckpoint()
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -166,10 +162,11 @@ def minhash_lsh_candidates(
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n)
     # second barrier: the signature array feeds all 16 band slices
-    if "h" in sh.columns:
-        sig_expr = minhash_signature_arrow(num_hashes)(F.col("h"))
-    else:
-        sig_expr = minhash_signature(F.col("sh"), num_hashes)
+    sig_expr = (
+        minhash_signature_arrow(num_hashes)(F.col("h"))
+        if "h" in sh.columns
+        else minhash_signature(F.col("sh"), num_hashes)
+    )
     sig = sh.select("id", sig_expr.alias("sig")).localCheckpoint()
     banded = sig.select(
         "id",
@@ -217,12 +214,13 @@ def jaccard_pairs(
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n)
-    sh = sh.select("id", "sh")
+    set_col = "h" if "h" in sh.columns else "sh"
+    sh = sh.select("id", F.col(set_col).alias("ss"))
     out = (
         pairs.join(
-            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("ss", "sh_a"), "id_a"
         ).join(
-            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("ss", "sh_b"), "id_b"
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -24,7 +24,6 @@ Two implementations, per the SURVEY §7 plan:
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 import numpy as np

@@ -138,6 +138,72 @@ def test_drop_incomplete_tail_lap(live_df):
     assert max_kept == max_all - 1
 
 
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Real watermark semantics (the idiomatic upgrade over the
+    reference's wall-clock throttle): in append mode a window is emitted
+    once the watermark passes its end, and rows arriving after the
+    watermark are dropped."""
+    import pandas as pd
+
+    src = str(tmp_path / "late")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    mk = lambda secs: pd.DataFrame(
+        {"ts": [base + pd.Timedelta(seconds=s) for s in secs],
+         "v": [1.0] * len(secs)}
+    )
+    schema = "ts timestamp, v double"
+    import time as _time
+
+    # batch 0: 10 on-time rows in window [0,10) + one row at t=30 that
+    # advances the watermark to 25s
+    spark.createDataFrame(mk(list(range(10)) + [30]), schema).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    _time.sleep(1.2)  # file-source batch order follows modification time
+    # batch 1: t=50 → watermark 45; window [0,10) is emitted and evicted
+    # during this batch's state cleanup
+    spark.createDataFrame(mk([50]), schema).coalesce(1).write.parquet(src, mode="append")
+    _time.sleep(1.2)
+    # batch 2: a VERY late row at t=3 — its window was already emitted and
+    # evicted, so it must be ignored (append mode never re-emits a window)
+    spark.createDataFrame(mk([3, 100]), schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = stream.groupBy(F.window("ts", "10 seconds").alias("win")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT win.start AS s, n FROM late_windows")
+        .toPandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    secs = [(r["s"].second + r["s"].minute * 60) for _, r in got.iterrows()]
+    emitted = dict(zip(secs, got["n"]))
+    # each window emitted at most once (append-mode contract)
+    assert len(secs) == len(set(secs))
+    # window [0,10): the 10 on-time rows; the t=3 row that arrived after
+    # emission+eviction was ignored
+    assert emitted.get(0) == 10
+    assert emitted.get(30) == 1 and emitted.get(50) == 1
+    # window [100,110) never finalized (watermark stopped at 95)
+    assert 100 not in emitted
+
+
 def test_windowed_agg_stream_matches_batch(spark, live_pdf, tmp_path):
     src = str(tmp_path / "ev")
     spark.createDataFrame(live_pdf, LIVE_SCHEMA).write.parquet(src, mode="overwrite")
