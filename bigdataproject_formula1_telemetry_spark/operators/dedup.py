@@ -263,6 +263,94 @@ def near_dedup_minhash(
 
 
 # --------------------------------------------------------------------------
+# Connected components (duplicate clustering)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (id, component)
+    where component = min id reachable.
+
+    Iterative DataFrame algorithm: each round joins current labels across
+    edges and takes the per-node min; lineage is cut per round with
+    ``localCheckpoint`` (iterative plans otherwise grow exponentially).
+    Converges in O(diameter) rounds — duplicate clusters are shallow
+    (near-clique), so a handful of rounds in practice; ``max_iter`` bounds
+    pathological chains.  This is the standard production formulation of
+    large-scale near-dup clustering (greedy pair-dropping under-merges
+    transitive duplicate groups).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.s == labels.id)
+            .select(F.col("d").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_clustered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cluster-aware near-dedup: LSH candidates → Jaccard verify →
+    connected components over the duplicate graph → keep the minimum id
+    of every component.  Unlike the greedy ``near_dedup_minhash``, this
+    merges transitive duplicate chains (A~B, B~C ⇒ one survivor, even if
+    A≁C directly)."""
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh
+    )
+    dup_pairs = jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(dup_pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

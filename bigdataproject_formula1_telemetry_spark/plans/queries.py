@@ -1297,6 +1297,18 @@ def q43_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q49_near_dedup_clustered")
+def q49_near_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware near-dedup: LSH → Jaccard verify → connected
+    components (iterative min-label propagation) → keep min id per
+    duplicate cluster.  Iterative algorithm → rows-only check (SURVEY
+    instruction for non-SQL-expressible ops); exactness vs a union-find
+    oracle is tested in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.near_dedup_clustered(docs, threshold=0.7)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @_q("q41_decode_packets")
 def q41_decode_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14 — binary record decode through the contract: deterministic

@@ -103,6 +103,56 @@ def test_arrow_signature_bit_identical_to_expression(spark):
     assert diff == 0
 
 
+def test_connected_components_matches_union_find(spark):
+    import pandas as pd
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 5)]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+
+    # python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    exp = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+    assert got == exp
+
+
+def test_clustered_dedup_merges_transitive_chains(spark, docs_pdf):
+    """A~B and B~C (but A≁C) must leave ONE survivor with clustering."""
+    import pandas as pd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    # B shares 75% with A and 75% with C; A and C share ~50%
+    a = " ".join(words)
+    b = " ".join(words[:15] + ["one", "two", "three", "four", "five"])
+    c = " ".join(words[:10] + ["one", "two", "three", "four", "five",
+                               "six", "seven", "eight", "nine", "ten"])
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    sdf = spark.createDataFrame(pdf)
+    kept = dedup.near_dedup_clustered(
+        sdf, threshold=0.3, bands=32, num_hashes=64, shingle_n=2
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [1], ids
+
+
 def test_exact_dedup_keeps_min_id(spark):
     import pandas as pd
 
