@@ -1297,6 +1297,29 @@ def q43_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q50_approx_distinct")
+def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scale path — HyperLogLog++ approx_count_distinct next to the
+    exact count (the $addToSet cardinality at 100 TB where exact distinct
+    is a full shuffle).  Sketch values are engine-specific → rows-only
+    check; the test is the relative-error bound baked into the output."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+    )
+    return out.select(
+        "event_type",
+        "exact_users",
+        "approx_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.15
+        ).alias("within_tolerance"),
+    ).orderBy("event_type")
+
+
 @_q("q49_near_dedup_clustered")
 def q49_near_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware near-dedup: LSH → Jaccard verify → connected
