@@ -94,6 +94,11 @@ def main() -> None:
                 "sf": sf,
                 "etl_input_rows": n_bronze,
                 "etl_rows_per_sec": round(n_bronze / etl_sec, 1),
+                # reference ETL: ~60.1M audited lake rows resampled in
+                # ~2h06m with a cpu_count-2 process pool
+                # (BASELINE.md, F1_Data_PreProcessing.ipynb:187-188)
+                "reference_etl_rows_per_sec": 7950.0,
+                "etl_speedup_vs_reference": round(n_bronze / etl_sec / 7950.0, 2),
             }
         )
     )

@@ -75,6 +75,14 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
+    """Expose the testdata tables as temp views so the full Spark SQL
+    surface (``spark.sql``) works against them — the engine is usable
+    from SQL strings as well as the DataFrame API."""
+    for n in names or tuple(schemas.TESTDATA_SCHEMAS):
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 def write_partitioned(
     df: DataFrame,
     root: str,
