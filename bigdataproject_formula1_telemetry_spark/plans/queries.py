@@ -46,6 +46,20 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+
+def _pround(col, n: int):
+    """Portable half-up rounding: floor(x*10^n + 0.5)/10^n.
+
+    ``round()`` differs between engines at representable midpoints (Spark
+    HALF_UP on the shortest decimal repr vs DuckDB mathematical rounding
+    of the double) — division-derived values (averages, ratios, lerps)
+    can land exactly on such midpoints.  floor-based rounding evaluates
+    identically on the same IEEE double in every engine.  SQL twin:
+    ``floor(x * 10^n + 0.5) / 10^n.0``."""
+    f = 10 ** n
+    return F.floor(col * F.lit(float(f)) + F.lit(0.5)) / F.lit(float(f))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin event-time semantics to UTC even when the caller's session (e.g.
     # the grading driver's vanilla SparkSession) didn't set it — keeps
@@ -67,9 +81,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       round(sum(l_extendedprice), 2)                              AS sum_base_price,
       round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-      round(avg(l_quantity), 6)                                   AS avg_qty,
-      round(avg(l_extendedprice), 6)                              AS avg_price,
-      round(avg(l_discount), 6)                                   AS avg_disc,
+      floor(round(sum(l_quantity), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_qty,
+      floor(round(sum(l_extendedprice), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_price,
+      floor(round(sum(l_discount), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
       count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -91,9 +105,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc), 4).alias("sum_disc_price"),
             F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _pround(F.round(F.sum("l_quantity"), 4) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            _pround(F.round(F.sum("l_extendedprice"), 4) / F.count(F.lit(1)), 6).alias("avg_price"),
+            _pround(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -130,7 +144,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name, n.n_name,
       count(*) AS n_cust,
-      round(avg(c.c_acctbal), 6) AS avg_bal
+      floor(round(sum(c.c_acctbal), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -149,7 +163,7 @@ def q03_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            _pround(F.round(F.sum("c_acctbal"), 4) / F.count(F.lit(1)), 6).alias("avg_bal"),
         )
     )
 
@@ -215,8 +229,8 @@ def q05_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_window_ratio",
     """
     SELECT o_orderkey, o_custkey,
-      round(o_totalprice / min(o_totalprice) OVER (PARTITION BY o_custkey), 6)
-        AS price_ratio
+      floor(o_totalprice / min(o_totalprice) OVER (PARTITION BY o_custkey)
+            * 1000000 + 0.5) / 1000000.0 AS price_ratio
     FROM orders
     """,
 )
@@ -225,7 +239,7 @@ def q06_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     target, P1-...ipynb:263-267)."""
     o = _t(spark, sf_dir, "orders")
     return W.group_min_ratio(o, ["o_custkey"], "o_totalprice", "price_ratio").select(
-        "o_orderkey", "o_custkey", F.round("price_ratio", 6).alias("price_ratio")
+        "o_orderkey", "o_custkey", _pround(F.col("price_ratio"), 6).alias("price_ratio")
     )
 
 
@@ -416,7 +430,7 @@ def q14_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q15_union_tag",
     """
-    SELECT tag, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    SELECT tag, count(*) AS n_orders, floor(round(sum(o_totalprice), 4) / count(*) * 10000 + 0.5) / 10000.0 AS avg_price
     FROM (
       SELECT 'high' AS tag, o_totalprice FROM orders WHERE o_totalprice > 400000
       UNION ALL
@@ -436,7 +450,7 @@ def q15_union_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hi.unionByName(lo).groupBy("tag").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        _pround(F.round(F.sum("o_totalprice"), 4) / F.count(F.lit(1)), 4).alias("avg_price"),
     )
 
 
@@ -656,7 +670,7 @@ def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
       count(*) AS n_events,
       round(sum(value), 4) AS sum_value,
-      round(avg(value), 6) AS avg_value
+      floor(round(sum(value), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_value
     FROM events GROUP BY 1
     """,
 )
@@ -668,7 +682,7 @@ def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _pround(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
 
 
@@ -691,9 +705,9 @@ def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.gx <= s.x
     )
     SELECT user_id, CAST(gx AS BIGINT) AS grid_us,
-      round(CASE WHEN nx = px THEN py
-                 ELSE py + (gx - px) / (nx - px) * (ny - py) END, 6)
-        AS value_interp
+      floor((CASE WHEN nx = px THEN py
+                 ELSE py + (gx - px) / (nx - px) * (ny - py) END)
+            * 1000000 + 0.5) / 1000000.0 AS value_interp
     FROM n
     """,
 )
@@ -712,7 +726,7 @@ def q28_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.col("tus").cast("long").alias("grid_us"),
-        F.round("value", 6).alias("value_interp"),
+        _pround(F.col("value"), 6).alias("value_interp"),
     )
 
 
@@ -744,11 +758,12 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
       CAST(ntok AS BIGINT) AS n_tokens,
-      round(CASE WHEN length(text) > 0
+      floor((CASE WHEN length(text) > 0
                  THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
                       / length(text)
-                 ELSE 0 END, 6) AS punct_ratio,
-      round(CAST(length(text) AS DOUBLE) / ntok, 6) AS avg_tok_len
+                 ELSE 0 END) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
+      floor(CAST(length(text) AS DOUBLE) / ntok * 1000000 + 0.5) / 1000000.0
+        AS avg_tok_len
     FROM t
     """,
 )
@@ -760,8 +775,8 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
-        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
+        _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
     )
 
 
@@ -868,7 +883,7 @@ def q33_aligned_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_global_scalars",
     """
     SELECT round(max(value), 6) AS max_value, round(min(value), 6) AS min_value,
-      round(avg(value), 6) AS avg_value,
+      floor(round(sum(value), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_value,
       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
     FROM events
@@ -881,7 +896,7 @@ def q34_global_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.round(F.max("value"), 6).alias("max_value"),
         F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        _pround(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("first_ts"),
@@ -939,7 +954,7 @@ def q36_map_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN value > 300 THEN 'critical'
                 WHEN value > 150 THEN 'major'
                 ELSE 'minor' END AS severity,
-      count(*) AS n, round(avg(value), 6) AS avg_value
+      count(*) AS n, floor(round(sum(value), 4) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_value
     FROM events GROUP BY 1
     """,
 )
@@ -951,7 +966,7 @@ def q37_threshold_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"), [(300.0, "critical"), (150.0, "major")], "minor"
     )
     return ev.groupBy(sev.alias("severity")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), _pround(F.round(F.sum("value"), 4) / F.count(F.lit(1)), 6).alias("avg_value")
     )
 
 
@@ -1260,9 +1275,9 @@ def q46_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.gx <= s.x
     )
     SELECT user_id, CAST(gx AS BIGINT) AS rel_us,
-      round(CASE WHEN nx = px THEN py
-                 ELSE py + (gx - px) / (nx - px) * (ny - py) END, 6)
-        AS value_interp
+      floor((CASE WHEN nx = px THEN py
+                 ELSE py + (gx - px) / (nx - px) * (ny - py) END)
+            * 1000000 + 0.5) / 1000000.0 AS value_interp
     FROM n
     """,
 )
@@ -1293,7 +1308,7 @@ def q43_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.col("rel_us").cast("long").alias("rel_us"),
-        F.round("value", 6).alias("value_interp"),
+        _pround(F.col("value"), 6).alias("value_interp"),
     )
 
 

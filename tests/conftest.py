@@ -44,10 +44,13 @@ def duck():
 def register_views(con, sf_dir: str) -> None:
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):  # spark-written dataset directory
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -55,6 +58,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     columns — the order-insensitive canonical form."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            # Spark-written parquet is marked isAdjustedToUTC → DuckDB
+            # yields tz-aware values; engine output is naive UTC
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]")
     if len(df) and len(df.columns):
