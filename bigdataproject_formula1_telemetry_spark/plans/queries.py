@@ -3,12 +3,19 @@ SURVEY.md §2, each with a DuckDB oracle SQL twin.
 
 Conventions (driver contract, see __spark_entry__.py):
 - every computed column is aliased identically in Spark and SQL;
-- floating aggregates are rounded identically on both sides (sums → 2dp,
-  avgs/ratios → 6dp) so cross-engine fp-summation-order noise never flips
-  the value hash;
+- cross-engine float determinism: sums are rounded at (or beyond) their
+  true decimal precision; averages divide a decimal-exact rounded sum by
+  the exact count so both engines divide identical doubles; ratios/lerps
+  and other division-derived values use portable floor-based rounding
+  (``_pround``) because ``round()`` semantics diverge at representable
+  midpoints (Spark HALF_UP vs DuckDB mathematical);
 - integer-valued computed columns are cast to long/BIGINT on both sides
   (DuckDB SUM(int) yields HUGEINT otherwise);
 - every ranking includes a unique tiebreaker column for determinism.
+
+These rules are validated not just at the driver's sf0.01 gate but also
+against a 10×-replicated sf0.1 dataset (see SCALING.md), which is what
+exposed the average-midpoint class in the first place.
 """
 
 from __future__ import annotations
