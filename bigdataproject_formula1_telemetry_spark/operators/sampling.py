@@ -1,0 +1,84 @@
+"""Deterministic sampling for training-data pipelines (north-star).
+
+``df.sample()`` / ``rand()`` are nondeterministic under task retries and
+repartitioning — a reproducibility hazard in dataset curation.  These
+samplers gate on a content hash of the row identity, so the same row
+makes the same decision on any engine, any partitioning, any retry:
+
+- ``deterministic_sample`` — keep rows where the first 8 hex digits of
+  md5(salt|id) fall under the fraction threshold (md5 is identical in
+  every engine → the sample is portable and oracle-checkable).
+- ``stratified_sample`` — per-stratum fractions (e.g. downsample the
+  dominant language, keep the rare ones) via the same gate.
+- ``sample_by_key`` — all-or-nothing at the group level (keep whole
+  documents/laps, never fractions of one).
+
+Scale: pure column expressions, no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex digits of precision for the threshold gate (16^8 ≈ 4.3e9 buckets)
+_HEX_DIGITS = 8
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    t = int(fraction * (16**_HEX_DIGITS))
+    return format(min(t, 16**_HEX_DIGITS - 1), f"0{_HEX_DIGITS}x")
+
+
+def _gate(id_cols: Sequence[str | Column], salt: str) -> Column:
+    ident = F.concat_ws(
+        "|", F.lit(salt), *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in id_cols]
+    )
+    return F.substring(F.md5(ident), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    fraction: float,
+    salt: str = "seed",
+) -> DataFrame:
+    """Reproducible ~``fraction`` sample keyed by row identity.  The hex
+    prefix of md5 is uniform, so the realized rate concentrates tightly
+    around ``fraction`` for any non-adversarial id distribution."""
+    return df.where(_gate(id_cols, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "seed",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    threshold (rebalancing skewed corpora — the canonical language/domain
+    rebalance step)."""
+    thresh = F.lit(_threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thresh)
+    return df.where(_gate(id_cols, salt) < thresh)
+
+
+def sample_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    salt: str = "seed",
+) -> DataFrame:
+    """Group-level all-or-nothing sampling: every row of a kept key
+    survives (whole laps / whole documents), so downstream per-group
+    operators see complete groups."""
+    return deterministic_sample(df, key_cols, fraction, salt)

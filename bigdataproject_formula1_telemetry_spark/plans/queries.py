@@ -1319,6 +1319,30 @@ def q43_resample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q51_deterministic_sample",
+    """
+    SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE substr(md5('seed|' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+          < '19999999'
+    """,
+)
+def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample gated on md5(salt|id) — reproducible
+    across engines/retries/partitionings (unlike rand()-based sampling),
+    which is exactly why it hash-matches a DuckDB oracle.  The curation
+    primitive behind reproducible training-data subsets."""
+    from bigdataproject_formula1_telemetry_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    s = sampling.deterministic_sample(o, ["o_orderkey"], 0.1, salt="seed")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 @_q("q50_approx_distinct")
 def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 scale path — HyperLogLog++ approx_count_distinct next to the
