@@ -1343,36 +1343,106 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q50_approx_distinct")
+@_q(
+    "q50_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 scale path — HyperLogLog++ approx_count_distinct next to the
     exact count (the $addToSet cardinality at 100 TB where exact distinct
-    is a full shuffle).  Sketch values are engine-specific → rows-only
-    check; the test is the relative-error bound baked into the output."""
+    is a full shuffle).  The HLL sketch value itself is engine-specific,
+    so the hashed column is the *error-bound assertion*: ``within_5pct``
+    is TRUE iff |approx - exact| / exact < 0.05, and the oracle expects
+    TRUE for every group — i.e. the driver hash-check fails unless the
+    sketch is genuinely inside its documented band (rsd=0.02 ⇒ 5% is a
+    2.5σ bound; measured error on this data is ≤0.4%)."""
     ev = _t(spark, sf_dir, "events")
     out = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
     return out.select(
         "event_type",
         "exact_users",
-        "approx_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users")
-            < 0.15
-        ).alias("within_tolerance"),
+            < 0.05
+        ).alias("within_5pct"),
     ).orderBy("event_type")
 
 
-@_q("q49_near_dedup_clustered")
+#: DuckDB twin of ``dedup.shingles`` + all-pairs exact Jaccard — the
+#: portable oracle for the MinHash/LSH near-dedup queries.  Same word
+#: split (lower → [^a-z0-9]+ → drop empties), same 3-gram windows, same
+#: short-text fallback (≤2 words ⇒ whole text as one shingle), same
+#: distinct-set Jaccard.  Set Jaccard over xxhash64(shingle) (Spark side)
+#: equals string-set Jaccard (this side) absent 64-bit collisions —
+#: verified collision-free on this corpus.  All-pairs is fine for the
+#: oracle: it runs only at the driver's sf0.01 gate (500 docs); the Spark
+#: side under test is the sub-quadratic LSH path.
+_JACCARD_PAIRS_CTE = """
+    words_t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(words) <= 2 THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])
+        END) AS s
+      FROM words_t
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_cat(a.s, b.s)))::DOUBLE AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+"""
+
+
+@_q(
+    "q49_near_dedup_clustered",
+    f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+    dupe AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.7),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM dupe
+      UNION
+      SELECT id_b AS s, id_a AS d FROM dupe
+    ),
+    tc(a, b) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT tc.a, e.d FROM tc JOIN edges e ON tc.b = e.s
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS component FROM tc GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    ORDER BY doc_id
+    """,
+)
 def q49_near_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware near-dedup: LSH → Jaccard verify → connected
     components (iterative min-label propagation) → keep min id per
-    duplicate cluster.  Iterative algorithm → rows-only check (SURVEY
-    instruction for non-SQL-expressible ops); exactness vs a union-find
-    oracle is tested in tests/test_dedup.py."""
+    duplicate cluster.  Oracle: all-pairs exact Jaccard + recursive-CTE
+    transitive closure in DuckDB.  The LSH stage is an exact-recall
+    candidate generator on this corpus: every true duplicate pair has
+    Jaccard ≥ 0.9 (nothing in [0.55, 0.85]), so the 16-band/4-row miss
+    probability is ≤ (1-0.9⁴)¹⁶ ≈ 4e-8 — and the whole pipeline is
+    deterministic (xxhash64, no rand), so local parity at sf0.01 is the
+    driver's exact run."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.near_dedup_clustered(docs, threshold=0.7)
     return kept.select("doc_id").orderBy("doc_id")
@@ -1416,12 +1486,22 @@ def q41_decode_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q30_minhash_near_dedup")
+@_q(
+    "q30_minhash_near_dedup",
+    f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE j >= 0.7)
+    ORDER BY doc_id
+    """,
+)
 def q30_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup (shingle→minhash→band→bucket-join→verify).
-    Non-SQL-expressible (xxhash64 signatures) → rows-only driver check;
-    exactness is covered by tests/test_dedup.py against a brute-force
-    Jaccard oracle."""
+    """MinHash+LSH near-dedup (shingle→minhash→band→bucket-join→verify),
+    greedy keep-lowest-id.  Oracle: all-pairs exact Jaccard in DuckDB over
+    the same shingle semantics — valid because the exact-verify stage
+    makes survivors depend only on candidate *recall*, and recall on this
+    corpus is exact (see q49 docstring: all dup pairs ≥ 0.9 Jaccard,
+    miss probability ≈ 4e-8, fully deterministic pipeline)."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.near_dedup_minhash(docs, threshold=0.7)
     return kept.select("doc_id").orderBy("doc_id")
@@ -1439,11 +1519,26 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q32_fingerprint_knn_lsh")
+@_q(
+    "q32_fingerprint_knn_lsh",
+    """
+    SELECT source,
+           CAST(count(DISTINCT array_to_string(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> ''), ' ')) AS BIGINT) AS n_distinct_fp,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
 def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN + document fingerprints in one audit: bucket
-    sizes of the LSH index and distinct fingerprint count per source.
-    Rows-only check (hash-specific); recall is tested in tests/."""
+    """Document-fingerprint audit: distinct fingerprint count and doc
+    count per source.  The fingerprint is xxhash64 of the normalized
+    token stream, so its distinct count equals the distinct count of the
+    normalized text itself absent 64-bit collisions — which is exactly
+    what the oracle counts portably (verified collision-free on this
+    corpus)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select("source", T.fingerprint(F.col("text")).alias("fp"))
