@@ -52,10 +52,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM classloading + codegen paths, not measured.
-    Q.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Per-query warm-up: first runs pay JVM classloading, codegen, and
+    # (for Arrow-UDF queries) Python worker spawn — one-time costs that
+    # would otherwise be misattributed to whichever query runs first and
+    # drown real round-over-round regressions in startup noise.  The
+    # measured pass below then reflects steady-state plan cost.
+    for name in HEADLINE:
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

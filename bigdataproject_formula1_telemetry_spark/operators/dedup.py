@@ -9,10 +9,49 @@ generation sub-quadratic at 100 TB.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+logger = logging.getLogger(__name__)
+
+
+def _barrier(df: DataFrame, storage: str = "local_checkpoint") -> DataFrame:
+    """Materialization / optimizer barrier between dedup pipeline stages.
+
+    The barrier is load-bearing for performance: Catalyst's
+    CollapseProject re-inlines expensive expressions (shingling, minhash)
+    into every downstream consumer without one (measured 40× blowup).
+    Storage backends trade speed for cluster fault-tolerance:
+
+    - ``"local_checkpoint"`` (default): eager, executor-local blocks.
+      Fastest, but lineage is truncated — a lost executor fails the job.
+      The right choice on a healthy cluster / local mode.
+    - ``"persist"``: ``persist(DISK_ONLY)``.  Lazy, keeps lineage (lost
+      partitions recompute), still an optimizer barrier because the
+      cached subtree is replaced before optimization.  The right choice
+      for long multi-hour 100 TB runs where executor loss is expected.
+    - ``"memory"``: ``persist(MEMORY_AND_DISK)`` — as above, hot data.
+    - ``"none"``: no barrier (A/B testing the optimizer blowup only).
+    """
+    if storage == "local_checkpoint":
+        return df.localCheckpoint()
+    if storage == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if storage == "memory":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if storage == "none":
+        return df
+    raise ValueError(
+        f"storage must be local_checkpoint|persist|memory|none, got {storage!r}"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -67,6 +106,7 @@ def shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    storage: str = "local_checkpoint",
 ) -> DataFrame:
     """(id, h) hashed distinct-shingle sets, materialized behind a lineage
     barrier (``localCheckpoint``).
@@ -83,10 +123,13 @@ def shingle_sets(
     stores 8 bytes per shingle instead of the string.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("h"),
-    ).localCheckpoint()
+    return _barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(sh, lambda s: F.xxhash64(s)).alias("h"),
+        ),
+        storage,
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -142,6 +185,42 @@ def minhash_signature_arrow(num_hashes: int = 64):
     return sig
 
 
+def minhash_band_hashes_arrow(num_hashes: int = 64, bands: int = 16):
+    """Fused signature+banding Arrow UDF: shingle hashes → 64 minhash
+    lanes → ``bands`` band hashes, in ONE Arrow batch pass per partition.
+
+    Fusing removes the separate signature materialization barrier the
+    two-stage form needed (sig fed all 16 JVM band slices): the UDF's
+    output is the band-hash array directly, so there is nothing for
+    CollapseProject to re-inline.  The band hash is an FNV-1a fold of the
+    band's lanes — two docs share a bucket iff all ``num_hashes/bands``
+    lanes in that band are equal (up to a 2⁻⁶⁴ collision), the same
+    bucketing semantics as hashing the joined lane string."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_hashes // bands
+    ks = np.arange(num_hashes, dtype=np.uint64)
+    mult = 2 * ks + 1
+    fnv_offset = np.uint64(0xCBF29CE484222325)
+    fnv_prime = np.uint64(0x100000001B3)
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_hashes(h_col: pd.Series) -> pd.Series:
+        out = []
+        for h in h_col:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            sig = (hv[None, :] * mult[:, None] + ks[:, None]).view(np.int64).min(axis=1)
+            lanes = sig.view(np.uint64).reshape(bands, rows_per_band)
+            acc = np.full(bands, fnv_offset, dtype=np.uint64)
+            for i in range(rows_per_band):
+                acc = (acc ^ lanes[:, i]) * fnv_prime
+            out.append(acc.view(np.int64))
+        return pd.Series(out)
+
+    return band_hashes
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -150,44 +229,81 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     sh: DataFrame | None = None,
+    storage: str = "local_checkpoint",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     hash each band, group by (band_idx, band_hash), and emit intra-bucket
     pairs.  The pair join is per-bucket, so the shuffle key cardinality is
     ~corpus-size × bands / bucket-size — never an all-pairs cross join.
 
+    ``max_bucket_size`` hardens against degenerate buckets (e.g. an
+    all-identical boilerplate corpus would otherwise make one bucket and
+    an O(n²) intra-bucket pair blowup): buckets larger than the cap are
+    dropped *entirely* before the pair join, and the drop is logged —
+    never silent.  Docs in a dropped bucket usually still pair through
+    their other ``bands - 1`` buckets.
+
     Returns (id_a, id_b) candidate pairs with id_a < id_b, distinct.
     """
-    rows_per_band = num_hashes // bands
     if sh is None:
-        sh = shingle_sets(df, text_col, id_col, shingle_n)
-    # second barrier: the signature array feeds all 16 band slices
-    sig_expr = (
-        minhash_signature_arrow(num_hashes)(F.col("h"))
-        if "h" in sh.columns
-        else minhash_signature(F.col("sh"), num_hashes)
-    )
-    sig = sh.select("id", sig_expr.alias("sig")).localCheckpoint()
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bhash"),
-                ),
+        sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
+    if "h" in sh.columns:
+        # production path: one fused Arrow pass, no signature barrier
+        bh = minhash_band_hashes_arrow(num_hashes, bands)(F.col("h"))
+        banded = sh.select("id", F.posexplode(bh).alias("band", "bhash"))
+    else:
+        # expression fallback (string shingles): two-stage with a barrier
+        rows_per_band = num_hashes // bands
+        sig = _barrier(
+            sh.select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig")),
+            storage,
+        )
+        banded = sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bhash"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bhash")
+    # barrier: the (id, band, bhash) table feeds both sides of the
+    # self-join (16 longs/doc — far cheaper to materialize than the
+    # signature array the pre-fusion pipeline checkpointed here).
+    banded = _barrier(banded, storage)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bhash")
+        sized = banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        dropped = (
+            sized.where(F.col("__bsz") > max_bucket_size)
+            .agg(
+                F.countDistinct("band", "bhash").alias("buckets"),
+                F.count(F.lit(1)).alias("rows"),
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+            .first()
+        )
+        if dropped["buckets"]:
+            logger.warning(
+                "minhash_lsh_candidates: dropping %d oversized LSH bucket(s) "
+                "(%d banded rows) above max_bucket_size=%d — pairs inside them "
+                "are not generated",
+                dropped["buckets"],
+                dropped["rows"],
+                max_bucket_size,
+            )
+        banded = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -209,11 +325,12 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     sh: DataFrame | None = None,
+    storage: str = "local_checkpoint",
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
     if sh is None:
-        sh = shingle_sets(df, text_col, id_col, shingle_n)
+        sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
     set_col = "h" if "h" in sh.columns else "sh"
     sh = sh.select("id", F.col(set_col).alias("ss"))
     out = (
@@ -242,6 +359,8 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    storage: str = "local_checkpoint",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → exact Jaccard verify → drop the
     higher id of every pair above threshold (greedy keep-lowest-id; a
@@ -249,9 +368,10 @@ def near_dedup_minhash(
 
     Shingle sets are computed once and shared by the signature and the
     verify join."""
-    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
+        storage=storage, max_bucket_size=max_bucket_size,
     )
     dups = (
         jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh)
@@ -271,6 +391,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    storage: str = "local_checkpoint",
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, component)
     where component = min id reachable.
@@ -290,24 +411,24 @@ def connected_components(
             pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    edges = _barrier(edges, storage)
+    labels = _barrier(
         edges.select(F.col("s").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .withColumn("component", F.col("id")),
+        storage,
     )
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.s == labels.id)
             .select(F.col("d").alias("id"), "component")
         )
-        new_labels = (
+        new_labels = _barrier(
             labels.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(F.min("component").alias("component")),
+            storage,
         )
         changed = (
             new_labels.alias("n")
@@ -330,20 +451,23 @@ def near_dedup_clustered(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    storage: str = "local_checkpoint",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cluster-aware near-dedup: LSH candidates → Jaccard verify →
     connected components over the duplicate graph → keep the minimum id
     of every component.  Unlike the greedy ``near_dedup_minhash``, this
     merges transitive duplicate chains (A~B, B~C ⇒ one survivor, even if
     A≁C directly)."""
-    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh
+        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
+        storage=storage, max_bucket_size=max_bucket_size,
     )
     dup_pairs = jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh).where(
         F.col("jaccard") >= threshold
     )
-    comp = connected_components(dup_pairs)
+    comp = connected_components(dup_pairs, storage=storage)
     losers = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
@@ -392,13 +516,17 @@ def simhash_table(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_n: int = 2,
+    storage: str = "local_checkpoint",
 ) -> DataFrame:
     """(id, simhash64) fingerprints: shingle → hash once behind a lineage
     barrier, then the unrolled per-bit vote."""
-    hs = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-        ).alias("h"),
-    ).localCheckpoint()
+    hs = _barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            ).alias("h"),
+        ),
+        storage,
+    )
     return hs.select("id", simhash_from_hashes(F.col("h"), bits).alias("simhash64"))

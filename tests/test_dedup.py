@@ -185,3 +185,57 @@ def test_simhash_near_for_near_texts(spark):
     far = hamming(out.loc[1, "simhash64"], out.loc[3, "simhash64"])
     assert near < far
     assert near <= 16
+
+
+@pytest.mark.parametrize("storage", ["persist", "memory", "none"])
+def test_storage_backends_identical_survivors(spark, storage):
+    """Every barrier backend must produce the same survivor set as the
+    default localCheckpoint path (the barrier is perf/fault-tolerance
+    only, never semantics)."""
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    base = set(
+        r.doc_id
+        for r in dedup.near_dedup_minhash(docs, threshold=THRESHOLD).collect()
+    )
+    got = set(
+        r.doc_id
+        for r in dedup.near_dedup_minhash(
+            docs, threshold=THRESHOLD, storage=storage
+        ).collect()
+    )
+    assert got == base
+
+
+def test_storage_rejects_unknown_backend(spark):
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="storage"):
+        dedup.near_dedup_minhash(docs, storage="s3-magic")
+
+
+def test_bucket_cap_bounds_adversarial_corpus(spark, caplog):
+    """An all-identical corpus puts every doc in one bucket per band —
+    O(n²) candidate pairs.  max_bucket_size must drop those buckets (and
+    log it), bounding the pair join."""
+    import logging
+
+    import pandas as pd
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(n)) + [1000, 1001],
+            "text": ["identical boilerplate text repeated everywhere for test"] * n
+            + ["some unique document alpha", "another unique document beta"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    uncapped = dedup.minhash_lsh_candidates(sdf).count()
+    assert uncapped == n * (n - 1) // 2
+
+    with caplog.at_level(logging.WARNING, logger="bigdataproject_formula1_telemetry_spark.operators.dedup"):
+        capped = dedup.minhash_lsh_candidates(sdf, max_bucket_size=10).count()
+    assert capped == 0
+    assert any("oversized LSH bucket" in r.message for r in caplog.records)
+
+    # a cap larger than any bucket is a no-op
+    assert dedup.minhash_lsh_candidates(sdf, max_bucket_size=n).count() == uncapped
