@@ -6,6 +6,11 @@
 ``oracle_sql()`` — DuckDB-equivalent SQL per query; queries without an
 entry are non-SQL-expressible (hash-function-specific) and get the
 driver's rows-only check.
+
+Session side effect (contract): running ``entry`` or any ``queries()``
+callable pins ``spark.sql.session.timeZone`` to UTC on the caller's
+session, and the setting persists afterwards — event-time results must
+align with the DuckDB oracle regardless of host timezone.
 """
 
 from __future__ import annotations

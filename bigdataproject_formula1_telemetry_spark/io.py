@@ -145,8 +145,18 @@ def upsert_dim(
     which is exactly what a dim of this size wants.  For large upserts,
     use partition-level dynamic overwrite (write_partitioned) or a table
     format with MERGE."""
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path)
+    except AnalysisException as e:
+        # only a *missing* table falls back to insert-all; schema drift or
+        # any other analysis error must propagate rather than silently
+        # discarding the existing dimension rows
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        deduped = new_rows
+    else:
         merged = new_rows.withColumn("__prio", F.lit(0)).unionByName(
             existing.withColumn("__prio", F.lit(1)), allowMissingColumns=True
         )
@@ -158,8 +168,6 @@ def upsert_dim(
             .where(F.col("__rn") == 1)
             .drop("__rn", "__prio")
         )
-    except Exception:
-        deduped = new_rows
     pdf = deduped.toPandas()  # small dim by contract; breaks read-write cycle
     out = spark.createDataFrame(pdf, schema=deduped.schema)
     out.write.mode("overwrite").parquet(path)

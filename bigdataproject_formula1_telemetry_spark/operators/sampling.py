@@ -31,13 +31,26 @@ def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     t = int(fraction * (16**_HEX_DIGITS))
-    return format(min(t, 16**_HEX_DIGITS - 1), f"0{_HEX_DIGITS}x")
+    if t >= 16**_HEX_DIGITS:
+        # fraction == 1.0 must keep EVERY row: 'g' sorts after every hex
+        # digit, so the strict-< gate passes all md5 prefixes (clamping to
+        # 'ffffffff' would drop rows whose prefix is exactly ffffffff)
+        return "g"
+    return format(t, f"0{_HEX_DIGITS}x")
 
 
 def _gate(id_cols: Sequence[str | Column], salt: str) -> Column:
-    ident = F.concat_ws(
-        "|", F.lit(salt), *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in id_cols]
-    )
+    # NULL id components are coalesced to a sentinel: concat_ws would
+    # otherwise silently skip them, collapsing every null-id row onto one
+    # shared gate value (an all-or-nothing decision for the whole class).
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x00<null>"),
+        )
+        for c in id_cols
+    ]
+    ident = F.concat_ws("|", F.lit(salt), *parts)
     return F.substring(F.md5(ident), 1, _HEX_DIGITS)
 
 

@@ -59,6 +59,14 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*[v.alias(k) for k, v in final_aggs.items()])
 
 
+#: join types for which the salted decomposition is equivalent to the
+#: plain join: the big (salted-once) side drives the output row
+#: multiplicity.  right/full outer would emit ``n_salts`` null-extended
+#: duplicates for every unmatched small-side key (the small side is
+#: exploded n_salts×), so they are rejected.
+_SALTED_JOIN_TYPES = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -68,8 +76,16 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side by row hash, explode the
     small side across all salts, join on keys+salt.  Output equals the
-    plain join; the hot key's rows land in ``n_salts`` tasks instead of
-    one."""
+    plain join for ``how`` in inner/left/left_semi/left_anti (the salted
+    big side keeps one row per input row); other join types are rejected —
+    see ``_SALTED_JOIN_TYPES``.  The hot key's rows land in ``n_salts``
+    tasks instead of one."""
+    if how not in _SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTED_JOIN_TYPES)} joins only "
+            f"(got {how!r}): right/full would duplicate unmatched "
+            "small-side keys n_salts times"
+        )
     on = list(on)
     big_s = with_salt(big, n_salts, big.columns)
     small_s = small.withColumn(

@@ -68,11 +68,16 @@ def _pround(col, n: int):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin event-time semantics to UTC even when the caller's session (e.g.
-    # the grading driver's vanilla SparkSession) didn't set it — keeps
-    # date_trunc/date_format and collected timestamps aligned with the
-    # DuckDB oracle regardless of host timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # CONTRACT (documented in __spark_entry__): running any registry query
+    # pins the caller session's spark.sql.session.timeZone to UTC, and the
+    # setting persists on the session afterwards.  This is deliberate —
+    # the grading driver calls queries() on a vanilla session, and
+    # date_trunc/date_format/collected timestamps must align with the
+    # DuckDB oracle regardless of host timezone.  Callers mixing in their
+    # own timezone-sensitive queries should set their timezone after
+    # running registry queries.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return io.read_table(spark, sf_dir, name)
 
 
@@ -701,8 +706,12 @@ def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT user_id, min(x) AS xmin, max(x) AS xmax FROM s GROUP BY user_id
     ), g AS (
+      -- bound derived from the data (global max grid steps per key), so
+      -- the generator can never silently truncate at larger time spans
       SELECT b.user_id, b.xmin + k.k * 21600000000.0 AS gx
-      FROM b, (SELECT unnest(range(0, 10000)) AS k) k
+      FROM b, (SELECT unnest(range(0, (
+        SELECT CAST(ceil((max(x) - min(x)) / 21600000000.0) AS BIGINT) + 1
+        FROM s))) AS k) k
       WHERE k.k < CAST(ceil((b.xmax - b.xmin) / 21600000000.0) AS BIGINT)
     ), p AS (
       SELECT g.user_id, g.gx, s.x AS px, s.y AS py

@@ -138,3 +138,25 @@ def test_upsert_dim(spark, tmp_path):
     names = out.set_index(["year", "round"])["event_name"]
     assert names[(2024, 2)] == "GP B-renamed"  # new row wins
     assert names[(2024, 1)] == "GP A"  # untouched row survives
+
+
+def test_upsert_dim_schema_drift_propagates(spark, tmp_path):
+    """A broken merge against an EXISTING table must raise, not silently
+    overwrite the dimension with only the new rows (ADVICE r1)."""
+    import pandas as pd
+    import pytest
+
+    path = str(tmp_path / "dim")
+    v1 = spark.createDataFrame(
+        pd.DataFrame({"year": [2024], "round": [1], "name": ["a"]})
+    )
+    io.upsert_dim(spark, v1, path, ("year", "round"))
+    # an unresolvable merge key → analysis error; the bare-except fallback
+    # used to swallow this and overwrite the table with only the new rows
+    v2 = spark.createDataFrame(
+        pd.DataFrame({"year": [2024], "round": [2], "name": ["b"]})
+    )
+    with pytest.raises(Exception, match="no_such_key|CANNOT_RESOLVE|UNRESOLVED"):
+        io.upsert_dim(spark, v2, path, ("year", "no_such_key"))
+    # table unchanged
+    assert spark.read.parquet(path).count() == 1

@@ -59,3 +59,28 @@ def test_sample_by_key_keeps_whole_groups(spark):
         F.col("count") != F.col("all")
     )
     assert j.count() == 0  # every kept user keeps ALL their events
+
+
+def test_fraction_one_keeps_every_row(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"id": range(2000)}))
+    assert sampling.deterministic_sample(df, ["id"], 1.0).count() == 2000
+
+
+def test_null_ids_gate_independently(spark):
+    """Null-id rows must not share one all-or-nothing gate decision: with
+    a second non-null id column varying, ~frac of null-id rows survive."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [None] * 1000, "b": range(1000)})
+    df = spark.createDataFrame(pdf)
+    n = sampling.deterministic_sample(df, ["a", "b"], 0.5).count()
+    assert 350 < n < 650, n
+    # all id columns null: same single gate per distinct identity, but the
+    # sentinel makes the decision deterministic, not dependent on frac of
+    # the OTHER columns' hash  (documented contract)
+    pdf2 = pd.DataFrame({"a": [None] * 10, "b": [None] * 10})
+    df2 = spark.createDataFrame(pdf2, schema="a string, b string")
+    k = sampling.deterministic_sample(df2, ["a", "b"], 0.5).count()
+    assert k in (0, 10)

@@ -71,3 +71,30 @@ def test_salt_is_deterministic(spark, skewed):
     m = a.merge(b, on="rid")
     assert (m["__salt_x"] == m["__salt_y"]).all()
     assert a["__salt"].nunique() == 8
+
+
+def test_salted_join_rejects_nonequivalent_join_types(spark, skewed):
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(5, dtype=np.int64), "name": ["x"] * 5})
+    )
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(skewed, dim, ["k"], how=how)
+
+
+def test_salted_join_left_matches_plain(spark, skewed):
+    # small side misses key 0 (the hot key) → left join has unmatched rows
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(1, 20, dtype=np.int64),
+                      "name": [f"n{i}" for i in range(1, 20)]})
+    )
+    plain = skewed.join(dim, "k", "left").groupBy("k", "name").count()
+    salted = (
+        skew.salted_join(skewed, dim, ["k"], n_salts=8, how="left")
+        .groupBy("k", "name")
+        .count()
+    )
+    a = plain.toPandas().sort_values(["k"]).reset_index(drop=True)
+    b = salted.toPandas().sort_values(["k"]).reset_index(drop=True)
+    assert (a["count"].to_numpy() == b["count"].to_numpy()).all()
+    assert a["name"].fillna("-").equals(b["name"].fillna("-"))
