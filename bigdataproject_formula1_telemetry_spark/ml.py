@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -50,6 +51,54 @@ def _fit_ridge(X: np.ndarray, y: np.ndarray, l2: float) -> np.ndarray:
     return np.linalg.solve(Xb.T @ Xb + reg, Xb.T @ y)
 
 
+#: a fit_fn takes (X, y) and returns (artifact, in-sample predictions).
+#: artifact keys: "coef" (list[float] | None), "intercept" (float | None)
+#: for linear models scorable JVM-side by ``predict``; "model_blob"
+#: (bytes | None) for arbitrary pickled models scorable by
+#: ``predict_blob``.  Missing keys default to None.
+FitFn = "Callable[[np.ndarray, np.ndarray], tuple[dict, np.ndarray]]"
+
+
+def ridge_fit_fn(l2: float = 1e-6):
+    """Default fit_fn: deterministic closed-form ridge (public numpy)."""
+
+    def fit(X: np.ndarray, y: np.ndarray) -> tuple[dict, np.ndarray]:
+        w = _fit_ridge(X, y, l2)
+        pred = np.column_stack([X, np.ones(len(X))]) @ w
+        return (
+            {"coef": list(map(float, w[:-1])), "intercept": float(w[-1])},
+            pred,
+        )
+
+    return fit
+
+
+def xgboost_fit_fn(**params):
+    """Gradient-boosted fit_fn reproducing the reference's v4 pace model
+    (XGBRegressor, P1-F1_Tyre_Strategy_Predict_Model.ipynb:479-488).
+    Requires xgboost (not in this container — gate call sites on
+    ``HAS_XGBOOST``); the artifact is a pickled booster in ``model_blob``,
+    scored distributedly by ``predict_blob``."""
+    if not HAS_XGBOOST:  # pragma: no cover - xgboost absent here
+        raise ImportError("xgboost is not installed; gate on ml.HAS_XGBOOST")
+    import pickle
+
+    import xgboost as xgb
+
+    defaults = dict(
+        n_estimators=200, max_depth=6, learning_rate=0.1,
+        objective="reg:squarederror", random_state=42, n_jobs=1,
+    )
+    defaults.update(params)
+
+    def fit(X: np.ndarray, y: np.ndarray) -> tuple[dict, np.ndarray]:
+        model = xgb.XGBRegressor(**defaults)
+        model.fit(X, y)
+        return {"model_blob": pickle.dumps(model)}, model.predict(X)
+
+    return fit
+
+
 def train_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -57,13 +106,23 @@ def train_per_group(
     label_col: str,
     l2: float = 1e-6,
     min_rows: int = 20,
+    fit_fn=None,
 ) -> DataFrame:
     """U4 — one model per group (per-circuit training).  Output: one row
-    per group with coefficients, intercept, train RMSE, and row count.
-    Groups with fewer than ``min_rows`` rows are skipped (the reference's
-    <100-sequences guard, train_by_circuit.py:173-174)."""
+    per group with coefficients, intercept, train RMSE, row count, and
+    (for non-linear estimators) a pickled ``model_blob``.  Groups with
+    fewer than ``min_rows`` rows are skipped (the reference's
+    <100-sequences guard, train_by_circuit.py:173-174).
+
+    ``fit_fn`` plugs in the estimator (see ``FitFn``): default is
+    ``ridge_fit_fn(l2)``; pass ``xgboost_fit_fn()`` where xgboost exists
+    to reproduce the reference's gradient-boosted model.  The Spark
+    orchestration (one applyInPandas task per group, artifact-as-row) is
+    identical for every estimator."""
     group_cols = list(group_cols)
     feature_cols = list(feature_cols)
+    if fit_fn is None:
+        fit_fn = ridge_fit_fn(l2)
     out_schema = StructType(
         [df.schema[c] for c in group_cols]
         + [
@@ -71,6 +130,7 @@ def train_per_group(
             StructField("intercept", DoubleType()),
             StructField("rmse", DoubleType()),
             StructField("n_rows", LongType()),
+            StructField("model_blob", BinaryType()),
         ]
     )
 
@@ -80,15 +140,15 @@ def train_per_group(
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         X = pdf[feature_cols].to_numpy(dtype=float)
         y = pdf[label_col].to_numpy(dtype=float)
-        w = _fit_ridge(X, y, l2)
-        pred = np.column_stack([X, np.ones(len(X))]) @ w
-        rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+        artifact, pred = fit_fn(X, y)
+        rmse = float(np.sqrt(np.mean((np.asarray(pred, dtype=float) - y) ** 2)))
         row = {c: pdf[c].iloc[0] for c in group_cols}
         row.update(
-            coef=list(map(float, w[:-1])),
-            intercept=float(w[-1]),
+            coef=artifact.get("coef"),
+            intercept=artifact.get("intercept"),
             rmse=rmse,
             n_rows=len(pdf),
+            model_blob=artifact.get("model_blob"),
         )
         return pd.DataFrame([row])
 
@@ -127,8 +187,64 @@ def predict(
         lambda acc, v: acc + v,
     )
     return joined.withColumn(out_col, dot + F.col("intercept")).drop(
-        "coef", "intercept", "rmse", "n_rows"
+        "coef", "intercept", "rmse", "n_rows", "model_blob"
     )
+
+
+def predict_blob(
+    df: DataFrame,
+    models: DataFrame,
+    group_cols: Sequence[str],
+    feature_cols: Sequence[str],
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Batched inference for ``model_blob`` artifacts (non-linear
+    estimators such as ``xgboost_fit_fn``'s boosters, which have no
+    coef/intercept the JVM dot product could score).
+
+    The model table is small by contract (one row per trained group): it
+    is collected and broadcast once, then scoring is a single
+    Arrow-batched ``mapInPandas`` pass — each task deserializes a model
+    once per group it sees, never per row, and the big table is never
+    shuffled.  Rows whose group has no model are dropped (inner-join
+    semantics, matching ``predict``)."""
+    import pickle
+
+    group_cols = list(group_cols)
+    feature_cols = list(feature_cols)
+    rows = models.select(*group_cols, "model_blob").collect()
+    blobs = {
+        tuple(r[c] for c in group_cols): bytes(r["model_blob"])
+        for r in rows
+        if r["model_blob"] is not None
+    }
+    bc = df.sparkSession.sparkContext.broadcast(blobs)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def score(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for key, g in pdf.groupby(group_cols, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                blob = bc.value.get(k)
+                if blob is None:
+                    continue
+                model = cache.get(k)
+                if model is None:
+                    model = cache[k] = pickle.loads(blob)
+                g = g.copy()
+                g[out_col] = np.asarray(
+                    model.predict(g[feature_cols].to_numpy(dtype=float)),
+                    dtype=float,
+                )
+                outs.append(g)
+            if outs:
+                yield pd.concat(outs)
+
+    return df.mapInPandas(score, schema=out_schema)
 
 
 def predict_global(
@@ -193,7 +309,7 @@ def ghost_inference(
         joined.withColumn(
             out_col, (dot + F.col("intercept")) * F.lit(float(strict_factor))
         )
-        .drop("__win", "coef", "intercept", "rmse", "n_rows")
+        .drop("__win", "coef", "intercept", "rmse", "n_rows", "model_blob")
     )
 
 
