@@ -5,9 +5,16 @@ metadata struct; every operator is a ``mapInPandas`` batch UDF with an
 explicit output schema, so the Spark-side plumbing (schema, partitioning,
 Arrow batch shape) is real and tested at any scale.
 
-Codec reality: this container has no image/audio codec libraries, so
-**compressed formats (jpeg/png/mp3/...) are stubbed** behind
-``NotImplementedError`` — the supported path is RAW buffers:
+Codec reality: this container has no image/audio codec *libraries*, but
+two real container formats decode with the stdlib alone and are fully
+implemented here:
+- **png** (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + the five
+  PNG scanline filters (None/Sub/Up/Average/Paeth) inverted in numpy;
+- **wav** (RIFF PCM16): header parse via the stdlib ``wave`` module,
+  multi-channel downmixed to mono.
+Everything else (jpeg/mp3/h264/...) **stays stubbed** behind
+``NotImplementedError`` — those need real codec libraries.  The RAW
+paths remain:
 - image: uint8 H×W×C raw pixels (shape from metadata),
 - audio: int16 little-endian PCM,
 - video: concatenated raw frames of H×W×C.
@@ -53,27 +60,205 @@ MEDIA_SCHEMA = StructType(
 )
 
 RAW_FORMATS = {"raw", "pcm16"}
+IMAGE_FORMATS = RAW_FORMATS | {"png"}
+AUDIO_FORMATS = RAW_FORMATS | {"wav"}
 
 
-def _require_raw(fmt: str, kind: str) -> None:
-    if fmt not in RAW_FORMATS:
+def _require_decodable(fmt: str, kind: str, supported: set[str]) -> None:
+    if fmt not in supported:
         raise NotImplementedError(
-            f"codec '{fmt}' for {kind} payloads needs an image/audio library "
-            "not present in this runtime; supported here: raw uint8 pixels / "
-            "pcm16 audio.  Plug a real decoder into decode_image/decode_audio."
+            f"codec '{fmt}' for {kind} payloads needs a codec library not "
+            f"present in this runtime; supported here: {sorted(supported)}. "
+            "Plug a real decoder into decode_image/decode_audio."
         )
 
 
+# -- PNG (pure stdlib zlib + numpy; 8-bit, non-interlaced) ------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit only; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        yield tag, payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IEND":
+            break
+
+
+def _png_unfilter(raw: np.ndarray, height: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters.  Rows with filter None/Up are
+    vectorized; Sub/Average/Paeth carry a per-pixel left dependency, so
+    those rows run a bounded python loop — fine for thumbnail-scale
+    assets; plug a codec library for photo-scale throughput."""
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    zeros = np.zeros(rowbytes, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ft = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + rowbytes].astype(np.int32)
+        pos += 1 + rowbytes
+        prev = out[y - 1].astype(np.int32) if y else zeros
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = np.empty(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:  # Sub
+                    v = row[x] + a
+                elif ft == 3:  # Average
+                    v = row[x] + ((a + b) >> 1)
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = row[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → H×W×C uint8 array (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced).  Pure stdlib: chunk walk + zlib inflate + numpy
+    unfiltering — no codec library needed."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    channels = None
+    idat = b""
+    for tag, data in _png_chunks(payload):
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {ctype} unsupported "
+                    "(8-bit gray/RGB/±alpha only; no palette)"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += data
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    rowbytes = width * channels
+    if len(raw) != height * (rowbytes + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    return _png_unfilter(raw, height, rowbytes, bpp=channels).reshape(
+        height, width, channels
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """H×W×C (or H×W) uint8 array → PNG bytes (filter None rows, one zlib
+    stream) — the thumbnail-sink twin of ``decode_png``."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV (RIFF PCM16) bytes → (mono float64 waveform in [-1, 1],
+    sample_rate).  Multi-channel audio is downmixed by channel mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {w.getsampwidth() * 8}-bit unsupported (PCM16 only)"
+            )
+        n_ch = w.getnchannels()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    wave_i16 = np.frombuffer(frames, dtype="<i2")
+    out = wave_i16.astype(np.float64) / 32768.0
+    if n_ch > 1:
+        out = out.reshape(-1, n_ch).mean(axis=1)
+    return out, rate
+
+
+def encode_wav(wave_f64: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float64 waveform in [-1, 1] → WAV (RIFF PCM16) bytes."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            np.clip(np.round(wave_f64 * 32768.0), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
+    return buf.getvalue()
+
+
 def decode_image(payload: bytes, width: int, height: int, channels: int, fmt: str) -> np.ndarray:
-    """binary → H×W×C uint8 array.  Raw buffers only (see module note)."""
-    _require_raw(fmt, "image")
+    """binary → H×W×C uint8 array.  ``raw`` buffers use the metadata
+    shape; ``png`` decodes its own dimensions (and they win — a metadata
+    mismatch raises rather than silently trusting either side)."""
+    _require_decodable(fmt, "image", IMAGE_FORMATS)
+    if fmt == "png":
+        img = decode_png(bytes(payload))
+        h, w, _c = img.shape
+        if width and height and (w != width or h != height):
+            raise ValueError(
+                f"PNG dimensions {w}x{h} contradict metadata {width}x{height}"
+            )
+        return img
     arr = np.frombuffer(payload, dtype=np.uint8)
     return arr[: width * height * channels].reshape(height, width, channels)
 
 
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    """binary → float64 waveform in [-1, 1] from int16 PCM."""
-    _require_raw(fmt, "audio")
+    """binary → float64 waveform in [-1, 1] from int16 PCM or WAV."""
+    _require_decodable(fmt, "audio", AUDIO_FORMATS)
+    if fmt == "wav":
+        return decode_wav(bytes(payload))[0]
     return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
 
 
@@ -96,14 +281,15 @@ def image_features(df: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = decode_image(r.payload, r.width, r.height, r.channels, r.format)
-                flat = img.reshape(-1, r.channels).astype(np.float64)
+                ih, iw, ic = img.shape
+                flat = img.reshape(-1, ic).astype(np.float64)
                 rows.append(
                     {
                         "media_id": r.media_id,
                         "mean_rgb": flat.mean(axis=0).tolist(),
                         "std_rgb": flat.std(axis=0).tolist(),
                         "brightness": float(flat.mean() / 255.0),
-                        "n_pixels": int(r.width * r.height),
+                        "n_pixels": int(ih * iw),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
@@ -131,8 +317,9 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = decode_image(r.payload, r.width, r.height, r.channels, r.format)
-                ys = (np.arange(out_h) * r.height / out_h).astype(int)
-                xs = (np.arange(out_w) * r.width / out_w).astype(int)
+                ih, iw, ic = img.shape
+                ys = (np.arange(out_h) * ih / out_h).astype(int)
+                xs = (np.arange(out_w) * iw / out_w).astype(int)
                 small = img[np.ix_(ys, xs)]
                 rows.append(
                     {
@@ -140,7 +327,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         "payload": small.tobytes(),
                         "width": out_w,
                         "height": out_h,
-                        "channels": r.channels,
+                        "channels": int(ic),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
@@ -169,7 +356,7 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                _require_raw(r.format, "video")
+                _require_decodable(r.format, "video", RAW_FORMATS)
                 frame_size = r.width * r.height * r.channels
                 buf = np.frombuffer(r.payload, dtype=np.uint8)
                 n = min(r.n_frames, len(buf) // frame_size)

@@ -73,3 +73,119 @@ def test_codec_stub_raises(media):
     with pytest.raises(Exception) as ei:
         M.image_features(media.where(F.col("format") == "jpeg")).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+# ---- real codec paths: PNG (stdlib zlib) and WAV (stdlib wave) ------------
+
+def _png_with_filters(img: np.ndarray, filter_types: list[int]) -> bytes:
+    """Build a PNG applying a chosen filter type per scanline (exercises
+    the decoder's Sub/Up/Average/Paeth inversion, which encode_png's
+    all-None output would not)."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        ft = filter_types[y % len(filter_types)]
+        out = np.empty(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                p = a + b - cc
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+                v = row[x] - pred
+            out[x] = v & 0xFF
+        raw += bytes([ft]) + out.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    # encode_png (all filter-None) roundtrip
+    assert np.array_equal(M.decode_png(M.encode_png(img)), img)
+    # every filter type must invert exactly
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(M.decode_png(_png_with_filters(img, fts)), img), fts
+    # grayscale and RGBA
+    gray = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(gray))[:, :, 0], gray)
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    assert np.array_equal(M.decode_png(_png_with_filters(rgba, [4])), rgba)
+
+
+def test_png_flows_through_spark_feature_and_resize(spark):
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [
+        (10, "image", "png", bytearray(M.encode_png(img)), 8, 6, 3, None, None),
+        (11, "image", "raw", bytearray(img.tobytes()), 8, 6, 3, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = M.image_features(df).toPandas().set_index("media_id")
+    # png row must produce identical features to the raw row
+    assert list(feats.loc[10, "mean_rgb"]) == list(feats.loc[11, "mean_rgb"])
+    assert feats.loc[10, "n_pixels"] == 48
+    res = M.resize_images(df, 4, 3).toPandas().set_index("media_id")
+    assert bytes(res.loc[10, "payload"]) == bytes(res.loc[11, "payload"])
+
+
+def test_wav_roundtrip_and_spark_windows(spark):
+    t = np.arange(8000) / 8000.0
+    mono = np.sin(2 * np.pi * 440 * t) * 0.6
+    payload = M.encode_wav(mono, 8000)
+    wave, rate = M.decode_wav(payload)
+    assert rate == 8000
+    assert np.allclose(wave, mono, atol=1e-4)
+    # identical features for wav vs pcm16 of the same samples
+    pcm = (np.clip(np.round(mono * 32768.0), -32768, 32767).astype("<i2")).tobytes()
+    rows = [
+        (20, "audio", "wav", bytearray(payload), None, None, None, 8000, None),
+        (21, "audio", "pcm16", bytearray(pcm), None, None, None, 8000, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.audio_window_features(df).toPandas()
+    a = out[out.media_id == 20].sort_values("window_idx").reset_index(drop=True)
+    b = out[out.media_id == 21].sort_values("window_idx").reset_index(drop=True)
+    assert len(a) == len(b) == 7
+    assert np.allclose(a["rms"], b["rms"])
+    assert (a["zero_crossings"] == b["zero_crossings"]).all()
+
+
+def test_png_metadata_mismatch_raises():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="contradict"):
+        M.decode_image(M.encode_png(img), 9, 9, 3, "png")
+
+
+def test_jpeg_still_stubbed():
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        M.decode_image(b"\xff\xd8", 4, 4, 3, "jpeg")
+    with pytest.raises(NotImplementedError, match="mp3"):
+        M.decode_audio(b"xx", "mp3")
