@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+try:  # pragma: no cover - container-dependent
+    # transformWithStateInPandas' Python state server speaks protobuf to
+    # the JVM; without the protobuf package the streaming worker crashes
+    # at runtime even though the API imports fine.
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAS_TWS_RUNTIME = True
+except ImportError:  # pragma: no cover
+    HAS_TWS_RUNTIME = False
+
 #: columns held from the lap-packet side (2 Hz) onto telemetry rows (60 Hz)
 LAP_STATE_COLS = ["Distance", "LapNumber"]
 TEL_COLS = ["Speed", "Throttle", "Brake", "Gear", "RPM"]
@@ -111,6 +121,77 @@ def latest_value_merge_stream(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_value_merge_stream_tws(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "Timestamp",
+    packet_col: str = "packet",
+) -> DataFrame:
+    """T3 on ``transformWithStateInPandas`` (Spark 4's arbitrary-state v2
+    API, the forward-compatible successor of ``applyInPandasWithState``):
+    identical held-value semantics, with the recorder dict as a named
+    ``ValueState`` on a ``StatefulProcessor``.
+
+    Requires the RocksDB state store provider::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    (transformWithState queries reject the default HDFS-backed provider.)
+
+    Runtime dependency: the ``protobuf`` package (``HAS_TWS_RUNTIME``) —
+    PySpark's state server uses it for Python↔JVM state transport.  This
+    container lacks it, so the equivalence test is skip-marked; the
+    ``applyInPandasWithState`` form is the always-available path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    merged_cols = [f.name for f in MERGED_SCHEMA.fields]
+
+    class _LatestValueProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._held = handle.getValueState("held", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._held.exists():
+                held = dict(zip(LAP_STATE_COLS, tuple(self._held.get())))
+            else:
+                held = {c: None for c in LAP_STATE_COLS}
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                lap_vals = pdf[LAP_STATE_COLS].copy()
+                is_tel = pdf[packet_col].to_numpy() == "telemetry"
+                lap_vals[is_tel] = None
+                for c in LAP_STATE_COLS:
+                    filled = lap_vals[c].ffill()
+                    if held[c] is not None:
+                        filled = filled.fillna(held[c])
+                    pdf[c] = filled
+                    if filled.notna().any():
+                        held[c] = filled.iloc[-1]
+                out = pdf[is_tel].dropna(subset=LAP_STATE_COLS)
+                if len(out):
+                    out = out.assign(key=key[0])
+                    yield out[merged_cols]
+            if all(v is not None for v in held.values()):
+                self._held.update(tuple(float(held[c]) for c in LAP_STATE_COLS))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_LatestValueProcessor(),
+        outputStructType=MERGED_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -238,3 +238,57 @@ def test_windowed_agg_stream_matches_batch(spark, live_pdf, tmp_path):
     exp_s = exp_n.sort_values("s").reset_index(drop=True)
     assert len(got_s) == len(exp_s)
     assert (got_s["n"].to_numpy() == exp_s["n"].to_numpy()).all()
+
+
+@pytest.mark.skipif(
+    not merge.HAS_TWS_RUNTIME,
+    reason="transformWithState needs the protobuf package at runtime",
+)
+def test_tws_merge_matches_batch_and_v1(spark, live_df, live_pdf, tmp_path):
+    """The transformWithStateInPandas merge must equal both the batch
+    window form and the applyInPandasWithState form (same oracle)."""
+    src = str(tmp_path / "src_tws")
+    half = len(live_pdf) // 2
+    sorted_pdf = live_pdf.sort_values("Timestamp")
+    spark.createDataFrame(sorted_pdf.iloc[:half], LIVE_SCHEMA).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    spark.createDataFrame(sorted_pdf.iloc[half:], LIVE_SCHEMA).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.schema(LIVE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("key", F.lit(0).cast("long"))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            merge.latest_value_merge_stream_tws(stream, ["key"])
+            .writeStream.format("memory")
+            .queryName("merged_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = spark.sql("SELECT * FROM merged_tws").toPandas().sort_values("Timestamp")
+    exp = (
+        merge.latest_value_merge_batch(live_df, ["key"])
+        .toPandas()
+        .sort_values("Timestamp")
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["Distance"].to_numpy(), exp["Distance"].to_numpy())
+    assert np.allclose(got["LapNumber"].to_numpy(), exp["LapNumber"].to_numpy())
+    assert np.allclose(got["Speed"].to_numpy(), exp["Speed"].to_numpy())
