@@ -30,6 +30,8 @@ HEADLINE = [
     "q03_star_join",
     "q47_shipping_priority",
     "q48_regional_revenue",
+    "q52_volume_shipping",
+    "q53_returned_top_customers",
     "q05_top1_per_group",
     "q06_window_ratio",
     "q08_window_cumsum",
