@@ -1605,6 +1605,38 @@ def q30_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+@_q(
+    "q54_embedding_near_dedup",
+    """
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (
+      SELECT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    )
+    ORDER BY vec_id
+    """,
+)
+def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup (north-star): sign-LSH bucketed
+    candidates → exact cosine verify → greedy keep-lowest-id.  Oracle:
+    all-pairs exact cosine in DuckDB (fine at the sf0.01 gate; the Spark
+    side under test is the sub-quadratic LSH path).  Safe because the
+    threshold region is empty on this corpus (max off-diagonal cosine
+    ≈ 0.5), so survivor equality checks exactly for false drops; real
+    drop behavior is pytest-verified on planted near-duplicates."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(7)
+    planes = [
+        [[float(x) for x in rng.standard_normal(64)] for _ in range(8)]
+        for _ in range(4)
+    ]
+    kept = sim.near_dedup_cosine(emb, planes, threshold=0.95)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 @_q("q31_simhash")
 def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (per-bit majority vote over shingle hashes).

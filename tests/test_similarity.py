@@ -66,3 +66,62 @@ def test_lsh_bucket_determinism(spark, emb):
     m = a.merge(b, on="vec_id")
     assert (m["b_x"] == m["b_y"]).all()
     assert a["b"].nunique() > 1
+
+
+def test_near_dedup_cosine_planted_duplicates(spark):
+    """Planted near-identical vectors must be dropped (keep-lowest-id),
+    everything else kept — checked against a numpy brute-force oracle."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100..104 are near-dups of ids 0..4 (tiny perturbation)
+    for j in range(5):
+        rows.append((100 + j, (base[j] + 0.01 * rng.standard_normal(16)).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+    planes = [
+        [[float(x) for x in rng.standard_normal(16)] for _ in range(6)]
+        for _ in range(6)
+    ]
+    kept = sorted(
+        r.vec_id
+        for r in sim.near_dedup_cosine(sdf, planes, threshold=0.95).collect()
+    )
+
+    # numpy oracle: greedy drop id_b of every pair with cosine >= 0.95
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    ids = sorted(vecs)
+    dropped = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = vecs[a] @ vecs[b] / (
+                np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+            )
+            if c >= 0.95:
+                dropped.add(b)
+    assert kept == [i for i in ids if i not in dropped]
+    assert set(range(100, 105)).isdisjoint(kept)
+
+
+def test_cosine_dup_pairs_precision_exact(spark):
+    """Every emitted pair must genuinely clear the threshold (verification
+    makes precision exact even when LSH buckets collide)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(30),
+            "embedding": [rng.standard_normal(8).tolist() for _ in range(30)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    planes = [[[float(x) for x in rng.standard_normal(8)] for _ in range(2)]]
+    got = sim.cosine_dup_pairs(sdf, planes, threshold=0.9).toPandas()
+    vecs = pdf.set_index("vec_id")["embedding"].map(np.array)
+    for r in got.itertuples(index=False):
+        a, b = vecs[r.id_a], vecs[r.id_b]
+        c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert c >= 0.9 - 1e-9
