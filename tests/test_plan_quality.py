@@ -74,3 +74,33 @@ def test_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "part" in m.group(1)
+
+
+def test_q53_global_topk_is_take_ordered(spark):
+    """The sorted-limit must compile to TakeOrderedAndProject (per-
+    partition top-k + k-way driver merge), never a global sort."""
+    plan = plan_of(spark, "q53_returned_top_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # nation side broadcast
+
+
+def test_q52_nation_sides_broadcast(spark):
+    """Both nation lookups (supplier path and customer path) broadcast —
+    no shuffle keyed on a 25-row dim."""
+    plan = plan_of(spark, "q52_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lsh_pair_join_is_hash_partitioned_on_bucket(spark):
+    """The minhash candidate self-join must shuffle on (band, bhash) —
+    bounded-bucket equi-join, never a nested-loop/cartesian."""
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators import dedup
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    plan = (
+        dedup.minhash_lsh_candidates(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
