@@ -79,6 +79,8 @@ def resample_grouped(
     min_rows: int = 10,
     min_extent: float | None = 2000.0,
     carry_cols: Sequence[str] = (),
+    pre_fn=None,
+    pre_fields: Sequence[StructField] = (),
 ) -> DataFrame:
     """Per-group fixed-grid resample (reference parity).
 
@@ -87,19 +89,28 @@ def resample_grouped(
     ``min_rows`` samples after x-dedup, or ``max(x) < min_extent``, are
     dropped (guards at :70-71).  ``carry_cols`` are copied from the group's
     first row (metadata like Compound/TyreLife).
+
+    ``pre_fn`` (optional) runs on each group's pandas frame before the
+    resample — the fusion hook for per-group preprocessing (dedup by a
+    different key, derived group scalars) that would otherwise cost its
+    own shuffle/window pass upstream.  Columns it introduces are declared
+    via ``pre_fields`` and may then appear in ``carry_cols``.
     """
     keys = list(keys)
     linear_cols = list(linear_cols)
     nearest_cols = list(nearest_cols)
     carry_cols = list(carry_cols)
+    pre_by_name = {f.name: f for f in pre_fields}
 
     out_fields = [df.schema[k] for k in keys]
     out_fields.append(StructField(x_col, DoubleType(), False))
     out_fields += [StructField(c, DoubleType(), True) for c in linear_cols + nearest_cols]
-    out_fields += [df.schema[c] for c in carry_cols]
+    out_fields += [pre_by_name[c] if c in pre_by_name else df.schema[c] for c in carry_cols]
     out_schema = StructType(out_fields)
 
     def _resample(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pre_fn is not None:
+            pdf = pre_fn(pdf)
         pdf = pdf.dropna(subset=[x_col]).drop_duplicates(subset=[x_col])
         pdf = pdf.sort_values(x_col)
         if len(pdf) < min_rows:

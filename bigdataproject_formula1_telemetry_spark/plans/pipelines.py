@@ -45,27 +45,30 @@ def build_warehouse(bronze: DataFrame, step: float = 10.0) -> DataFrame:
     Throttle, nearest for Brake/nGear/DRS/TyreLife — and attach
     LapTime_Sec = max(Time) − min(Time) (W9) + Compound metadata.
 
-    One shuffle on the lap keys; the grouped-map UDF is Arrow-vectorized
-    and bounded per lap, so this scales with executors, not driver RAM.
+    ONE shuffle total, on the lap keys: the Distance-dedup (keep first by
+    Time) and the LapTime_Sec scalar are fused into the grouped kernel via
+    ``pre_fn`` — they partition by the same lap, so computing them as
+    separate window passes (as the first revision did) cost two extra
+    exchanges/sorts over the full bronze table for no semantic difference.
     """
-    cleaned = clean_bronze(bronze)
-    deduped = R.dedup_by_key(
-        cleaned, LAP_KEYS + ["Distance"], [F.col("Time").asc_nulls_last()]
-    )
+    import numpy as np
+    from pyspark.sql.types import DoubleType as _Dbl
+    from pyspark.sql.types import StructField as _SF
 
-    # Lap-level scalars computed relationally (one window pass), then
-    # carried through the resampler as group-constant columns.
-    w = Window.partitionBy(*LAP_KEYS)
-    enriched = (
-        deduped.withColumn(
-            "LapTime_Sec", F.max("Time").over(w) - F.min("Time").over(w)
-        )
-        .withColumn("Compound", F.coalesce(F.col("Compound"), F.lit("UNKNOWN")))
-        .withColumn("TyreLife", F.coalesce(F.col("TyreLife"), F.lit(0.0)))
-    )
+    cleaned = clean_bronze(bronze).withColumn(
+        "Compound", F.coalesce(F.col("Compound"), F.lit("UNKNOWN"))
+    ).withColumn("TyreLife", F.coalesce(F.col("TyreLife"), F.lit(0.0)))
+
+    def _dedup_and_laptime(pdf):
+        # keep-first-by-Time per Distance (== dedup_by_key semantics),
+        # then the lap scalar over the deduped rows
+        pdf = pdf.sort_values("Time", na_position="last", kind="stable")
+        pdf = pdf.drop_duplicates(subset=["Distance"], keep="first")
+        t = pdf["Time"].to_numpy(dtype=float)
+        return pdf.assign(LapTime_Sec=float(np.nanmax(t) - np.nanmin(t)))
 
     resampled = resample.resample_grouped(
-        enriched,
+        cleaned,
         keys=LAP_KEYS,
         x_col="Distance",
         linear_cols=["Speed", "RPM", "Throttle"],
@@ -75,6 +78,8 @@ def build_warehouse(bronze: DataFrame, step: float = 10.0) -> DataFrame:
         min_rows=10,
         min_extent=2000.0,
         carry_cols=["Compound", "LapTime_Sec"],
+        pre_fn=_dedup_and_laptime,
+        pre_fields=[_SF("LapTime_Sec", _Dbl())],
     )
     # float32 downcasts per the reference's storage optimization
     # (F1_Data_PreProcessing.ipynb:128-131).
