@@ -132,11 +132,36 @@ def shingle_sets(
     )
 
 
+#: splitmix64 finalizer constants (public domain, Steele et al.) — the
+#: per-lane permutation must MIX, not just permute: the previous affine
+#: family ``h*(2k+1)+k`` shares a fixed attractor at the signed-long
+#: floor (an element with hash -2^63+δ maps to ≈ -2^63 + (2k+1)δ under
+#: EVERY lane, so it wins the signed min in nearly all lanes), which
+#: collapsed lane independence for sets containing such an element —
+#: observed as 8/64 lane agreement on a Jaccard-0.889 pair that ideal
+#: minhash catches with p ≈ 1-1.5e-7.
+_GOLDEN = 0x9E3779B97F4A7C15
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _mix64_expr(z: Column) -> Column:
+    """splitmix64 finalizer as a JVM expression (two's-complement wrap ==
+    numpy uint64 wrap; requires non-ANSI mode for wrapping multiply —
+    only the Arrow path runs in driver queries)."""
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 30)) * F.lit(_signed64(_MIX1))
+    z = z.bitwiseXOR(F.shiftrightunsigned(z, 27)) * F.lit(_signed64(_MIX2))
+    return z.bitwiseXOR(F.shiftrightunsigned(z, 31))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from a *plain shingle-array column reference*:
-    one xxhash64 pass over the shingles, then ``num_hashes`` affine
-    permutations ``h*(2k+1)+k`` (odd multiplier → bijection mod 2^64;
-    overflow wraps, deterministically) with array_min each.
+    one xxhash64 pass over the shingles, then ``num_hashes`` independent
+    lane permutations ``splitmix64(h + k·golden)`` with array_min each.
 
     Pass a materialized column (see ``shingle_sets``) — not a shingle
     *expression* — or Catalyst will clone the expression per hash."""
@@ -147,19 +172,42 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
 def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
     """Signature from pre-computed shingle hashes (``shingle_sets``'s ``h``
-    column): 64 affine passes over longs, no string re-hashing.
+    column): per lane k, min over elements of ``splitmix64(h + k·golden)``
+    — a genuinely mixing permutation family (see ``_GOLDEN`` note).
 
     Expression form — used for A/B verification.  Higher-order functions
     are *interpreted* (no whole-stage codegen), so the production path is
     the numpy form below (``minhash_signature_arrow``), which computes the
     bit-identical result ~10× faster via one Arrow batch per partition.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(hash_col, lambda h: h * (k * 2 + 1) + k)
-        ),
-    )
+
+    def lane(k: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                hash_col,
+                lambda h: _mix64_expr(h + k * F.lit(_signed64(_GOLDEN))),
+            )
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), lane)
+
+
+def _mix64_np(z):
+    """numpy splitmix64 finalizer (uint64 wrap == JVM two's-complement)."""
+    import numpy as np
+
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX2)
+    return z ^ (z >> np.uint64(31))
+
+
+def _lanes_np(h, num_hashes: int):
+    """(num_hashes, len(h)) mixed lane values for one shingle-hash set."""
+    import numpy as np
+
+    hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+    ks = np.arange(num_hashes, dtype=np.uint64) * np.uint64(_GOLDEN)
+    return _mix64_np(hv[None, :] + ks[:, None])
 
 
 def minhash_signature_arrow(num_hashes: int = 64):
@@ -167,19 +215,13 @@ def minhash_signature_arrow(num_hashes: int = 64):
     form: Java long arithmetic wraps two's-complement — numpy uint64
     arithmetic wraps identically, and ``.view(int64)`` before the min
     reproduces the JVM's *signed* array_min."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
-
-    ks = np.arange(num_hashes, dtype=np.uint64)
-    mult = 2 * ks + 1
 
     @pandas_udf(ArrayType(LongType()))
     def sig(h_col: pd.Series) -> pd.Series:
         out = []
         for h in h_col:
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            m = (hv[None, :] * mult[:, None] + ks[:, None]).view(np.int64)
-            out.append(m.min(axis=1))
+            out.append(_lanes_np(h, num_hashes).view("int64").min(axis=1))
         return pd.Series(out)
 
     return sig
@@ -200,8 +242,6 @@ def minhash_band_hashes_arrow(num_hashes: int = 64, bands: int = 16):
     from pyspark.sql.functions import pandas_udf
 
     rows_per_band = num_hashes // bands
-    ks = np.arange(num_hashes, dtype=np.uint64)
-    mult = 2 * ks + 1
     fnv_offset = np.uint64(0xCBF29CE484222325)
     fnv_prime = np.uint64(0x100000001B3)
 
@@ -209,8 +249,7 @@ def minhash_band_hashes_arrow(num_hashes: int = 64, bands: int = 16):
     def band_hashes(h_col: pd.Series) -> pd.Series:
         out = []
         for h in h_col:
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            sig = (hv[None, :] * mult[:, None] + ks[:, None]).view(np.int64).min(axis=1)
+            sig = _lanes_np(h, num_hashes).view("int64").min(axis=1)
             lanes = sig.view(np.uint64).reshape(bands, rows_per_band)
             acc = np.full(bands, fnv_offset, dtype=np.uint64)
             for i in range(rows_per_band):

@@ -76,7 +76,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle regardless of host timezone.  Callers mixing in their
     # own timezone-sensitive queries should set their timezone after
     # running registry queries.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: conf.get(key, default) VALIDATES the default string in Spark 4.1
+    # (an empty-string default raises INVALID_CONF_VALUE) — use the
+    # no-default form; session.timeZone always resolves to a value.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     return io.read_table(spark, sf_dir, name)
 
@@ -1536,11 +1539,11 @@ def q49_near_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (iterative min-label propagation) → keep min id per
     duplicate cluster.  Oracle: all-pairs exact Jaccard + recursive-CTE
     transitive closure in DuckDB.  The LSH stage is an exact-recall
-    candidate generator on this corpus: every true duplicate pair has
-    Jaccard ≥ 0.9 (nothing in [0.55, 0.85]), so the 16-band/4-row miss
-    probability is ≤ (1-0.9⁴)¹⁶ ≈ 4e-8 — and the whole pipeline is
-    deterministic (xxhash64, no rand), so local parity at sf0.01 is the
-    driver's exact run."""
+    candidate generator on this corpus, verified exhaustively against
+    the all-pairs truth at BOTH 500 docs (sf0.01, the driver gate) and
+    5000 docs (sf0.1): survivors match exactly.  The pipeline is fully
+    deterministic (xxhash64 + splitmix64 lanes, no rand), so local
+    parity at sf0.01 is the driver's exact run."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.near_dedup_clustered(docs, threshold=0.7)
     return kept.select("doc_id").orderBy("doc_id")

@@ -239,3 +239,23 @@ def test_bucket_cap_bounds_adversarial_corpus(spark, caplog):
 
     # a cap larger than any bucket is a no-op
     assert dedup.minhash_lsh_candidates(sdf, max_bucket_size=n).count() == uncapped
+
+
+def test_lane_mixing_has_no_signed_floor_attractor():
+    """Regression: the affine family h*(2k+1)+k kept an element with hash
+    near the signed-long floor as the min in nearly EVERY lane (it maps to
+    ≈ -2^63 + (2k+1)δ under all lanes), collapsing minhash's per-lane
+    independence — a J=8/9 pair showed 8/64 lane agreement (expected 57)
+    and was missed by LSH despite p_catch ≈ 1-1.5e-7.  The splitmix64
+    lane family must keep agreement near J for attractor elements."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    base = rng.integers(-(2**62), 2**62, 24, dtype=np.int64)
+    attractor = np.int64(-(2**63) + 12345)  # hash just above the signed floor
+    a = np.concatenate([base, [attractor]])  # A = B ∪ {attractor}, J = 24/25
+    sig_a = dedup._lanes_np(a, 64).view("int64").min(axis=1)
+    sig_b = dedup._lanes_np(base, 64).view("int64").min(axis=1)
+    agreement = int((sig_a == sig_b).sum())
+    # E[agreement] = 64 * 24/25 ≈ 61; the broken family gave ≈ 0 here
+    assert agreement >= 48, agreement
