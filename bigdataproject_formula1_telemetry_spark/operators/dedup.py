@@ -569,3 +569,63 @@ def simhash_table(
         storage,
     )
     return hs.select("id", simhash_from_hashes(F.col("h"), bits).alias("simhash64"))
+
+
+def simhash_md5_arrow():
+    """Arrow pandas_udf: 64-bit SimHash over the *md5* of each shingle
+    string, emitted as a 16-char lowercase hex fingerprint.
+
+    md5 evaluates identically in every engine (unlike xxhash64), so this
+    variant is cross-engine checkable: bit ``b`` of the fingerprint is the
+    majority vote of bit ``b`` across ``int(md5(tok)[:16], 16)`` token
+    values, and hex char ``i`` (1-indexed from the left) encodes bits
+    ``4*(16-i)+k`` — exactly reproducible in SQL from per-nibble bit
+    extraction of the md5 hex string.  The xxhash64 path
+    (``simhash_table``) stays the JVM-only production default.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(StringType())
+    def fp(tok_col: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_col:
+            v = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            ones = ((v[None, :] >> shifts[:, None]) & np.uint64(1)).sum(axis=1)
+            maj = 2 * ones > len(v)  # strict majority, same as simhash_from_hashes
+            fpv = 0
+            for b in range(64):
+                if maj[b]:
+                    fpv |= 1 << b
+            out.append(format(fpv, "016x"))
+        return pd.Series(out)
+
+    return fp
+
+
+def simhash_md5_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, fp_hex) portable SimHash fingerprints (see
+    ``simhash_md5_arrow``).  Single consumer of the shingle expression, so
+    no lineage barrier is needed."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("toks"),
+    )
+    return toks.select("id", simhash_md5_arrow()(F.col("toks")).alias("fp_hex"))

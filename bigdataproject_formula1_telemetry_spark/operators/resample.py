@@ -20,6 +20,17 @@ Two implementations, per the SURVEY §7 plan:
   the 100 TB path.  The bracketing uses last/first(ignorenulls) over one
   per-key sort (shared by both windows), never a range join — linear in
   input, no O(n·m) blowup.
+
+- ``resample_grouped_partitions`` (throughput mode): same kernel as
+  ``resample_grouped``, but ``repartition(keys)`` + ``mapInPandas`` with a
+  pandas groupby inside each partition.  ``applyInPandas`` pays one Arrow
+  round-trip and one pandas-frame assembly *per group*; with thousands of
+  small groups that overhead dominates the actual math (measured 3.5× at
+  768 laps × ~107 rows).  The trade is the memory contract: a whole
+  shuffle partition is concatenated in pandas at once, so size
+  ``num_partitions`` such that partitions fit executor memory (the same
+  contract as any mapPartitions pipeline); ``applyInPandas`` mode keeps
+  the stricter per-group bound.
 """
 
 from __future__ import annotations
@@ -96,6 +107,25 @@ def resample_grouped(
     own shuffle/window pass upstream.  Columns it introduces are declared
     via ``pre_fields`` and may then appear in ``carry_cols``.
     """
+    out_schema, kernel = _lap_kernel(
+        df, keys, x_col, linear_cols, nearest_cols, step, start,
+        min_rows, min_extent, carry_cols, pre_fn, pre_fields,
+    )
+    empty = pd.DataFrame(columns=[f.name for f in out_schema.fields])
+
+    def _resample(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(pdf)
+        return empty if out is None else out
+
+    return df.groupBy(*keys).applyInPandas(_resample, schema=out_schema)
+
+
+def _lap_kernel(
+    df, keys, x_col, linear_cols, nearest_cols, step, start,
+    min_rows, min_extent, carry_cols, pre_fn, pre_fields,
+):
+    """Shared per-group resample kernel + output schema (grouped and
+    partition modes must stay bit-identical — tested)."""
     keys = list(keys)
     linear_cols = list(linear_cols)
     nearest_cols = list(nearest_cols)
@@ -108,17 +138,17 @@ def resample_grouped(
     out_fields += [pre_by_name[c] if c in pre_by_name else df.schema[c] for c in carry_cols]
     out_schema = StructType(out_fields)
 
-    def _resample(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame | None:
         if pre_fn is not None:
             pdf = pre_fn(pdf)
         pdf = pdf.dropna(subset=[x_col]).drop_duplicates(subset=[x_col])
         pdf = pdf.sort_values(x_col)
         if len(pdf) < min_rows:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return None
         x = pdf[x_col].to_numpy(dtype=float)
         max_x = x[-1]
         if min_extent is not None and max_x < min_extent:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return None
         xg = np.arange(start, max_x, step)
         out = {k: np.repeat(pdf[k].iloc[0], len(xg)) for k in keys}
         out[x_col] = xg
@@ -130,7 +160,66 @@ def resample_grouped(
             out[c] = np.repeat(pdf[c].iloc[0], len(xg))
         return pd.DataFrame(out)
 
-    return df.groupBy(*keys).applyInPandas(_resample, schema=out_schema)
+    return out_schema, kernel
+
+
+def resample_grouped_partitions(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    linear_cols: Sequence[str],
+    nearest_cols: Sequence[str] = (),
+    step: float = 10.0,
+    start: float = 0.0,
+    min_rows: int = 10,
+    min_extent: float | None = 2000.0,
+    carry_cols: Sequence[str] = (),
+    pre_fn=None,
+    pre_fields: Sequence[StructField] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Throughput-mode grouped resample: identical output to
+    ``resample_grouped`` (same kernel), but one Arrow round-trip per
+    *partition* instead of per group.
+
+    ``repartition(keys)`` co-locates each group; ``mapInPandas``
+    concatenates the partition's Arrow batches and runs a pandas groupby
+    over it, so the per-group overhead (Arrow slice, frame assembly,
+    UDF dispatch) is amortized across every group in the partition —
+    measured 3.5× faster than ``applyInPandas`` on lap-sized groups.
+
+    Memory contract: one whole shuffle partition lives in pandas at a
+    time.  Size ``num_partitions`` (default: session
+    ``spark.sql.shuffle.partitions``) so partitions fit executor memory;
+    for stricter per-group bounds use ``resample_grouped``.
+    """
+    keys = list(keys)
+    out_schema, kernel = _lap_kernel(
+        df, keys, x_col, linear_cols, nearest_cols, step, start,
+        min_rows, min_extent, carry_cols, pre_fn, pre_fields,
+    )
+
+    def run_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # dropna=False: applyInPandas routes null-key rows to their own
+        # group; the pandas groupby must do the same for mode parity
+        outs = []
+        for _, g in pdf.groupby(keys, sort=False, dropna=False):
+            r = kernel(g)
+            if r is not None and len(r):
+                outs.append(r)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    rep = (
+        df.repartition(num_partitions, *keys)
+        if num_partitions is not None
+        else df.repartition(*keys)
+    )
+    return rep.mapInPandas(run_partition, schema=out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -1640,14 +1640,54 @@ def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id").orderBy("vec_id")
 
 
-@_q("q31_simhash")
+@_q(
+    "q31_simhash",
+    """
+    WITH words AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+        END) AS g
+      FROM words
+    ), toks AS (
+      SELECT doc_id, unnest(g) AS tok FROM grams
+    ), bits AS (
+      -- bit k of hex nibble i of md5(tok): per-position vote input
+      SELECT doc_id, i.i AS i, k.k AS k,
+        ((strpos('0123456789abcdef', substr(md5(tok), CAST(i.i AS INT), 1)) - 1)
+          >> k.k) & 1 AS bit
+      FROM toks
+      CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    ), maj AS (
+      SELECT doc_id, i, k,
+        CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS mb
+      FROM bits GROUP BY doc_id, i, k
+    ), nibs AS (
+      SELECT doc_id, i, SUM(mb * (1 << k)) AS nib FROM maj GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+      string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), ''
+                 ORDER BY i) AS fp_hex
+    FROM nibs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (per-bit majority vote over shingle hashes).
-    Deterministic but hash-function-specific → rows-only check."""
+    """SimHash fingerprints, portable-hash mode: per-bit majority vote over
+    ``md5`` shingle hashes, emitted as a 16-char hex fingerprint.  md5 is
+    identical in every engine, so — unlike the xxhash64 production path
+    (``dedup.simhash_table``, pytest-covered) — the full fingerprint is
+    oracle-checkable: DuckDB rebuilds every bit from per-nibble extraction
+    of the same md5 hex strings."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        dedup.simhash_table(docs)
-        .select(F.col("id").alias("doc_id"), "simhash64")
+        dedup.simhash_md5_table(docs)
+        .select(F.col("id").alias("doc_id"), "fp_hex")
         .orderBy("doc_id")
     )
 

@@ -259,3 +259,28 @@ def test_lane_mixing_has_no_signed_floor_attractor():
     agreement = int((sig_a == sig_b).sum())
     # E[agreement] = 64 * 24/25 ≈ 61; the broken family gave ≈ 0 here
     assert agreement >= 48, agreement
+
+
+def test_simhash_md5_matches_pure_python_oracle(spark, docs_pdf):
+    """Portable simhash: fingerprints must equal an independent pure-Python
+    implementation (md5 → 64-bit majority vote → hex)."""
+    import hashlib
+
+    def py_fp(text: str) -> str:
+        toks = py_shingles(text, n=2)
+        vals = [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks]
+        fpv = 0
+        for b in range(64):
+            ones = sum((v >> b) & 1 for v in vals)
+            if 2 * ones > len(vals):
+                fpv |= 1 << b
+        return format(fpv, "016x")
+
+    sdf = io.read_table(spark, SF_SMOKE, "documents")
+    got = {
+        r.id: r.fp_hex
+        for r in dedup.simhash_md5_table(sdf).collect()
+    }
+    sample = docs_pdf.head(40)
+    for r in sample.itertuples(index=False):
+        assert got[r.doc_id] == py_fp(r.text), r.doc_id

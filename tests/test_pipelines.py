@@ -113,3 +113,21 @@ def test_partitioned_roundtrip(spark, warehouse, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     # partition pruning reached the scan
     assert "PartitionFilters: [" in plan
+
+
+def test_warehouse_mode_parity(spark, bronze, warehouse):
+    """partition-mode (repartition+mapInPandas) and grouped-mode
+    (applyInPandas) warehouses must be row-identical — same kernel, only
+    the Arrow batching differs."""
+    grouped = P.build_warehouse(bronze, mode="grouped").toPandas()
+    part = warehouse.toPandas()  # module fixture uses the default (partition)
+    key = ["Year", "Round", "Driver", "LapNumber", "Distance"]
+    grouped = grouped.sort_values(key).reset_index(drop=True)
+    part = part.sort_values(key).reset_index(drop=True)
+    assert list(grouped.columns) == list(part.columns)
+    assert grouped.equals(part), "mode outputs diverge"
+
+
+def test_warehouse_mode_validation(bronze):
+    with pytest.raises(ValueError, match="mode"):
+        P.build_warehouse(bronze, mode="bogus")
