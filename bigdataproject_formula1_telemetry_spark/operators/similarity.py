@@ -12,6 +12,7 @@ Python).  All math in double precision for cross-engine determinism.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -197,6 +198,159 @@ def cosine_dup_pairs(
     return cand.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed-cluster search
+# --------------------------------------------------------------------------
+
+def _np_assigner(centroids, nprobe: int = 1):
+    """Arrow pandas_udf: nearest-``nprobe`` centroid ids for each vector
+    (one numpy matmul per batch; centroids broadcast via closure).
+    Vectors are L2-normalized before scoring (spherical k-means ⇒ max dot
+    == min angle == max cosine)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(vec_col: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (X / norms[:, None]) @ C.T
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            n = min(nprobe, C.shape[0])
+            top = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+        return pd.Series([row.astype("int32") for row in top])
+
+    return assign
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_salt: str = "ivf",
+) -> list[list[float]]:
+    """Spherical-k-means coarse quantizer, Spark-first:
+
+    - init: the ``n_clusters`` vectors with the smallest md5(salt|id) — a
+      deterministic, partitioning-independent pseudo-random pick (same
+      gate as ``sampling.deterministic_sample``).
+    - per Lloyd round: one Arrow-batched assignment pass + ONE groupBy
+      shuffle computing per-cluster elementwise sums as ``dim`` JVM
+      ``sum(vec[i]/norm)`` aggregates (map-side combined; the shuffle
+      carries k·dim doubles, not vectors).  Only the k×dim centroid
+      matrix ever reaches the driver.
+    - empty clusters keep their previous centroid; early-stops when
+      centroids converge.
+
+    At 100 TB the per-round cost is one scan + one tiny shuffle, and
+    ``max_iter`` bounds the rounds; train on a deterministic sample
+    (``sampling.deterministic_sample``) when even that is too much.
+    """
+    import numpy as np
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn(
+            "__g",
+            F.md5(F.concat_ws("|", F.lit(init_salt), F.col(id_col).cast("string"))),
+        )
+        .orderBy("__g")
+        .limit(n_clusters)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    C = C / norms[:, None]
+
+    normed = corpus.withColumn("__n", F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)))
+    for _ in range(max_iter):
+        assign = _np_assigner(C.tolist(), nprobe=1)
+        ass = normed.select(
+            assign(F.col(vec_col))[0].alias("__c"), vec_col, "__n"
+        )
+        sums = ass.groupBy("__c").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double") / F.col("__n")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        newC = C.copy()
+        for r in sums:
+            mean = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            n = np.linalg.norm(mean)
+            if n > 0:
+                newC[r["__c"]] = mean / n
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C.tolist()
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid (the inverted file — at scale, write the corpus partitioned
+    by ``__c`` once and reuse it); each query probes its ``nprobe``
+    nearest clusters and scores only those rows exactly.
+
+    Join key is the cluster id → hash-partitioned, candidates bounded by
+    the probed clusters' sizes (≈ nprobe/n_clusters of the corpus per
+    query).  Each corpus row has exactly one cluster and probe lists are
+    distinct, so a (query, neighbor) pair can't duplicate — no dedup
+    stage needed (unlike multi-table LSH)."""
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _np_assigner(centroids, nprobe=1)(F.col(vec_col))[0].alias("__c"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_np_assigner(centroids, nprobe=nprobe)(F.col(vec_col))).alias("__c"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__c")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def near_dedup_cosine(

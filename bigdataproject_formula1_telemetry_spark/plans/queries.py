@@ -1641,6 +1641,56 @@ def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q55_ivf_ann_recall",
+    """
+    SELECT CAST(20 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok
+    """,
+)
+def q55_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-k-means coarse quantizer, 8 clusters, 4 probes)
+    self-checked against the exact brute-force top-5 for 20 queries: the
+    output boolean asserts mean recall ≥ 0.55.  The IVF result set itself
+    is quantizer-specific (not SQL-expressible), so — like q50's HLL
+    error band — the oracle checks the *assertion*, which fails the
+    driver hash-match if the inverted file ever degrades.  Measured mean
+    recall on this corpus ≈ 0.76-0.80 (random embeddings, the worst case
+    for IVF: no cluster structure to exploit)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=6)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.knn_ivf(emb, queries, C, k=5, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"])
+        & (exact["neighbor_id"] == ivf["ivf_neighbor_id"]),
+        "left_semi",
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+        "query_id",
+        "left",
+    ).select(
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall")
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"), F.avg("recall").alias("mean_recall")
+    )
+    return agg.select(
+        F.col("n_queries").cast("long"),
+        F.lit(5).cast("long").alias("k"),
+        (F.col("mean_recall") >= 0.55).alias("recall_ok"),
+    )
+
+
+@_q(
     "q31_simhash",
     """
     WITH words AS (

@@ -125,3 +125,39 @@ def test_cosine_dup_pairs_precision_exact(spark):
         a, b = vecs[r.id_a], vecs[r.id_b]
         c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert c >= 0.9 - 1e-9
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe == n_clusters degenerates IVF to exact search: every cluster
+    is probed, so the candidate set is the whole corpus."""
+    C = sim.ivf_centroids(emb, n_clusters=4, max_iter=4)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = sim.knn_bruteforce(emb, queries, k=5).toPandas()
+    ivf = sim.knn_ivf(emb, queries, C, k=5, nprobe=4).toPandas()
+    for qid in range(5):
+        e = exact[exact["query_id"] == qid].sort_values("cos_sim", ascending=False)
+        a = ivf[ivf["query_id"] == qid].sort_values("cos_sim", ascending=False)
+        assert list(e["neighbor_id"]) == list(a["neighbor_id"]), qid
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """Partial probing keeps most of the true neighbors (the whole point
+    of the inverted file: ~nprobe/n_clusters of the corpus scanned)."""
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=6)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = sim.knn_bruteforce(emb, queries, k=5).toPandas()
+    ivf = sim.knn_ivf(emb, queries, C, k=5, nprobe=3).toPandas()
+    recalls = []
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, emb):
+    C1 = sim.ivf_centroids(emb, n_clusters=4, max_iter=3)
+    C2 = sim.ivf_centroids(emb, n_clusters=4, max_iter=3)
+    assert np.allclose(np.asarray(C1), np.asarray(C2))
+    norms = np.linalg.norm(np.asarray(C1), axis=1)
+    assert np.allclose(norms, 1.0)
