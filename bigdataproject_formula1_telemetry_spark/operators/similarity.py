@@ -153,6 +153,7 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate candidate pairs: vectors sharing a
     sign-LSH bucket in ANY of the L tables are candidates (bucket-keyed
@@ -164,7 +165,14 @@ def cosine_dup_pairs(
     p = 1 - θ/π; for cosine ≥ 0.95 (θ ≤ 18°), p ≥ 0.9 — with 8-bit
     buckets and 4 tables the miss probability is (1-p⁸)⁴ ≈ 3e-3, and
     near-identical vectors (the dedup target, cos ≥ 0.99) are ≈ 1e-5.
-    Verification makes precision exact regardless."""
+    Verification makes precision exact regardless.
+
+    ``max_bucket_size`` drops (table, bucket) groups above the cap before
+    the pair join — the same degenerate-bucket hardening as
+    ``dedup.minhash_lsh_candidates`` — with a logged count, never silent.
+    NB: *identical* vectors land in the same bucket in EVERY table, so a
+    cap cannot save a replica-heavy corpus; ``near_dedup_cosine`` removes
+    that case structurally by pairing distinct vectors only."""
     tables: list[list[list[float]]] = (
         [planes] if planes and isinstance(planes[0][0], (int, float)) else planes  # type: ignore[index]
     )
@@ -181,6 +189,26 @@ def cosine_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(bucket_arr).alias("__tb"),
     ).select("id", "v", "__tb.t", "__tb.b")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("t", "b")
+        sized = banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        dropped = (
+            sized.where(F.col("__bsz") > max_bucket_size)
+            .agg(
+                F.countDistinct("t", "b").alias("buckets"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .first()
+        )
+        if dropped["buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine_dup_pairs: dropping %d oversized LSH bucket(s) "
+                "(%d banded rows) above max_bucket_size=%d",
+                dropped["buckets"], dropped["rows"], max_bucket_size,
+            )
+        banded = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -359,13 +387,49 @@ def near_dedup_cosine(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dedup (north-star): sign-LSH candidates →
     exact cosine verify → greedy keep-lowest-id, mirroring
-    ``dedup.near_dedup_minhash`` on the embedding axis."""
-    dups = (
-        cosine_dup_pairs(df, planes, threshold, id_col, vec_col)
-        .select(F.col("id_b").alias(id_col))
+    ``dedup.near_dedup_minhash`` on the embedding axis.
+
+    Identical vectors are collapsed to one representative (min id per
+    content hash — ONE linear shuffle) before the LSH pair join, then
+    non-representative members and every member of a losing
+    representative's group are dropped.  This is semantics-preserving
+    (identical non-zero vectors have cosine 1.0 ≥ any threshold, and a
+    near-dup of a representative is a near-dup of its whole group) and it
+    removes the replica-corpus blowup a bucket cap can't: 10 exact copies
+    of every vector made the uncapped pair join OOM at 50k vectors, while
+    the grouped path's pair stage only ever sees distinct vectors.
+    Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup)."""
+    nrm = l2_norm(F.col("__m_v"))
+    tagged = df.select(
+        F.col(id_col).alias("__m_id"), F.col(vec_col).alias("__m_v")
+    ).withColumn(
+        "__vk",
+        F.when(
+            nrm > 0, F.md5(F.to_json(F.struct(F.col("__m_v"))))
+        ).otherwise(F.concat(F.lit("zero:"), F.col("__m_id").cast("string"))),
+    )
+    rep = tagged.withColumn(
+        "__rep", F.min("__m_id").over(Window.partitionBy("__vk"))
+    )
+    reps = rep.where(F.col("__m_id") == F.col("__rep")).select(
+        F.col("__m_id").alias(id_col), F.col("__m_v").alias(vec_col)
+    )
+    losing_reps = (
+        cosine_dup_pairs(reps, planes, threshold, id_col, vec_col, max_bucket_size)
+        .select(F.col("id_b").alias("__lost"))
         .distinct()
     )
-    return df.join(dups, id_col, "left_anti")
+    # losers: every non-representative member, plus all members (incl. the
+    # representative) of a group whose representative lost
+    lost_members = rep.join(
+        losing_reps, rep["__rep"] == losing_reps["__lost"], "left_semi"
+    ).select(F.col("__m_id").alias(id_col))
+    non_reps = rep.where(F.col("__m_id") != F.col("__rep")).select(
+        F.col("__m_id").alias(id_col)
+    )
+    losers = lost_members.unionByName(non_reps).distinct()
+    return df.join(losers, id_col, "left_anti")

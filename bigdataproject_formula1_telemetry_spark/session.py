@@ -76,6 +76,12 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Local mode defaults to a 1g heap — far too small for a local[32]
+    # driver that is also the executor.  Only meaningful before JVM
+    # launch; on a cluster, spark-submit owns this and the conf is inert.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

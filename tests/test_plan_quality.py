@@ -104,3 +104,22 @@ def test_lsh_pair_join_is_hash_partitioned_on_bucket(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warehouse_partition_mode_single_exchange(spark):
+    """The throughput-mode ETL must stay ONE shuffle (the repartition on
+    lap keys) with no sort: the kernel handles ordering per group."""
+    from bigdataproject_formula1_telemetry_spark import schemas
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+    from tests import fixtures
+
+    bronze = spark.createDataFrame(
+        fixtures.gen_telemetry_raw(years=(2021,), rounds=(1,), laps_per_driver=2),
+        schema=schemas.TELEMETRY_RAW,
+    )
+    plan = (
+        P.build_warehouse(bronze)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Sort " not in plan, plan

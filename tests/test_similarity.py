@@ -161,3 +161,37 @@ def test_ivf_centroids_deterministic_and_normalized(spark, emb):
     assert np.allclose(np.asarray(C1), np.asarray(C2))
     norms = np.linalg.norm(np.asarray(C1), axis=1)
     assert np.allclose(norms, 1.0)
+
+
+def test_near_dedup_replica_corpus_and_identity_grouping(spark):
+    """Replica-heavy corpus (every vector duplicated 10x): the identity
+    grouping must keep exactly one copy per distinct vector without the
+    pair join ever seeing the copies, and survivors must equal the
+    single-copy result."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    rows = []
+    for r in range(10):
+        for i in range(30):
+            rows.append((r * 1000 + i, [float(x) for x in base[i]]))
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [rng.normal(size=(4, 8)).tolist() for _ in range(3)]
+    kept = sorted(
+        r.vec_id for r in sim.near_dedup_cosine(sdf, planes, 0.95).collect()
+    )
+    single = spark.createDataFrame(rows[:30], "vec_id long, embedding array<double>")
+    kept_single = sorted(
+        r.vec_id for r in sim.near_dedup_cosine(single, planes, 0.95).collect()
+    )
+    # every survivor is a replica-0 id, and matches the single-copy run
+    assert kept == kept_single
+
+
+def test_near_dedup_zero_vectors_survive(spark):
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[[0.3, -0.7], [0.9, 0.1]]]
+    kept = sorted(r.vec_id for r in sim.near_dedup_cosine(sdf, planes, 0.95).collect())
+    # identical zero vectors have NULL cosine -> both survive; the
+    # identical unit vectors dedup to the min id
+    assert kept == [0, 1, 2]
