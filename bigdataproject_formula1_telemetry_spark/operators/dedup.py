@@ -390,6 +390,67 @@ def jaccard_pairs(
     )
 
 
+def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
+    """(tagged, reps) for identical-text collapsing: ``tagged`` maps every
+    id to the min id of its exact-text group (``__rep``, one linear
+    md5-keyed shuffle); ``reps`` is one representative row per distinct
+    text.
+
+    Identical texts are the degenerate LSH case — they share every band
+    bucket, so a replica-heavy corpus (N copies of each doc) grows the
+    intra-bucket pair join quadratically in N and no bucket cap can help
+    (dropping the bucket misses all the dups).  Pairing representatives
+    only removes that blowup structurally AND skips shingling the copies;
+    semantics are preserved because identical texts have Jaccard 1.0
+    (any threshold) and a near-dup of a representative is a near-dup of
+    its whole group.  NULL texts get a unique key (their dedup fate is
+    decided by the LSH/Jaccard stages, same as without collapsing)."""
+    key = F.when(
+        F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+    ).otherwise(F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+    tagged = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy(key))
+    )
+    reps = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
+    return tagged.select(id_col, "__rep"), reps
+
+
+def _expand_losers(
+    df: DataFrame, tagged: DataFrame | None, losing_reps: DataFrame, id_col: str
+) -> DataFrame:
+    """Survivors after collapsing: drop every non-representative member
+    and all members of groups whose representative lost.  With
+    ``tagged=None`` (collapse skipped) the losing ids ARE the losers."""
+    if tagged is None:
+        losers = losing_reps.select(F.col("__lost").alias(id_col))
+    else:
+        lost_members = tagged.join(
+            losing_reps, tagged["__rep"] == losing_reps["__lost"], "left_semi"
+        ).select(id_col)
+        non_reps = tagged.where(F.col(id_col) != F.col("__rep")).select(id_col)
+        losers = lost_members.unionByName(non_reps).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def _maybe_collapse(df: DataFrame, text_col: str, id_col: str, collapse):
+    """Adaptive exact-collapse: the collapse costs one full-text shuffle,
+    pure overhead on a dup-free corpus — and it is a *performance*
+    rewrite only (LSH catches Jaccard-1.0 pairs regardless), so the
+    decision can be approximate.  ``collapse=None`` probes
+    ``approx_count_distinct(md5(text))`` (partial-agg job, no text
+    shuffle) and collapses only when >10% of rows are exact copies;
+    pass True/False to force."""
+    if collapse is None:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.md5(F.col(text_col)), 0.05).alias("d"),
+        ).first()
+        collapse = r["n"] > 0 and r["d"] < 0.9 * r["n"]
+    if collapse:
+        return _exact_collapse(df, text_col, id_col)
+    return None, df
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -400,25 +461,29 @@ def near_dedup_minhash(
     shingle_n: int = 3,
     storage: str = "local_checkpoint",
     max_bucket_size: int | None = None,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
-    """Full near-dedup: LSH candidates → exact Jaccard verify → drop the
-    higher id of every pair above threshold (greedy keep-lowest-id; a
-    single-linkage union-find refinement is a later extension).
+    """Full near-dedup: adaptively collapse exact-text duplicates to
+    representatives (``_maybe_collapse``) → LSH candidates → exact
+    Jaccard verify → drop the higher id of every pair above threshold
+    (greedy keep-lowest-id; ``near_dedup_clustered`` adds transitive
+    merging).
 
-    Shingle sets are computed once and shared by the signature and the
-    verify join."""
-    sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
+    Shingle sets are computed once (representatives only) and shared by
+    the signature and the verify join."""
+    tagged, reps = _maybe_collapse(df, text_col, id_col, collapse_exact)
+    sh = shingle_sets(reps, text_col, id_col, shingle_n, storage=storage)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
+        reps, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
         storage=storage, max_bucket_size=max_bucket_size,
     )
-    dups = (
-        jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh)
+    losing_reps = (
+        jaccard_pairs(reps, cand, text_col, id_col, shingle_n, sh=sh)
         .where(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
+        .select(F.col("id_b").alias("__lost"))
         .distinct()
     )
-    return df.join(dups, id_col, "left_anti")
+    return _expand_losers(df, tagged, losing_reps, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -492,25 +557,31 @@ def near_dedup_clustered(
     shingle_n: int = 3,
     storage: str = "local_checkpoint",
     max_bucket_size: int | None = None,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Cluster-aware near-dedup: LSH candidates → Jaccard verify →
     connected components over the duplicate graph → keep the minimum id
     of every component.  Unlike the greedy ``near_dedup_minhash``, this
     merges transitive duplicate chains (A~B, B~C ⇒ one survivor, even if
-    A≁C directly)."""
-    sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
+    A≁C directly).  Exact-text duplicates are collapsed to
+    representatives first (``_exact_collapse``): members connect to
+    their representative with Jaccard 1.0, so component membership and
+    the min-id survivor are unchanged — the component min is always a
+    representative (each rep is its group's min id)."""
+    tagged, reps = _maybe_collapse(df, text_col, id_col, collapse_exact)
+    sh = shingle_sets(reps, text_col, id_col, shingle_n, storage=storage)
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
+        reps, text_col, id_col, num_hashes, bands, shingle_n, sh=sh,
         storage=storage, max_bucket_size=max_bucket_size,
     )
-    dup_pairs = jaccard_pairs(df, cand, text_col, id_col, shingle_n, sh=sh).where(
+    dup_pairs = jaccard_pairs(reps, cand, text_col, id_col, shingle_n, sh=sh).where(
         F.col("jaccard") >= threshold
     )
     comp = connected_components(dup_pairs, storage=storage)
-    losers = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    losing_reps = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__lost")
     )
-    return df.join(losers, id_col, "left_anti")
+    return _expand_losers(df, tagged, losing_reps, id_col)
 
 
 # --------------------------------------------------------------------------

@@ -284,3 +284,36 @@ def test_simhash_md5_matches_pure_python_oracle(spark, docs_pdf):
     sample = docs_pdf.head(40)
     for r in sample.itertuples(index=False):
         assert got[r.doc_id] == py_fp(r.text), r.doc_id
+
+
+def test_near_dedup_replica_corpus_matches_single_copy(spark, docs_pdf):
+    """Exact-text collapse: a corpus where every doc has 3 identical
+    copies must dedup to the same survivors as the single-copy corpus
+    (replica ids are strictly larger, so reps are the original ids)."""
+    import pandas as pd
+
+    base = docs_pdf.head(60)[["doc_id", "text"]]
+    copies = [base]
+    for r in (1, 2):
+        c = base.copy()
+        c["doc_id"] = c["doc_id"] + 1_000_000 * r
+        copies.append(c)
+    tripled = spark.createDataFrame(pd.concat(copies, ignore_index=True))
+    single = spark.createDataFrame(base)
+    kept3 = sorted(r.doc_id for r in dedup.near_dedup_minhash(tripled, threshold=THRESHOLD).collect())
+    kept1 = sorted(r.doc_id for r in dedup.near_dedup_minhash(single, threshold=THRESHOLD).collect())
+    assert kept3 == kept1
+    kept3c = sorted(r.doc_id for r in dedup.near_dedup_clustered(tripled, threshold=THRESHOLD).collect())
+    kept1c = sorted(r.doc_id for r in dedup.near_dedup_clustered(single, threshold=THRESHOLD).collect())
+    assert kept3c == kept1c
+
+
+def test_near_dedup_null_texts_untouched(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, None), (3, None),
+            (4, "alpha beta gamma delta")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup.near_dedup_minhash(sdf, threshold=0.7).collect())
+    # identical texts dedup to min id; NULL texts produce identical
+    # [NULL]-shingle hash sets, so they dedup together too — same as the
+    # pre-collapse pipeline (xxhash64(NULL) is a constant, not NULL)
+    assert kept == [1, 2]
