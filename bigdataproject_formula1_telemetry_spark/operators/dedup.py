@@ -643,19 +643,19 @@ def simhash_table(
 
 
 def simhash_md5_arrow():
-    """Arrow pandas_udf: 64-bit SimHash over the *md5* of each shingle
-    string, emitted as a 16-char lowercase hex fingerprint.
+    """Arrow pandas_udf: 64-bit SimHash over *md5 hex strings* (computed
+    JVM-side — codegen'd, no Python hashing), emitted as a 16-char
+    lowercase hex fingerprint.
 
     md5 evaluates identically in every engine (unlike xxhash64), so this
     variant is cross-engine checkable: bit ``b`` of the fingerprint is the
     majority vote of bit ``b`` across ``int(md5(tok)[:16], 16)`` token
     values, and hex char ``i`` (1-indexed from the left) encodes bits
     ``4*(16-i)+k`` — exactly reproducible in SQL from per-nibble bit
-    extraction of the md5 hex string.  The xxhash64 path
-    (``simhash_table``) stays the JVM-only production default.
-    """
-    import hashlib
-
+    extraction of the md5 hex string.  The Python side only parses hex:
+    one ``bytes.fromhex`` + ``np.frombuffer('>u8')`` per doc (C speed).
+    The xxhash64 path (``simhash_table``) stays the JVM-only production
+    default."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
@@ -663,17 +663,12 @@ def simhash_md5_arrow():
     shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(StringType())
-    def fp(tok_col: pd.Series) -> pd.Series:
+    def fp(hex_col: pd.Series) -> pd.Series:
         out = []
-        for toks in tok_col:
-            v = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    for t in toks
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
+        for hexes in hex_col:
+            v = np.frombuffer(
+                bytes.fromhex("".join(h[:16] for h in hexes)), dtype=">u8"
+            ).astype(np.uint64)
             ones = ((v[None, :] >> shifts[:, None]) & np.uint64(1)).sum(axis=1)
             maj = 2 * ones > len(v)  # strict majority, same as simhash_from_hashes
             fpv = 0
@@ -693,10 +688,14 @@ def simhash_md5_table(
     shingle_n: int = 2,
 ) -> DataFrame:
     """(id, fp_hex) portable SimHash fingerprints (see
-    ``simhash_md5_arrow``).  Single consumer of the shingle expression, so
-    no lineage barrier is needed."""
+    ``simhash_md5_arrow``).  Shingle md5s are computed in the same
+    projection (single consumer → no lineage barrier needed)."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("toks"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda s: F.md5(s)
+        ).alias("toks_md5"),
     )
-    return toks.select("id", simhash_md5_arrow()(F.col("toks")).alias("fp_hex"))
+    return toks.select(
+        "id", simhash_md5_arrow()(F.col("toks_md5")).alias("fp_hex")
+    )

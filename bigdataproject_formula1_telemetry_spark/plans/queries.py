@@ -1445,6 +1445,34 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q56_stratified_sample",
+    """
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < (CASE WHEN lang = 'en' THEN '40000000' ELSE 'g' END)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — the canonical language-rebalance
+    step of a training-data pipeline: downsample the dominant language
+    (en → 25%) while keeping the rare ones whole.  Same portable md5 gate
+    as q51, so the kept *set* (not just the counts) is engine-exact."""
+    from bigdataproject_formula1_telemetry_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        docs, "lang", {"en": 0.25}, ["doc_id"], default_fraction=1.0, salt="strat"
+    )
+    return (
+        s.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@_q(
     "q50_approx_distinct",
     """
     SELECT event_type,
