@@ -278,11 +278,16 @@ def resample_linear_sql(
     sample_struct = F.struct(
         F.col("__x").alias("x"), *[F.col(f"__y_{c}").alias(c) for c in y_cols]
     )
-    s = samples.withColumn("__s", sample_struct).withColumn("__is_grid", F.lit(0))
-    g = grid.withColumn("__s", F.lit(None).cast(s.schema["__s"].dataType))
-    for c in y_cols:
-        g = g.withColumn(f"__y_{c}", F.lit(None).cast("double"))
-    g = g.select(*s.columns)
+    # Only (keys, __x, __is_grid, __s) cross the window shuffle — the bare
+    # __y_* columns would otherwise ride along duplicated inside the
+    # struct AND as loose columns, doubling the exchanged row width.
+    s = samples.withColumn("__s", sample_struct).select(
+        *keys, "__x", F.lit(0).alias("__is_grid"), "__s"
+    )
+    g = grid.select(
+        *keys, "__x", "__is_grid",
+        F.lit(None).cast(s.schema["__s"].dataType).alias("__s"),
+    )
     unioned = s.unionByName(g)
 
     # Samples sort before grid rows at equal x so an exact-hit grid point
