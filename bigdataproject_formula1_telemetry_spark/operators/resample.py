@@ -292,18 +292,28 @@ def resample_linear_sql(
 
     # Samples sort before grid rows at equal x so an exact-hit grid point
     # lerps to the sample value with t=0.
-    order = [F.col("__x"), F.col("__is_grid")]
+    #
+    # Both brackets are RUNNING last(ignorenulls) frames — the next-sample
+    # one over the REVERSE sort order, which is semantically identical to
+    # first(ignorenulls) over [current, end) in forward order but linear:
+    # Spark evaluates growing frames incrementally while a shrinking
+    # (unboundedFollowing) frame is re-aggregated per row, O(rows²) per
+    # key — measured 20× superlinear blowup at 100× events.  The reverse
+    # window reuses the same exchange (same partition keys); it only adds
+    # a second in-partition sort.
     w_prev = (
-        Window.partitionBy(*keys).orderBy(*order)
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__x").asc(), F.col("__is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_next = (
-        Window.partitionBy(*keys).orderBy(*order)
-        .rowsBetween(0, Window.unboundedFollowing)
+    w_next_rev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__x").desc(), F.col("__is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     br = (
         unioned.withColumn("__p", F.last("__s", ignorenulls=True).over(w_prev))
-        .withColumn("__n", F.first("__s", ignorenulls=True).over(w_next))
+        .withColumn("__n", F.last("__s", ignorenulls=True).over(w_next_rev))
         .where(F.col("__is_grid") == 1)
     )
 
