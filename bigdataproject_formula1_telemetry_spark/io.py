@@ -193,3 +193,34 @@ def existing_partitions(
     except Exception:
         return set()
     return {tuple(r[c] for c in partition_cols) for r in rows}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) on the join
+    keys — the co-located-join primitive at 100 TB: two tables bucketed
+    the same way join with ZERO exchange (and zero sort when
+    ``sort_cols`` match), because every bucket pair is already
+    co-partitioned on disk.  The classic use: bucket the giant fact table
+    once at ingest, then every subsequent join/agg on that key skips its
+    shuffle (asserted by ``tests/test_plan_quality.py``).
+
+    Bucketed tables need the session catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` writes can't carry bucket metadata.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed catalog table (bucket metadata intact, so joins and
+    aggregations on the bucket keys skip their exchange)."""
+    return spark.table(table)

@@ -123,3 +123,40 @@ def test_warehouse_partition_mode_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Sort " not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with ZERO
+    exchanges — the co-located join that saves the big-fact shuffle at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_formula1_telemetry_spark import io
+
+    # saveAsTable writes under the session warehouse dir (gitignored
+    # ./spark-warehouse locally); DROP TABLE below removes the data
+    a = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("vb")
+    )
+    io.write_bucketed(a, "bj_a", ("k",), n_buckets=8, sort_cols=("k",))
+    io.write_bucketed(b, "bj_b", ("k",), n_buckets=8, sort_cols=("k",))
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = io.read_bucketed(spark, "bj_a").join(
+            io.read_bucketed(spark, "bj_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5_000
+        # and a groupBy on the bucket key also skips its exchange
+        agg = io.read_bucketed(spark, "bj_a").groupBy("k").agg(F.sum("va"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
