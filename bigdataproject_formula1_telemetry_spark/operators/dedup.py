@@ -19,7 +19,7 @@ from pyspark.sql.types import ArrayType, LongType
 logger = logging.getLogger(__name__)
 
 
-def _barrier(df: DataFrame, storage: str = "local_checkpoint") -> DataFrame:
+def _barrier(df: DataFrame, storage: str = "persist") -> DataFrame:
     """Materialization / optimizer barrier between dedup pipeline stages.
 
     The barrier is load-bearing for performance: Catalyst's
@@ -27,14 +27,16 @@ def _barrier(df: DataFrame, storage: str = "local_checkpoint") -> DataFrame:
     into every downstream consumer without one (measured 40× blowup).
     Storage backends trade speed for cluster fault-tolerance:
 
-    - ``"local_checkpoint"`` (default): eager, executor-local blocks.
-      Fastest, but lineage is truncated — a lost executor fails the job.
-      The right choice on a healthy cluster / local mode.
-    - ``"persist"``: ``persist(DISK_ONLY)``.  Lazy, keeps lineage (lost
-      partitions recompute), still an optimizer barrier because the
-      cached subtree is replaced before optimization.  The right choice
-      for long multi-hour 100 TB runs where executor loss is expected.
-    - ``"memory"``: ``persist(MEMORY_AND_DISK)`` — as above, hot data.
+    - ``"persist"`` (default): ``persist(DISK_ONLY)``.  Lazy, keeps
+      lineage (lost partitions recompute), still an optimizer barrier
+      because the cached subtree is replaced before optimization — and
+      measured 2.4× FASTER than localCheckpoint on the 5k-doc pipeline
+      (lazy persists pipeline into consumers; localCheckpoint runs an
+      eager materialization job per barrier).  Also the right choice for
+      long 100 TB runs where executor loss is expected.
+    - ``"local_checkpoint"``: eager, executor-local blocks, lineage
+      truncated — a lost executor fails the job.
+    - ``"memory"``: ``persist(MEMORY_AND_DISK)`` — as persist, hot data.
     - ``"none"``: no barrier (A/B testing the optimizer blowup only).
     """
     if storage == "local_checkpoint":
@@ -106,10 +108,10 @@ def shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
 ) -> DataFrame:
     """(id, h) hashed distinct-shingle sets, materialized behind a lineage
-    barrier (``localCheckpoint``).
+    barrier (see ``_barrier``; default ``persist(DISK_ONLY)``).
 
     The barrier is load-bearing for performance, not correctness:
     shingling is the most expensive expression in the pipeline, and
@@ -268,7 +270,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     sh: DataFrame | None = None,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
@@ -364,7 +366,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     sh: DataFrame | None = None,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
@@ -459,7 +461,7 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
     max_bucket_size: int | None = None,
     collapse_exact: bool | None = None,
 ) -> DataFrame:
@@ -495,7 +497,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, component)
     where component = min id reachable.
@@ -555,7 +557,7 @@ def near_dedup_clustered(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
     max_bucket_size: int | None = None,
     collapse_exact: bool | None = None,
 ) -> DataFrame:
@@ -626,7 +628,7 @@ def simhash_table(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_n: int = 2,
-    storage: str = "local_checkpoint",
+    storage: str = "persist",
 ) -> DataFrame:
     """(id, simhash64) fingerprints: shingle → hash once behind a lineage
     barrier, then the unrolled per-bit vote."""
