@@ -498,18 +498,23 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     storage: str = "persist",
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, component)
     where component = min id reachable.
 
-    Iterative DataFrame algorithm: each round joins current labels across
-    edges and takes the per-node min; lineage is cut per round with
-    ``localCheckpoint`` (iterative plans otherwise grow exponentially).
-    Converges in O(diameter) rounds — duplicate clusters are shallow
-    (near-clique), so a handful of rounds in practice; ``max_iter`` bounds
-    pathological chains.  This is the standard production formulation of
-    large-scale near-dup clustering (greedy pair-dropping under-merges
-    transitive duplicate groups).
+    Hybrid execution: the duplicate graph is tiny relative to the corpus
+    (edges = verified dup *pairs*), so when the edge count is at or below
+    ``driver_threshold`` the components are solved with one union-find on
+    the driver (one collect bounded by the threshold, zero iterative
+    jobs) — at 5M edges that's ~80 MB, safely driver-sized.  Larger
+    graphs fall back to the distributed algorithm: each round joins
+    current labels across edges and takes the per-node min, lineage cut
+    per round (iterative plans otherwise grow exponentially), converging
+    in O(diameter) rounds with ``max_iter`` bounding pathological chains.
+    Both paths produce identical labels (tested).  This is the standard
+    production formulation of large-scale near-dup clustering (greedy
+    pair-dropping under-merges transitive duplicate groups).
     """
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
@@ -519,22 +524,49 @@ def connected_components(
         .distinct()
     )
     edges = _barrier(edges, storage)
-    labels = _barrier(
+    if driver_threshold and edges.count() <= driver_threshold:
+        rows = edges.collect()  # bounded by driver_threshold by contract
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["s"]), find(r["d"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {r["s"] for r in rows}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        id_type = pairs.schema[src_col].dataType
+        from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+        schema = _ST([_SF("id", id_type), _SF("component", id_type)])
+        return pairs.sparkSession.createDataFrame(out, schema=schema)
+    # The per-round barrier must be an EAGER lineage truncation
+    # (localCheckpoint), NOT a lazy persist: persist caches *data* but
+    # keeps the full logical plan, so each round's plan embeds the
+    # previous round's — exponential plan growth that OOMs the driver
+    # JVM after ~10 rounds (caught by the path-equivalence test).  On a
+    # cluster, a reliable `checkpoint()` dir is the durable equivalent.
+    labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
-        .withColumn("component", F.col("id")),
-        storage,
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.s == labels.id)
             .select(F.col("d").alias("id"), "component")
         )
-        new_labels = _barrier(
+        new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component")),
-            storage,
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -317,3 +317,23 @@ def test_near_dedup_null_texts_untouched(spark):
     # [NULL]-shingle hash sets, so they dedup together too — same as the
     # pre-collapse pipeline (xxhash64(NULL) is a constant, not NULL)
     assert kept == [1, 2]
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The driver-side union-find shortcut and the distributed min-label
+    propagation must label identically (driver_threshold=0 forces the
+    distributed path)."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (300, 2)) if a != b]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    fast = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
