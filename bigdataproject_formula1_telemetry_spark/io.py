@@ -182,7 +182,13 @@ def existing_partitions(
     Driver-side planner input for incremental ingest (mirrors the
     skip-if-already-collected check at F1_Data_Collect.ipynb:98).  Listing
     partition values is metadata-only — Spark reads directory names, not data.
+
+    Only a *missing* root maps to "no partitions yet"; any other failure
+    (permissions, corrupt footers, transient FS errors) propagates — a
+    swallowed error here would silently re-plan a full re-ingest.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.parquet(root)
@@ -190,7 +196,9 @@ def existing_partitions(
             .distinct()
             .collect()
         )
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         return set()
     return {tuple(r[c] for c in partition_cols) for r in rows}
 

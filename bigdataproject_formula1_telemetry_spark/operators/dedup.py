@@ -243,6 +243,13 @@ def minhash_band_hashes_arrow(num_hashes: int = 64, bands: int = 16):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if num_hashes % bands:
+        # fail at plan time: inside the Arrow UDF this surfaces as an
+        # opaque numpy reshape error at execution, and the expression
+        # fallback would silently drop the leftover lanes instead
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     fnv_offset = np.uint64(0xCBF29CE484222325)
     fnv_prime = np.uint64(0x100000001B3)
@@ -287,6 +294,10 @@ def minhash_lsh_candidates(
 
     Returns (id_a, id_b) candidate pairs with id_a < id_b, distinct.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
     if "h" in sh.columns:
@@ -405,11 +416,14 @@ def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
     only removes that blowup structurally AND skips shingling the copies;
     semantics are preserved because identical texts have Jaccard 1.0
     (any threshold) and a near-dup of a representative is a near-dup of
-    its whole group.  NULL texts get a unique key (their dedup fate is
-    decided by the LSH/Jaccard stages, same as without collapsing)."""
+    its whole group.  NULL texts share ONE sentinel key: they all produce
+    the identical ``[xxhash64(NULL)]`` shingle set downstream (Jaccard
+    1.0 — they dedup together regardless), and a per-id key would leave a
+    NULL-heavy corpus sharing every LSH bucket, re-creating exactly the
+    O(n²) intra-bucket blowup the collapse exists to prevent."""
     key = F.when(
         F.col(text_col).isNotNull(), F.md5(F.col(text_col))
-    ).otherwise(F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+    ).otherwise(F.lit("\x00null"))
     tagged = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "__rep", F.min(id_col).over(Window.partitionBy(key))
     )
@@ -506,8 +520,10 @@ def connected_components(
     Hybrid execution: the duplicate graph is tiny relative to the corpus
     (edges = verified dup *pairs*), so when the edge count is at or below
     ``driver_threshold`` the components are solved with one union-find on
-    the driver (one collect bounded by the threshold, zero iterative
-    jobs) — at 5M edges that's ~80 MB, safely driver-sized.  Larger
+    the driver — the edges arrive as ONE Arrow batch (``toArrow``) and
+    stay numpy arrays, ~16 bytes/edge for long ids → ~80 MB at the 5M
+    default (a Row-object collect would be ~100-200 bytes/edge, 0.5-1.5
+    GB in the Python process, which no JVM heap setting bounds).  Larger
     graphs fall back to the distributed algorithm: each round joins
     current labels across edges and takes the per-node min, lineage cut
     per round (iterative plans otherwise grow exponentially), converging
@@ -525,7 +541,13 @@ def connected_components(
     )
     edges = _barrier(edges, storage)
     if driver_threshold and edges.count() <= driver_threshold:
-        rows = edges.collect()  # bounded by driver_threshold by contract
+        # bounded by driver_threshold by contract; Arrow batch → numpy
+        # columns, never a list of Row objects (see docstring)
+        import numpy as np
+
+        tbl = edges.toArrow()
+        s_np = tbl.column("s").to_numpy(zero_copy_only=False)
+        d_np = tbl.column("d").to_numpy(zero_copy_only=False)
         parent: dict = {}
 
         def find(x):
@@ -534,12 +556,19 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in rows:
-            ra, rb = find(r["s"]), find(r["d"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = {r["s"] for r in rows}
-        out = [(n, find(n)) for n in sorted(nodes)]
+        chunk = 1 << 20  # bound transient boxed-int lists to ~chunk objects
+        for off in range(0, len(s_np), chunk):
+            for a, b in zip(
+                s_np[off : off + chunk].tolist(), d_np[off : off + chunk].tolist()
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        # edges carry both directions, so s alone covers every node
+        nodes = np.unique(s_np).tolist()
+        out = pd.DataFrame(
+            {"id": nodes, "component": [find(n) for n in nodes]}
+        )
         id_type = pairs.schema[src_col].dataType
         from pyspark.sql.types import StructField as _SF, StructType as _ST
 

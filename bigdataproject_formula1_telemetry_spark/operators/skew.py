@@ -66,6 +66,28 @@ def salted_agg(
 #: exploded n_salts×), so they are rejected.
 _SALTED_JOIN_TYPES = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
 
+#: Spark accepts underscore-free and prefix-free aliases for every join
+#: type (``JoinType.apply``); normalize the same way so e.g. "leftsemi",
+#: "semi", "anti", "leftouter" are accepted, not spuriously rejected.
+_JOIN_ALIASES = {
+    "leftouter": "left_outer",
+    "leftsemi": "left_semi",
+    "semi": "left_semi",
+    "leftanti": "left_anti",
+    "anti": "left_anti",
+    "cross": "cross",
+    "rightouter": "right_outer",
+    "right": "right_outer",
+    "fullouter": "full_outer",
+    "full": "full_outer",
+    "outer": "full_outer",
+}
+
+
+def _normalize_join_type(how: str) -> str:
+    flat = how.strip().lower().replace("_", "")
+    return _JOIN_ALIASES.get(flat, how.strip().lower())
+
 
 def salted_join(
     big: DataFrame,
@@ -80,12 +102,14 @@ def salted_join(
     big side keeps one row per input row); other join types are rejected —
     see ``_SALTED_JOIN_TYPES``.  The hot key's rows land in ``n_salts``
     tasks instead of one."""
-    if how not in _SALTED_JOIN_TYPES:
+    how_norm = _normalize_join_type(how)
+    if how_norm not in _SALTED_JOIN_TYPES:
         raise ValueError(
             f"salted_join supports {sorted(_SALTED_JOIN_TYPES)} joins only "
             f"(got {how!r}): right/full would duplicate unmatched "
             "small-side keys n_salts times"
         )
+    how = how_norm
     on = list(on)
     big_s = with_salt(big, n_salts, big.columns)
     small_s = small.withColumn(

@@ -160,3 +160,24 @@ def test_upsert_dim_schema_drift_propagates(spark, tmp_path):
         io.upsert_dim(spark, v2, path, ("year", "no_such_key"))
     # table unchanged
     assert spark.read.parquet(path).count() == 1
+
+
+def test_existing_partitions_error_narrowing(spark, tmp_path):
+    """Only a missing root means "no partitions yet"; any other read
+    failure must propagate instead of silently re-planning a full
+    re-ingest (VERDICT r2)."""
+    import pandas as pd
+    import pytest
+
+    # missing root → empty set (the planner's "fresh lake" case)
+    assert io.existing_partitions(spark, str(tmp_path / "nope"), ("year",)) == set()
+
+    # readable table but a broken partition-column reference → propagate
+    path = str(tmp_path / "wh")
+    spark.createDataFrame(
+        pd.DataFrame({"year": [2024], "v": [1.0]})
+    ).write.parquet(path)
+    with pytest.raises(Exception, match="no_such_col|CANNOT_RESOLVE|UNRESOLVED"):
+        io.existing_partitions(spark, path, ("no_such_col",))
+    # sanity: the healthy path still lists partitions
+    assert io.existing_partitions(spark, path, ("year",)) == {(2024,)}

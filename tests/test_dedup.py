@@ -337,3 +337,32 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
         for r in dedup.connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+def test_band_count_must_divide_num_hashes(spark):
+    """A non-divisible (num_hashes, bands) combo must fail at plan time
+    with a clear error, not an opaque numpy reshape failure inside the
+    Arrow UDF (ADVICE r2)."""
+    sdf = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_band_hashes_arrow(num_hashes=64, bands=12)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_candidates(sdf, num_hashes=64, bands=12).collect()
+
+
+def test_exact_collapse_null_texts_share_one_representative(spark):
+    """NULL texts must collapse to ONE representative pre-pairing (shared
+    sentinel key): per-id keys would leave a NULL-heavy corpus sharing
+    every LSH bucket — the O(n²) blowup the collapse exists to prevent
+    (ADVICE r2).  End-to-end dedup semantics are unchanged (NULLs dedup
+    together either way, test_near_dedup_null_texts_untouched)."""
+    rows = [(1, "alpha beta gamma"), (2, None), (3, None), (4, None)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    tagged, reps = dedup._exact_collapse(sdf, "text", "doc_id")
+    t = {r["doc_id"]: r["__rep"] for r in tagged.collect()}
+    assert t == {1: 1, 2: 2, 3: 2, 4: 2}
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 2]
+    kept = sorted(
+        r.doc_id for r in dedup.near_dedup_minhash(sdf, threshold=0.7).collect()
+    )
+    assert kept == [1, 2]

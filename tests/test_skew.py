@@ -98,3 +98,20 @@ def test_salted_join_left_matches_plain(spark, skewed):
     b = salted.toPandas().sort_values(["k"]).reset_index(drop=True)
     assert (a["count"].to_numpy() == b["count"].to_numpy()).all()
     assert a["name"].fillna("-").equals(b["name"].fillna("-"))
+
+
+def test_salted_join_accepts_spark_aliases(spark, skewed):
+    """Spark-accepted aliases of the supported join types must work
+    (ADVICE r2): 'semi'/'leftsemi'/'anti'/'leftanti'/'leftouter'."""
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(1, 20, dtype=np.int64),
+                      "name": [f"n{i}" for i in range(1, 20)]})
+    )
+    for how, ref_how in (
+        ("semi", "left_semi"), ("leftsemi", "left_semi"),
+        ("anti", "left_anti"), ("leftanti", "left_anti"),
+        ("leftouter", "left"), ("LEFT_OUTER", "left"),
+    ):
+        plain = skewed.join(dim, ["k"], ref_how).count()
+        salted = skew.salted_join(skewed, dim, ["k"], n_salts=4, how=how).count()
+        assert salted == plain, how
