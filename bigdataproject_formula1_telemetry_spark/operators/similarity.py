@@ -75,7 +75,11 @@ def knn_bruteforce(
 def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: sign of the dot product against each fixed
     hyperplane becomes one bit.  ``planes`` are literal (seeded, driver-
-    generated) so the expression folds to pure column math."""
+    generated) so the expression folds to pure column math.
+
+    Expression form — one interpreted HOF ``dot`` per plane.  The
+    production paths use ``_signlsh_assigner`` (below), which computes
+    all planes of all tables in one Arrow matmul per batch."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -84,6 +88,43 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def _signlsh_assigner(tables: list[list[list[float]]]):
+    """Arrow pandas_udf: ALL L table bucket ids per vector in one numpy
+    matmul — the planes of every table stack into one (Σ bits, dim)
+    matrix, so a batch of n vectors costs one (n × dim) @ (dim × Σbits)
+    product instead of n·Σbits interpreted HOF dot products (~30× fewer
+    JVM expression evaluations for the 4×8 default).  Bit k of table t is
+    ``sign(dot(v, P[t][k])) >= 0``, identical to ``signlsh_bucket`` up to
+    float summation order (a sign can differ only when |dot| is at
+    rounding noise — harmless: buckets are candidate filters and every
+    candidate is verified with the exact cosine)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray([p for tbl in tables for p in tbl], dtype=np.float64)
+    sizes = [len(tbl) for tbl in tables]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    L = len(tables)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vec_col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vec_col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])
+        S = (X @ P.T) >= 0.0
+        out = np.zeros((len(X), L), dtype=np.int64)
+        for t in range(L):
+            bits = S[:, offs[t] : offs[t + 1]].astype(np.int64)
+            w = np.left_shift(1, np.arange(sizes[t], dtype=np.int64))
+            out[:, t] = bits @ w
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def knn_lsh(
@@ -109,23 +150,16 @@ def knn_lsh(
     tables: list[list[list[float]]] = (
         [planes] if planes and isinstance(planes[0][0], (int, float)) else planes  # type: ignore[index]
     )
-    bucket_arr = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                signlsh_bucket(F.col(vec_col), tbl).alias("b"),
-            )
-            for t, tbl in enumerate(tables)
-        ]
-    )
+    assigner = _signlsh_assigner(tables)
     cb = corpus.select(
-        F.col(id_col), F.col(vec_col), F.explode(bucket_arr).alias("__tb")
-    ).select(id_col, vec_col, "__tb.t", "__tb.b")
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(assigner(F.col(vec_col))).alias("t", "b"),
+    )
     qb = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
-        F.explode(bucket_arr).alias("__tb"),
-    ).select(query_id_col, "__qv", "__tb.t", "__tb.b")
+        F.posexplode(assigner(F.col(vec_col))).alias("t", "b"),
+    )
     cand = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .where(F.col(id_col) != F.col(query_id_col))
@@ -154,6 +188,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    storage: str = "persist",
 ) -> DataFrame:
     """Embedding near-duplicate candidate pairs: vectors sharing a
     sign-LSH bucket in ANY of the L tables are candidates (bucket-keyed
@@ -172,23 +207,26 @@ def cosine_dup_pairs(
     ``dedup.minhash_lsh_candidates`` — with a logged count, never silent.
     NB: *identical* vectors land in the same bucket in EVERY table, so a
     cap cannot save a replica-heavy corpus; ``near_dedup_cosine`` removes
-    that case structurally by pairing distinct vectors only."""
+    that case structurally by pairing distinct vectors only.
+
+    The banded (id, v, t, b) frame comes from ONE Arrow matmul over all
+    tables' planes (``_signlsh_assigner``) and sits behind a ``storage``
+    lineage barrier (default ``persist(DISK_ONLY)``, see
+    ``dedup._barrier``): it feeds both sides of the self-join, which
+    without the barrier would re-run the bucketing — and with the
+    interpreted per-plane expression form this stage dominated the whole
+    pipeline (q54 was 4.5 s at sf0.1, ~all of it fixed bucketing
+    overhead)."""
+    from .dedup import _barrier
+
     tables: list[list[list[float]]] = (
         [planes] if planes and isinstance(planes[0][0], (int, float)) else planes  # type: ignore[index]
     )
-    bucket_arr = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                signlsh_bucket(F.col(vec_col), tbl).alias("b"),
-            )
-            for t, tbl in enumerate(tables)
-        ]
-    )
     banded = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(bucket_arr).alias("__tb"),
-    ).select("id", "v", "__tb.t", "__tb.b")
+        F.posexplode(_signlsh_assigner(tables)(F.col(vec_col))).alias("t", "b"),
+    )
+    banded = _barrier(banded, storage)
     if max_bucket_size is not None:
         w = Window.partitionBy("t", "b")
         sized = banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -388,6 +426,7 @@ def near_dedup_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    storage: str = "persist",
 ) -> DataFrame:
     """Embedding-cosine near-dedup (north-star): sign-LSH candidates →
     exact cosine verify → greedy keep-lowest-id, mirroring
@@ -402,7 +441,14 @@ def near_dedup_cosine(
     removes the replica-corpus blowup a bucket cap can't: 10 exact copies
     of every vector made the uncapped pair join OOM at 50k vectors, while
     the grouped path's pair stage only ever sees distinct vectors.
-    Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup)."""
+    Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup).
+
+    The collapse frame (id → representative) is computed once behind a
+    ``storage`` barrier — it feeds three consumers (representatives,
+    lost-member expansion, non-representative drop), each of which would
+    otherwise re-run the md5 keying and the group-min window."""
+    from .dedup import _barrier
+
     nrm = l2_norm(F.col("__m_v"))
     tagged = df.select(
         F.col(id_col).alias("__m_id"), F.col(vec_col).alias("__m_v")
@@ -412,14 +458,19 @@ def near_dedup_cosine(
             nrm > 0, F.md5(F.to_json(F.struct(F.col("__m_v"))))
         ).otherwise(F.concat(F.lit("zero:"), F.col("__m_id").cast("string"))),
     )
-    rep = tagged.withColumn(
-        "__rep", F.min("__m_id").over(Window.partitionBy("__vk"))
+    rep = _barrier(
+        tagged.withColumn(
+            "__rep", F.min("__m_id").over(Window.partitionBy("__vk"))
+        ),
+        storage,
     )
     reps = rep.where(F.col("__m_id") == F.col("__rep")).select(
         F.col("__m_id").alias(id_col), F.col("__m_v").alias(vec_col)
     )
     losing_reps = (
-        cosine_dup_pairs(reps, planes, threshold, id_col, vec_col, max_bucket_size)
+        cosine_dup_pairs(
+            reps, planes, threshold, id_col, vec_col, max_bucket_size, storage
+        )
         .select(F.col("id_b").alias("__lost"))
         .distinct()
     )

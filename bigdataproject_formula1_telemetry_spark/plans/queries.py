@@ -1787,11 +1787,12 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable: DuckDB rebuilds every bit from per-nibble extraction
     of the same md5 hex strings."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        dedup.simhash_md5_table(docs)
-        .select(F.col("id").alias("doc_id"), "fp_hex")
-        .orderBy("doc_id")
+    fp = dedup.simhash_md5_table(docs).select(
+        F.col("id").alias("doc_id"), "fp_hex"
     )
+    # barrier before the sort: global orderBy range-samples its child,
+    # which would run the Arrow kernel twice (measured 2× at sf0.1)
+    return dedup._barrier(fp).orderBy("doc_id")
 
 
 @_q(

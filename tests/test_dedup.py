@@ -366,3 +366,24 @@ def test_exact_collapse_null_texts_share_one_representative(spark):
         r.doc_id for r in dedup.near_dedup_minhash(sdf, threshold=0.7).collect()
     )
     assert kept == [1, 2]
+
+
+def test_release_barriers_frees_cache_blocks(spark):
+    """Barrier persists are tracked and released by release_barriers()
+    (ADVICE r2: repeated pipeline runs in a long-lived session used to
+    pin DISK_ONLY blocks forever)."""
+    dedup.release_barriers()  # drain anything left by earlier tests
+    sdf = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_sets(sdf)
+    sh.count()
+    assert len(dedup._BARRIER_REGISTRY) >= 1
+    assert sh.storageLevel.useDisk
+    released = dedup.release_barriers()
+    assert released >= 1
+    assert dedup._BARRIER_REGISTRY == []
+    assert not sh.storageLevel.useDisk  # blocks actually freed
+    # idempotent
+    assert dedup.release_barriers() == 0
