@@ -1,0 +1,483 @@
+"""Baseline JPEG codec, pure stdlib + numpy (no codec library).
+
+Converts the multimodal layer's ``jpeg`` boundary from an honest stub to
+a real decode path, the way PNG/WAV were built from their container
+specs (ITU-T T.81 here): marker parse → Huffman entropy decode →
+dequantize → inverse 8×8 DCT → YCbCr→RGB.  The matching encoder exists
+so the codec is round-trip testable in a container that cannot *create*
+JPEGs any other way.
+
+Supported (decode): baseline sequential (SOF0), 8-bit, grayscale or
+3-component YCbCr, sampling factors 1×1 (no chroma subsampling), tables
+read from the stream's own DQT/DHT markers.  Progressive (SOF2),
+arithmetic coding, 12-bit, subsampled chroma, and restart intervals
+raise ``NotImplementedError`` — real boundaries, stated, not silently
+wrong.  The encoder emits exactly the supported subset (Annex K quant
+tables scaled by libjpeg's quality curve, Annex K Huffman tables).
+
+Throughput reality: the entropy loop is per-symbol Python — fine for the
+thumbnail-scale assets these pipelines carry in test; swap a codec
+library into ``multimodal.decode_image`` for photo-scale corpora.  The
+DCTs are numpy matrix products (exact, vectorized over blocks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Constants (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+#: zigzag scan: natural (row-major) index at each scan position
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# Huffman table specs: (bits[1..16] code-length counts, symbol list)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+for _spec in (DC_LUMA_SPEC, DC_CHROMA_SPEC, AC_LUMA_SPEC, AC_CHROMA_SPEC):
+    assert sum(_spec[0]) == len(_spec[1]), "corrupt Huffman table spec"
+
+#: 8×8 DCT-II basis matrix: forward = T @ block @ T.T, inverse = T.T @ c @ T
+_DCT_T = np.zeros((8, 8))
+for _i in range(8):
+    for _j in range(8):
+        _DCT_T[_i, _j] = np.cos((2 * _j + 1) * _i * np.pi / 16) * (
+            np.sqrt(0.125) if _i == 0 else 0.5
+        )
+
+
+# --------------------------------------------------------------------------
+# Huffman coding
+# --------------------------------------------------------------------------
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) under JPEG's canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-at-a-time decoder."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _canonical_codes(bits, symbols).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: un-stuffs FF00 on the fly and
+    stops at any real marker (e.g. EOI)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers (DRI/RSTn) unsupported"
+                )
+            else:
+                raise EOFError("hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC value decode: ``size``-bit magnitude → signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    """Signed coefficient → magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes → H×W×C uint8 (C = 1 gray or 3 RGB).  Baseline
+    sequential, 8-bit, 1×1 sampling only — see module docstring."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, qt_id)])
+    scan_comps = None  # [(comp_id, dc_id, ac_id)]
+    pos = 2
+    data = payload
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec_id = seg[p]
+                if prec_id >> 4:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[prec_id & 0x0F] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls_id = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                huff[(cls_id >> 4, cls_id & 0x0F)] = _decode_table(bits, symbols)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if depth != 8:
+                raise NotImplementedError(f"JPEG bit depth {depth} unsupported")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG unsupported (1x1 sampling only)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{marker - 0xC0} unsupported (baseline "
+                "sequential SOF0 only — no progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            nc = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(nc)
+            ]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    h, w, comps = frame
+    qt_of = dict(comps)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, _ in comps}
+    for by in range(bh):
+        for bx in range(bw):
+            for cid, dc_id, ac_id in scan_comps:
+                coeffs = np.zeros(64)
+                s = reader.read_symbol(huff[(0, dc_id)])
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[cid] += diff
+                coeffs[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(huff[(1, ac_id)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coeffs[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64)
+                block[ZIGZAG] = coeffs
+                block = block.reshape(8, 8) * qt[qt_of[cid]]
+                pixels = _DCT_T.T @ block @ _DCT_T + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+
+    stack = np.stack([planes[cid][:h, :w] for cid, _ in comps], axis=-1)
+    if stack.shape[-1] == 3:  # YCbCr (JFIF full range) → RGB
+        y, cb, cr = stack[..., 0], stack[..., 1] - 128.0, stack[..., 2] - 128.0
+        stack = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=-1,
+        )
+    return np.clip(np.round(stack), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality curve: 50 = Annex K tables as-is."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    writer: _BitWriter,
+    qcoef: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = qcoef.reshape(64)[ZIGZAG].astype(int)
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """H×W (gray) or H×W×{1,3} (RGB) uint8 → baseline JPEG bytes
+    (4:4:4, Annex K tables at the given libjpeg-curve quality)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    f = img.astype(np.float64)
+    if c == 3:  # RGB → YCbCr (JFIF full range)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        f = np.stack(
+            [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ],
+            axis=-1,
+        )
+    ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+    f = np.pad(f, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    q_luma = _quality_scale(QUANT_LUMA, quality)
+    q_chroma = _quality_scale(QUANT_CHROMA, quality)
+    qtables = [q_luma] if c == 1 else [q_luma, q_chroma]
+    comp_qt = [0] if c == 1 else [0, 1, 1]
+
+    dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
+    ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
+    comp_ht = [0] if c == 1 else [0, 1, 1]
+
+    writer = _BitWriter()
+    pred = [0] * c
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(c):
+                block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] - 128.0
+                coef = _DCT_T @ block @ _DCT_T.T
+                qcoef = np.round(coef / qtables[comp_qt[ci]])
+                pred[ci] = _encode_block(
+                    writer, qcoef, pred[ci],
+                    dc_codes[comp_ht[ci]], ac_codes[comp_ht[ci]],
+                )
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for i, tbl in enumerate(qtables):
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = tbl.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([i]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for ci in range(c):
+        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+    out += seg(0xC0, sof)
+    specs = [(0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC)]
+    if c == 3:
+        specs += [(0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)]
+    for cls, tid, (bits, symbols) in specs:
+        out += seg(0xC4, bytes([(cls << 4) | tid] + bits + symbols))
+    sos = bytes([c])
+    for ci in range(c):
+        sos += bytes([ci + 1, (comp_ht[ci] << 4) | comp_ht[ci]])
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -6,13 +6,17 @@ explicit output schema, so the Spark-side plumbing (schema, partitioning,
 Arrow batch shape) is real and tested at any scale.
 
 Codec reality: this container has no image/audio codec *libraries*, but
-two real container formats decode with the stdlib alone and are fully
+three real container formats decode from their specs alone and are fully
 implemented here:
 - **png** (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + the five
   PNG scanline filters (None/Sub/Up/Average/Paeth) inverted in numpy;
+- **jpeg** (baseline sequential SOF0, 8-bit, 1×1 sampling): Huffman
+  entropy decode + dequantize + inverse DCT + YCbCr→RGB, built from
+  ITU-T T.81 in ``sources/jpeg.py`` (progressive/subsampled/restart
+  variants raise);
 - **wav** (RIFF PCM16): header parse via the stdlib ``wave`` module,
   multi-channel downmixed to mono.
-Everything else (jpeg/mp3/h264/...) **stays stubbed** behind
+Everything else (mp3/h264/...) **stays stubbed** behind
 ``NotImplementedError`` — those need real codec libraries.  The RAW
 paths remain:
 - image: uint8 H×W×C raw pixels (shape from metadata),
@@ -60,7 +64,7 @@ MEDIA_SCHEMA = StructType(
 )
 
 RAW_FORMATS = {"raw", "pcm16"}
-IMAGE_FORMATS = RAW_FORMATS | {"png"}
+IMAGE_FORMATS = RAW_FORMATS | {"png", "jpeg"}
 AUDIO_FORMATS = RAW_FORMATS | {"wav"}
 
 
@@ -239,15 +243,21 @@ def encode_wav(wave_f64: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_image(payload: bytes, width: int, height: int, channels: int, fmt: str) -> np.ndarray:
     """binary → H×W×C uint8 array.  ``raw`` buffers use the metadata
-    shape; ``png`` decodes its own dimensions (and they win — a metadata
-    mismatch raises rather than silently trusting either side)."""
+    shape; ``png``/``jpeg`` decode their own dimensions (and they win — a
+    metadata mismatch raises rather than silently trusting either side)."""
     _require_decodable(fmt, "image", IMAGE_FORMATS)
-    if fmt == "png":
-        img = decode_png(bytes(payload))
+    if fmt in ("png", "jpeg"):
+        if fmt == "png":
+            img = decode_png(bytes(payload))
+        else:
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(payload))
         h, w, _c = img.shape
         if width and height and (w != width or h != height):
             raise ValueError(
-                f"PNG dimensions {w}x{h} contradict metadata {width}x{height}"
+                f"{fmt.upper()} dimensions {w}x{h} contradict metadata "
+                f"{width}x{height}"
             )
         return img
     arr = np.frombuffer(payload, dtype=np.uint8)

@@ -70,9 +70,11 @@ def test_audio_windows(media):
 
 
 def test_codec_stub_raises(media):
+    # jpeg decodes for real now; the fixture's jpeg row carries a fake
+    # payload, so it must fail as *corrupt data*, not as a missing codec
     with pytest.raises(Exception) as ei:
         M.image_features(media.where(F.col("format") == "jpeg")).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    assert "JPEG" in str(ei.value) or "marker" in str(ei.value)
 
 
 # ---- real codec paths: PNG (stdlib zlib) and WAV (stdlib wave) ------------
@@ -184,8 +186,101 @@ def test_png_metadata_mismatch_raises():
         M.decode_image(M.encode_png(img), 9, 9, 3, "png")
 
 
-def test_jpeg_still_stubbed():
-    with pytest.raises(NotImplementedError, match="jpeg"):
+def test_remaining_codecs_still_stubbed():
+    # jpeg is real now — a truncated stream is a data error, not a stub
+    with pytest.raises(ValueError, match="missing SOF0"):
         M.decode_image(b"\xff\xd8", 4, 4, 3, "jpeg")
     with pytest.raises(NotImplementedError, match="mp3"):
         M.decode_audio(b"xx", "mp3")
+    with pytest.raises(NotImplementedError, match="h264"):
+        M.decode_image(b"xx", 4, 4, 3, "h264")
+
+
+# -- JPEG (baseline codec built from the T.81 spec, stdlib+numpy) ----------
+
+def _smooth_gradient(h, w, c):
+    yy, xx = np.mgrid[0:h, 0:w]
+    chans = [
+        ((yy * 255 / max(h - 1, 1)) * 0.5 + (xx * 255 / max(w - 1, 1)) * 0.5),
+        (xx * 255 / max(w - 1, 1)),
+        (255 - yy * 255 / max(h - 1, 1)),
+    ]
+    img = np.stack(chans[:c], axis=-1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    # smooth gradients survive lossy 8x8 DCT quantization nearly intact
+    for h, w, c in [(24, 32, 1), (24, 32, 3), (13, 9, 3)]:  # odd dims: pad+crop
+        img = _smooth_gradient(h, w, c)
+        back = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+        assert back.shape == (h, w, c)
+        err = np.abs(back.astype(int) - img.astype(int))
+        assert err.mean() < 3.0 and err.max() <= 40, (h, w, c, err.mean(), err.max())
+
+    # flat color: DC-only blocks, quant error only → near-exact
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    back = J.decode_jpeg(J.encode_jpeg(flat, quality=90))
+    assert np.abs(back.astype(int) - 77).max() <= 3
+
+    # lower quality degrades but stays recognizable (sanity of the
+    # quality curve, not a precision claim)
+    img = _smooth_gradient(24, 32, 3)
+    lo = J.decode_jpeg(J.encode_jpeg(img, quality=25))
+    assert np.abs(lo.astype(int) - img.astype(int)).mean() < 12.0
+
+
+def test_jpeg_unsupported_variants_raise():
+    import pytest
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    img = _smooth_gradient(16, 16, 3)
+    payload = bytearray(J.encode_jpeg(img))
+
+    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    sof = payload.find(b"\xff\xc0")
+    prog = payload.copy()
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        J.decode_jpeg(bytes(prog))
+
+    # claim 2x2 luma sampling in SOF0 → subsampling unsupported
+    sub = payload.copy()
+    sub[sof + 11] = 0x22  # first component's sampling byte
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        J.decode_jpeg(bytes(sub))
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_flows_through_spark_feature_and_resize(spark):
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    img = _smooth_gradient(24, 16, 3)
+    mdf = spark.createDataFrame(
+        [(77, "image", "jpeg", bytearray(J.encode_jpeg(img)), 16, 24, 3, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    feats = M.image_features(mdf).collect()
+    assert len(feats) == 1 and feats[0]["n_pixels"] == 24 * 16
+    # channel means should be close to the source image's
+    src_means = img.reshape(-1, 3).mean(axis=0)
+    assert np.abs(np.array(feats[0]["mean_rgb"]) - src_means).max() < 4.0
+
+    small = M.resize_images(mdf, 8, 8).collect()[0]
+    assert (small["width"], small["height"], small["channels"]) == (8, 8, 3)
+    assert len(small["payload"]) == 8 * 8 * 3
+
+    # metadata/stream dimension mismatch must raise, same as PNG
+    bad = spark.createDataFrame(
+        [(78, "image", "jpeg", bytearray(J.encode_jpeg(img)), 99, 24, 3, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="contradict"):
+        M.image_features(bad).collect()
