@@ -416,16 +416,37 @@ def jaccard_pairs(
     storage: str = "persist",
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
-    (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics."""
+    (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics.
+
+    The shingle frame is first semi-filtered to the ids that actually
+    appear in a candidate pair: joining the full frame per pair side
+    scanned the (wide, array-heavy) shingle table TWICE, and on a
+    500k-doc corpus that verify stage was the single largest cost in the
+    pipeline (13.5 s of a 35 s run) for a few thousand candidates.  The
+    filtered frame is pair-sized, so both per-side joins read the small
+    barrier instead."""
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_n, storage=storage)
     set_col = "h" if "h" in sh.columns else "sh"
     sh = sh.select("id", F.col(set_col).alias("ss"))
+    pairs = _barrier(pairs.select("id_a", "id_b"), storage)
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # broadcast the id set: without the hint the semi-join shuffles the
+    # array-heavy shingle frame by id — the exact cost this filter exists
+    # to avoid.  Candidate pairs are bounded by the LSH bucket caps, so
+    # the id set is broadcast-sized by construction.
+    needed = _barrier(sh.join(F.broadcast(ids), "id", "left_semi"), storage)
     out = (
         pairs.join(
-            sh.withColumnRenamed("id", "id_a").withColumnRenamed("ss", "sh_a"), "id_a"
+            needed.withColumnRenamed("id", "id_a").withColumnRenamed("ss", "sh_a"),
+            "id_a",
         ).join(
-            sh.withColumnRenamed("id", "id_b").withColumnRenamed("ss", "sh_b"), "id_b"
+            needed.withColumnRenamed("id", "id_b").withColumnRenamed("ss", "sh_b"),
+            "id_b",
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
