@@ -12,9 +12,12 @@ Re-expression:
   product as a JVM ``zip_with``/``aggregate`` expression — no Python in
   the scoring hot path (U3/U5).
 - gradient-boosting / deep models: the container has neither xgboost nor
-  tensorflow, so the estimator here is a deterministic ridge-regularized
-  linear least squares (public numpy); ``fit_fn`` is pluggable and an
-  xgboost path is gated behind an import-try for environments that have it.
+  tensorflow.  The default estimator is a deterministic ridge-regularized
+  linear least squares (JVM-scorable coefficients); ``fit_fn`` is
+  pluggable with TWO boosted-trees paths: ``gbt_fit_fn`` — a pure-numpy
+  histogram gradient-boosting implementation (Friedman 2001) that runs
+  here and actually models the reference's nonlinear interactions — and
+  ``xgboost_fit_fn``, import-gated for environments that have xgboost.
 """
 
 from __future__ import annotations
@@ -99,6 +102,170 @@ def xgboost_fit_fn(**params):
     return fit
 
 
+# --------------------------------------------------------------------------
+# Pure-numpy gradient-boosted trees (no xgboost required)
+# --------------------------------------------------------------------------
+#
+# The reference's headline estimator is gradient-boosted trees
+# (XGBRegressor, P1-F1_Tyre_Strategy_Predict_Model.ipynb:479-488).  This
+# container has no xgboost, so ``gbt_fit_fn`` provides a real boosted-trees
+# estimator from first principles: squared-loss gradient boosting over
+# depth-limited regression trees grown on quantile-binned histograms —
+# the textbook algorithm (Friedman 2001), deterministic (no sampling, no
+# random splits), numpy-vectorized per node.  It plugs into the same
+# ``fit_fn`` seam as ridge/xgboost, artifacts score through
+# ``predict_blob``'s mapInPandas path, and — unlike the linear stand-in —
+# it actually models the nonlinear tyre-degradation interactions the
+# reference's model exists for (tested: large RMSE win over ridge on a
+# nonlinear target).
+
+
+def _grow_histogram_tree(
+    Xb: np.ndarray,
+    edges: list[np.ndarray],
+    resid: np.ndarray,
+    max_depth: int,
+    min_leaf: int,
+):
+    """One regression tree on pre-binned features.  Node arrays out:
+    feature (-1 = leaf), threshold (raw-value cut, strict ``<`` goes
+    left), left/right child ids, leaf value (mean residual)."""
+    feature: list[int] = []
+    threshold: list[float] = []
+    left: list[int] = []
+    right: list[int] = []
+    value: list[float] = []
+
+    def build(idx: np.ndarray, depth: int) -> int:
+        nid = len(feature)
+        feature.append(-1)
+        threshold.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        r = resid[idx]
+        value.append(float(r.mean()))
+        n = len(idx)
+        if depth >= max_depth or n < 2 * min_leaf:
+            return nid
+        total = float(r.sum())
+        base_score = total * total / n
+        best_gain, best_f, best_bin = 0.0, -1, -1
+        for f, ed in enumerate(edges):
+            if not len(ed):
+                continue  # constant feature
+            b = Xb[idx, f]
+            nbins = len(ed) + 1
+            cnt = np.bincount(b, minlength=nbins)
+            sm = np.bincount(b, weights=r, minlength=nbins)
+            nl = np.cumsum(cnt)[:-1]
+            sl = np.cumsum(sm)[:-1]
+            nr = n - nl
+            sr = total - sl
+            valid = (nl >= min_leaf) & (nr >= min_leaf)
+            if not valid.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                gain = np.where(
+                    valid, sl * sl / nl + sr * sr / nr - base_score, -np.inf
+                )
+            k = int(np.argmax(gain))
+            if gain[k] > best_gain + 1e-12:
+                best_gain, best_f, best_bin = float(gain[k]), f, k
+        if best_f < 0:
+            return nid
+        go_left = Xb[idx, best_f] <= best_bin
+        feature[nid] = best_f
+        threshold[nid] = float(edges[best_f][best_bin])
+        left[nid] = build(idx[go_left], depth + 1)
+        right[nid] = build(idx[~go_left], depth + 1)
+        return nid
+
+    build(np.arange(len(resid)), 0)
+    return {
+        "feature": np.asarray(feature, dtype=np.int32),
+        "threshold": np.asarray(threshold, dtype=np.float64),
+        "left": np.asarray(left, dtype=np.int32),
+        "right": np.asarray(right, dtype=np.int32),
+        "value": np.asarray(value, dtype=np.float64),
+    }
+
+
+def _tree_predict(tree: dict, X: np.ndarray) -> np.ndarray:
+    """Vectorized tree walk: frontier of (node, row-index) partitions.
+    Bin id ``b <= s``  ⇔  raw value ``x < edges[s]`` (searchsorted
+    'right'), so prediction cuts on the stored raw threshold."""
+    out = np.empty(len(X), dtype=np.float64)
+    stack = [(0, np.arange(len(X)))]
+    while stack:
+        nid, idx = stack.pop()
+        if not len(idx):
+            continue
+        f = tree["feature"][nid]
+        if f < 0:
+            out[idx] = tree["value"][nid]
+            continue
+        mask = X[idx, f] < tree["threshold"][nid]
+        stack.append((int(tree["left"][nid]), idx[mask]))
+        stack.append((int(tree["right"][nid]), idx[~mask]))
+    return out
+
+
+class NumpyGBT:
+    """Picklable boosted-trees artifact with the ``.predict`` interface
+    ``predict_blob`` scores (same seam as an xgboost booster)."""
+
+    def __init__(self, base: float, learning_rate: float, trees: list[dict]):
+        self.base = base
+        self.learning_rate = learning_rate
+        self.trees = trees
+
+    def predict(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        out = np.full(len(X), self.base, dtype=np.float64)
+        for t in self.trees:
+            out += self.learning_rate * _tree_predict(t, X)
+        return out
+
+
+def gbt_fit_fn(
+    n_estimators: int = 150,
+    learning_rate: float = 0.1,
+    max_depth: int = 3,
+    max_bins: int = 64,
+    min_samples_leaf: int = 5,
+):
+    """Boosted-trees fit_fn, pure numpy (see module note above).
+    Deterministic: quantile bin edges, greedy exact histogram splits,
+    no sampling — identical artifacts on every run."""
+    import pickle
+
+    def fit(X: np.ndarray, y: np.ndarray) -> tuple[dict, np.ndarray]:
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        edges: list[np.ndarray] = []
+        for f in range(X.shape[1]):
+            qs = np.quantile(X[:, f], np.linspace(0, 1, max_bins + 1)[1:-1])
+            edges.append(np.unique(qs))
+        Xb = np.empty(X.shape, dtype=np.int32)
+        for f, ed in enumerate(edges):
+            Xb[:, f] = np.searchsorted(ed, X[:, f], side="right")
+        base = float(y.mean()) if len(y) else 0.0
+        pred = np.full(len(y), base)
+        trees: list[dict] = []
+        for _ in range(n_estimators):
+            tree = _grow_histogram_tree(
+                Xb, edges, y - pred, max_depth, min_samples_leaf
+            )
+            if len(tree["feature"]) == 1:  # stump couldn't split: converged
+                break
+            trees.append(tree)
+            pred = pred + learning_rate * _tree_predict(tree, X)
+        model = NumpyGBT(base, learning_rate, trees)
+        return {"model_blob": pickle.dumps(model)}, pred
+
+    return fit
+
+
 def train_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -160,11 +327,15 @@ def train_global(
     feature_cols: Sequence[str],
     label_col: str,
     l2: float = 1e-6,
+    fit_fn=None,
 ) -> DataFrame:
     """U2 — single global model (the tyre-strategy pace model).  Same
-    artifact shape as ``train_per_group`` with a constant group."""
+    artifact shape as ``train_per_group`` with a constant group; pass
+    ``fit_fn=gbt_fit_fn()`` for the boosted-trees estimator the
+    reference's v4 model uses (pure numpy, no xgboost needed)."""
     return train_per_group(
-        df.withColumn("__g", F.lit(0)), ["__g"], feature_cols, label_col, l2, min_rows=2
+        df.withColumn("__g", F.lit(0)), ["__g"], feature_cols, label_col, l2,
+        min_rows=2, fit_fn=fit_fn,
     ).drop("__g")
 
 
