@@ -14,10 +14,12 @@ Re-expression:
 - gradient-boosting / deep models: the container has neither xgboost nor
   tensorflow.  The default estimator is a deterministic ridge-regularized
   linear least squares (JVM-scorable coefficients); ``fit_fn`` is
-  pluggable with TWO boosted-trees paths: ``gbt_fit_fn`` — a pure-numpy
-  histogram gradient-boosting implementation (Friedman 2001) that runs
-  here and actually models the reference's nonlinear interactions — and
-  ``xgboost_fit_fn``, import-gated for environments that have xgboost.
+  pluggable with three real nonlinear paths: ``gbt_fit_fn`` — a
+  pure-numpy histogram gradient-boosting implementation (Friedman 2001)
+  that runs here and actually models the reference's nonlinear
+  interactions; ``mlp_fit_fn`` — a deterministic numpy window network
+  for the ghost sequence model; and ``xgboost_fit_fn``, import-gated for
+  environments that have xgboost.
 """
 
 from __future__ import annotations
@@ -266,6 +268,100 @@ def gbt_fit_fn(
     return fit
 
 
+# --------------------------------------------------------------------------
+# Pure-numpy MLP (sequence-window model; no tensorflow required)
+# --------------------------------------------------------------------------
+#
+# The reference's ghost-car model is a per-circuit LSTM over 20×5 sliding
+# windows (train_by_circuit.py:102-114).  Without tensorflow the engine
+# previously fit a *linear* window model; ``mlp_fit_fn`` closes most of
+# that gap with a one-hidden-layer tanh network trained by Adam — a real
+# nonlinear function of the flattened window, deterministic (fixed seed,
+# fixed batch order), picklable, and scored through the same
+# ``model_blob`` seam.  It is still not a recurrent network: the true
+# LSTM path remains env-gated on tensorflow (``train_ghost_per_group``'s
+# docstring), which this container lacks.
+
+
+class NumpyMLP:
+    """Picklable (standardize → tanh hidden → linear) regressor with the
+    ``.predict`` interface ``predict_blob`` scores."""
+
+    def __init__(self, W1, b1, W2, b2, x_mean, x_std, y_mean, y_std):
+        self.W1, self.b1, self.W2, self.b2 = W1, b1, W2, b2
+        self.x_mean, self.x_std = x_mean, x_std
+        self.y_mean, self.y_std = y_mean, y_std
+
+    def predict(self, X) -> np.ndarray:
+        X = (np.asarray(X, dtype=np.float64) - self.x_mean) / self.x_std
+        Z = np.tanh(X @ self.W1 + self.b1)
+        return (Z @ self.W2 + self.b2).ravel() * self.y_std + self.y_mean
+
+
+def mlp_fit_fn(
+    hidden: int = 32,
+    epochs: int = 60,
+    batch_size: int = 256,
+    lr: float = 1e-2,
+    l2: float = 1e-5,
+    seed: int = 7,
+):
+    """One-hidden-layer MLP fit_fn (squared loss, Adam, tanh).  Inputs
+    and target are standardized internally; the artifact folds the
+    normalization back in.  Deterministic: fixed seed drives both the
+    init and the per-epoch batch shuffle."""
+    import pickle
+
+    def fit(X: np.ndarray, y: np.ndarray) -> tuple[dict, np.ndarray]:
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, d = X.shape
+        rng = np.random.default_rng(seed)
+        x_mean = X.mean(axis=0)
+        x_std = X.std(axis=0)
+        x_std[x_std == 0] = 1.0
+        y_mean = float(y.mean())
+        y_std = float(y.std()) or 1.0
+        Xs = (X - x_mean) / x_std
+        ys = (y - y_mean) / y_std
+        W1 = rng.normal(0, 1.0 / np.sqrt(d), (d, hidden))
+        b1 = np.zeros(hidden)
+        W2 = rng.normal(0, 1.0 / np.sqrt(hidden), (hidden, 1))
+        b2 = np.zeros(1)
+        params = [W1, b1, W2, b2]
+        m = [np.zeros_like(p) for p in params]
+        v = [np.zeros_like(p) for p in params]
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        t = 0
+        for _ in range(epochs):
+            order = rng.permutation(n)
+            for s in range(0, n, batch_size):
+                idx = order[s : s + batch_size]
+                xb, yb = Xs[idx], ys[idx]
+                h = xb @ W1 + b1
+                z = np.tanh(h)
+                out = (z @ W2 + b2).ravel()
+                err = (out - yb) / len(idx)
+                gW2 = z.T @ err[:, None] + l2 * W2
+                gb2 = np.array([err.sum()])
+                dz = err[:, None] @ W2.T * (1 - z * z)
+                gW1 = xb.T @ dz + l2 * W1
+                gb1 = dz.sum(axis=0)
+                t += 1
+                for p, g, mi, vi in zip(params, [gW1, gb1, gW2, gb2], m, v):
+                    mi *= beta1
+                    mi += (1 - beta1) * g
+                    vi *= beta2
+                    vi += (1 - beta2) * g * g
+                    mhat = mi / (1 - beta1**t)
+                    vhat = vi / (1 - beta2**t)
+                    p -= lr * mhat / (np.sqrt(vhat) + eps)
+        model = NumpyMLP(W1, b1, W2, b2, x_mean, x_std, y_mean, y_std)
+        return {"model_blob": pickle.dumps(model)}, model.predict(X)
+
+    return fit
+
+
 def train_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -455,6 +551,13 @@ def ghost_inference(
     a (length × features) vector, and scored against the per-group model
     with a JVM dot product — the reference's per-window ``model.predict``
     Python loop (its stated latency hotspot) disappears entirely.
+
+    Models whose artifact is a ``model_blob`` (e.g. ``mlp_fit_fn``'s
+    window network) have no coefficients for the JVM dot product; those
+    are detected from the model table (small by contract) and scored
+    through ``predict_blob``'s Arrow ``mapInPandas`` path on the same
+    strided windows — one model deserialization per task per group,
+    never per row.
     """
     from bigdataproject_formula1_telemetry_spark.operators import windows as W
 
@@ -469,6 +572,24 @@ def ghost_inference(
         .where((F.col("__rn") - 1) % stride == 0)
         .drop("__rn")
     )
+    if "coef" not in models.columns or models.where(
+        F.col("coef").isNotNull()
+    ).limit(1).count() == 0:
+        # blob-only artifacts: flatten the window into columns and score
+        # with the broadcast-model mapInPandas path
+        n_flat = length * len(list(feature_cols))
+        flat_cols = [f"__f{i}" for i in range(n_flat)]
+        flat_df = strided.select(
+            "*", *[
+                F.flatten("__win").getItem(i).alias(c)
+                for i, c in enumerate(flat_cols)
+            ]
+        )
+        scored = predict_blob(flat_df, models, group_cols, flat_cols, out_col="__raw")
+        return (
+            scored.withColumn(out_col, F.col("__raw") * F.lit(float(strict_factor)))
+            .drop("__raw", "__win", *flat_cols)
+        )
     flat = F.flatten(F.col("__win"))
     joined = strided.join(F.broadcast(models), group_cols, "inner")
     dot = F.aggregate(
@@ -494,11 +615,15 @@ def train_ghost_per_group(
     l2: float = 1e-3,
     min_rows: int = 100,
     max_rows_per_group: int = 200_000,
+    fit_fn=None,
 ) -> DataFrame:
     """U4 — per-group sequence-model training (the per-circuit LSTM loop,
-    train_by_circuit.py:117-199, with a linear window model): build W5
-    windows, flatten, fit one ridge model per group on
-    (window → next value).  ``max_rows_per_group`` mirrors the reference's
+    train_by_circuit.py:117-199): build W5 windows, flatten, fit one model
+    per group on (window → next value).  The default estimator is ridge
+    (JVM-scorable); pass ``fit_fn=mlp_fit_fn()`` for the nonlinear numpy
+    window network (scored via the ``model_blob`` path in
+    ``ghost_inference``) — a true LSTM still needs tensorflow, which this
+    runtime lacks.  ``max_rows_per_group`` mirrors the reference's
     200k-row tail cap (train_by_circuit.py:160-162)."""
     from bigdataproject_formula1_telemetry_spark.operators import windows as W
 
@@ -522,7 +647,9 @@ def train_ghost_per_group(
             for i, c in enumerate(flat_cols)
         ],
     )
-    return train_per_group(flat, group_cols, flat_cols, "__y", l2=l2, min_rows=min_rows)
+    return train_per_group(
+        flat, group_cols, flat_cols, "__y", l2=l2, min_rows=min_rows, fit_fn=fit_fn
+    )
 
 
 def coaching_report(

@@ -84,3 +84,47 @@ def test_score_stream_matches_batch(spark, traces, tmp_path):
     g = got.toPandas().sort_values(["circuit", "pos"]).reset_index(drop=True)
     e = exp.toPandas().sort_values(["circuit", "pos"]).reset_index(drop=True)
     assert np.allclose(g["prediction"], e["prediction"])
+
+
+def test_ghost_mlp_window_model(spark, traces):
+    """U4/U5 with the nonlinear numpy window network (mlp_fit_fn): blob
+    artifacts train per group and score through ghost_inference's
+    mapInPandas path, tracking the signal at least as well as the linear
+    window model."""
+    models = ml.train_ghost_per_group(
+        traces, ["circuit"], ["pos"], ["speed"], "speed",
+        length=20, min_rows=100, fit_fn=ml.mlp_fit_fn(epochs=30),
+    )
+    m = models.toPandas()
+    assert len(m) == 2
+    assert m["coef"].isna().all() and m["model_blob"].notna().all()
+    assert (m["rmse"] < 2.0).all()
+
+    preds = ml.ghost_inference(
+        traces, models, ["circuit"], ["pos"], ["speed"],
+        length=20, stride=5, strict_factor=1.05,
+    ).toPandas()
+    per_g = preds.groupby("circuit").size()
+    assert all(abs(n - (600 - 20) / 5) <= 2 for n in per_g)
+    err = np.abs(preds["ghost_pred"] / 1.05 - preds["speed"]) / preds["speed"]
+    assert float(np.median(err)) < 0.05
+
+    # determinism: refit produces the identical artifact
+    again = ml.train_ghost_per_group(
+        traces, ["circuit"], ["pos"], ["speed"], "speed",
+        length=20, min_rows=100, fit_fn=ml.mlp_fit_fn(epochs=30),
+    ).toPandas()
+    a = {r["circuit"]: bytes(r["model_blob"]) for _, r in m.iterrows()}
+    b = {r["circuit"]: bytes(r["model_blob"]) for _, r in again.iterrows()}
+    assert a == b
+
+
+def test_mlp_fit_fn_learns_nonlinear_function():
+    rng = np.random.default_rng(4)
+    X = rng.uniform(-2, 2, size=(3000, 2))
+    y = np.sin(2 * X[:, 0]) * X[:, 1]
+    _, ridge_pred = ml.ridge_fit_fn()(X, y)
+    _, mlp_pred = ml.mlp_fit_fn(hidden=48, epochs=120)(X, y)
+    ridge_rmse = float(np.sqrt(np.mean((ridge_pred - y) ** 2)))
+    mlp_rmse = float(np.sqrt(np.mean((mlp_pred - y) ** 2)))
+    assert mlp_rmse < 0.35 * ridge_rmse, (ridge_rmse, mlp_rmse)
