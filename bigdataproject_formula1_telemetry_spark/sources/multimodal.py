@@ -136,10 +136,18 @@ def _png_unfilter(raw: np.ndarray, height: int, rowbytes: int, bpp: int) -> np.n
     return out
 
 
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → H×W×C uint8 array (8-bit gray/gray+alpha/RGB/RGBA,
-    non-interlaced).  Pure stdlib: chunk walk + zlib inflate + numpy
-    unfiltering — no codec library needed."""
+    """PNG bytes → H×W×C uint8 array.  8-bit gray/gray+alpha/RGB/RGBA,
+    8-bit palette (PLTE, optional tRNS alpha), interlaced (Adam7) or not.
+    Pure stdlib: chunk walk + zlib inflate + numpy unfiltering — no codec
+    library needed."""
     import struct
     import zlib
 
@@ -147,31 +155,71 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     width = height = None
     channels = None
+    interlace = 0
+    ctype = None
+    palette = None
+    trns = None
     idat = b""
     for tag, data in _png_chunks(payload):
         if tag == b"IHDR":
             width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in _PNG_CHANNELS:
+            if depth != 8 or (ctype not in _PNG_CHANNELS and ctype != 3):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} / color type {ctype} unsupported "
-                    "(8-bit gray/RGB/±alpha only; no palette)"
+                    "(8-bit gray/RGB/±alpha/palette only)"
                 )
-            if interlace:
-                raise NotImplementedError("interlaced (Adam7) PNG unsupported")
-            channels = _PNG_CHANNELS[ctype]
+            channels = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS" and ctype == 3:
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += data
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    rowbytes = width * channels
-    if len(raw) != height * (rowbytes + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    return _png_unfilter(raw, height, rowbytes, bpp=channels).reshape(
-        height, width, channels
-    )
+
+    if not interlace:
+        rowbytes = width * channels
+        if len(raw) != height * (rowbytes + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        img = _png_unfilter(raw, height, rowbytes, bpp=channels).reshape(
+            height, width, channels
+        )
+    else:
+        # Adam7: each pass is an independently filtered sub-image; unfilter
+        # each and scatter its pixels onto the (y_start::y_step,
+        # x_start::x_step) grid of the output
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rowbytes = pw * channels
+            sub_len = ph * (rowbytes + 1)
+            sub = _png_unfilter(
+                raw[pos : pos + sub_len], ph, rowbytes, bpp=channels
+            ).reshape(ph, pw, channels)
+            img[y0::dy, x0::dx] = sub
+            pos += sub_len
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 IDAT length mismatch")
+
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = img[:, :, 0]
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img
 
 
 def encode_png(img: np.ndarray) -> bytes:
