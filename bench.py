@@ -45,6 +45,13 @@ HEADLINE = [
     "q26_text_stats",
     "q27_knn_cosine",
     "q30_minhash_near_dedup",
+    # north-star LLM-data entries — in the bench so the per-round driver
+    # run catches their regressions (q54's r2 4.5 s spike was only
+    # visible in SCALING.md sweeps, not BENCH_rNN.json)
+    "q31_simhash",
+    "q49_near_dedup_clustered",
+    "q54_embedding_near_dedup",
+    "q55_ivf_ann_recall",
 ]
 
 

@@ -31,8 +31,20 @@ def _events_ts_is_nanos(path: str) -> bool:
 
         schema = pads.dataset(path, format="parquet").schema
         is_nanos = str(schema.field("ts").type) == "timestamp[ns]"
-    except Exception:
-        is_nanos = True  # conservative: the driver testdata is nanos
+    except Exception as exc:
+        # conservative: the driver testdata is nanos.  Log the fallback —
+        # it also fires when pyarrow itself is broken, which would
+        # otherwise be invisible in the field (only symptom: every ts
+        # column silently takes the long+convert path).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parquet footer probe failed for %s (%s); assuming "
+            "TIMESTAMP(NANOS) and using the long+convert read path",
+            path,
+            exc,
+        )
+        is_nanos = True
     _NANOS_CACHE[path] = is_nanos
     return is_nanos
 

@@ -643,9 +643,16 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    numeric_ids = isinstance(pairs.schema[src_col].dataType, NumericType)
+    # Integral ids ONLY: casting float/double ids to decimal(38,0)
+    # truncates fractional parts, so two distinct label states could
+    # alias to the same sum and stop propagation early with wrong
+    # components.  Fractional/decimal/string ids use the diff join.
+    numeric_ids = isinstance(
+        pairs.schema[src_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
 
     def label_sum(lb: DataFrame):
         # exact decimal sum — labels are ≤ initial ids, so |sum| <

@@ -99,7 +99,12 @@ def _signlsh_assigner(tables: list[list[list[float]]]):
     ``sign(dot(v, P[t][k])) >= 0``, identical to ``signlsh_bucket`` up to
     float summation order (a sign can differ only when |dot| is at
     rounding noise — harmless: buckets are candidate filters and every
-    candidate is verified with the exact cosine)."""
+    candidate is verified with the exact cosine).
+
+    NULL vectors map to the zero vector (all-zero dots → the all-ones
+    bucket), matching the graceful degradation of the expression form:
+    the candidate pair is later rejected by the exact cosine verify
+    (zero-norm → sim 0), never a pipeline crash."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
@@ -108,6 +113,7 @@ def _signlsh_assigner(tables: list[list[list[float]]]):
     sizes = [len(tbl) for tbl in tables]
     offs = np.concatenate([[0], np.cumsum(sizes)])
     L = len(tables)
+    dim = P.shape[1]
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vec_col: pd.Series) -> pd.Series:
@@ -115,7 +121,13 @@ def _signlsh_assigner(tables: list[list[list[float]]]):
 
         if len(vec_col) == 0:
             return pd.Series([], dtype=object)
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])
+        zero = np.zeros(dim, dtype=np.float64)
+        X = np.stack(
+            [
+                zero if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_col
+            ]
+        )
         S = (X @ P.T) >= 0.0
         out = np.zeros((len(X), L), dtype=np.int64)
         for t in range(L):

@@ -261,9 +261,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # spec-valid streams may pad with repeated 0xFF fill bytes before
+        # the marker id (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # length-less standalone markers (TEM, RSTn) between segments
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

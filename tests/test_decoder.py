@@ -75,3 +75,52 @@ def test_decode_streaming(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT * FROM decoded_stream").toPandas()
     assert len(got) == 3
+
+
+def test_q41_literal_oracle_matches_recomputed_decode():
+    """The q41 oracle is a hand-maintained literal constant; any edit to
+    the encoders (telemetry.py:encode_telemetry_packet/encode_lap_packet)
+    silently invalidates it until the driver run fails.  Recompute the
+    expected summary from the *decode path* (pure Python, no Spark) over
+    the exact corpus q41 builds, evaluate the registered literal SQL in
+    DuckDB, and compare — an encoder/decoder edit now fails fast here."""
+    import duckdb
+
+    from bigdataproject_formula1_telemetry_spark.plans.queries import ORACLES
+
+    # the same corpus q41_decode_packets constructs
+    payloads: list[bytes] = []
+    for i in range(60):
+        cars = [{"speed": 100 + i + c, "rpm": 9000 + c} for c in range(tel.N_CARS)]
+        payloads.append(tel.encode_telemetry_packet(4, cars))
+        if i % 30 == 0:
+            laps = [{"lap_num": 1 + i // 30, "lap_distance": 100.0 * i}] * tel.N_CARS
+            payloads.append(tel.encode_lap_packet(4, laps))
+    payloads.append(b"\x00\x01")  # truncated garbage must be skipped
+
+    groups: dict[int, dict] = {}
+    for p in payloads:
+        d = tel._decode_payload(p)
+        if d is None:
+            continue
+        g = groups.setdefault(d["packet_id"], {"n": 0, "speeds": [], "laps": []})
+        g["n"] += 1
+        if d.get("Speed") is not None:
+            g["speeds"].append(d["Speed"])
+        if d.get("LapNumber") is not None:
+            g["laps"].append(d["LapNumber"])
+
+    recomputed = sorted(
+        (
+            pid,
+            g["n"],
+            round(sum(g["speeds"]) / len(g["speeds"]), 6) if g["speeds"] else None,
+            max(g["laps"]) if g["laps"] else None,
+        )
+        for pid, g in groups.items()
+    )
+    oracle = [
+        tuple(r)
+        for r in duckdb.sql(ORACLES["q41_decode_packets"]).fetchall()
+    ]
+    assert recomputed == oracle, (recomputed, oracle)

@@ -243,3 +243,125 @@ def test_gbt_through_spark_train_and_predict_blob(spark):
     assert len(scored) == 600
     rmse = float(np.sqrt(np.mean((scored["prediction"] - scored["y"]) ** 2)))
     assert rmse < 0.35, rmse
+
+
+def _gen_lap_ladder_fixture(seed=42):
+    """Synthetic lap corpus with the structure that drives the reference's
+    v2→v4 RMSE ladder (BASELINE.md: ±8.45 → ±1.22 → ±0.60 s,
+    P1-F1_Tyre_Strategy_Predict_Model.ipynb:157,371,523):
+
+    - circuits with widely different base lap times (multiplicative), so
+      an absolute-seconds model wastes capacity re-learning the bases;
+    - per-driver multiplicative skill + compound/tyre-age degradation in
+      *ratio* space (clean once the base is divided out);
+    - an AR(1) "traffic" component: unpredictable from static features,
+      partially predictable from the previous laps' observed pace — the
+      signal lag features exist to capture.
+    """
+    rng = np.random.default_rng(seed)
+    circuits = 12
+    drivers = 8
+    laps = 30
+    base = 70.0 + 35.0 * rng.random(circuits)
+    skill = 1.0 + 0.015 * rng.standard_normal(drivers)
+    deg_rate = {0: 0.0030, 1: 0.0018, 2: 0.0010}  # SOFT/MED/HARD per-lap
+    rows = []
+    for c in range(circuits):
+        for d in range(drivers):
+            comp = (c + d) % 3
+            traffic = 0.0
+            for lap in range(1, laps + 1):
+                traffic = 0.85 * traffic + 0.004 * rng.standard_normal()
+                ratio = (
+                    skill[d]
+                    * (1.0 + deg_rate[comp] * lap + 2e-5 * lap * lap)
+                    + traffic
+                    + 0.002 * rng.standard_normal()
+                )
+                rows.append(
+                    dict(
+                        circuit=c,
+                        driver=d,
+                        compound=comp,
+                        tyre_life=lap,
+                        lap_no=lap,
+                        lap_time=float(base[c] * ratio),
+                    )
+                )
+    return pd.DataFrame(rows)
+
+
+def test_rmse_ladder_absolute_to_ratio_to_lag(spark):
+    """Reproduce the reference's v2→v4 modelling arc with the in-engine
+    numpy GBT (ml.gbt_fit_fn) on the synthetic lap fixture, asserting the
+    ORDERING — ratio-space beats absolute seconds, lag features beat both
+    — not the reference's exact numbers (those need its 73k-lap FastF1
+    corpus and xgboost; BASELINE.md rows v2/v3/v4)."""
+    from bigdataproject_formula1_telemetry_spark.operators import windows as W
+
+    pdf = _gen_lap_ladder_fixture()
+    sdf = spark.createDataFrame(pdf).withColumn("g", F.lit(0))
+
+    # deterministic 25% holdout, same split for all three models
+    split = F.abs(F.hash("circuit", "driver", "lap_no")) % 4
+    sdf = sdf.withColumn("is_test", split == 0)
+
+    # per-circuit base pace estimated from TRAIN rows only (the
+    # reference's quali-pace denominator re-expressed as a train median)
+    bases = (
+        sdf.where(~F.col("is_test"))
+        .groupBy("circuit")
+        .agg(F.expr("percentile_approx(lap_time, 0.5, 10000)").alias("base_pace"))
+    )
+    sdf = sdf.join(F.broadcast(bases), "circuit").withColumn(
+        "pace_ratio", F.col("lap_time") / F.col("base_pace")
+    )
+    # W2 lag features over the stint ordering — the v4 ingredient
+    sdf = W.lag_features(
+        sdf, ["circuit", "driver"], ["lap_no"], ["pace_ratio"], offset=1
+    )
+    sdf = W.lag_features(
+        sdf, ["circuit", "driver"], ["lap_no"], ["pace_ratio"], offset=2,
+        prefix="Prev2_",
+    )
+    sdf = sdf.dropna(subset=["Prev_pace_ratio", "Prev2_pace_ratio"]).cache()
+
+    static = ["circuit", "driver", "compound", "tyre_life", "lap_no"]
+    lagged = static + ["Prev_pace_ratio", "Prev2_pace_ratio"]
+    gbt = ml.gbt_fit_fn(n_estimators=120, max_depth=3)
+
+    def holdout_rmse(feature_cols, label, to_seconds):
+        train = sdf.where(~F.col("is_test"))
+        test = sdf.where(F.col("is_test"))
+        models = ml.train_per_group(
+            train, ["g"], feature_cols, label, fit_fn=gbt
+        )
+        scored = ml.predict_blob(test, models, ["g"], feature_cols)
+        err = to_seconds(scored).select(
+            F.sqrt(F.avg(F.pow(F.col("err_sec"), 2))).alias("rmse")
+        )
+        return float(err.first()["rmse"])
+
+    rmse_v2 = holdout_rmse(
+        static, "lap_time",
+        lambda s: s.withColumn("err_sec", F.col("prediction") - F.col("lap_time")),
+    )
+    rmse_v3 = holdout_rmse(
+        static, "pace_ratio",
+        lambda s: s.withColumn(
+            "err_sec", F.col("prediction") * F.col("base_pace") - F.col("lap_time")
+        ),
+    )
+    rmse_v4 = holdout_rmse(
+        lagged, "pace_ratio",
+        lambda s: s.withColumn(
+            "err_sec", F.col("prediction") * F.col("base_pace") - F.col("lap_time")
+        ),
+    )
+    sdf.unpersist()
+
+    # the reference's arc: each step strictly improves, ratio-space is a
+    # big step, lags a further real one (margins chosen ~2x looser than
+    # measured so the assertion tests structure, not noise)
+    assert rmse_v3 < 0.75 * rmse_v2, (rmse_v2, rmse_v3, rmse_v4)
+    assert rmse_v4 < 0.85 * rmse_v3, (rmse_v2, rmse_v3, rmse_v4)

@@ -284,3 +284,18 @@ def test_jpeg_flows_through_spark_feature_and_resize(spark):
 
     with pytest.raises(Exception, match="contradict"):
         M.image_features(bad).collect()
+
+
+def test_jpeg_marker_padding_and_tem_tolerated():
+    """Spec-valid streams may pad with 0xFF fill bytes before a marker id
+    (T.81 B.1.1.2) and may contain standalone length-less TEM markers;
+    external baseline JPEGs within the supported subset must still decode."""
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    img = _smooth_gradient(16, 16, 3)
+    payload = J.encode_jpeg(img, quality=90)
+    # inject a fill byte + TEM right after SOI, before the first segment
+    padded = payload[:2] + b"\xff" + b"\xff\x01" + payload[2:]
+    back = J.decode_jpeg(padded)
+    assert back.shape == (16, 16, 3)
+    assert np.array_equal(back, J.decode_jpeg(payload))

@@ -195,3 +195,25 @@ def test_near_dedup_zero_vectors_survive(spark):
     # identical zero vectors have NULL cosine -> both survive; the
     # identical unit vectors dedup to the min id
     assert kept == [0, 1, 2]
+
+
+def test_near_dedup_null_vectors_survive(spark):
+    """NULL embeddings must not crash the Arrow bucket assigner: they map
+    to the zero vector (candidate later rejected by the exact cosine),
+    mirroring the zero-norm exemption above."""
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[[0.3, -0.7], [0.9, 0.1]]]
+    kept = sorted(r.vec_id for r in sim.near_dedup_cosine(sdf, planes, 0.95).collect())
+    # NULL vectors survive (no defined similarity); the identical unit
+    # vectors dedup to the min id
+    assert kept == [0, 1, 3]
+
+
+def test_knn_lsh_null_vectors_do_not_crash(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") == 0)
+    planes = [[[0.3, -0.7], [0.9, 0.1]]]
+    out = sim.knn_lsh(corpus, queries, planes, k=2).collect()
+    assert all(r.neighbor_id != 2 or r.cos_sim is None for r in out)
