@@ -666,8 +666,12 @@ def connected_components(
     # exact sum decreased — ONE aggregate over the freshly checkpointed
     # labels instead of the old labels⨝new_labels diff join (which was
     # ~half of each round's driver-visible job time).  String ids fall
-    # back to the diff join.
-    prev_sum = label_sum(labels) if numeric_ids else None
+    # back to the diff join.  The INITIAL label sum is never computed:
+    # round 1 is treated as always-changed (prev_sum None), trading one
+    # aggregate job per invocation for at most one redundant round on a
+    # graph that is already converged at entry (only possible when the
+    # edge list is empty — bounded by max_iter regardless).
+    prev_sum = None
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.s == labels.id)
@@ -685,7 +689,7 @@ def connected_components(
         )
         if numeric_ids:
             new_sum = label_sum(new_labels)
-            changed = int(new_sum != prev_sum)
+            changed = int(prev_sum is None or new_sum != prev_sum)
             prev_sum = new_sum
         else:
             changed = (

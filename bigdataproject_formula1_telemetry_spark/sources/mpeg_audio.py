@@ -1,0 +1,363 @@
+"""MPEG-1 Audio (mp3 container family) from spec — the feasible subset.
+
+Mirrors ``sources/jpeg.py``'s approach (reference parity:
+the reference pipeline treats media as opaque lake blobs; here the
+engine decodes them executor-side): everything that ISO/IEC 11172-3
+defines by *formula* is implemented for real, and everything that
+needs large non-derivable spec constant tables raises an honest
+``NotImplementedError``.
+
+Implemented for real:
+
+- **Frame walking / stream metadata for ALL layers** (`stream_info`,
+  `iter_frames`): syncword scan, MPEG-1 header fields (layer, bitrate
+  index, sample rate, padding, channel mode), per-layer frame length
+  arithmetic (Layer I: slots of 4 bytes, ``12·bitrate/fs``; Layers
+  II/III: ``144·bitrate/fs``).  A Layer III file — the common "mp3" —
+  yields exact frame count / duration / bitrate metadata even though
+  its PCM decode is not implemented.
+- **Layer I PCM decode + encode** (`decode_layer1` / `encode_layer1`):
+  bit allocation (4 bits/subband), scalefactors (the Annex 3-B.1 table
+  IS a formula: ``2.0 · 2^(-i/3)``), the Layer I linear requantizer
+  (``(2^nb/(2^nb−1)) · (code/2^(nb−1) − 1 + 2^(1−nb))``), and a
+  32-band cosine-modulated polyphase filterbank.
+
+Honest limitation, stated loudly: the spec's 512-tap prototype window
+(Annex 3-B.3) is a numerically-optimized constant table that cannot be
+derived from a formula, so the filterbank here uses the textbook
+pseudo-QMF design (Hann-windowed sinc prototype, cutoff π/64, the
+classic ±π/4 phase pair for adjacent-band alias cancellation).  The
+subband *bitstream* layout is spec-exact; the PCM reconstruction is
+near-perfect for this module's own encoder (round-trip SNR asserted in
+tests) and approximate — correct band energies, not bit-exact samples —
+for external spec encoders.  Layer II needs the 3-B.2 allocation-class
+tables and Layer III needs the full Huffman table set; both raise.
+
+Public-knowledge citations: ISO/IEC 11172-3 §2.4 (frame/header layout,
+requantization formulas), standard DSP literature for the pseudo-QMF
+cosine-modulated filterbank.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# MPEG-1 bitrate tables, kbit/s, indexed by the 4-bit header field
+# (index 0 = "free format" — unsupported here; 15 = forbidden).
+_BITRATES = {
+    1: [None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_SAMPLE_RATES = [44100, 48000, 32000]  # MPEG-1; index 3 reserved
+
+_NBANDS = 32
+_TAPS = 512
+
+
+@dataclass
+class FrameHeader:
+    offset: int
+    layer: int  # 1 | 2 | 3
+    bitrate_kbps: int
+    sample_rate: int
+    padding: int
+    mode: int  # 0 stereo, 1 joint, 2 dual, 3 mono
+    protected: bool  # CRC16 present after header
+    frame_bytes: int
+    samples: int  # PCM samples per channel in this frame
+
+
+def _parse_header(data: bytes, pos: int) -> FrameHeader | None:
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    if (b1 >> 3) & 0x03 != 0x03:  # MPEG-1 only (version bits 11)
+        return None
+    layer = 4 - ((b1 >> 1) & 0x03)
+    if layer == 4:
+        return None
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _BITRATES[layer][br_idx]
+    fs = _SAMPLE_RATES[sr_idx]
+    padding = (b2 >> 1) & 0x01
+    mode = (b3 >> 6) & 0x03
+    if layer == 1:
+        frame_bytes = (12 * bitrate * 1000 // fs + padding) * 4
+        samples = 384
+    else:
+        frame_bytes = 144 * bitrate * 1000 // fs + padding
+        samples = 1152
+    return FrameHeader(
+        offset=pos,
+        layer=layer,
+        bitrate_kbps=bitrate,
+        sample_rate=fs,
+        padding=padding,
+        mode=mode,
+        protected=not (b1 & 0x01),
+        frame_bytes=frame_bytes,
+        samples=samples,
+    )
+
+
+def iter_frames(payload: bytes):
+    """Yield ``FrameHeader`` for every frame in an MPEG-1 audio stream.
+
+    Resyncs on garbage (ID3 tags, truncated tails) by scanning forward
+    for the next valid syncword — the standard recovery behavior."""
+    pos = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        hdr = _parse_header(payload, pos)
+        if hdr is None:
+            pos += 1
+            continue
+        if pos + hdr.frame_bytes > n:
+            break  # truncated final frame
+        yield hdr
+        pos += hdr.frame_bytes
+
+
+def stream_info(payload: bytes) -> dict:
+    """Metadata for any MPEG-1 audio stream (including Layer III):
+    frame count, duration, layer/bitrate/sample-rate of the first frame.
+    This is the scale-relevant operation — corpus triage and duration
+    accounting don't need PCM."""
+    frames = list(iter_frames(payload))
+    if not frames:
+        raise ValueError("no MPEG-1 audio frames found")
+    f0 = frames[0]
+    total_samples = sum(f.samples for f in frames)
+    return {
+        "layer": f0.layer,
+        "bitrate_kbps": f0.bitrate_kbps,
+        "sample_rate": f0.sample_rate,
+        "mode": f0.mode,
+        "n_frames": len(frames),
+        "duration_s": total_samples / f0.sample_rate,
+    }
+
+
+# --------------------------------------------------------------------------
+# Layer I scalefactors / requantizer (formula-derivable spec tables)
+# --------------------------------------------------------------------------
+
+#: Annex 3-B.1: sf[i] = 2.0 · 2^(−i/3), i = 0..62 (index 63 forbidden).
+SCALEFACTORS = 2.0 * np.power(2.0, -np.arange(63) / 3.0)
+
+
+def _dequant_affine(nb: int) -> tuple[float, float]:
+    """Layer I requantizer as decode(code) = a·code + b (11172-3 §2.4.3.1:
+    s''' = (2^nb/(2^nb−1)) · (code/2^(nb−1) − 1 + 2^(1−nb)))."""
+    full = float(1 << nb)
+    a = 2.0 / (full - 1.0)
+    b = (full / (full - 1.0)) * (2.0 ** (1 - nb) - 1.0)
+    return a, b
+
+
+# --------------------------------------------------------------------------
+# Pseudo-QMF filterbank (textbook design — see module docstring)
+# --------------------------------------------------------------------------
+
+def _prototype() -> np.ndarray:
+    # Cutoff widened by 1.108× over the nominal π/64 so the Hann-windowed
+    # sinc is (near-)power-complementary at the band crossover — the
+    # pseudo-QMF near-PR condition.  The factor was found by a 1-D sweep
+    # minimizing composite-gain ripple over band-center and band-edge
+    # probe tones: 1.0 → amplitude ~0.5 at every band edge (≈15 dB
+    # round-trip), 1.108 → ≤0.3% ripple across the spectrum (≈35-50 dB).
+    cut = 1.108
+    n = np.arange(_TAPS)
+    c = (_TAPS - 1) / 2.0
+    h = cut * np.sinc(cut * (n - c) / (2.0 * _NBANDS)) / (2.0 * _NBANDS)
+    h *= np.hanning(_TAPS)
+    return h
+
+
+def _filters() -> tuple[np.ndarray, np.ndarray]:
+    """(analysis G, synthesis P) — 32×512 cosine-modulated banks with the
+    classic ±π/4 phases, each side normalized to unit passband gain
+    (measured on a band-center sine at import, not hand-tuned), so
+    subband sample magnitudes track input magnitudes (as the spec
+    filterbank's do — scalefactor range compatibility) and
+    synthesis∘analysis ≈ identity."""
+    h = _prototype()
+    n = np.arange(_TAPS)
+    c = (_TAPS - 1) / 2.0
+    k = np.arange(_NBANDS)[:, None]
+    arg = (2 * k + 1) * (n[None, :] - c) * np.pi / (2 * _NBANDS)
+    phi = ((-1.0) ** k) * np.pi / 4.0
+    G = 2.0 * h[None, :] * np.cos(arg + phi)
+    P = 2.0 * h[None, :] * np.cos(arg - phi)
+    t = np.arange(4096)
+    x = np.sin(2 * np.pi * 0.0234375 * t)  # 1.5/64 cycles: center of band 1
+    xr = float(np.sqrt(np.mean(x[32:-32] ** 2)))
+    S = _ana(x, G)
+    G = G / (float(np.sqrt(np.mean(S[1, 20:-20] ** 2))) / xr)
+    y = _syn(_ana(x, G), P)
+    P = P / (float(np.sqrt(np.mean(y[_TAPS:3500] ** 2))) / xr)
+    return G, P
+
+
+def _ana(x: np.ndarray, G: np.ndarray) -> np.ndarray:
+    """x (N·32 samples) → subbands (32, N): critically-sampled filterbank,
+    one (32×512)·(512×N) matmul over strided windows."""
+    pad = np.concatenate([np.zeros(_TAPS - _NBANDS), x])
+    m = (len(pad) - _TAPS) // _NBANDS + 1
+    idx = np.arange(_TAPS)[None, :] + _NBANDS * np.arange(m)[:, None]
+    return G @ pad[idx][:, ::-1].T
+
+
+def _syn(S: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """subbands (32, N) → x̂ (N·32 samples): overlap-add of the
+    upsampled, filtered bands — vectorized as one matmul + fold."""
+    m = S.shape[1]
+    up = P.T @ S  # (512, m) contributions per block
+    out = np.zeros(_NBANDS * m + _TAPS)
+    for r in range(_TAPS // _NBANDS):  # 16 strided adds, not m-loop
+        seg = up[r * _NBANDS : (r + 1) * _NBANDS, :]
+        out_view = out[r * _NBANDS : r * _NBANDS + _NBANDS * m]
+        out_view += seg.T.reshape(-1)
+    return out[: _NBANDS * m]
+
+
+_G, _P = _filters()
+
+
+# --------------------------------------------------------------------------
+# Layer I decode / encode
+# --------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        arr = np.array(self.bits, dtype=np.uint8).reshape(-1, 8)
+        return np.packbits(arr, axis=1).tobytes()
+
+
+def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
+    """MPEG-1 Layer I mono → (float64 PCM in [-1, 1], sample_rate).
+
+    Stereo/joint/dual modes raise (the subband plumbing is identical but
+    untested here; mono keeps the honest surface small)."""
+    frames_S = []
+    fs = None
+    for hdr in iter_frames(payload):
+        if hdr.layer != 1:
+            raise NotImplementedError(
+                f"MPEG-1 Layer {'II' if hdr.layer == 2 else 'III'} PCM decode "
+                "unsupported: Layer II needs the Annex 3-B.2 allocation-class "
+                "tables, Layer III the Huffman table set — neither is "
+                "formula-derivable (see module docstring). stream_info() "
+                "still works on this payload."
+            )
+        if hdr.mode != 3:
+            raise NotImplementedError("Layer I: mono streams only")
+        fs = hdr.sample_rate
+        start = (hdr.offset + 4 + (2 if hdr.protected else 0)) * 8
+        r = _BitReader(payload, start)
+        alloc = [r.read(4) for _ in range(_NBANDS)]
+        if any(a == 15 for a in alloc):
+            raise ValueError("forbidden Layer I allocation code 15")
+        sf = [SCALEFACTORS[r.read(6)] if a else 0.0 for a in alloc]
+        S = np.zeros((_NBANDS, 12))
+        for s_i in range(12):
+            for sb in range(_NBANDS):
+                if alloc[sb]:
+                    nb = alloc[sb] + 1
+                    a, b = _dequant_affine(nb)
+                    S[sb, s_i] = (a * r.read(nb) + b) * sf[sb]
+        frames_S.append(S)
+    if fs is None:
+        raise ValueError("no Layer I frames found")
+    # ONE synthesis pass over the concatenated subband stream: the
+    # filterbank carries 512 samples of state, so per-frame synthesis
+    # would reset the overlap at every 384-sample boundary (measured:
+    # 2 dB round-trip SNR instead of ~35 dB)
+    return _syn(np.hstack(frames_S), _P), fs
+
+
+def encode_layer1(
+    pcm: np.ndarray, sample_rate: int = 32000, bitrate_kbps: int = 448
+) -> bytes:
+    """Mono float PCM in [-1, 1] → MPEG-1 Layer I stream (max-precision
+    14-bit allocation everywhere — a round-trip reference encoder, not a
+    psychoacoustic one).  Input is truncated to whole 384-sample frames."""
+    if sample_rate not in _SAMPLE_RATES:
+        raise ValueError(f"sample_rate must be one of {_SAMPLE_RATES}")
+    if bitrate_kbps not in _BITRATES[1]:
+        raise ValueError("unsupported Layer I bitrate")
+    sr_idx = _SAMPLE_RATES.index(sample_rate)
+    br_idx = _BITRATES[1].index(bitrate_kbps)
+    frame_bytes = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    # widest uniform sample width the frame budget allows (header 32 bits,
+    # 32×4 allocation, 32×6 scalefactors, 384 samples); spec max is 15
+    nb = min(15, (frame_bytes * 8 - 32 - _NBANDS * (4 + 6)) // 384)
+    if nb < 2:
+        raise ValueError("bitrate too low for uniform Layer I allocation")
+    alloc_code = nb - 1
+    a, b = _dequant_affine(nb)
+    n_frames = len(pcm) // 384
+    S_all = _ana(pcm[: n_frames * 384], _G)
+    header = bytes(
+        [0xFF, 0xFF, (br_idx << 4) | (sr_idx << 2), 0b11000100]
+    )  # sync, MPEG-1 Layer I no-CRC, no padding, mono
+    out = bytearray()
+    for f in range(n_frames):
+        S = S_all[:, f * 12 : (f + 1) * 12]
+        w = _BitWriter()
+        for sb in range(_NBANDS):
+            w.write(alloc_code, 4)
+        sf_idx = []
+        for sb in range(_NBANDS):
+            m = float(np.max(np.abs(S[sb])))
+            # largest index whose scalefactor still covers the peak
+            # (SCALEFACTORS is descending; stepping past it would clip)
+            i = int(np.searchsorted(-SCALEFACTORS, -m, side="left"))
+            i = min(i, 62)
+            if SCALEFACTORS[i] < m and i > 0:
+                i -= 1
+            sf_idx.append(i)
+            w.write(i, 6)
+        for s_i in range(12):
+            for sb in range(_NBANDS):
+                y = S[sb, s_i] / SCALEFACTORS[sf_idx[sb]]
+                code = int(np.clip(round((y - b) / a), 0, (1 << nb) - 1))
+                w.write(code, nb)
+        body = w.tobytes()
+        frame = header + body
+        frame = frame + b"\x00" * (frame_bytes - len(frame))
+        if len(frame) != frame_bytes:
+            raise ValueError("frame overflow: bitrate too low for payload")
+        out += frame
+    return bytes(out)

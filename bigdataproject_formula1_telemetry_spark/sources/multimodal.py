@@ -15,8 +15,13 @@ implemented here:
   ITU-T T.81 in ``sources/jpeg.py`` (progressive/subsampled/restart
   variants raise);
 - **wav** (RIFF PCM16): header parse via the stdlib ``wave`` module,
-  multi-channel downmixed to mono.
-Everything else (mp3/h264/...) **stays stubbed** behind
+  multi-channel downmixed to mono;
+- **MPEG-1 audio** ("mp1"/"mp3" formats, ``sources/mpeg_audio.py``):
+  frame walking + duration/bitrate metadata for ALL layers, Layer I PCM
+  decode/encode from the spec's formula-derivable parts (pseudo-QMF
+  filterbank — near-PR, not the bit-exact Annex window); Layer II/III
+  PCM raises with the reason (non-derivable spec constant tables).
+Everything else (h264/...) **stays stubbed** behind
 ``NotImplementedError`` — those need real codec libraries.  The RAW
 paths remain:
 - image: uint8 H×W×C raw pixels (shape from metadata),
@@ -65,7 +70,7 @@ MEDIA_SCHEMA = StructType(
 
 RAW_FORMATS = {"raw", "pcm16"}
 IMAGE_FORMATS = RAW_FORMATS | {"png", "jpeg"}
-AUDIO_FORMATS = RAW_FORMATS | {"wav"}
+AUDIO_FORMATS = RAW_FORMATS | {"wav", "mp1", "mp3"}
 
 
 def _require_decodable(fmt: str, kind: str, supported: set[str]) -> None:
@@ -313,10 +318,19 @@ def decode_image(payload: bytes, width: int, height: int, channels: int, fmt: st
 
 
 def decode_audio(payload: bytes, fmt: str) -> np.ndarray:
-    """binary → float64 waveform in [-1, 1] from int16 PCM or WAV."""
+    """binary → float64 waveform in [-1, 1] from int16 PCM, WAV, or
+    MPEG-1 audio.  "mp1"/"mp3" route to ``sources/mpeg_audio``: Layer I
+    streams decode to PCM for real; a Layer II/III payload raises with
+    the honest reason (non-derivable spec tables — see that module's
+    docstring), and ``mpeg_audio.stream_info`` still yields its
+    duration/bitrate metadata for corpus triage."""
     _require_decodable(fmt, "audio", AUDIO_FORMATS)
     if fmt == "wav":
         return decode_wav(bytes(payload))[0]
+    if fmt in ("mp1", "mp3"):
+        from .mpeg_audio import decode_layer1
+
+        return decode_layer1(bytes(payload))[0]
     return np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
 
 

@@ -1,0 +1,118 @@
+"""MPEG-1 audio codec tests: Layer I round-trip through the real
+bitstream, frame-walker metadata for all layers, honest raise paths,
+and the Spark feature pipeline over an encoded stream."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.sources import mpeg_audio as M
+from bigdataproject_formula1_telemetry_spark.sources import multimodal as MM
+
+_DELAY = 480  # analysis+synthesis group delay: TAPS - NBANDS samples
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    n = min(len(ref), len(out))
+    a, b = ref[: n - _DELAY], out[_DELAY:n]
+    return 10 * math.log10(float(np.mean(a**2)) / float(np.mean((a - b) ** 2)))
+
+
+def test_layer1_roundtrip_snr():
+    fs = 32000
+    t = np.arange(fs)
+    signals = {
+        "tones": 0.4 * np.sin(2 * np.pi * 440 * t / fs)
+        + 0.25 * np.sin(2 * np.pi * 1870 * t / fs)
+        + 0.15 * np.sin(2 * np.pi * 5210 * t / fs),
+        "noise": np.clip(
+            0.3 * np.random.default_rng(0).standard_normal(fs), -0.95, 0.95
+        ),
+        "chirp": 0.6 * np.sin(2 * np.pi * (200 + 3000 * t / fs) * t / fs),
+    }
+    for name, pcm in signals.items():
+        enc = M.encode_layer1(pcm, sample_rate=fs, bitrate_kbps=448)
+        dec, fs2 = M.decode_layer1(enc)
+        assert fs2 == fs
+        snr = _snr_db(pcm, dec)
+        # near-PR pseudo-QMF + 13-bit quantization: well above "audible
+        # artifact" territory, well below bit-exact (see module docstring)
+        assert snr > 30.0, (name, snr)
+
+
+def test_layer1_roundtrip_all_sample_rates():
+    t = np.arange(12 * 384)
+    for fs in (32000, 44100, 48000):
+        pcm = 0.5 * np.sin(2 * np.pi * 500 * t / fs)
+        dec, fs2 = M.decode_layer1(M.encode_layer1(pcm, sample_rate=fs))
+        assert fs2 == fs
+        assert _snr_db(pcm, dec) > 25.0
+
+
+def test_stream_info_layer1():
+    pcm = 0.3 * np.sin(2 * np.pi * 0.02 * np.arange(384 * 10))
+    enc = M.encode_layer1(pcm, sample_rate=32000, bitrate_kbps=448)
+    info = M.stream_info(enc)
+    assert info["layer"] == 1
+    assert info["bitrate_kbps"] == 448
+    assert info["sample_rate"] == 32000
+    assert info["n_frames"] == 10
+    assert info["duration_s"] == pytest.approx(3840 / 32000)
+
+
+def _fake_layer3_frame() -> bytes:
+    # valid MPEG-1 Layer III header (128 kbps @ 44100, mono) + zero body:
+    # enough for the frame walker, NOT a decodable stream
+    hdr = bytes([0xFF, 0xFB, 0x90 | 0x00, 0xC0])
+    frame_len = 144 * 128000 // 44100
+    return hdr + b"\x00" * (frame_len - 4)
+
+
+def test_stream_info_walks_layer3_but_decode_raises_honestly():
+    payload = b"garbagehead" + _fake_layer3_frame() * 7
+    info = M.stream_info(payload)
+    assert info["layer"] == 3
+    assert info["n_frames"] == 7
+    assert info["duration_s"] == pytest.approx(7 * 1152 / 44100)
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        M.decode_layer1(payload)
+
+
+def test_truncated_tail_and_resync():
+    pcm = 0.3 * np.sin(2 * np.pi * 0.01 * np.arange(384 * 4))
+    enc = M.encode_layer1(pcm, sample_rate=32000, bitrate_kbps=448)
+    # leading garbage forces a resync; truncated last frame is dropped
+    mangled = b"\x00\x01\x02" + enc[:-17]
+    info = M.stream_info(mangled)
+    assert info["n_frames"] == 3
+
+
+def test_scalefactor_table_is_spec_formula():
+    # Annex 3-B.1 spot values: index 0 = 2.0, index 3 = 1.0, index 6 = 0.5
+    assert M.SCALEFACTORS[0] == pytest.approx(2.0)
+    assert M.SCALEFACTORS[3] == pytest.approx(1.0)
+    assert M.SCALEFACTORS[6] == pytest.approx(0.5)
+    assert len(M.SCALEFACTORS) == 63
+
+
+def test_decode_audio_routes_mp3_and_features_flow(spark):
+    fs = 32000
+    t = np.arange(384 * 16)
+    pcm = 0.5 * np.sin(2 * np.pi * 440 * t / fs)
+    enc = M.encode_layer1(pcm, sample_rate=fs, bitrate_kbps=448)
+    wave = MM.decode_audio(enc, "mp3")
+    assert len(wave) == len(pcm)
+    assert float(np.max(np.abs(wave))) <= 1.0
+
+    rows = [(1, "audio", "mp3", bytearray(enc), None, None, 1, fs, None)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = MM.audio_window_features(media, window_samples=1024).toPandas()
+    assert len(feats) == len(pcm) // 1024
+    # the 440 Hz tone has rms ≈ 0.5/√2 in every full window (skip the
+    # filterbank warm-up window)
+    assert feats["rms"].iloc[1:].between(0.30, 0.40).all()
+    assert (feats["media_id"] == 1).all()

@@ -190,7 +190,8 @@ def test_remaining_codecs_still_stubbed():
     # jpeg is real now — a truncated stream is a data error, not a stub
     with pytest.raises(ValueError, match="missing SOF0"):
         M.decode_image(b"\xff\xd8", 4, 4, 3, "jpeg")
-    with pytest.raises(NotImplementedError, match="mp3"):
+    # mpeg audio is real now — garbage with no syncword is a data error
+    with pytest.raises(ValueError, match="no Layer I frames"):
         M.decode_audio(b"xx", "mp3")
     with pytest.raises(NotImplementedError, match="h264"):
         M.decode_image(b"xx", 4, 4, 3, "h264")
