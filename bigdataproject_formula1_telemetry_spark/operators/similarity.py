@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -62,6 +63,204 @@ def knn_bruteforce(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
     )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_bruteforce_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-matmul scoring: the (broadcast-small by
+    contract) query set is collected to one normalized (nq × dim) matrix;
+    ONE ``mapInPandas`` pass over the corpus scores each Arrow batch
+    against ALL queries as a single numpy matmul and emits only that
+    batch's per-query top-k (nq·k rows per batch, not batch·nq pairs), a
+    global per-query window then keeps the true top-k.
+
+    Same semantics and tie-break (cos desc, id asc) as ``knn_bruteforce``;
+    results can differ only where two cosines are within float summation
+    noise (numpy pairwise vs HOF left fold) — use this form when the
+    scored-pair volume makes the interpreted HOF the bottleneck (the
+    shuffle shrinks from nq·corpus scored rows to nq·k·n_batches).
+    NULL/zero-norm corpus vectors score NULL and rank last, as in the
+    expression form."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.nan  # zero-norm query → NULL sims, like cosine()
+    Qn = Q / qn[:, None]
+    dim = Q.shape[1]
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        ids_b, Qn_b = bq.value
+        nq = len(ids_b)
+        zero = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            X = np.stack(
+                [
+                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = np.nan
+            sims = (X / nrm[:, None]) @ Qn_b.T  # (batch, nq); NaN = NULL
+            rows = []
+            kk = min(k, len(cids))
+            for j in range(nq):
+                col = sims[:, j]
+                # self-match excluded; NaNs (NULL cosine) rank last and
+                # are dropped here — they can never enter a top-k unless
+                # fewer than k finite candidates exist, matching the
+                # expression form's nulls-last ordering
+                mask = cids != ids_b[j]
+                cand = np.where(mask & ~np.isnan(col))[0]
+                if len(cand) == 0:
+                    continue
+                top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[: kk]]
+                for i in top:
+                    rows.append((int(ids_b[j]), int(cids[i]), float(col[i])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[query_id_col, "neighbor_id", "cos_sim"]
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_ivf_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k as ONE fused Arrow scan — the form for a corpus that is
+    NOT pre-partitioned by cluster (e.g. ad-hoc search over a flat
+    table).  Each batch assigns its rows to their nearest centroid and
+    scores them against all queries in the same numpy matmul pass;
+    rows outside a query's ``nprobe`` probed clusters are masked out, so
+    only nq·k rows per batch reach the shuffle.  No join, no second scan.
+
+    Semantics match ``knn_ivf`` (same probe sets, same candidates, same
+    tie-break); choose between them by layout: with a materialized
+    inverted file (corpus written partitioned by cluster id — the 100 TB
+    path) ``knn_ivf``'s join prunes entire partitions and reads only
+    ~nprobe/n_clusters of the data, which a full-scan form cannot."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, neighbor_id long, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.nan
+    Qn = Q / qn[:, None]
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(nprobe, C.shape[0])
+    # per-query probed clusters, then a (nq × n_clusters) allow mask
+    probes = np.argpartition(-(Qn @ C.T), n - 1, axis=1)[:, :n]
+    allow = np.zeros((len(q_ids), C.shape[0]), dtype=bool)
+    for j in range(len(q_ids)):
+        allow[j, probes[j]] = True
+    dim = Q.shape[1]
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, C, allow))
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        ids_b, Qn_b, C_b, allow_b = bq.value
+        nq = len(ids_b)
+        zero = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            X = np.stack(
+                [
+                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = np.nan
+            Xn = X / nrm[:, None]
+            clusters = np.nanargmax(
+                np.where(np.isnan(Xn[:, :1]), -np.inf, Xn @ C_b.T), axis=1
+            )
+            sims = Xn @ Qn_b.T  # (batch, nq)
+            sims[~allow_b[:, clusters].T] = np.nan  # outside probe set
+            rows = []
+            kk = min(k, len(cids))
+            for j in range(nq):
+                col = sims[:, j]
+                mask = cids != ids_b[j]
+                cand = np.where(mask & ~np.isnan(col))[0]
+                if len(cand) == 0:
+                    continue
+                top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[:kk]]
+                for i in top:
+                    rows.append((int(ids_b[j]), int(cids[i]), float(col[i])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[query_id_col, "neighbor_id", "cos_sim"]
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -292,10 +491,22 @@ def _np_assigner(centroids, nprobe: int = 1):
     from pyspark.sql.types import ArrayType, IntegerType
 
     C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
 
     @pandas_udf(ArrayType(IntegerType()))
     def assign(vec_col: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vec_col])
+        if len(vec_col) == 0:
+            return pd.Series([], dtype=object)
+        # NULL vectors → zero vector → cluster 0 via the zero-norm path
+        # (same graceful degradation as _signlsh_assigner: their cosine
+        # against anything is NULL downstream, so they never rank)
+        zero = np.zeros(dim, dtype=np.float64)
+        X = np.stack(
+            [
+                zero if v is None else np.asarray(v, dtype=np.float64)
+                for v in vec_col
+            ]
+        )
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         sims = (X / norms[:, None]) @ C.T

@@ -1593,10 +1593,16 @@ def q55_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sampling.deterministic_sample(emb, ["vec_id"], 0.4, salt="ivf-train")
     C = sim.ivf_centroids(train, n_clusters=8, max_iter=2)
     queries = emb.where(F.col("vec_id") < 20)
-    exact = sim.knn_bruteforce(emb, queries, k=5).select(
+    # Arrow-matmul exact side: equality-tested against the HOF form in
+    # pytest; the recall assertion is insensitive to float-noise ties
+    exact = sim.knn_bruteforce_arrow(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
-    ivf = sim.knn_ivf(emb, queries, C, k=5, nprobe=4).select(
+    # fused single-scan IVF form: the sf tables are flat parquet (no
+    # materialized inverted file to partition-prune), so the join form
+    # would re-scan and HOF-score ~nprobe/n_clusters of the corpus per
+    # query; equality with knn_ivf is pytest-asserted
+    ivf = sim.knn_ivf_arrow(emb, queries, C, k=5, nprobe=4).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
     )
     # single left join so the brute-force frame is consumed ONCE (a

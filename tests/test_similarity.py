@@ -217,3 +217,58 @@ def test_knn_lsh_null_vectors_do_not_crash(spark):
     planes = [[[0.3, -0.7], [0.9, 0.1]]]
     out = sim.knn_lsh(corpus, queries, planes, k=2).collect()
     assert all(r.neighbor_id != 2 or r.cos_sim is None for r in out)
+
+
+def test_knn_bruteforce_arrow_matches_hof_form(spark, emb):
+    """The Arrow-matmul exact kNN must return the same neighbor sets and
+    (to float-noise) the same scores as the interpreted-HOF form."""
+    q = emb.where(F.col("vec_id") < 10)
+    a = sim.knn_bruteforce(emb, q, k=5).orderBy("query_id", "neighbor_id").collect()
+    b = (
+        sim.knn_bruteforce_arrow(emb, q, k=5)
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id) for r in a] == [
+        (r.query_id, r.neighbor_id) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert abs(ra.cos_sim - rb.cos_sim) < 1e-9
+
+
+def test_knn_bruteforce_arrow_null_and_zero_vectors(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 0.0]), (4, [0.5, 0.1])]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.knn_bruteforce_arrow(sdf, sdf.where(F.col("vec_id") == 0), k=3).collect()
+    got = sorted(r.neighbor_id for r in out)
+    # NULL and zero-norm vectors never enter the top-k while finite
+    # candidates remain
+    assert got == [1, 4]
+
+
+def test_knn_ivf_arrow_matches_join_form(spark, emb):
+    """The fused single-scan IVF form must return the same neighbors as
+    the join-based inverted-file form for the same quantizer."""
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=3)
+    q = emb.where(F.col("vec_id") < 10)
+    a = sim.knn_ivf(emb, q, C, k=5, nprobe=4).orderBy("query_id", "neighbor_id").collect()
+    b = (
+        sim.knn_ivf_arrow(emb, q, C, k=5, nprobe=4)
+        .orderBy("query_id", "neighbor_id")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id) for r in a] == [
+        (r.query_id, r.neighbor_id) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert abs(ra.cos_sim - rb.cos_sim) < 1e-9
+
+
+def test_knn_ivf_null_corpus_vectors_do_not_crash(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, None), (3, [0.0, 1.0])]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = [[1.0, 0.0], [0.0, 1.0]]
+    q = sdf.where(F.col("vec_id") == 0)
+    for fn in (sim.knn_ivf, sim.knn_ivf_arrow):
+        out = fn(sdf, q, C, k=3, nprobe=2).collect()
+        assert all(r.neighbor_id != 2 or r.cos_sim is None for r in out)
