@@ -483,3 +483,67 @@ def audio_window_features(df: DataFrame, window_samples: int = 1024) -> DataFram
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 
     return df.where(df.kind == "audio").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_STREAM_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("layer", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("decodable", StringType()),  # pcm | metadata_only | error
+    ]
+)
+
+
+def audio_stream_info(df: DataFrame) -> DataFrame:
+    """Corpus triage over MPEG-1 audio payloads: one Arrow pass emitting
+    per-file layer/bitrate/duration metadata WITHOUT decoding PCM — the
+    operation a 100 TB audio corpus actually needs first (duration
+    accounting, bitrate histograms, partitioning decisions).  Works on
+    Layer III ("mp3") files even though their PCM decode is out of scope;
+    ``decodable`` says which rows the Layer I PCM path can take
+    ("pcm"), which are metadata-only ("metadata_only"), and which
+    payloads carry no parseable frames ("error" — kept as rows, never a
+    pipeline crash, mirroring the dead-letter pattern)."""
+    from .mpeg_audio import stream_info
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_STREAM_INFO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    info = stream_info(bytes(r.payload))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "layer": info["layer"],
+                            "bitrate_kbps": info["bitrate_kbps"],
+                            "sample_rate": info["sample_rate"],
+                            "n_frames": info["n_frames"],
+                            "duration_s": info["duration_s"],
+                            "decodable": "pcm"
+                            if info["layer"] == 1
+                            else "metadata_only",
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "layer": None,
+                            "bitrate_kbps": None,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "duration_s": None,
+                            "decodable": "error",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.where(df.format.isin("mp1", "mp3")).mapInPandas(
+        extract, AUDIO_STREAM_INFO_SCHEMA
+    )

@@ -116,3 +116,26 @@ def test_decode_audio_routes_mp3_and_features_flow(spark):
     # filterbank warm-up window)
     assert feats["rms"].iloc[1:].between(0.30, 0.40).all()
     assert (feats["media_id"] == 1).all()
+
+
+def test_audio_stream_info_operator_triage(spark):
+    """One Arrow pass triages a mixed corpus: Layer I rows are
+    pcm-decodable, Layer III rows yield metadata only, garbage becomes an
+    error row instead of failing the job."""
+    fs = 32000
+    pcm = 0.3 * np.sin(2 * np.pi * 440 * np.arange(384 * 5) / fs)
+    l1 = M.encode_layer1(pcm, sample_rate=fs, bitrate_kbps=448)
+    l3 = _fake_layer3_frame() * 4
+    rows = [
+        (1, "audio", "mp3", bytearray(l1), None, None, 1, fs, None),
+        (2, "audio", "mp3", bytearray(l3), None, None, 1, 44100, None),
+        (3, "audio", "mp3", bytearray(b"not audio at all"), None, None, 1, None, None),
+        (4, "audio", "wav", bytearray(b"RIFF...."), None, None, 1, None, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.audio_stream_info(media).collect()}
+    assert set(got) == {1, 2, 3}  # the wav row is filtered, not an error
+    assert got[1].decodable == "pcm" and got[1].layer == 1 and got[1].n_frames == 5
+    assert got[2].decodable == "metadata_only" and got[2].layer == 3
+    assert got[2].duration_s == pytest.approx(4 * 1152 / 44100)
+    assert got[3].decodable == "error" and got[3].layer is None
