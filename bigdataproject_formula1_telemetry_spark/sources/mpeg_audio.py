@@ -266,10 +266,17 @@ class _BitWriter:
 
 
 def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
-    """MPEG-1 Layer I mono → (float64 PCM in [-1, 1], sample_rate).
+    """MPEG-1 Layer I → (float64 mono PCM in [-1, 1], sample_rate).
 
-    Stereo/joint/dual modes raise (the subband plumbing is identical but
-    untested here; mono keeps the honest surface small)."""
+    Mono (mode 3), stereo (mode 0) and dual-channel (mode 2) streams
+    decode; stereo/dual output is downmixed to mono by channel average —
+    the same contract as the WAV path.  Joint stereo (mode 1) raises:
+    its intensity-coded bound subbands share sample data under a
+    bound-selection table this module does not implement.
+
+    Channel interleaving follows 11172-3 §2.4.1.5: allocation then
+    scalefactors iterate subband-major with channels innermost, and the
+    12 sample groups iterate (sample, subband, channel)."""
     frames_S = []
     fs = None
     for hdr in iter_frames(payload):
@@ -281,23 +288,33 @@ def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
                 "formula-derivable (see module docstring). stream_info() "
                 "still works on this payload."
             )
-        if hdr.mode != 3:
-            raise NotImplementedError("Layer I: mono streams only")
+        if hdr.mode == 1:
+            raise NotImplementedError(
+                "Layer I joint (intensity) stereo unsupported; mono, "
+                "stereo, and dual-channel streams decode"
+            )
+        nch = 1 if hdr.mode == 3 else 2
         fs = hdr.sample_rate
         start = (hdr.offset + 4 + (2 if hdr.protected else 0)) * 8
         r = _BitReader(payload, start)
-        alloc = [r.read(4) for _ in range(_NBANDS)]
-        if any(a == 15 for a in alloc):
+        alloc = [
+            [r.read(4) for _ in range(nch)] for _ in range(_NBANDS)
+        ]
+        if any(a == 15 for row in alloc for a in row):
             raise ValueError("forbidden Layer I allocation code 15")
-        sf = [SCALEFACTORS[r.read(6)] if a else 0.0 for a in alloc]
-        S = np.zeros((_NBANDS, 12))
+        sf = [
+            [SCALEFACTORS[r.read(6)] if a else 0.0 for a in row]
+            for row in alloc
+        ]
+        S = np.zeros((nch, _NBANDS, 12))
         for s_i in range(12):
             for sb in range(_NBANDS):
-                if alloc[sb]:
-                    nb = alloc[sb] + 1
-                    a, b = _dequant_affine(nb)
-                    S[sb, s_i] = (a * r.read(nb) + b) * sf[sb]
-        frames_S.append(S)
+                for ch in range(nch):
+                    if alloc[sb][ch]:
+                        nb = alloc[sb][ch] + 1
+                        a, b = _dequant_affine(nb)
+                        S[ch, sb, s_i] = (a * r.read(nb) + b) * sf[sb][ch]
+        frames_S.append(S.mean(axis=0))  # downmix in subband domain
     if fs is None:
         raise ValueError("no Layer I frames found")
     # ONE synthesis pass over the concatenated subband stream: the
@@ -307,53 +324,81 @@ def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
     return _syn(np.hstack(frames_S), _P), fs
 
 
+def _pick_scalefactor(m: float) -> int:
+    """Largest index whose scalefactor still covers the peak
+    (SCALEFACTORS is descending; stepping past it would clip)."""
+    i = int(np.searchsorted(-SCALEFACTORS, -m, side="left"))
+    i = min(i, 62)
+    if SCALEFACTORS[i] < m and i > 0:
+        i -= 1
+    return i
+
+
 def encode_layer1(
     pcm: np.ndarray, sample_rate: int = 32000, bitrate_kbps: int = 448
 ) -> bytes:
-    """Mono float PCM in [-1, 1] → MPEG-1 Layer I stream (max-precision
-    14-bit allocation everywhere — a round-trip reference encoder, not a
-    psychoacoustic one).  Input is truncated to whole 384-sample frames."""
+    """Float PCM in [-1, 1] → MPEG-1 Layer I stream.  A 1-D array
+    encodes mono (mode 3); an (n, 2) array encodes stereo (mode 0) with
+    the §2.4.1.5 channel interleaving ``decode_layer1`` parses.  Uniform
+    widest-fitting allocation everywhere — a round-trip reference
+    encoder, not a psychoacoustic one.  Input is truncated to whole
+    384-sample frames."""
     if sample_rate not in _SAMPLE_RATES:
         raise ValueError(f"sample_rate must be one of {_SAMPLE_RATES}")
     if bitrate_kbps not in _BITRATES[1]:
         raise ValueError("unsupported Layer I bitrate")
+    pcm = np.asarray(pcm, dtype=np.float64)
+    if pcm.ndim == 1:
+        chans = [pcm]
+        mode_bits = 0b11
+    elif pcm.ndim == 2 and pcm.shape[1] == 2:
+        chans = [pcm[:, 0], pcm[:, 1]]
+        mode_bits = 0b00
+    else:
+        raise ValueError("pcm must be 1-D mono or (n, 2) stereo")
+    nch = len(chans)
     sr_idx = _SAMPLE_RATES.index(sample_rate)
     br_idx = _BITRATES[1].index(bitrate_kbps)
     frame_bytes = (12 * bitrate_kbps * 1000 // sample_rate) * 4
-    # widest uniform sample width the frame budget allows (header 32 bits,
-    # 32×4 allocation, 32×6 scalefactors, 384 samples); spec max is 15
-    nb = min(15, (frame_bytes * 8 - 32 - _NBANDS * (4 + 6)) // 384)
+    # widest uniform sample width the frame budget allows (header 32
+    # bits, nch×32×4 allocation, nch×32×6 scalefactors, nch×384
+    # samples); spec max is 15
+    nb = min(
+        15,
+        (frame_bytes * 8 - 32 - nch * _NBANDS * (4 + 6)) // (nch * 384),
+    )
     if nb < 2:
         raise ValueError("bitrate too low for uniform Layer I allocation")
     alloc_code = nb - 1
     a, b = _dequant_affine(nb)
-    n_frames = len(pcm) // 384
-    S_all = _ana(pcm[: n_frames * 384], _G)
+    n_frames = len(chans[0]) // 384
+    S_all = [_ana(c[: n_frames * 384], _G) for c in chans]
     header = bytes(
-        [0xFF, 0xFF, (br_idx << 4) | (sr_idx << 2), 0b11000100]
-    )  # sync, MPEG-1 Layer I no-CRC, no padding, mono
+        [
+            0xFF,
+            0xFF,  # sync + MPEG-1 Layer I, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            (mode_bits << 6) | 0b00000100,
+        ]
+    )
     out = bytearray()
     for f in range(n_frames):
-        S = S_all[:, f * 12 : (f + 1) * 12]
+        S = [sa[:, f * 12 : (f + 1) * 12] for sa in S_all]
         w = _BitWriter()
+        for _sb in range(_NBANDS):
+            for _ch in range(nch):
+                w.write(alloc_code, 4)
+        sf_idx = [[0] * nch for _ in range(_NBANDS)]
         for sb in range(_NBANDS):
-            w.write(alloc_code, 4)
-        sf_idx = []
-        for sb in range(_NBANDS):
-            m = float(np.max(np.abs(S[sb])))
-            # largest index whose scalefactor still covers the peak
-            # (SCALEFACTORS is descending; stepping past it would clip)
-            i = int(np.searchsorted(-SCALEFACTORS, -m, side="left"))
-            i = min(i, 62)
-            if SCALEFACTORS[i] < m and i > 0:
-                i -= 1
-            sf_idx.append(i)
-            w.write(i, 6)
+            for ch in range(nch):
+                sf_idx[sb][ch] = _pick_scalefactor(float(np.max(np.abs(S[ch][sb]))))
+                w.write(sf_idx[sb][ch], 6)
         for s_i in range(12):
             for sb in range(_NBANDS):
-                y = S[sb, s_i] / SCALEFACTORS[sf_idx[sb]]
-                code = int(np.clip(round((y - b) / a), 0, (1 << nb) - 1))
-                w.write(code, nb)
+                for ch in range(nch):
+                    y = S[ch][sb, s_i] / SCALEFACTORS[sf_idx[sb][ch]]
+                    code = int(np.clip(round((y - b) / a), 0, (1 << nb) - 1))
+                    w.write(code, nb)
         body = w.tobytes()
         frame = header + body
         frame = frame + b"\x00" * (frame_bytes - len(frame))
