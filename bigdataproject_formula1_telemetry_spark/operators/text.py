@@ -113,3 +113,56 @@ def fingerprint(text: Column) -> Column:
         " ",
     )
     return F.xxhash64(norm)
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+):
+    """Context-window chunking for training-data prep: split each
+    document into whitespace-token windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks — the standard
+    pre-tokenization step before packing sequences into a context
+    window.
+
+    Pure JVM column expressions end to end (split → sequence of window
+    starts → posexplode → slice/array_join): no Python in the hot path,
+    one narrow transformation — chunking never shuffles, so it scales as
+    a map stage over however the corpus is already partitioned, and
+    ``(doc_id, chunk_idx)`` is a deterministic stable key for downstream
+    dedup/shuffling.  Empty/NULL documents produce zero chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+        toks.alias("__toks"),
+    ).where(
+        # a final window that adds no tokens beyond the previous chunk's
+        # overlap region would be fully redundant — drop it (only the
+        # last start can violate this, so chunk_idx stays contiguous)
+        (F.col("chunk_idx") == 0)
+        | (F.col("__start") + F.lit(overlap) < F.col("__n"))
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice("__toks", F.col("__start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start")).alias(
+            "n_tokens"
+        ),
+    )

@@ -84,3 +84,63 @@ def test_null_ids_gate_independently(spark):
     df2 = spark.createDataFrame(pdf2, schema="a string, b string")
     k = sampling.deterministic_sample(df2, ["a", "b"], 0.5).count()
     assert k in (0, 10)
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    """Chunking invariants: stride-concatenation reconstructs the token
+    stream exactly; with overlap, each chunk's head repeats the previous
+    chunk's tail; empty docs yield no chunks; plan stays shuffle-free."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(300))),
+        (2, "one two three"),
+        (3, ""),
+        (4, None),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # no-overlap: concatenating chunks in order reproduces the tokens
+    flat = (
+        T.chunk_documents(sdf, chunk_tokens=128, overlap=0)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list[str]] = {}
+    for r in flat:
+        by_doc.setdefault(r.doc_id, []).extend(r.chunk_text.split(" "))
+    assert by_doc[1] == [f"w{i}" for i in range(300)]
+    assert by_doc[2] == ["one", "two", "three"]
+    assert 3 not in by_doc and 4 not in by_doc
+    assert [r.n_tokens for r in flat if r.doc_id == 1] == [128, 128, 44]
+
+    # overlap: chunk i+1's first `overlap` tokens == chunk i's last
+    over = (
+        T.chunk_documents(sdf.where("doc_id = 1"), chunk_tokens=100, overlap=25)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    for prev, nxt in zip(over, over[1:]):
+        ptoks = prev.chunk_text.split(" ")
+        ntoks = nxt.chunk_text.split(" ")
+        assert ntoks[:25] == ptoks[75:100]
+
+    # narrow transformation: no exchange in the plan
+    plan = T.chunk_documents(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="overlap"):
+        T.chunk_documents(sdf, chunk_tokens=10, overlap=10)
+
+
+def test_chunk_documents_drops_fully_redundant_tail(spark):
+    """A final window that adds no tokens beyond the previous chunk's
+    overlap region is dropped (n=80, chunk 100/overlap 25 -> stride 75:
+    the start-75 window covers only tokens already in chunk 0)."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    sdf = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80)))], "doc_id long, text string"
+    )
+    out = T.chunk_documents(sdf, chunk_tokens=100, overlap=25).collect()
+    assert len(out) == 1 and out[0].n_tokens == 80
