@@ -166,3 +166,71 @@ def chunk_documents(
             "n_tokens"
         ),
     )
+
+
+def pack_sequences(
+    chunks,
+    token_budget: int = 2048,
+    n_tokens_col: str = "n_tokens",
+    order_by: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    partition_by: str | None = None,
+):
+    """Greedy sequential packing of chunks into fixed-budget training
+    sequences: walk the chunks in a deterministic order, keep a running
+    token total, and open a new bin whenever the budget would overflow —
+    standard first-fit-in-order packing of tokenized documents into
+    context windows.  Guarantee: no bin exceeds ``token_budget`` unless
+    a single chunk alone does (flagged ``oversize``, monopolizing its
+    bin); occupancy ≥ 50% whenever every chunk fits the budget.
+
+    The bin assignment carries loop state (current fill), which no
+    window/cumsum expression can legally express once boundary pushes
+    feed back into later assignments — a cumsum formulation was tried
+    and packs 12 tokens into a 10-token bin on sizes (6,6,6).  So this
+    is a grouped ``applyInPandas`` kernel (the resampler pattern): one
+    shuffle on ``partition_by``, then a linear numpy/python pass per
+    group.  With ``partition_by`` (a shard/language column the corpus
+    already has) packing runs independently per group — the scale form;
+    the ``partition_by=None`` convenience funnels everything through ONE
+    task and is for small frames only (the kernel asserts nothing, the
+    plan simply has a single group)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    order_cols = list(order_by)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[n_tokens_col].to_numpy()
+        seq = np.empty(len(sizes), dtype=np.int64)
+        fill = 0
+        b = 0
+        for i in range(len(sizes)):
+            s = min(int(sizes[i]), token_budget)
+            if fill > 0 and fill + s > token_budget:
+                b += 1
+                fill = 0
+            seq[i] = b
+            fill += s
+        pdf = pdf.assign(seq_id=seq, oversize=sizes > token_budget)
+        if "__g" in pdf.columns:
+            pdf = pdf.drop(columns="__g")
+        return pdf
+
+    out_schema = _ST(
+        list(chunks.schema.fields)
+        + [_SF("seq_id", LongType()), _SF("oversize", BooleanType())]
+    )
+    if partition_by:
+        return chunks.groupBy(partition_by).applyInPandas(pack, out_schema)
+    return (
+        chunks.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(pack, out_schema)
+    )

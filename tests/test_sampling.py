@@ -144,3 +144,41 @@ def test_chunk_documents_drops_fully_redundant_tail(spark):
     )
     out = T.chunk_documents(sdf, chunk_tokens=100, overlap=25).collect()
     assert len(out) == 1 and out[0].n_tokens == 80
+
+
+def test_pack_sequences_budget_and_occupancy(spark):
+    """First-fit-in-order packing: no bin over budget (except a lone
+    oversize chunk), ≥50% occupancy when all chunks fit, deterministic
+    assignment, independent packing per partition key.  Includes the
+    (6,6,6)@10 case that broke a cumsum formulation."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    rows = [
+        # shard a: the cumsum-breaking case
+        ("a", 1, 0, 6), ("a", 1, 1, 6), ("a", 1, 2, 6),
+        # shard b: exact fits + an oversize chunk
+        ("b", 2, 0, 10), ("b", 2, 1, 4), ("b", 2, 2, 17), ("b", 2, 3, 5),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "shard string, doc_id long, chunk_idx long, n_tokens long"
+    )
+    out = T.pack_sequences(
+        sdf, token_budget=10, partition_by="shard"
+    ).toPandas()
+
+    for shard, g in out.groupby("shard"):
+        fills = g[~g.oversize].groupby("seq_id")["n_tokens"].sum()
+        assert (fills <= 10).all(), (shard, fills)
+    a = out[out.shard == "a"].sort_values("chunk_idx")
+    assert list(a.seq_id) == [0, 1, 2]  # 6+6 would overflow 10
+    b = out[out.shard == "b"].sort_values("chunk_idx")
+    # 10 fills bin 0; 4 opens bin 1; oversize 17 monopolizes bin 2; 5 joins... 
+    # no: 4 is alone in bin 1 when 17 arrives (4+10>10), so 17 -> bin 2, 5 -> bin 3
+    assert list(b.seq_id) == [0, 1, 2, 3]
+    assert list(b.oversize) == [False, False, True, False]
+
+    # convenience single-group form packs globally and stays deterministic
+    g1 = T.pack_sequences(sdf, token_budget=10).toPandas()
+    g2 = T.pack_sequences(sdf, token_budget=10).toPandas()
+    key = ["doc_id", "chunk_idx"]
+    assert g1.sort_values(key).seq_id.tolist() == g2.sort_values(key).seq_id.tolist()
