@@ -95,3 +95,18 @@ def sample_by_key(
     survives (whole laps / whole documents), so downstream per-group
     operators see complete groups."""
     return deterministic_sample(df, key_cols, fraction, salt)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    salt: str = "seed",
+) -> DataFrame:
+    """Reproducible global shuffle: order rows by md5(salt | identity) —
+    the training-data step between packing and writing (decorrelates
+    document order without RNG state, re-runs identically, and a new
+    salt is a fresh epoch permutation).  The sort is a range-partitioned
+    exchange like any global orderBy; at scale prefer writing the
+    shuffled order once (sortWithinPartitions on the same gate keeps it
+    shuffle-local when per-file order is enough)."""
+    return df.orderBy(_gate(id_cols, salt), *id_cols)

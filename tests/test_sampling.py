@@ -182,3 +182,44 @@ def test_pack_sequences_budget_and_occupancy(spark):
     g2 = T.pack_sequences(sdf, token_budget=10).toPandas()
     key = ["doc_id", "chunk_idx"]
     assert g1.sort_values(key).seq_id.tolist() == g2.sort_values(key).seq_id.tolist()
+
+
+def test_chunk_pack_shuffle_end_to_end_on_documents(spark):
+    """The training-data tail of the pipeline on the real documents
+    table: chunk -> pack -> deterministic shuffle.  Invariants: every
+    non-empty document is fully represented, no bin over budget, and
+    the shuffle is a salt-keyed permutation (same salt = same order,
+    new salt = different order, same membership)."""
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        sampling as SA,
+        text as T,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    chunks = T.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    packed = T.pack_sequences(chunks, token_budget=256)
+    pdf = packed.toPandas()
+
+    tok_by_doc = pdf.groupby("doc_id")["n_tokens"].sum()
+    src = docs.selectExpr(
+        "doc_id", "size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS n"
+    ).toPandas().set_index("doc_id")["n"]
+    nonempty = src[src > 0]
+    # every non-empty doc appears; chunk tokens >= source tokens (overlap
+    # duplicates some), and chunk 0 alone never exceeds source + nothing
+    assert set(nonempty.index) == set(tok_by_doc.index)
+    assert (tok_by_doc.loc[nonempty.index] >= nonempty).all()
+    fills = pdf[~pdf.oversize].groupby("seq_id")["n_tokens"].sum()
+    assert (fills <= 256).all()
+
+    key = ["doc_id", "chunk_idx"]
+    s1 = SA.deterministic_shuffle(packed, key, salt="ep1").select(*key).toPandas()
+    s1b = SA.deterministic_shuffle(packed, key, salt="ep1").select(*key).toPandas()
+    s2 = SA.deterministic_shuffle(packed, key, salt="ep2").select(*key).toPandas()
+    assert s1.values.tolist() == s1b.values.tolist()
+    assert s1.values.tolist() != s2.values.tolist()
+    assert sorted(map(tuple, s1.values.tolist())) == sorted(
+        map(tuple, s2.values.tolist())
+    )
