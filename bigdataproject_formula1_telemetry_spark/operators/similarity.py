@@ -707,3 +707,45 @@ def near_dedup_cosine(
     )
     losers = lost_members.unionByName(non_reps).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: codes = round(x/scale·127)
+    with scale = max|x| — 4× smaller at rest than float32 (8× vs the
+    float64 arrays Spark holds), the standard storage form for
+    billion-vector corpora.  Pure JVM higher-order expressions, no
+    Python; zero vectors get scale 0 and all-zero codes.  Cosine is
+    exactly invariant to the per-vector scale, so quantization error
+    comes only from the 8-bit rounding (~0.3% on random vectors —
+    asserted in tests)."""
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))).cast("double")
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            x,
+            lambda v: F.round(v.cast("double") / scale * 127.0).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(code_col, codes)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    code_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x ≈ codes/127·scale."""
+    return df.withColumn(
+        vec_col,
+        F.transform(
+            F.col(code_col),
+            lambda c: c.cast("double") / 127.0 * F.col(scale_col),
+        ),
+    )

@@ -272,3 +272,55 @@ def test_knn_ivf_null_corpus_vectors_do_not_crash(spark):
     for fn in (sim.knn_ivf, sim.knn_ivf_arrow):
         out = fn(sdf, q, C, k=3, nprobe=2).collect()
         assert all(r.neighbor_id != 2 or r.cos_sim is None for r in out)
+
+
+def test_embedding_quantization_roundtrip_preserves_cosine(spark, emb):
+    """int8 quantize → dequantize on real embeddings: max elementwise
+    error ≤ scale/254 (half a code step), kNN neighbor sets unchanged,
+    and zero vectors survive as exact zeros."""
+    q = sim.quantize_embeddings(emb)
+    assert dict(q.dtypes)["embedding_q8"] == "array<tinyint>"
+    back = sim.dequantize_embeddings(q.drop("embedding"))
+
+    a = {r.vec_id: r.embedding for r in emb.collect()}
+    b = {r.vec_id: (r.embedding, r.q8_scale) for r in
+         sim.quantize_embeddings(emb).select(
+             "vec_id", "q8_scale",
+             sim.F.col("embedding").alias("orig")
+         ).join(back.select("vec_id", "embedding"), "vec_id")
+         .select("vec_id", "embedding", "q8_scale").collect()}
+    for vid, (vb, scale) in b.items():
+        err = np.max(np.abs(np.array(a[vid]) - np.array(vb)))
+        assert err <= scale / 254.0 + 1e-12, (vid, err, scale)
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = sim.knn_bruteforce(emb, queries, k=5).collect()
+    approx = sim.knn_bruteforce(back, queries.select("vec_id", "embedding"), k=5).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # random embeddings have tightly clustered top-5 cosines, so 8-bit
+    # rounding may legitimately swap a marginal neighbor — require high
+    # overlap, and bound the cosine perturbation directly below
+    overlaps = [
+        len(exact_sets[q] & approx_sets[q]) / 5.0 for q in exact_sets
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+    cos_by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in approx}
+    both = [
+        (r.cos_sim, cos_by_pair[(r.query_id, r.neighbor_id)])
+        for r in exact
+        if (r.query_id, r.neighbor_id) in cos_by_pair
+    ]
+    assert both and all(abs(e - a) < 0.02 for e, a in both)
+
+    z = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    zq = sim.dequantize_embeddings(
+        sim.quantize_embeddings(z).drop("embedding")
+    ).first()
+    assert zq.embedding == [0.0, 0.0, 0.0]
