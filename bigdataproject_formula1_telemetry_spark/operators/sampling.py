@@ -108,5 +108,12 @@ def deterministic_shuffle(
     salt is a fresh epoch permutation).  The sort is a range-partitioned
     exchange like any global orderBy; at scale prefer writing the
     shuffled order once (sortWithinPartitions on the same gate keeps it
-    shuffle-local when per-file order is enough)."""
+    shuffle-local when per-file order is enough).
+
+    Pass the row's FULL identity as ``id_cols``: the gate is
+    md5(salt | id_cols), so with few distinct id values many rows share
+    one gate value and the range partitioner skews (and the ``*id_cols``
+    tie-break can't discriminate further).  Unique keys like
+    ``(doc_id, chunk_idx)`` or ``seq_id`` give a uniform gate and
+    balanced ranges."""
     return df.orderBy(_gate(id_cols, salt), *id_cols)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -73,6 +73,48 @@ def knn_bruteforce(
     )
 
 
+def _knn_out_schema(
+    corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> StructType:
+    """Output schema for the Arrow kNN forms with id field types DERIVED
+    from the input schemas, so non-integral id columns (e.g. string
+    vec_ids) survive the drop-in replacement with the same types the
+    expression forms would produce."""
+    return StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+
+def _query_matrix(q_rows):
+    """(ids, L2-normalized query matrix) from collected query rows.
+
+    NULL query vectors become all-NaN rows — their sims are NaN against
+    everything, so (like zero-norm queries via the ``qn == 0 → NaN``
+    path) they simply produce no output rows, instead of crashing
+    ``np.stack`` on a 0-d element.  Returns (None, None) when every
+    query vector is NULL (callers emit the empty frame)."""
+    import numpy as np
+
+    vecs = [r[1] for r in q_rows]
+    dims = [len(v) for v in vecs if v is not None]
+    if not dims:
+        return None, None
+    dim = max(dims)
+    Q = np.stack(
+        [
+            np.full(dim, np.nan) if v is None else np.asarray(v, dtype=np.float64)
+            for v in vecs
+        ]
+    )
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.nan  # zero-norm query → NaN sims, like cosine()
+    return np.array([r[0] for r in q_rows]), Q / qn[:, None]
+
+
 def knn_bruteforce_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,35 +130,29 @@ def knn_bruteforce_arrow(
     batch's per-query top-k (nq·k rows per batch, not batch·nq pairs), a
     global per-query window then keeps the true top-k.
 
-    Same semantics and tie-break (cos desc, id asc) as ``knn_bruteforce``;
-    results can differ only where two cosines are within float summation
-    noise (numpy pairwise vs HOF left fold) — use this form when the
-    scored-pair volume makes the interpreted HOF the bottleneck (the
-    shuffle shrinks from nq·corpus scored rows to nq·k·n_batches).
-    NULL/zero-norm corpus vectors score NULL and rank last, as in the
-    expression form."""
-    import numpy as np
+    Same candidates and tie-break (cos desc, id asc) as
+    ``knn_bruteforce``; results can differ only where two cosines are
+    within float summation noise (numpy pairwise vs HOF left fold) — use
+    this form when the scored-pair volume makes the interpreted HOF the
+    bottleneck (the shuffle shrinks from nq·corpus scored rows to
+    nq·k·n_batches).
 
+    Known divergence on NULL-cosine rows: the expression form emits
+    NULL-``cos_sim`` filler rows (nulls-last) when a query has fewer
+    than k finite candidates, and NULL-sim rows for a NULL/zero-norm
+    *query* vector.  The Arrow forms OMIT NULL-similarity rows entirely:
+    fewer than k finite candidates → fewer than k output rows, and a
+    NULL/zero-norm query vector → no rows for that query (pinned by
+    ``test_knn_bruteforce_arrow_null_and_zero_vectors``).  Id columns
+    pass through with their input types (output schema is derived from
+    the input schemas)."""
     q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, neighbor_id long, cos_sim double"
-        )
-    q_ids = np.array([r[0] for r in q_rows])
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0] = np.nan  # zero-norm query → NULL sims, like cosine()
-    Qn = Q / qn[:, None]
-    dim = Q.shape[1]
+    out_schema = _knn_out_schema(corpus, queries, id_col, query_id_col)
+    q_ids, Qn = _query_matrix(q_rows)
+    if q_ids is None:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    dim = Qn.shape[1]
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
-
-    out_schema = StructType(
-        [
-            StructField(query_id_col, LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("cos_sim", DoubleType()),
-        ]
-    )
 
     def score(batches):
         import numpy as np
@@ -141,17 +177,17 @@ def knn_bruteforce_arrow(
             kk = min(k, len(cids))
             for j in range(nq):
                 col = sims[:, j]
-                # self-match excluded; NaNs (NULL cosine) rank last and
-                # are dropped here — they can never enter a top-k unless
-                # fewer than k finite candidates exist, matching the
-                # expression form's nulls-last ordering
+                # self-match excluded; NaNs (NULL cosine) are dropped —
+                # a query with fewer than k finite candidates returns
+                # fewer than k rows (the expression form would fill the
+                # trailing slots with NULL-sim rows; see docstring)
                 mask = cids != ids_b[j]
                 cand = np.where(mask & ~np.isnan(col))[0]
                 if len(cand) == 0:
                     continue
                 top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[: kk]]
                 for i in top:
-                    rows.append((int(ids_b[j]), int(cids[i]), float(col[i])))
+                    rows.append((ids_b[j], cids[i], float(col[i])))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[query_id_col, "neighbor_id", "cos_sim"]
@@ -186,39 +222,34 @@ def knn_ivf_arrow(
     only nq·k rows per batch reach the shuffle.  No join, no second scan.
 
     Semantics match ``knn_ivf`` (same probe sets, same candidates, same
-    tie-break); choose between them by layout: with a materialized
-    inverted file (corpus written partitioned by cluster id — the 100 TB
-    path) ``knn_ivf``'s join prunes entire partitions and reads only
-    ~nprobe/n_clusters of the data, which a full-scan form cannot."""
+    tie-break), with the Arrow-form NULL divergence documented on
+    ``knn_bruteforce_arrow``: NULL-similarity rows are omitted rather
+    than emitted as NULL-sim filler, and NULL query vectors produce no
+    rows.  Id types are derived from the input schemas.  Choose between
+    the forms by layout: with a materialized inverted file (corpus
+    written partitioned by cluster id — the 100 TB path) ``knn_ivf``'s
+    join prunes entire partitions and reads only ~nprobe/n_clusters of
+    the data, which a full-scan form cannot."""
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, neighbor_id long, cos_sim double"
-        )
-    q_ids = np.array([r[0] for r in q_rows])
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0] = np.nan
-    Qn = Q / qn[:, None]
+    out_schema = _knn_out_schema(corpus, queries, id_col, query_id_col)
+    q_ids, Qn = _query_matrix(q_rows)
+    if q_ids is None:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     C = np.asarray(centroids, dtype=np.float64)
     n = min(nprobe, C.shape[0])
-    # per-query probed clusters, then a (nq × n_clusters) allow mask
-    probes = np.argpartition(-(Qn @ C.T), n - 1, axis=1)[:, :n]
+    # per-query probed clusters, then a (nq × n_clusters) allow mask.
+    # NaN query rows (NULL vectors) get an arbitrary probe set — their
+    # sims are NaN anyway, so they emit nothing.
+    probes = np.argpartition(
+        -np.nan_to_num(Qn @ C.T, nan=-np.inf), n - 1, axis=1
+    )[:, :n]
     allow = np.zeros((len(q_ids), C.shape[0]), dtype=bool)
     for j in range(len(q_ids)):
         allow[j, probes[j]] = True
-    dim = Q.shape[1]
+    dim = Qn.shape[1]
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, C, allow))
-
-    out_schema = StructType(
-        [
-            StructField(query_id_col, LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("cos_sim", DoubleType()),
-        ]
-    )
 
     def score(batches):
         import numpy as np
@@ -254,7 +285,7 @@ def knn_ivf_arrow(
                     continue
                 top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[:kk]]
                 for i in top:
-                    rows.append((int(ids_b[j]), int(cids[i]), float(col[i])))
+                    rows.append((ids_b[j], cids[i], float(col[i])))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[query_id_col, "neighbor_id", "cos_sim"]

@@ -45,14 +45,15 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-#: punctuation class kept deliberately simple & regex-dialect-portable
-PUNCT_CLASS = "[^.,!?;:]"
+#: matches every NON-punctuation char — stripping it leaves only the
+#: punctuation (.,!?;:).  Kept deliberately simple & regex-dialect-portable.
+NON_PUNCT_CLASS = "[^.,!?;:]"
 
 
 def punct_ratio(text: Column) -> Column:
     """Punctuation density: punctuation chars / total chars."""
     n = F.length(text)
-    p = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    p = F.length(F.regexp_replace(text, NON_PUNCT_CLASS, ""))
     return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -150,9 +151,13 @@ def chunk_documents(
         F.posexplode(starts).alias("chunk_idx", "__start"),
         toks.alias("__toks"),
     ).where(
-        # a final window that adds no tokens beyond the previous chunk's
-        # overlap region would be fully redundant — drop it (only the
-        # last start can violate this, so chunk_idx stays contiguous)
+        # windows that add no tokens beyond the previous chunk's overlap
+        # region are fully redundant — drop them.  The violating starts
+        # always form a SUFFIX of the start sequence (start+overlap >= n
+        # is monotone in start), and every dropped window's tokens are
+        # contained in the last kept chunk, so chunk_idx stays contiguous
+        # and no token is lost (with overlap > stride there can be many
+        # such trailing windows, not just one).
         (F.col("chunk_idx") == 0)
         | (F.col("__start") + F.lit(overlap) < F.col("__n"))
     )

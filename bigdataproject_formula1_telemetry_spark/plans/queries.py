@@ -1581,7 +1581,7 @@ def q55_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall on this corpus ≈ 0.76-0.80 (random embeddings, the worst case
     for IVF: no cluster structure to exploit).
 
-    The quantizer trains on a ~50% deterministic sample with 3 Lloyd
+    The quantizer trains on a ~40% deterministic sample with 2 Lloyd
     rounds — the scale recipe ivf_centroids documents (at 100 TB you
     never train the coarse quantizer on the full corpus).  Recall is
     insensitive to this (the recall_ok assertion is the guard): the

@@ -274,6 +274,52 @@ def test_knn_ivf_null_corpus_vectors_do_not_crash(spark):
         assert all(r.neighbor_id != 2 or r.cos_sim is None for r in out)
 
 
+def test_knn_arrow_null_query_vectors_yield_no_rows(spark):
+    """A NULL *query* embedding must not crash the Arrow forms (np.stack
+    on a 0-d NaN array did); it yields zero output rows for that query —
+    the documented Arrow-form divergence from the NULL-sim-filling
+    expression form.  Finite queries in the same set are unaffected."""
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = sdf.where(F.col("vec_id").isin(0, 1))
+    C = [[1.0, 0.0], [0.0, 1.0]]
+    for out in (
+        sim.knn_bruteforce_arrow(sdf, q, k=2).collect(),
+        sim.knn_ivf_arrow(sdf, q, C, k=2, nprobe=2).collect(),
+    ):
+        assert {r.query_id for r in out} == {0}
+        assert sorted(r.neighbor_id for r in out) == [2, 3]
+    # all-NULL query set → empty frame, not a crash
+    all_null = sdf.where(F.col("vec_id") == 1)
+    assert sim.knn_bruteforce_arrow(sdf, all_null, k=2).count() == 0
+
+
+def test_knn_arrow_string_ids_preserved(spark):
+    """Id field types in the Arrow forms derive from the input schemas:
+    string vec_ids must survive with string output columns and the same
+    neighbors as the expression form."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("c", [0.0, 1.0]),
+        ("d", [0.5, 0.2]),
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = sdf.where(F.col("vec_id") == "a")
+    out = sim.knn_bruteforce_arrow(sdf, q, k=2)
+    assert dict(out.dtypes) == {
+        "query_id": "string",
+        "neighbor_id": "string",
+        "cos_sim": "double",
+    }
+    got = [(r.query_id, r.neighbor_id) for r in
+           out.orderBy(F.col("cos_sim").desc()).collect()]
+    ref = [(r.query_id, r.neighbor_id) for r in
+           sim.knn_bruteforce(sdf, q, k=2)
+           .orderBy(F.col("cos_sim").desc()).collect()]
+    assert got == ref == [("a", "b"), ("a", "d")]
+
+
 def test_embedding_quantization_roundtrip_preserves_cosine(spark, emb):
     """int8 quantize → dequantize on real embeddings: max elementwise
     error ≤ scale/254 (half a code step), kNN neighbor sets unchanged,
