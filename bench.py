@@ -64,13 +64,29 @@ def main() -> None:
     from bigdataproject_formula1_telemetry_spark.operators import dedup as _dedup
 
     # Per query: one warm-up run (JVM classloading, codegen, Python
-    # worker spawn, barrier-cache population — one-time costs that would
-    # otherwise be misattributed to whichever query runs first), then the
-    # MINIMUM of N_RUNS timed runs.  min-of-N makes entries reproducible
-    # across invocations (sub-second queries were noise-bound at n=1:
-    # ±30% run-to-run made regressions unattributable).  Barrier cache
-    # blocks are released after each query so one query's DISK_ONLY
-    # intermediates can't pressure the next query's timing.
+    # worker spawn — one-time costs that would otherwise be misattributed
+    # to whichever query runs first), then the MINIMUM of N_RUNS timed
+    # runs.  min-of-N makes entries reproducible across invocations
+    # (sub-second queries were noise-bound at n=1: ±30% run-to-run made
+    # regressions unattributable).  Barrier cache blocks are released
+    # after each query so one query's DISK_ONLY intermediates can't
+    # pressure the next query's timing.
+    #
+    # PROTOCOL NOTE — barrier-cold timing (round 5, resolves the r3→r4
+    # q30/q49 "2× jump"): since round 4 the registry's _q wrapper calls
+    # dedup.release_barriers() at build time, so EVERY timed run below
+    # rebuilds its pipeline's persist(DISK_ONLY) barrier frames — the
+    # honest end-to-end cost.  Before round 4 the warm-up run persisted
+    # the barrier plans into the CacheManager and the timed runs'
+    # identical plans substituted the already-materialized blocks, so
+    # min-of-3 reported a barrier-WARM number (only the post-barrier
+    # stages).  A/B measured at sf0.1 in one session (round 5):
+    #   q30_minhash_near_dedup   cold 2.19 s  vs  warm 0.70 s
+    #   q49_near_dedup_clustered cold 2.48 s  vs  warm 0.79 s
+    # The warm figures reproduce r3's reported 0.94 s / 1.05 s; the
+    # cold figures match r4's 2.07 s / 2.76 s.  The r3→r4 delta was a
+    # measurement-honesty change, not a plan regression (the plans only
+    # lost jobs in r4; the 10× ratios improved to 1.21×/1.49×).
     N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
