@@ -99,6 +99,29 @@ def main() -> None:
         timings[name] = round(best, 3)
         _dedup.release_barriers()
 
+    # Composed LLM curation tail over the documents table (doc-level
+    # minhash near-dedup → chunk → sharded pack → epoch shuffle) — ONE
+    # measured artifact for the training-data extension suite, not just
+    # per-stage pytests.  Same barrier-cold protocol as the registry
+    # queries: barriers released before every build, so each timed run
+    # pays the full dedup pipeline.
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    def build_curation():
+        _dedup.release_barriers()
+        docs = io.read_table(spark, sf_dir, "documents")
+        return pipelines.curate_documents(docs)
+
+    build_curation().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_curation().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["curation_pipeline"] = round(best, 3)
+    _dedup.release_barriers()
+
     # Reference-shaped ETL benchmark: bronze → 10 m-grid warehouse via the
     # grouped-map resampler (BASELINE.md: reference did 62M rows in ~2h06m
     # ≈ 8.2k input-rows/s with a process pool; we report input rows/s).

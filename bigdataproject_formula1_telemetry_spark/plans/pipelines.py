@@ -162,6 +162,61 @@ def add_pace_features(lap_dataset: DataFrame) -> DataFrame:
     return lagged.na.drop(subset=["Prev_Pace_Ratio"])
 
 
+def curate_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    token_budget: int = 1024,
+    dedup_threshold: float = 0.8,
+    n_pack_shards: int = 32,
+    epoch_salt: str = "epoch0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LLM training-data curation tail, composed end to end:
+
+        near_dedup_minhash → chunk_documents → pack_sequences
+        → deterministic_shuffle
+
+    Near-dedup runs at DOCUMENT granularity before chunking — the chunks
+    of two near-duplicate documents would otherwise each show up as a
+    pairwise near-dup (multiplying the LSH candidate volume by the
+    chunks-per-doc factor for no extra information), and doc-level drop
+    is what the corpus-curation recipes (C4/RefinedWeb-style) specify.
+
+    Packing is sharded by ``pmod(xxhash64(doc_id), n_pack_shards)`` — a
+    deterministic shard key that exists for any corpus, sized to cluster
+    parallelism, so the first-fit kernel packs each shard independently
+    (the ``partition_by=None`` single-task form is small-frames-only by
+    contract).  The final epoch shuffle orders by the salt-keyed gate on
+    the full chunk identity ``(doc_id, chunk_idx)``.
+
+    One measured artifact for the whole tail: see bench.py's
+    ``curation_pipeline`` entry and the SCALING.md 10× row."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        dedup as D,
+        sampling as SA,
+        text as T,
+    )
+
+    kept = D.near_dedup_minhash(
+        docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
+    )
+    chunks = T.chunk_documents(
+        kept, text_col=text_col, id_col=id_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    ).withColumn(
+        "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_pack_shards))
+    )
+    packed = T.pack_sequences(
+        chunks,
+        token_budget=token_budget,
+        order_by=(id_col, "chunk_idx"),
+        partition_by="pack_shard",
+    )
+    return SA.deterministic_shuffle(packed, [id_col, "chunk_idx"], salt=epoch_salt)
+
+
 def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
     """§5 audit as a real assertable query (detailed_data_audit,
     F1_Data_Test.ipynb:135-240): expected races left-joined to per-round

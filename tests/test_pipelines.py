@@ -131,3 +131,44 @@ def test_warehouse_mode_parity(spark, bronze, warehouse):
 def test_warehouse_mode_validation(bronze):
     with pytest.raises(ValueError, match="mode"):
         P.build_warehouse(bronze, mode="bogus")
+
+
+def test_curate_documents_end_to_end(spark):
+    """Composed curation tail (dedup → chunk → pack → shuffle) on the
+    documents table: survivors' chunks all present, no non-oversize bin
+    over budget, packing sharded (not single-task), epoch shuffle is a
+    salt-keyed permutation."""
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators import dedup as D
+    from tests.conftest import SF_SMOKE
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    out = P.curate_documents(
+        docs, chunk_tokens=64, overlap=8, token_budget=256, n_pack_shards=4
+    )
+    pdf = out.toPandas()
+
+    kept_ids = {
+        r.doc_id for r in D.near_dedup_minhash(docs).select("doc_id").collect()
+    }
+    n_tok = docs.selectExpr(
+        "doc_id", "size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS n"
+    ).toPandas().set_index("doc_id")["n"]
+    nonempty_kept = {i for i in kept_ids if n_tok.get(i, 0) > 0}
+    assert set(pdf.doc_id) == nonempty_kept
+
+    fills = pdf[~pdf.oversize].groupby(["pack_shard", "seq_id"])["n_tokens"].sum()
+    assert (fills <= 256).all()
+    assert pdf.pack_shard.nunique() > 1  # sharded packing, not one task
+
+    key = ["doc_id", "chunk_idx"]
+    again = P.curate_documents(
+        docs, chunk_tokens=64, overlap=8, token_budget=256, n_pack_shards=4
+    ).toPandas()
+    assert pdf[key].values.tolist() == again[key].values.tolist()
+    other = P.curate_documents(
+        docs, chunk_tokens=64, overlap=8, token_budget=256, n_pack_shards=4,
+        epoch_salt="epoch1",
+    ).toPandas()
+    assert pdf[key].values.tolist() != other[key].values.tolist()
+    assert sorted(map(tuple, pdf[key].values)) == sorted(map(tuple, other[key].values))
