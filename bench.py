@@ -122,6 +122,42 @@ def main() -> None:
     timings["curation_pipeline"] = round(best, 3)
     _dedup.release_barriers()
 
+    # int8 serving delta: the same brute-force Arrow kNN (20 queries,
+    # k=10) over the float embeddings vs over at-rest int8 codes —
+    # each side reads its own stored parquet form, which is the point
+    # (the code column is ~8× fewer bytes scanned; quantization itself
+    # is a one-time write-path cost, staged outside the timer).
+    from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as qtmp:
+        emb = io.read_table(spark, sf_dir, "embeddings")
+        q8_path = os.path.join(qtmp, "embeddings_q8.parquet")
+        sim.quantize_embeddings(emb).select(
+            "vec_id", "embedding_q8"
+        ).write.mode("overwrite").parquet(q8_path)
+        emb_q8 = spark.read.parquet(q8_path)
+
+        def knn_float():
+            return sim.knn_bruteforce_arrow(
+                emb, emb.where("vec_id < 20"), k=10
+            )
+
+        def knn_q8():
+            return sim.knn_bruteforce_arrow(
+                emb_q8, emb_q8.where("vec_id < 20"), k=10,
+                vec_col="embedding_q8", quantized=True,
+            )
+
+        for entry, build in (("knn_arrow_float", knn_float), ("knn_arrow_q8", knn_q8)):
+            build().write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[entry] = round(best, 3)
+
     # Reference-shaped ETL benchmark: bronze → 10 m-grid warehouse via the
     # grouped-map resampler (BASELINE.md: reference did 62M rows in ~2h06m
     # ≈ 8.2k input-rows/s with a process pool; we report input rows/s).

@@ -89,7 +89,7 @@ def _knn_out_schema(
     )
 
 
-def _query_matrix(q_rows):
+def _query_matrix(q_rows, dtype=None):
     """(ids, L2-normalized query matrix) from collected query rows.
 
     NULL query vectors become all-NaN rows — their sims are NaN against
@@ -99,6 +99,7 @@ def _query_matrix(q_rows):
     query vector is NULL (callers emit the empty frame)."""
     import numpy as np
 
+    dtype = dtype or np.float64
     vecs = [r[1] for r in q_rows]
     dims = [len(v) for v in vecs if v is not None]
     if not dims:
@@ -106,7 +107,9 @@ def _query_matrix(q_rows):
     dim = max(dims)
     Q = np.stack(
         [
-            np.full(dim, np.nan) if v is None else np.asarray(v, dtype=np.float64)
+            np.full(dim, np.nan, dtype=dtype)
+            if v is None
+            else np.asarray(v, dtype=dtype)
             for v in vecs
         ]
     )
@@ -122,6 +125,7 @@ def knn_bruteforce_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    quantized: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-matmul scoring: the (broadcast-small by
     contract) query set is collected to one normalized (nq × dim) matrix;
@@ -145,28 +149,44 @@ def knn_bruteforce_arrow(
     NULL/zero-norm query vector → no rows for that query (pinned by
     ``test_knn_bruteforce_arrow_null_and_zero_vectors``).  Id columns
     pass through with their input types (output schema is derived from
-    the input schemas)."""
+    the input schemas).
+
+    ``quantized=True`` is the int8 SERVING path: point ``vec_col`` at
+    the ``quantize_embeddings`` code column (array<tinyint>) on BOTH
+    sides and the kernel scores the codes directly — cosine is exactly
+    invariant to the per-vector ``q8_scale`` (codes = x/scale·127, and
+    cosine divides out any per-vector scalar), so no rescale enters the
+    scoring; the scale column is only needed to reconstruct magnitudes
+    for dot-product/L2 metrics.  The matmul runs in float32 (half the
+    memory bandwidth; int8 values upcast exactly), and at 100 TB the
+    real win is the scan: the code column is 8× smaller than the
+    float64 arrays, so the one pass this operator makes over the corpus
+    reads 8× fewer bytes.  Top-k overlap vs the float path ≥ 0.9
+    (8-bit rounding perturbs near-ties; asserted in tests)."""
+    import numpy as np
+
+    dtype = np.float32 if quantized else np.float64
     q_rows = queries.select(id_col, vec_col).collect()
     out_schema = _knn_out_schema(corpus, queries, id_col, query_id_col)
-    q_ids, Qn = _query_matrix(q_rows)
+    q_ids, Qn = _query_matrix(q_rows, dtype)
     if q_ids is None:
         return corpus.sparkSession.createDataFrame([], out_schema)
     dim = Qn.shape[1]
-    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, dtype))
 
     def score(batches):
         import numpy as np
 
-        ids_b, Qn_b = bq.value
+        ids_b, Qn_b, dt = bq.value
         nq = len(ids_b)
-        zero = np.zeros(dim, dtype=np.float64)
+        zero = np.zeros(dim, dtype=dt)
         for pdf in batches:
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy()
             X = np.stack(
                 [
-                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    zero if v is None else np.asarray(v, dtype=dt)
                     for v in pdf[vec_col]
                 ]
             )
@@ -213,6 +233,7 @@ def knn_ivf_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF top-k as ONE fused Arrow scan — the form for a corpus that is
     NOT pre-partitioned by cluster (e.g. ad-hoc search over a flat
@@ -229,15 +250,23 @@ def knn_ivf_arrow(
     the forms by layout: with a materialized inverted file (corpus
     written partitioned by cluster id — the 100 TB path) ``knn_ivf``'s
     join prunes entire partitions and reads only ~nprobe/n_clusters of
-    the data, which a full-scan form cannot."""
+    the data, which a full-scan form cannot.
+
+    ``quantized=True``: int8 serving on ``quantize_embeddings`` codes
+    (see ``knn_bruteforce_arrow``) — pass the code column as ``vec_col``
+    on both sides; float centroids (trained on the float corpus or on
+    dequantized codes) remain valid because normalized codes track
+    normalized floats to 8-bit rounding, and the cluster assignment
+    happens on the normalized rows."""
     import numpy as np
 
+    dtype = np.float32 if quantized else np.float64
     q_rows = queries.select(id_col, vec_col).collect()
     out_schema = _knn_out_schema(corpus, queries, id_col, query_id_col)
-    q_ids, Qn = _query_matrix(q_rows)
+    q_ids, Qn = _query_matrix(q_rows, dtype)
     if q_ids is None:
         return corpus.sparkSession.createDataFrame([], out_schema)
-    C = np.asarray(centroids, dtype=np.float64)
+    C = np.asarray(centroids, dtype=dtype)
     n = min(nprobe, C.shape[0])
     # per-query probed clusters, then a (nq × n_clusters) allow mask.
     # NaN query rows (NULL vectors) get an arbitrary probe set — their
@@ -249,21 +278,21 @@ def knn_ivf_arrow(
     for j in range(len(q_ids)):
         allow[j, probes[j]] = True
     dim = Qn.shape[1]
-    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, C, allow))
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, C, allow, dtype))
 
     def score(batches):
         import numpy as np
 
-        ids_b, Qn_b, C_b, allow_b = bq.value
+        ids_b, Qn_b, C_b, allow_b, dt = bq.value
         nq = len(ids_b)
-        zero = np.zeros(dim, dtype=np.float64)
+        zero = np.zeros(dim, dtype=dt)
         for pdf in batches:
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy()
             X = np.stack(
                 [
-                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    zero if v is None else np.asarray(v, dtype=dt)
                     for v in pdf[vec_col]
                 ]
             )

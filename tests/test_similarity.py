@@ -370,3 +370,42 @@ def test_embedding_quantization_roundtrip_preserves_cosine(spark, emb):
         sim.quantize_embeddings(z).drop("embedding")
     ).first()
     assert zq.embedding == [0.0, 0.0, 0.0]
+
+
+def test_knn_quantized_serving_overlap(spark, emb):
+    """int8 serving path: kNN scored directly on quantize_embeddings
+    codes (quantized=True, float32 matmul) must keep mean top-k overlap
+    >= 0.9 vs the float path for both Arrow forms — cosine is invariant
+    to the per-vector q8_scale, so the only divergence is 8-bit rounding
+    perturbing near-ties."""
+    q8 = sim.quantize_embeddings(emb).select("vec_id", "embedding_q8")
+    queries_f = emb.where(F.col("vec_id") < 10)
+    queries_q = q8.where(F.col("vec_id") < 10)
+
+    def overlap(a, b, k):
+        na = {}
+        for r in a:
+            na.setdefault(r.query_id, set()).add(r.neighbor_id)
+        tot = 0.0
+        cnt = 0
+        nb = {}
+        for r in b:
+            nb.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for qid, s in na.items():
+            tot += len(s & nb.get(qid, set())) / k
+            cnt += 1
+        return tot / cnt
+
+    k = 5
+    f_bf = sim.knn_bruteforce_arrow(emb, queries_f, k=k).collect()
+    q_bf = sim.knn_bruteforce_arrow(
+        q8, queries_q, k=k, vec_col="embedding_q8", quantized=True
+    ).collect()
+    assert overlap(f_bf, q_bf, k) >= 0.9
+
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=2)
+    f_ivf = sim.knn_ivf_arrow(emb, queries_f, C, k=k, nprobe=4).collect()
+    q_ivf = sim.knn_ivf_arrow(
+        q8, queries_q, C, k=k, nprobe=4, vec_col="embedding_q8", quantized=True
+    ).collect()
+    assert overlap(f_ivf, q_ivf, k) >= 0.9
