@@ -126,23 +126,98 @@ def iter_frames(payload: bytes):
         pos += hdr.frame_bytes
 
 
+def parse_xing(payload: bytes, hdr: FrameHeader) -> dict | None:
+    """Xing/Info VBR header, if the given (first) frame carries one.
+
+    Public structure (the de-facto VBR standard, documented across
+    decoder implementations): inside the first Layer III frame, after
+    the side-info region — 17 bytes for MPEG-1 mono, 32 otherwise,
+    following the 4-byte header and optional 2-byte CRC — a 4-byte
+    ASCII tag ``Xing`` (VBR) or ``Info`` (CBR, LAME convention), then a
+    32-bit big-endian flags word (bit0 FRAMES, bit1 BYTES, bit2 TOC,
+    bit3 QUALITY) and the flagged fields in order: frame count (not
+    counting the tag frame itself), stream byte count, 100-byte seek
+    TOC, quality indicator.  Returns None when absent; Layer I/II
+    frames never carry one (it lives in Layer III side-info space)."""
+    if hdr.layer != 3:
+        return None
+    side = 17 if hdr.mode == 3 else 32
+    pos = hdr.offset + 4 + (2 if hdr.protected else 0) + side
+    tag = payload[pos : pos + 4]
+    if tag not in (b"Xing", b"Info"):
+        return None
+    if pos + 8 > len(payload):
+        return None
+    flags = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+    p = pos + 8
+    out: dict = {"tag": tag.decode(), "frames": None, "bytes": None,
+                 "toc": None, "quality": None}
+    try:
+        if flags & 0x1:
+            out["frames"] = int.from_bytes(payload[p : p + 4], "big")
+            p += 4
+        if flags & 0x2:
+            out["bytes"] = int.from_bytes(payload[p : p + 4], "big")
+            p += 4
+        if flags & 0x4:
+            out["toc"] = payload[p : p + 100]
+            p += 100
+        if flags & 0x8:
+            out["quality"] = int.from_bytes(payload[p : p + 4], "big")
+    except IndexError:  # truncated tag — treat as absent, not fatal
+        return None
+    if p > hdr.offset + hdr.frame_bytes or p > len(payload):
+        return None
+    return out
+
+
 def stream_info(payload: bytes) -> dict:
     """Metadata for any MPEG-1 audio stream (including Layer III):
     frame count, duration, layer/bitrate/sample-rate of the first frame.
     This is the scale-relevant operation — corpus triage and duration
-    accounting don't need PCM."""
+    accounting don't need PCM.
+
+    VBR awareness: the walker counts every frame, so ``duration_s`` is
+    exact for VBR streams too — but the first frame of a VBR file is
+    usually a silent Xing/Info TAG frame, which a naive count would
+    include (overstating duration by one frame) while reporting the tag
+    frame's bitrate as THE bitrate (meaningless on VBR).  When a
+    Xing/Info header is present the tag frame is excluded from
+    ``n_frames``/``duration_s``, ``vbr_header``/``xing_frames``/
+    ``xing_bytes`` surface the header fields, and ``is_vbr`` is True
+    for ``Xing`` (the ``Info`` tag is LAME's CBR marker).  Tagless
+    streams keep the exact walked values and infer ``is_vbr`` from
+    per-frame bitrate variance.  ``avg_bitrate_kbps`` is audio bytes ×
+    8 / duration — equal to ``bitrate_kbps`` on CBR, the honest mean on
+    VBR.  CBR behavior is otherwise unchanged."""
     frames = list(iter_frames(payload))
     if not frames:
         raise ValueError("no MPEG-1 audio frames found")
-    f0 = frames[0]
-    total_samples = sum(f.samples for f in frames)
+    xing = parse_xing(payload, frames[0])
+    audio = frames[1:] if xing else frames
+    if not audio:  # a lone tag frame: report it rather than zero frames
+        audio = frames
+        xing = None
+    f0 = audio[0]
+    total_samples = sum(f.samples for f in audio)
+    audio_bytes = sum(f.frame_bytes for f in audio)
+    duration = total_samples / f0.sample_rate
     return {
         "layer": f0.layer,
         "bitrate_kbps": f0.bitrate_kbps,
         "sample_rate": f0.sample_rate,
         "mode": f0.mode,
-        "n_frames": len(frames),
-        "duration_s": total_samples / f0.sample_rate,
+        "n_frames": len(audio),
+        "duration_s": duration,
+        "vbr_header": xing["tag"] if xing else None,
+        "xing_frames": xing["frames"] if xing else None,
+        "xing_bytes": xing["bytes"] if xing else None,
+        "is_vbr": (
+            xing["tag"] == "Xing"
+            if xing
+            else len({f.bitrate_kbps for f in audio}) > 1
+        ),
+        "avg_bitrate_kbps": round(audio_bytes * 8 / duration / 1000.0, 1),
     }
 
 

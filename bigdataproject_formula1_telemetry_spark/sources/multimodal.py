@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -493,6 +494,9 @@ AUDIO_STREAM_INFO_SCHEMA = StructType(
         StructField("sample_rate", IntegerType()),
         StructField("n_frames", LongType()),
         StructField("duration_s", DoubleType()),
+        StructField("vbr_header", StringType()),  # Xing | Info | NULL
+        StructField("is_vbr", BooleanType()),
+        StructField("avg_bitrate_kbps", DoubleType()),
         StructField("decodable", StringType()),  # pcm | metadata_only | error
     ]
 )
@@ -525,6 +529,9 @@ def audio_stream_info(df: DataFrame) -> DataFrame:
                             "sample_rate": info["sample_rate"],
                             "n_frames": info["n_frames"],
                             "duration_s": info["duration_s"],
+                            "vbr_header": info["vbr_header"],
+                            "is_vbr": info["is_vbr"],
+                            "avg_bitrate_kbps": info["avg_bitrate_kbps"],
                             "decodable": "pcm"
                             if info["layer"] == 1
                             else "metadata_only",
@@ -539,6 +546,9 @@ def audio_stream_info(df: DataFrame) -> DataFrame:
                             "sample_rate": None,
                             "n_frames": None,
                             "duration_s": None,
+                            "vbr_header": None,
+                            "is_vbr": None,
+                            "avg_bitrate_kbps": None,
                             "decodable": "error",
                         }
                     )

@@ -195,3 +195,82 @@ def test_layer1_joint_stereo_raises():
         joint[off + 3] = (joint[off + 3] & 0x3F) | 0x40
     with pytest.raises(NotImplementedError, match="joint"):
         M.decode_layer1(bytes(joint))
+
+
+def _l3_frame(bitrate_kbps: int, body: bytes = b"") -> bytes:
+    """Valid MPEG-1 Layer III mono header @44100 + zero-padded body."""
+    idx = M._BITRATES[3].index(bitrate_kbps)
+    hdr = bytes([0xFF, 0xFB, (idx << 4) | 0x00, 0xC0])
+    frame_len = 144 * bitrate_kbps * 1000 // 44100
+    body = body[: frame_len - 4]
+    return hdr + body + b"\x00" * (frame_len - 4 - len(body))
+
+
+def _vbr_stream(bitrates, tag: bytes | None = b"Xing") -> bytes:
+    """Layer III stream; when ``tag`` is set the first frame is a
+    Xing/Info tag frame (mono side-info 17 bytes -> tag at offset 21)
+    carrying FRAMES|BYTES for the audio frames that follow."""
+    audio = b"".join(_l3_frame(b) for b in bitrates)
+    if tag is None:
+        return audio
+    body = bytearray(b"\x00" * 17)  # side info
+    body += tag
+    body += (0x3).to_bytes(4, "big")  # FRAMES | BYTES
+    body += len(bitrates).to_bytes(4, "big")
+    body += len(audio).to_bytes(4, "big")
+    return _l3_frame(128, bytes(body)) + audio
+
+
+def test_stream_info_xing_vbr():
+    """Xing-tagged VBR: the tag frame is excluded from count/duration,
+    header fields surface, and avg bitrate is the honest mean."""
+    brs = [128, 160, 192, 128, 96]
+    info = M.stream_info(_vbr_stream(brs, tag=b"Xing"))
+    assert info["vbr_header"] == "Xing" and info["is_vbr"] is True
+    assert info["n_frames"] == len(brs) == info["xing_frames"]
+    assert info["duration_s"] == pytest.approx(len(brs) * 1152 / 44100)
+    assert info["bitrate_kbps"] == 128  # first AUDIO frame, not the tag's
+    audio_bytes = sum(144 * b * 1000 // 44100 for b in brs)
+    assert info["xing_bytes"] == audio_bytes
+    assert info["avg_bitrate_kbps"] == pytest.approx(
+        audio_bytes * 8 / info["duration_s"] / 1000, abs=0.05
+    )
+
+
+def test_stream_info_info_tag_is_cbr():
+    info = M.stream_info(_vbr_stream([128, 128, 128], tag=b"Info"))
+    assert info["vbr_header"] == "Info" and info["is_vbr"] is False
+    assert info["n_frames"] == 3
+
+
+def test_stream_info_tagless_vbr_inferred_from_variance():
+    info = M.stream_info(_vbr_stream([128, 160, 128], tag=None))
+    assert info["vbr_header"] is None and info["is_vbr"] is True
+    assert info["n_frames"] == 3  # no tag frame to exclude
+
+
+def test_stream_info_cbr_layer1_unchanged():
+    pcm = 0.3 * np.sin(2 * np.pi * 0.02 * np.arange(384 * 10))
+    enc = M.encode_layer1(pcm, sample_rate=32000, bitrate_kbps=448)
+    info = M.stream_info(enc)
+    assert info["n_frames"] == 10 and info["bitrate_kbps"] == 448
+    assert info["vbr_header"] is None and info["is_vbr"] is False
+    assert info["avg_bitrate_kbps"] == pytest.approx(448.0, abs=0.5)
+
+
+def test_audio_stream_info_surfaces_vbr_columns(spark):
+    vbr = _vbr_stream([128, 160, 192, 128], tag=b"Xing")
+    fs = 32000
+    pcm = 0.3 * np.sin(2 * np.pi * 440 * np.arange(384 * 5) / fs)
+    l1 = M.encode_layer1(pcm, sample_rate=fs, bitrate_kbps=448)
+    rows = [
+        (1, "audio", "mp3", bytearray(vbr), None, None, 1, 44100, None),
+        (2, "audio", "mp3", bytearray(l1), None, None, 1, fs, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.audio_stream_info(media).collect()}
+    assert got[1].vbr_header == "Xing" and got[1].is_vbr
+    assert got[1].n_frames == 4
+    assert got[1].duration_s == pytest.approx(4 * 1152 / 44100)
+    assert got[2].vbr_header is None and got[2].is_vbr is False
+    assert got[2].avg_bitrate_kbps == pytest.approx(448.0, abs=0.5)
