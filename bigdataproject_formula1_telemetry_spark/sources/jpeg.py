@@ -8,12 +8,15 @@ so the codec is round-trip testable in a container that cannot *create*
 JPEGs any other way.
 
 Supported (decode): baseline sequential (SOF0), 8-bit, grayscale or
-3-component YCbCr, sampling factors 1×1 (no chroma subsampling), tables
-read from the stream's own DQT/DHT markers.  Progressive (SOF2),
-arithmetic coding, 12-bit, subsampled chroma, and restart intervals
-raise ``NotImplementedError`` — real boundaries, stated, not silently
-wrong.  The encoder emits exactly the supported subset (Annex K quant
-tables scaled by libjpeg's quality curve, Annex K Huffman tables).
+3-component YCbCr, MCU-interleaved scans with integer-ratio sampling
+factors — 4:4:4, 4:2:0, 4:2:2 and friends (chroma replicated up to full
+resolution; JFIF mandates no upsampling filter), tables read from the
+stream's own DQT/DHT markers.  Progressive (SOF2), arithmetic coding,
+12-bit, non-integer sampling ratios, and restart intervals raise
+``NotImplementedError`` — real boundaries, stated, not silently wrong.
+The encoder emits the supported subset (Annex K quant tables scaled by
+libjpeg's quality curve, Annex K Huffman tables, ``subsampling=`` 444 /
+420 / 422).
 
 Throughput reality: the entropy loop is per-symbol Python — fine for the
 thumbnail-scale assets these pipelines carry in test; swap a codec
@@ -249,7 +252,8 @@ def _category(v: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes → H×W×C uint8 (C = 1 gray or 3 RGB).  Baseline
-    sequential, 8-bit, 1×1 sampling only — see module docstring."""
+    sequential, 8-bit, integer-ratio sampling factors (4:4:4 / 4:2:0 /
+    4:2:2 …) — see module docstring."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -300,11 +304,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"invalid sampling factors {sh}x{sv}")
+                comps.append((cid, sh, sv, qid))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, sh, sv, _ in comps:
+                if hmax % sh or vmax % sv:
+                    # T.81 permits e.g. 3:2 ratios; integer-factor
+                    # replication can't upsample those — raise honestly
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG unsupported (1x1 sampling only)"
+                        f"non-integer sampling ratio {sh}x{sv} vs "
+                        f"{hmax}x{vmax} unsupported"
                     )
-                comps.append((cid, qid))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -327,40 +340,84 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
 
     h, w, comps = frame
-    qt_of = dict(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
+    qt_of = {cid: qid for cid, _, _, qid in comps}
+    samp_of = {cid: (sh, sv) for cid, sh, sv, _ in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcuy * sv * 8, mcux * sh * 8))
+        for cid, sh, sv, _ in comps
+    }
     reader = _BitReader(data, pos)
-    pred = {cid: 0 for cid, _ in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for cid, dc_id, ac_id in scan_comps:
-                coeffs = np.zeros(64)
-                s = reader.read_symbol(huff[(0, dc_id)])
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                pred[cid] += diff
-                coeffs[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.read_symbol(huff[(1, ac_id)])
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    coeffs[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64)
-                block[ZIGZAG] = coeffs
-                block = block.reshape(8, 8) * qt[qt_of[cid]]
-                pixels = _DCT_T.T @ block @ _DCT_T + 128.0
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+    pred = {cid: 0 for cid, _, _, _ in comps}
 
-    stack = np.stack([planes[cid][:h, :w] for cid, _ in comps], axis=-1)
+    def read_block(dc_id: int, ac_id: int, cid: int) -> np.ndarray:
+        coeffs = np.zeros(64)
+        s = reader.read_symbol(huff[(0, dc_id)])
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        pred[cid] += diff
+        coeffs[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(huff[(1, ac_id)])
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            coeffs[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        block = np.zeros(64)
+        block[ZIGZAG] = coeffs
+        block = block.reshape(8, 8) * qt[qt_of[cid]]
+        return _DCT_T.T @ block @ _DCT_T + 128.0
+
+    if len(scan_comps) == 1:
+        # non-interleaved scan (T.81 A.2.2): MCU = one block over the
+        # lone component's own block grid (the grayscale path)
+        cid, dc_id, ac_id = scan_comps[0]
+        sh, sv = samp_of[cid]
+        ch = -(-(h * sv) // vmax)  # ceil(h·sv/vmax): true component dims
+        cw = -(-(w * sh) // hmax)
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    read_block(dc_id, ac_id, cid)
+                )
+    else:
+        # interleaved scan (T.81 A.2.3): per MCU, each component
+        # contributes sh×sv blocks in row-major order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dc_id, ac_id in scan_comps:
+                    sh, sv = samp_of[cid]
+                    for byy in range(sv):
+                        for bxx in range(sh):
+                            y0 = (my * sv + byy) * 8
+                            x0 = (mx * sh + bxx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = (
+                                read_block(dc_id, ac_id, cid)
+                            )
+
+    # crop each plane to its true component size, then replicate up to
+    # full resolution (nearest-neighbor — JFIF mandates no upsampling
+    # filter; libjpeg's default "fancy" triangular filter differs by
+    # ≤1 code value on smooth chroma)
+    full = []
+    for cid, sh, sv, _ in comps:
+        ch = -(-(h * sv) // vmax)
+        cw = -(-(w * sh) // hmax)
+        p = planes[cid][:ch, :cw]
+        if sv != vmax or sh != hmax:
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+        full.append(p[:h, :w])
+    stack = np.stack(full, axis=-1)
     if stack.shape[-1] == 3:  # YCbCr (JFIF full range) → RGB
         y, cb, cr = stack[..., 0], stack[..., 1] - 128.0, stack[..., 2] - 128.0
         stack = np.stack(
@@ -418,9 +475,18 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """H×W (gray) or H×W×{1,3} (RGB) uint8 → baseline JPEG bytes
-    (4:4:4, Annex K tables at the given libjpeg-curve quality)."""
+    (Annex K tables at the given libjpeg-curve quality).
+
+    ``subsampling``: ``"444"`` (1×1 everywhere — the historical
+    default), ``"420"`` (luma 2×2, chroma 1×1 — the majority of real
+    baseline JPEGs) or ``"422"`` (luma 2×1).  Chroma planes are box-mean
+    downsampled and the scan is MCU-interleaved per T.81 A.2.3, which
+    is exactly what ``decode_jpeg`` parses back.  Grayscale ignores the
+    parameter (one component has nothing to subsample)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -437,8 +503,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             ],
             axis=-1,
         )
-    ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
-    f = np.pad(f, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    sf_map = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in sf_map:
+        raise ValueError(f"subsampling must be one of {sorted(sf_map)}")
+    lh, lv = sf_map[subsampling] if c == 3 else (1, 1)
+    sampling = [(lh, lv)] + [(1, 1)] * (c - 1)
+    hmax, vmax = lh, lv
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     q_luma = _quality_scale(QUANT_LUMA, quality)
     q_chroma = _quality_scale(QUANT_CHROMA, quality)
@@ -449,18 +521,42 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
     comp_ht = [0] if c == 1 else [0, 1, 1]
 
+    # per-component planes: box-mean downsample by the factor vs the max,
+    # then edge-pad out to the MCU block coverage
+    planes = []
+    for ci, (sh, sv) in enumerate(sampling):
+        plane = f[..., ci]
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:
+            ph0 = -(-h // fy) * fy
+            pw0 = -(-w // fx) * fx
+            p = np.pad(plane, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
+            plane = p.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        planes.append(plane)
+
     writer = _BitWriter()
     pred = [0] * c
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(c):
-                block = f[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] - 128.0
-                coef = _DCT_T @ block @ _DCT_T.T
-                qcoef = np.round(coef / qtables[comp_qt[ci]])
-                pred[ci] = _encode_block(
-                    writer, qcoef, pred[ci],
-                    dc_codes[comp_ht[ci]], ac_codes[comp_ht[ci]],
-                )
+                sh, sv = sampling[ci]
+                for byy in range(sv):
+                    for bxx in range(sh):
+                        y0 = (my * sv + byy) * 8
+                        x0 = (mx * sh + bxx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT_T @ block @ _DCT_T.T
+                        qcoef = np.round(coef / qtables[comp_qt[ci]])
+                        pred[ci] = _encode_block(
+                            writer, qcoef, pred[ci],
+                            dc_codes[comp_ht[ci]], ac_codes[comp_ht[ci]],
+                        )
     entropy = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -474,7 +570,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += seg(0xDB, bytes([i]) + zz.tobytes())
     sof = struct.pack(">BHHB", 8, h, w, c)
     for ci in range(c):
-        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, comp_qt[ci]])
     out += seg(0xC0, sof)
     specs = [(0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC)]
     if c == 3:

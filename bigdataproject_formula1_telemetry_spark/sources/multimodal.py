@@ -10,10 +10,11 @@ three real container formats decode from their specs alone and are fully
 implemented here:
 - **png** (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + the five
   PNG scanline filters (None/Sub/Up/Average/Paeth) inverted in numpy;
-- **jpeg** (baseline sequential SOF0, 8-bit, 1×1 sampling): Huffman
-  entropy decode + dequantize + inverse DCT + YCbCr→RGB, built from
-  ITU-T T.81 in ``sources/jpeg.py`` (progressive/subsampled/restart
-  variants raise);
+- **jpeg** (baseline sequential SOF0, 8-bit, integer-ratio sampling
+  incl. 4:2:0/4:2:2): Huffman entropy decode + dequantize + inverse DCT
+  + chroma upsample + YCbCr→RGB, built from ITU-T T.81 in
+  ``sources/jpeg.py`` (progressive/restart/non-integer-ratio variants
+  raise);
 - **wav** (RIFF PCM16): header parse via the stdlib ``wave`` module,
   multi-channel downmixed to mono;
 - **MPEG-1 audio** ("mp1"/"mp3" formats, ``sources/mpeg_audio.py``):

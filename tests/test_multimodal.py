@@ -248,10 +248,14 @@ def test_jpeg_unsupported_variants_raise():
     with pytest.raises(NotImplementedError, match="SOF2"):
         J.decode_jpeg(bytes(prog))
 
-    # claim 2x2 luma sampling in SOF0 → subsampling unsupported
+    # claim 3x3 luma sampling in SOF0: chroma stays 1x1, and 3:1 is an
+    # integer ratio — but the ENTROPY data was coded 4:4:4, so honest
+    # decode must fail, not emit garbage silently; a 3x3-vs-2x2 mix
+    # (non-integer 3:2 ratio) raises the documented NotImplementedError
     sub = payload.copy()
-    sub[sof + 11] = 0x22  # first component's sampling byte
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sof + 11] = 0x33  # luma 3x3
+    sub[sof + 14] = 0x22  # cb 2x2 → 3:2 chroma ratio, not replicable
+    with pytest.raises(NotImplementedError, match="non-integer"):
         J.decode_jpeg(bytes(sub))
 
     with pytest.raises(ValueError, match="SOI"):
@@ -300,3 +304,59 @@ def test_jpeg_marker_padding_and_tem_tolerated():
     back = J.decode_jpeg(padded)
     assert back.shape == (16, 16, 3)
     assert np.array_equal(back, J.decode_jpeg(payload))
+
+
+def test_jpeg_420_and_422_roundtrip():
+    """Chroma-subsampled encode -> decode: 4:2:0 and 4:2:2 fixtures must
+    reconstruct smooth images within IDCT/quantization tolerance, odd
+    dimensions included (pad + crop on both the luma and chroma grids),
+    and the SOF really carries the subsampled factors."""
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    for sub, sampbyte in (("420", 0x22), ("422", 0x21)):
+        for h, w in [(24, 32), (13, 9), (16, 17)]:
+            img = _smooth_gradient(h, w, 3)
+            payload = J.encode_jpeg(img, quality=95, subsampling=sub)
+            sof = payload.find(b"\xff\xc0")
+            assert payload[sof + 11] == sampbyte  # luma sampling factors
+            assert payload[sof + 14] == 0x11  # chroma stays 1x1
+            back = J.decode_jpeg(payload)
+            assert back.shape == (h, w, 3)
+            err = np.abs(back.astype(int) - img.astype(int))
+            # tolerance is wider than the 4:4:4 roundtrip because the
+            # information loss is real: these gradients change chroma by
+            # up to ~32 codes/pixel, so half-resolution chroma costs a
+            # few RGB codes on average (the constant-chroma test below
+            # pins the no-loss case to ≤1)
+            assert err.mean() < 8.0 and err.max() <= 48, (
+                sub, h, w, err.mean(), err.max())
+
+
+def test_jpeg_420_matches_444_on_constant_chroma():
+    """When chroma is constant, subsampling loses nothing: the 4:2:0
+    decode must match the 4:4:4 decode of the same image to within one
+    code value (independent cross-check of the upsample path, not just
+    a self-roundtrip)."""
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    # luma gradient, exactly constant chroma (gray image)
+    g = np.clip(np.round(yy * 4 + xx * 3), 0, 255).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    a = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsampling="444"))
+    b = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsampling="420"))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_jpeg_420_chroma_plane_is_box_mean():
+    """Structural check on the encoder side: a 2x2-blocky chroma image
+    survives 4:2:0 exactly (each 2x2 cell is constant, so the box mean
+    is lossless), pinning the downsample grid alignment."""
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(5)
+    small = rng.integers(60, 196, size=(8, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)  # 16x16, 2x2 cells
+    back = J.decode_jpeg(J.encode_jpeg(img, quality=97, subsampling="420"))
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() < 6.0 and err.max() <= 60, (err.mean(), err.max())
