@@ -331,6 +331,33 @@ def knn_ivf_arrow(
     )
 
 
+def _pairwise_cosine_udf():
+    """Arrow pandas_udf: rowwise cosine of two array columns — one
+    einsum per batch instead of an interpreted HOF expression per row.
+    Zero-norm / NULL inputs yield NaN; callers MUST wrap with
+    ``F.nanvl(col, F.lit(None))`` before comparisons, because Spark
+    orders NaN above every double (a bare ``NaN >= threshold`` is TRUE),
+    while the HOF ``cosine()`` yields NULL for those rows."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype=np.float64)
+        dims = [len(v) for v in va if v is not None]
+        dim = dims[0] if dims else 1
+        nanrow = np.full(dim, np.nan)
+        A = np.stack([nanrow if v is None else np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([nanrow if v is None else np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0] = np.nan
+        return pd.Series(num / den)
+
+    return cos
+
+
 def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: sign of the dot product against each fixed
     hyperplane becomes one bit.  ``planes`` are literal (seeded, driver-
@@ -519,22 +546,32 @@ def cosine_dup_pairs(
             )
         banded = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
     )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-    ).where(F.col("cos_sim") >= threshold)
+    # Score FIRST (Arrow einsum kernel — the interpreted HOF cosine was
+    # the 500k-corpus hotspot), dedup AFTER the threshold: a pair seen
+    # in several tables scores identically (deterministic kernel on
+    # identical inputs), so dropDuplicates on the narrow surviving
+    # (id_a, id_b, cos_sim) rows replaces the old pre-score dedup that
+    # shuffled every candidate pair WITH both vectors (~1 KB/row —
+    # ~11 GB at 500k docs vs ~tens of MB of survivors).  NaN (zero-norm)
+    # must become NULL before the comparison: Spark orders NaN above
+    # every double, so a bare `NaN >= threshold` would be TRUE.
+    cos_k = _pairwise_cosine_udf()
+    scored = cand.select(
+        "id_a", "id_b",
+        F.nanvl(cos_k(F.col("va"), F.col("vb")), F.lit(None)).alias("cos_sim"),
+    )
+    return scored.where(F.col("cos_sim") >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 # --------------------------------------------------------------------------
