@@ -739,6 +739,114 @@ def knn_ivf(
     )
 
 
+def build_inverted_file(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF inverted file: ONE assignment pass writes the
+    corpus hive-partitioned by nearest-centroid id.
+
+    This is the 100 TB layout ``knn_ivf``'s docstring promises: pay the
+    assignment scan once at ingest, and every subsequent search reads
+    only the probed clusters' directories (partition pruning) instead of
+    scanning the flat corpus per query batch.  Pair with
+    ``knn_ivf_materialized`` — its plan shows ``PartitionFilters`` on
+    ``cluster_col`` (asserted in ``test_similarity.py``)."""
+    assigned = corpus.select(
+        "*",
+        _np_assigner(centroids, nprobe=1)(F.col(vec_col))[0].alias(cluster_col),
+    )
+    (
+        assigned.write.mode(mode)
+        .partitionBy(cluster_col)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def knn_ivf_materialized(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """IVF top-k over a ``build_inverted_file`` table, partition-pruned:
+    probe sets are computed driver-side from the (broadcast-small by
+    contract, same as the Arrow forms) query set, and the UNION of
+    probed cluster ids is pushed as a partition filter — the scan lists
+    and reads only ~nprobe/n_clusters of the table's directories, which
+    no flat-corpus form can do.
+
+    Candidates, scoring, and tie-break (cos desc, id asc) match
+    ``knn_ivf`` exactly: the driver-side probe math is the same float64
+    normalize + matmul + ``argpartition`` the Arrow assigner runs, so
+    the probe sets are bit-identical.  NULL query vectors degrade the
+    same way (zero-vector probes, NULL ``cos_sim``)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(nprobe, C.shape[0])
+    qid_type = queries.schema[id_col].dataType
+    vec_type = queries.schema[vec_col].dataType
+
+    probe_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = r[1]
+        x = (
+            np.zeros(C.shape[1], dtype=np.float64)
+            if v is None
+            else np.asarray(v, dtype=np.float64)
+        )
+        nrm = np.linalg.norm(x)
+        sims = (x / (nrm if nrm else 1.0)) @ C.T
+        top = np.argpartition(-sims, n - 1)[:n] if n > 1 else [int(np.argmax(sims))]
+        for c in top:
+            probe_rows.append((r[0], v, int(c)))
+
+    from pyspark.sql.types import IntegerType
+
+    qb = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__qv", vec_type),
+                StructField("__c", IntegerType()),
+            ]
+        ),
+    )
+    probed = sorted({c for _, _, c in probe_rows})
+    cb = spark.read.parquet(path).where(F.col(cluster_col).isin(probed))
+    scored = (
+        cb.join(F.broadcast(qb), F.col(cluster_col) == F.col("__c"))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def near_dedup_cosine(
     df: DataFrame,
     planes: list[list[float]] | list[list[list[float]]],

@@ -409,3 +409,45 @@ def test_knn_quantized_serving_overlap(spark, emb):
         q8, queries_q, C, k=k, nprobe=4, vec_col="embedding_q8", quantized=True
     ).collect()
     assert overlap(f_ivf, q_ivf, k) >= 0.9
+
+
+def test_inverted_file_partition_prunes_and_matches_join_form(spark, emb, tmp_path):
+    """The materialized-IVF path (build_inverted_file → knn_ivf_materialized)
+    must (a) push the union of probed cluster ids down as a PARTITION
+    filter — the scan reads ~nprobe/n_clusters of the table's
+    directories, the whole point of materializing the inverted file —
+    and (b) return exactly the flat-corpus join form's results (same
+    probe math, same tie-break)."""
+    import re
+
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=3)
+    root = str(tmp_path / "ivf_table")
+    sim.build_inverted_file(emb, C, root)
+
+    queries = emb.where(F.col("vec_id") < 2)
+    got = sim.knn_ivf_materialized(spark, root, queries, C, k=5, nprobe=3)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cluster" in m.group(1), plan[:2000]
+
+    g = got.toPandas().sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    f = (
+        sim.knn_ivf(emb, queries, C, k=5, nprobe=3)
+        .toPandas()
+        .sort_values(
+            ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+        )
+    )
+    assert list(g["query_id"]) == list(f["query_id"])
+    assert list(g["neighbor_id"]) == list(f["neighbor_id"])
+    assert np.allclose(g["cos_sim"].to_numpy(), f["cos_sim"].to_numpy(), atol=1e-9)
+
+    # the filter is a strict subset: fewer clusters probed than exist
+    # (2 queries x nprobe 3 => at most 6 of the 8 cluster directories)
+    in_list = re.search(r"IN \(([^)]*)\)", m.group(1))
+    assert in_list is not None, m.group(1)
+    probed_ids = set(int(x) for x in re.findall(r"\d+", in_list.group(1)))
+    assert 0 < len(probed_ids) <= 6, m.group(1)

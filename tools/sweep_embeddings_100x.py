@@ -1,0 +1,245 @@
+"""500k-vector (100×-class) scale sweep for the embedding operators.
+
+Round-5 counterpart of the 500k-document sweep in SCALING.md: the
+document axis (minhash/simhash) got its 100× treatment in rounds 3-4;
+this script gives the embedding axis (q54 near-dedup, q55 IVF recall)
+the same protocol, with the replica-adversarial variant and a planted
+near-dup recall check.
+
+Corpora (written once to /tmp/emb_sweep, ~130 MB each, seeded):
+
+- ``distinct500k`` — 500,000 i.i.d. standard-normal 64-dim vectors
+  (distinct content, near-zero pairwise cosines — max off-diagonal over
+  1.25e11 pairs ≈ 0.9 < the 0.95 threshold, and the worst case for IVF:
+  no cluster structure to exploit).
+- ``planted``      — distinct500k + 1,000 near-duplicates (copy + 1%%
+  Gaussian perturbation, cosine ≈ 0.9999, fresh ids ≥ 10,000,000).
+- ``replica500k``  — 50,000 distinct vectors × 10 EXACT copies each
+  (the adversarial shape that OOM'd the uncapped pair join before the
+  identical-vector collapse, SCALING.md round-3 war story).
+- ``clustered500k`` — a 64-center Gaussian mixture (centers ~N(0,1)^64,
+  per-point noise sigma=0.7): the realistic embedding-manifold shape IVF
+  exists to exploit.  The IVF recall gate runs here; the i.i.d. corpus's
+  recall is ALSO reported as the documented structureless floor (on data
+  with no cluster structure, recall ~ fraction-of-corpus-probed — an
+  information-theoretic property, not an implementation defect; q55's
+  docstring calls this out at sf scale too).
+
+LSH geometry scales with the corpus: 4 tables × 16 hyperplanes (65,536
+buckets, ≈7.6 vectors/bucket) instead of q54's sf-scale 4×8 — band
+width grows with log2(n) exactly as the minhash band math does.
+
+Timing protocol: barrier-cold (``release_barriers`` between runs, the
+BENCH_r05 protocol), min of N_RUNS after one warm-up.
+
+Usage: python tools/sweep_embeddings_100x.py [--quick]
+(--quick = 50k vectors / 100 planted, for a fast plumbing check).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import sampling, similarity as sim
+from bigdataproject_formula1_telemetry_spark.operators.dedup import release_barriers
+
+QUICK = "--quick" in sys.argv
+N = 50_000 if QUICK else 500_000
+N_DISTINCT_REPLICA = N // 10
+N_PLANTED = 100 if QUICK else 1_000
+DIM = 64
+N_RUNS = 2
+OUT = "/tmp/emb_sweep"
+
+
+def write_corpus(path: str, ids: np.ndarray, vecs: np.ndarray) -> None:
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), DIM
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def build_corpora() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    write_corpus(f"{OUT}/distinct.parquet", np.arange(N, dtype=np.int64), base)
+
+    keep = rng.choice(N, size=N_PLANTED, replace=False)
+    dup = base[keep] + 0.01 * rng.standard_normal((N_PLANTED, DIM)).astype(np.float32)
+    write_corpus(
+        f"{OUT}/planted_extra.parquet",
+        np.arange(10_000_000, 10_000_000 + N_PLANTED, dtype=np.int64),
+        dup,
+    )
+
+    small = base[:N_DISTINCT_REPLICA]
+    rep_ids = np.arange(N, dtype=np.int64)
+    rep_vecs = np.tile(small, (10, 1))
+    write_corpus(f"{OUT}/replica.parquet", rep_ids, rep_vecs)
+
+    centers = rng.standard_normal((64, DIM)).astype(np.float32)
+    assign = rng.integers(0, 64, size=N)
+    clustered = centers[assign] + 0.7 * rng.standard_normal((N, DIM)).astype(
+        np.float32
+    )
+    write_corpus(
+        f"{OUT}/clustered.parquet", np.arange(N, dtype=np.int64), clustered
+    )
+
+
+def timed(label: str, build, results: dict) -> None:
+    build().write.format("noop").mode("overwrite").save()  # warm-up
+    best = float("inf")
+    for _ in range(N_RUNS):
+        release_barriers()
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    release_barriers()
+    results[label] = round(best, 2)
+    print(f"  {label}: {best:.2f} s", flush=True)
+
+
+def main() -> None:
+    if os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    print(f"building corpora (n={N}) ...", flush=True)
+    build_corpora()
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .appName("emb-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    distinct = spark.read.parquet(f"{OUT}/distinct.parquet")
+    planted = distinct.unionByName(spark.read.parquet(f"{OUT}/planted_extra.parquet"))
+    replica = spark.read.parquet(f"{OUT}/replica.parquet")
+
+    # scale-sized LSH geometry: 65,536 buckets for 500k vectors
+    g = np.random.default_rng(7)
+    planes = [
+        [[float(x) for x in g.standard_normal(DIM)] for _ in range(16)]
+        for _ in range(4)
+    ]
+    results: dict[str, float | int | bool] = {"n": N}
+
+    print("near_dedup_cosine, distinct corpus ...", flush=True)
+    timed(
+        "near_dedup_distinct_s",
+        lambda: sim.near_dedup_cosine(distinct, planes, threshold=0.95),
+        results,
+    )
+    survivors = sim.near_dedup_cosine(distinct, planes, threshold=0.95).count()
+    release_barriers()
+    results["distinct_survivors"] = survivors
+    results["false_drops"] = N - survivors
+
+    print("near_dedup_cosine, planted near-dups ...", flush=True)
+    kept = sim.near_dedup_cosine(planted, planes, threshold=0.95)
+    dropped = (
+        planted.select("vec_id")
+        .exceptAll(kept.select("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("vec_id") >= 10_000_000).cast("long")).alias("n_planted"),
+        )
+        .first()
+    )
+    release_barriers()
+    results["planted_dropped"] = dropped["n"]
+    results["planted_dropped_planted"] = int(dropped["n_planted"] or 0)
+    results["planted_recall_ok"] = (
+        dropped["n"] == N_PLANTED and dropped["n_planted"] == N_PLANTED
+    )
+    print(f"  dropped {dropped['n']} ({dropped['n_planted']} planted)", flush=True)
+
+    print("near_dedup_cosine, 10-way exact-replica corpus ...", flush=True)
+    timed(
+        "near_dedup_replica_s",
+        lambda: sim.near_dedup_cosine(replica, planes, threshold=0.95),
+        results,
+    )
+    rep_surv = sim.near_dedup_cosine(replica, planes, threshold=0.95).count()
+    release_barriers()
+    results["replica_survivors"] = rep_surv
+    results["replica_ok"] = rep_surv == N_DISTINCT_REPLICA
+    results["replica_vs_distinct_ratio"] = round(
+        results["near_dedup_replica_s"] / results["near_dedup_distinct_s"], 2
+    )
+
+    # --- IVF at scale: 64 clusters, nprobe 8, 100 queries, k=10 ---
+    def ivf_leg(corpus, tag: str) -> None:
+        print(f"[{tag}] ivf_centroids (2% sample, 2 Lloyd rounds) ...", flush=True)
+        t0 = time.time()
+        train = sampling.deterministic_sample(
+            corpus, ["vec_id"], 0.1 if QUICK else 0.02, salt="sweep-ivf"
+        )
+        C = sim.ivf_centroids(train, n_clusters=64, max_iter=2)
+        results[f"{tag}_ivf_train_s"] = round(time.time() - t0, 2)
+        queries = corpus.where(F.col("vec_id") < 100)
+
+        timed(
+            f"{tag}_knn_exact_s",
+            lambda: sim.knn_bruteforce_arrow(corpus, queries, k=10),
+            results,
+        )
+        timed(
+            f"{tag}_knn_ivf_s",
+            lambda: sim.knn_ivf_arrow(corpus, queries, C, k=10, nprobe=8),
+            results,
+        )
+
+        exact = sim.knn_bruteforce_arrow(corpus, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        ivf = sim.knn_ivf_arrow(corpus, queries, C, k=10, nprobe=8).select(
+            "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+        )
+        joined = exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (exact["neighbor_id"] == ivf["ivf_neighbor_id"]),
+            "left",
+        )
+        rec = joined.groupBy(exact["query_id"]).agg(
+            (F.count("ivf_neighbor_id") / F.lit(10.0)).alias("recall")
+        )
+        mean_recall = rec.agg(F.avg("recall")).first()[0]
+        results[f"{tag}_ivf_mean_recall"] = round(mean_recall, 3)
+        print(f"  [{tag}] mean recall {mean_recall:.3f}", flush=True)
+
+    clustered = spark.read.parquet(f"{OUT}/clustered.parquet")
+    ivf_leg(clustered, "clustered")
+    ivf_leg(distinct, "iid")
+    # the gate runs on the realistic (clustered) corpus; the i.i.d.
+    # number is the structureless floor (~nprobe/n_clusters + the
+    # query's own cluster), reported for honesty not gated
+    results["ivf_recall_ok"] = results["clustered_ivf_mean_recall"] >= 0.8
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
