@@ -1,0 +1,246 @@
+"""Streaming curation: cross-micro-batch deduplication for a continuously
+ingested document stream — the streaming face of ``operators/dedup.py``.
+
+At ingest scale, curation cannot be a nightly re-run over the full
+corpus: new documents arrive continuously and each must be checked
+against everything already admitted.  Spark-first building blocks:
+
+- exact dedup → streaming ``dropDuplicates`` (state = one content hash
+  per distinct doc) or ``dropDuplicatesWithinWatermark`` (state bounded
+  by the watermark horizon — the dedup-window contract production
+  ingest pipelines run with; at 100 TB pair it with the RocksDB state
+  store provider so state spills off-heap).
+- near-dedup → explicit LSH-bucket state via ``applyInPandasWithState``:
+  the stream carries each doc's minhash signature into its ``bands``
+  band buckets, and every bucket holds the signatures admitted so far.
+
+The stateless text operators (``operators/text.py`` quality scoring,
+language-ID, chunking) apply to streaming frames unchanged — they are
+pure column expressions; only dedup needs state and lives here.
+
+Semantics note (the honest streaming trade): the batch operators verify
+LSH candidates with EXACT shingle Jaccard, which a stream cannot do
+without keeping every admitted document's shingle set in state.  The
+streaming form verifies with the signature-ESTIMATED Jaccard (lane
+agreement fraction — unbiased, se ≈ sqrt(J(1-J)/num_hashes) ≈ 0.05 at
+64 lanes), the standard streaming approximation.  Near-threshold pairs
+can therefore differ from the batch verdict; pairs ≳ 2 se away agree.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import minhash_signature_arrow, shingles
+
+
+def dedup_stream_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Exact streaming dedup keyed on ``md5(text)`` — first arrival wins,
+    later copies never leave the stream.
+
+    Without ``ts_col``/``within``: plain streaming ``dropDuplicates`` —
+    state holds one 16-byte hash per DISTINCT document forever (correct
+    at any horizon, state grows with the distinct corpus).  With them:
+    ``withWatermark(ts_col, within)`` + ``dropDuplicatesWithinWatermark``
+    — a copy arriving within ``within`` of the original is dropped and
+    state older than the watermark is evicted, so state is bounded by
+    the ingest rate × horizon instead of corpus size.
+    """
+    hashed = stream.withColumn("__content_h", F.md5(F.col(text_col)))
+    if ts_col is not None and within is not None:
+        out = hashed.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+            ["__content_h"]
+        )
+    elif ts_col is not None or within is not None:
+        raise ValueError("pass BOTH ts_col and within, or neither")
+    else:
+        out = hashed.dropDuplicates(["__content_h"])
+    return out.drop("__content_h")
+
+
+def _band_hash_expr(sig: Column, num_hashes: int, bands: int) -> Column:
+    """bands × xxhash64-of-band-lanes (the expression banding of
+    ``minhash_lsh_candidates``'s fallback path — bucket ids only need to
+    be self-consistent within the stream, and the signature column is
+    already materialized here, so there is nothing to fuse)."""
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+
+
+_VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("dup_of", LongType()),
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+
+_BUCKET_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", BinaryType()),
+    ]
+)
+
+
+def near_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Cross-batch MinHash near-dedup with explicit LSH-bucket state.
+
+    Per doc: shingle hashes → Arrow minhash signature (the batch
+    kernel, bit-identical lanes) → ``bands`` bucket keys.  Per
+    ``(band, bucket)`` group, ``applyInPandasWithState`` holds the
+    signatures seen so far (ids + one packed int64 blob, 8·num_hashes
+    bytes per admitted doc) and emits one verdict row per (doc, band):
+    ``dup_of`` = the best-matching earlier doc and ``est_jaccard`` = the
+    lane-agreement estimate against it (NULL/0.0 when the bucket was
+    empty).  Docs are compared against earlier arrivals only — within a
+    micro-batch, ascending ``id_col`` order stands in for arrival order,
+    so the first-arrived (lowest-id) doc of a duplicate chain survives,
+    matching the batch ``near_dedup_clustered`` min-id-representative
+    semantics (every doc is stored in state whether or not it was
+    flagged, so transitive chains A~B~C suppress B AND C exactly like
+    the batch connected component does).
+
+    A doc's GLOBAL verdict is the max estimate over its bands — fold
+    the bucket rows with ``collapse_verdicts`` (per micro-batch in
+    ``foreachBatch``, or on the materialized sink).  Buckets are capped
+    at ``max_bucket_size`` admitted signatures: beyond it, new docs
+    still get verdicts against the stored set but stop being admitted
+    (a boilerplate-pileup bucket stops growing; its docs keep pairing
+    through their other bands — the same degeneracy contract as the
+    batch ``max_bucket_size``, logged there, bounded here).
+
+    State per bucket is ids + signatures (~520 B/doc at 64 lanes), never
+    text.  At 100 TB: bands × corpus signatures sharded across the
+    ``(band, bucket)`` key space — use the RocksDB state store provider.
+    """
+    import numpy as np
+
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+
+    h = F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    sig = minhash_signature_arrow(num_hashes)(h)
+    banded = (
+        stream.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("__sig"))
+        .select(
+            "doc_id",
+            "__sig",
+            F.posexplode(_band_hash_expr(F.col("__sig"), num_hashes, bands)).alias(
+                "band", "bhash"
+            ),
+        )
+    )
+
+    def bucket_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, blob = state.get
+            ids = list(ids)
+            S = np.frombuffer(bytes(blob), dtype=np.int64).reshape(
+                len(ids), num_hashes
+            )
+        else:
+            ids = []
+            S = np.empty((0, num_hashes), dtype=np.int64)
+        band = int(key[0])
+        chunks = [S]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            out = {
+                "doc_id": [],
+                "band": [],
+                "dup_of": [],
+                "est_jaccard": [],
+            }
+            for doc_id, sig_arr in zip(pdf["doc_id"], pdf["__sig"]):
+                v = np.asarray(sig_arr, dtype=np.int64)
+                if len(ids):
+                    if len(chunks) > 1:
+                        chunks = [np.vstack(chunks)]
+                        S = chunks[0]
+                    agree = (S == v).mean(axis=1)
+                    best = int(np.argmax(agree))
+                    out["dup_of"].append(ids[best])
+                    out["est_jaccard"].append(float(agree[best]))
+                else:
+                    out["dup_of"].append(None)
+                    out["est_jaccard"].append(0.0)
+                out["doc_id"].append(int(doc_id))
+                out["band"].append(band)
+                if len(ids) < max_bucket_size:
+                    ids.append(int(doc_id))
+                    chunks.append(v[None, :])
+            if out["doc_id"]:
+                yield pd.DataFrame(out).astype(
+                    {"doc_id": "int64", "band": "int32", "est_jaccard": "float64"}
+                )
+        S = np.vstack(chunks) if len(chunks) > 1 else chunks[0]
+        state.update((ids, S.tobytes()))
+
+    return banded.groupBy("band", "bhash").applyInPandasWithState(
+        bucket_fn,
+        outputStructType=_VERDICT_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def collapse_verdicts(verdicts: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Fold bucket-level ``near_dedup_stream`` rows into one verdict per
+    doc: ``is_dup`` iff the best band estimate clears ``threshold``,
+    ``dup_of`` = that band's matched doc (ties → lowest matched id).
+    Batch helper — run it per micro-batch in ``foreachBatch`` or over
+    the materialized verdict sink."""
+    order = F.struct(
+        F.col("est_jaccard"),
+        (-F.coalesce(F.col("dup_of"), F.lit(2**62))).alias("neg_id"),
+    )
+    best = verdicts.groupBy("doc_id").agg(
+        F.max("est_jaccard").alias("est_jaccard"),
+        F.max_by("dup_of", order).alias("dup_of"),
+    )
+    return best.select(
+        "doc_id",
+        (F.col("est_jaccard") >= F.lit(threshold)).alias("is_dup"),
+        F.when(F.col("est_jaccard") >= threshold, F.col("dup_of")).alias("dup_of"),
+        "est_jaccard",
+    )

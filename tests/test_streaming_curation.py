@@ -1,0 +1,153 @@
+"""Streaming curation: cross-micro-batch dedup must match the batch
+operators on the same corpus (exact: identical survivors; near-dup:
+identical survivors where the est-Jaccard is decisively off-threshold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import dedup
+from bigdataproject_formula1_telemetry_spark.streaming import curation
+from tests.conftest import SF_SMOKE
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(spark):
+    """60 real documents + 12 exact copies + 12 near-dups (one appended
+    token, shingle-Jaccard ≈ 0.9+), copies with fresh higher ids so the
+    originals arrive in the first micro-batch."""
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exact = base.iloc[:12].copy()
+    exact["doc_id"] = exact["doc_id"] + 1000
+    near = base.iloc[20:32].copy()
+    near["doc_id"] = near["doc_id"] + 2000
+    near["text"] = near["text"] + " appended"
+    return pd.concat([base, exact, near], ignore_index=True)
+
+
+def _start_stream(spark, tmp_path, corpus_pdf, transform):
+    """Write the corpus as three id-ordered files (originals first),
+    stream them one file per trigger through ``transform`` into a memory
+    sink, and return the sink's rows."""
+    src = str(tmp_path / "src")
+    parts = [
+        corpus_pdf[corpus_pdf["doc_id"] < 60],
+        corpus_pdf[(corpus_pdf["doc_id"] >= 1000) & (corpus_pdf["doc_id"] < 2000)],
+        corpus_pdf[corpus_pdf["doc_id"] >= 2000],
+    ]
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, DOC_SCHEMA).coalesce(1).write.parquet(
+            src, mode="overwrite" if i == 0 else "append"
+        )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"cur_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+
+def test_exact_dedup_stream_matches_batch(spark, corpus_pdf, tmp_path):
+    got = _start_stream(
+        spark, tmp_path, corpus_pdf, lambda s: curation.dedup_stream_exact(s)
+    )
+    batch = dedup.exact_dedup(spark.createDataFrame(corpus_pdf, DOC_SCHEMA))
+    exp_ids = set(r.doc_id for r in batch.select("doc_id").collect())
+    assert set(got["doc_id"]) == exp_ids
+    # the 12 exact copies (and nothing else) were suppressed
+    assert set(corpus_pdf["doc_id"]) - set(got["doc_id"]) == set(
+        range(1000, 1012)
+    )
+
+
+def test_near_dedup_stream_matches_batch_clustered(spark, corpus_pdf, tmp_path):
+    """Bucket-level verdicts folded per doc reproduce the batch
+    ``near_dedup_clustered`` survivor set: exact copies (est 1.0) and
+    planted near-dups (est ≈ 0.9) suppressed, originals kept."""
+    verdicts = _start_stream(
+        spark,
+        tmp_path,
+        corpus_pdf,
+        lambda s: curation.near_dedup_stream(s, num_hashes=64, bands=16),
+    )
+    folded = curation.collapse_verdicts(
+        spark.createDataFrame(verdicts), threshold=0.8
+    ).toPandas()
+    assert len(folded) == len(corpus_pdf)
+
+    stream_survivors = set(folded[~folded["is_dup"]]["doc_id"])
+    batch = dedup.near_dedup_clustered(
+        spark.createDataFrame(corpus_pdf, DOC_SCHEMA), threshold=0.8
+    )
+    batch_survivors = set(r.doc_id for r in batch.select("doc_id").collect())
+    assert stream_survivors == batch_survivors
+
+    # every suppressed doc points at an earlier-arrived original
+    dups = folded[folded["is_dup"]]
+    assert (dups["dup_of"] < dups["doc_id"]).all()
+    # exact copies match their original at estimate exactly 1.0
+    exact_rows = folded[folded["doc_id"].between(1000, 1011)]
+    assert (exact_rows["est_jaccard"] == 1.0).all()
+    assert (exact_rows["dup_of"] == exact_rows["doc_id"] - 1000).all()
+
+
+def test_near_dedup_stream_transitive_chain(spark, tmp_path):
+    """A~B, B~C with A,B,C arriving in three different micro-batches:
+    the first-arrived doc survives, both later links are suppressed —
+    the streaming analogue of the batch connected component."""
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words + ["xa", "xb"])          # J(a,b) high
+    c = " ".join(words + ["xa", "xb", "xc", "xd"])  # J(b,c) high, J(a,c) lower
+    pdf = pd.DataFrame({"doc_id": [1, 1001, 2001], "text": [a, b, c]})
+    verdicts = _start_stream(
+        spark,
+        tmp_path,
+        pdf,
+        lambda s: curation.near_dedup_stream(s, num_hashes=64, bands=16),
+    )
+    folded = (
+        curation.collapse_verdicts(spark.createDataFrame(verdicts), threshold=0.8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not folded.loc[1, "is_dup"]
+    assert folded.loc[1001, "is_dup"] and folded.loc[1001, "dup_of"] == 1
+    # C was admitted after B: it suppresses via whichever earlier link
+    # its buckets surface — the chain never resurrects a duplicate
+    assert folded.loc[2001, "is_dup"]
+    assert folded.loc[2001, "dup_of"] in (1, 1001)
