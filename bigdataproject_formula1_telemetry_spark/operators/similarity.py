@@ -630,24 +630,25 @@ def ivf_centroids(
     - init: the ``n_clusters`` vectors with the smallest md5(salt|id) — a
       deterministic, partitioning-independent pseudo-random pick (same
       gate as ``sampling.deterministic_sample``).
-    - per Lloyd round: one Arrow-batched assignment pass + ONE groupBy
-      shuffle computing per-cluster elementwise sums as ``dim`` JVM
-      ``sum(vec[i]/norm)`` aggregates (map-side combined; the shuffle
-      carries k·dim doubles, not vectors).  Only the k×dim centroid
-      matrix ever reaches the driver.
+    - per Lloyd round: ONE fused ``mapInPandas`` pass that assigns each
+      Arrow batch to its nearest centroid AND accumulates the per-cluster
+      sums of the normalized vectors in the same numpy kernel, emitting
+      ≤ k partial-sum rows per batch (the map-side combine, done in the
+      kernel).  Only k·n_partitions tiny rows — never vectors — leave
+      the executors; the driver folds them into the k×dim matrix.
+      (The previous formulation aggregated ``dim`` separate JVM
+      ``sum(vec[i]/norm)`` columns, which forced Catalyst to compile a
+      dim-wide aggregate plan per round — pure codegen overhead at small
+      dim·k, and the kernel fusion is strictly less shuffled data.)
     - empty clusters keep their previous centroid; early-stops when
       centroids converge.
 
-    At 100 TB the per-round cost is one scan + one tiny shuffle, and
-    ``max_iter`` bounds the rounds; train on a deterministic sample
-    (``sampling.deterministic_sample``) when even that is too much.
+    At 100 TB the per-round cost is one scan + one k·n_partitions-row
+    collect, and ``max_iter`` bounds the rounds; train on a
+    deterministic sample (``sampling.deterministic_sample``) when even
+    that is too much.
     """
     import numpy as np
-
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("empty corpus")
-    dim = len(first[0])
 
     init_rows = (
         corpus.select(id_col, vec_col)
@@ -659,30 +660,72 @@ def ivf_centroids(
         .limit(n_clusters)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("empty corpus")
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
     norms = np.linalg.norm(C, axis=1)
     norms[norms == 0] = 1.0
     C = C / norms[:, None]
+    dim = C.shape[1]
 
-    normed = corpus.withColumn("__n", F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)))
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    part_schema = StructType(
+        [
+            StructField("c", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    vecs_only = corpus.select(vec_col)
+
     for _ in range(max_iter):
-        assign = _np_assigner(C.tolist(), nprobe=1)
-        ass = normed.select(
-            assign(F.col(vec_col))[0].alias("__c"), vec_col, "__n"
-        )
-        sums = ass.groupBy("__c").agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            *[
-                F.sum(F.col(vec_col)[i].cast("double") / F.col("__n")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        ).collect()
+        C_round = C.copy()
+
+        def partial_sums(batches):
+            k = C_round.shape[0]
+            zero = np.zeros(dim, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [
+                        zero if v is None else np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]
+                    ]
+                )
+                n = np.linalg.norm(X, axis=1)
+                n[n == 0] = 1.0
+                Xn = X / n[:, None]
+                a = np.argmax(Xn @ C_round.T, axis=1)
+                # NULL vectors count toward their cluster but add a zero
+                # sum — identical to the old JVM sum's NULL-skip
+                isnull = np.fromiter(
+                    (v is None for v in pdf[vec_col]), bool, len(pdf)
+                )
+                sums = np.zeros((k, dim), dtype=np.float64)
+                np.add.at(sums, a[~isnull], Xn[~isnull])
+                cnt = np.bincount(a, minlength=k)
+                live = cnt > 0
+                yield pd.DataFrame(
+                    {
+                        "c": np.nonzero(live)[0].astype("int32"),
+                        "cnt": cnt[live].astype("int64"),
+                        "s": list(sums[live]),
+                    }
+                )
+
+        parts = vecs_only.mapInPandas(partial_sums, part_schema).collect()
         newC = C.copy()
-        for r in sums:
-            mean = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
-            n = np.linalg.norm(mean)
-            if n > 0:
-                newC[r["__c"]] = mean / n
+        total = np.zeros((C.shape[0], dim), dtype=np.float64)
+        seen = np.zeros(C.shape[0], dtype=bool)
+        for r in parts:
+            total[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            seen[r["c"]] = True
+        for c in np.nonzero(seen)[0]:
+            nrm = np.linalg.norm(total[c])
+            if nrm > 0:
+                newC[c] = total[c] / nrm
         if np.allclose(newC, C, atol=1e-12):
             C = newC
             break
