@@ -239,3 +239,180 @@ def pack_sequences(
         .groupBy("__g")
         .applyInPandas(pack, out_schema)
     )
+
+
+#: rolling-hash base for content-defined chunking — any odd 64-bit
+#: multiplier works; this is splitmix64's golden-gamma (public domain).
+_CDC_BASE = 0x9E3779B97F4A7C15
+
+
+def cdc_chunks(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_tokens: int = 64,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    window: int = 8,
+):
+    """Content-defined chunking (LBFS/Rabin-style): chunk boundaries are
+    placed where a rolling hash of the last ``window`` token hashes hits
+    the cut condition (``H % target_tokens == target_tokens - 1``),
+    bounded to ``[min_tokens, max_tokens]`` (defaults target/4 and
+    target×4; the final chunk may run short).  Expected chunk length ≈
+    ``target_tokens``.
+
+    Why this exists next to ``chunk_documents``: fixed windows shift
+    when content shifts — prepend one sentence and EVERY downstream
+    chunk hash changes, so chunk-level dedup sees nothing.  CDC
+    boundaries depend only on the local window of content, so after an
+    insertion the cut points re-align at the next boundary and all
+    later chunks keep their identity — the property that makes
+    sub-document dedup (shared-chunk detection between near-identical
+    documents) work.  Pair with ``exact_dedup`` on ``chunk_hash`` or a
+    shared-chunk-fraction join to find partially-overlapping documents.
+
+    Plan shape: token + token-hash arrays are built JVM-side
+    (split + ``transform(xxhash64)``), then ONE ``mapInPandas`` pass
+    computes the rolling hash and cut points per document (vectorized
+    over the window, a short python loop over the cuts) — a narrow map
+    stage at any corpus size, no shuffle, ``(doc_id, chunk_idx)`` stable.
+    ``chunk_hash`` is a polynomial fold of the chunk's token hashes
+    (content identity, independent of the chunking parameters).
+    Empty/NULL documents produce zero chunks.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    if min_tokens is None:
+        min_tokens = max(1, target_tokens // 4)
+    if max_tokens is None:
+        max_tokens = target_tokens * 4
+    if not 1 <= min_tokens <= target_tokens <= max_tokens:
+        raise ValueError("need 1 <= min_tokens <= target_tokens <= max_tokens")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    toks = tokens(F.col(text_col))
+    src = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    out_schema = _ST(
+        [
+            _SF(id_col, df.schema[id_col].dataType),
+            _SF("chunk_idx", IntegerType()),
+            _SF("n_tokens", IntegerType()),
+            _SF("chunk_hash", LongType()),
+            _SF("chunk_text", StringType()),
+        ]
+    )
+    B = np.uint64(_CDC_BASE)
+    D = np.uint64(target_tokens)
+    cut_val = np.uint64(target_tokens - 1)
+
+    def chunker(batches):
+        bpow = np.empty(window, dtype=np.uint64)
+        bpow[0] = np.uint64(1)
+        for j in range(1, window):
+            bpow[j] = bpow[j - 1] * B
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                out = {
+                    id_col: [],
+                    "chunk_idx": [],
+                    "n_tokens": [],
+                    "chunk_hash": [],
+                    "chunk_text": [],
+                }
+                for did, tk, hh in zip(pdf[id_col], pdf["__toks"], pdf["__h"]):
+                    if tk is None or len(tk) == 0:
+                        continue
+                    h = np.asarray(hh, dtype=np.int64).view(np.uint64)
+                    n = len(h)
+                    # H[i] = sum_{j<window} h[i-j] * B^j  (positions < window
+                    # use the partial prefix — cuts there are rare and legal)
+                    H = np.zeros(n, dtype=np.uint64)
+                    for j in range(min(window, n)):
+                        H[j:] += h[: n - j] * bpow[j]
+                    cand = np.nonzero(H % D == cut_val)[0]
+                    start, idx = 0, 0
+                    while start < n:
+                        lo, hi = start + min_tokens - 1, start + max_tokens - 1
+                        pos = cand.searchsorted(lo)
+                        if pos < len(cand) and cand[pos] <= hi and cand[pos] < n - 1:
+                            end = int(cand[pos]) + 1
+                        else:
+                            end = min(start + max_tokens, n)
+                        seg = h[start:end]
+                        fold = np.uint64(0)
+                        for v in seg:
+                            fold = fold * B + v
+                        out[id_col].append(did)
+                        out["chunk_idx"].append(idx)
+                        out["n_tokens"].append(end - start)
+                        out["chunk_hash"].append(int(fold.view(np.int64)))
+                        out["chunk_text"].append(" ".join(tk[start:end]))
+                        start = end
+                        idx += 1
+                if out["chunk_idx"]:
+                    yield pd.DataFrame(out).astype(
+                        {
+                            "chunk_idx": "int32",
+                            "n_tokens": "int32",
+                            "chunk_hash": "int64",
+                        }
+                    )
+
+    return src.mapInPandas(chunker, out_schema)
+
+
+def shared_chunk_fraction(
+    chunks,
+    id_col: str = "doc_id",
+    hash_col: str = "chunk_hash",
+):
+    """Sub-document overlap detection over ``cdc_chunks`` output: for
+    every document pair sharing at least one chunk hash, the fraction of
+    the smaller document's chunks found in the larger — containment, the
+    natural score for partial duplication (boilerplate shells, quoted
+    articles, near-identical mirrors with different headers).
+
+    The pair join is keyed on ``chunk_hash`` — exactly the LSH-bucket
+    shape: only documents that actually share content ever meet, never
+    all-pairs.  Sets are DISTINCT chunk hashes (a chunk repeated inside
+    one document counts once).  Returns (id_a, id_b, shared,
+    containment) with id_a < id_b."""
+    uniq = chunks.select(id_col, hash_col).distinct()
+    sizes = uniq.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    c = uniq.select(F.col(id_col).alias("id_a"), hash_col)
+    d = uniq.select(F.col(id_col).alias("id_b"), hash_col)
+    shared = (
+        c.join(d, hash_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("__sz", "__sz_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("__sz", "__sz_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.col("shared")
+                / F.least(F.col("__sz_a"), F.col("__sz_b")).cast("double")
+            ).alias("containment"),
+        )
+    )

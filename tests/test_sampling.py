@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from bigdataproject_formula1_telemetry_spark import io
 from bigdataproject_formula1_telemetry_spark.operators import sampling
+from bigdataproject_formula1_telemetry_spark.operators import text as T_mod
 from tests.conftest import SF_SMOKE
 
 
@@ -223,3 +224,109 @@ def test_chunk_pack_shuffle_end_to_end_on_documents(spark):
     assert sorted(map(tuple, s1.values.tolist())) == sorted(
         map(tuple, s2.values.tolist())
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling hash)
+# ---------------------------------------------------------------------------
+
+def _cdc_corpus(spark):
+    return (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 40)
+    )
+
+
+def test_cdc_chunks_partition_reconstruction_and_bounds(spark):
+    """CDC chunks exactly partition the token stream: reconstruction,
+    per-chunk bounds (min..max, final chunk may run short), contiguous
+    chunk_idx, deterministic across runs."""
+    docs = _cdc_corpus(spark)
+    got = T_mod.cdc_chunks(docs, target_tokens=32).toPandas()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(got["doc_id"]) == set(texts)
+    for did, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        assert list(grp["chunk_idx"]) == list(range(len(grp)))
+        toks = texts[did].split()
+        assert " ".join(grp["chunk_text"]) == " ".join(toks)
+        assert grp["n_tokens"].sum() == len(toks)
+        assert (grp["n_tokens"] <= 32 * 4).all()
+        assert (grp["n_tokens"].iloc[:-1] >= 8).all()  # min = target/4
+    again = T_mod.cdc_chunks(docs, target_tokens=32).toPandas()
+    assert got.sort_values(["doc_id", "chunk_idx"])["chunk_hash"].tolist() == \
+        again.sort_values(["doc_id", "chunk_idx"])["chunk_hash"].tolist()
+
+
+def test_cdc_chunks_shift_invariance_vs_fixed_windows(spark):
+    """THE property CDC buys: prepending a header re-aligns at the next
+    content-defined boundary, so most chunk hashes survive — while
+    fixed-window chunking loses every chunk."""
+    docs = _cdc_corpus(spark).toPandas()
+    shifted = docs.copy()
+    shifted["text"] = "breaking news header added today : " + shifted["text"]
+    a = T_mod.cdc_chunks(
+        spark.createDataFrame(docs), target_tokens=32
+    ).toPandas()
+    b = T_mod.cdc_chunks(
+        spark.createDataFrame(shifted), target_tokens=32
+    ).toPandas()
+    kept_total, orig_total = 0, 0
+    for did, grp in a.groupby("doc_id"):
+        if len(grp) < 4:
+            continue
+        bh = set(b[b["doc_id"] == did]["chunk_hash"])
+        kept_total += sum(1 for h in grp["chunk_hash"] if h in bh)
+        orig_total += len(grp)
+    assert orig_total > 0
+    assert kept_total / orig_total >= 0.6, (kept_total, orig_total)
+
+    # fixed windows, same corpus, same per-doc comparison: the 7-token
+    # shift misaligns every window, so survival collapses (the synthetic
+    # corpus repeats content, so demand ≤ 0.2 rather than exactly 0)
+    fa = T_mod.chunk_documents(
+        spark.createDataFrame(docs), chunk_tokens=32
+    ).withColumn("h", F.xxhash64("chunk_text")).toPandas()
+    fb = T_mod.chunk_documents(
+        spark.createDataFrame(shifted), chunk_tokens=32
+    ).withColumn("h", F.xxhash64("chunk_text")).toPandas()
+    f_kept, f_orig = 0, 0
+    for did, grp in fa.groupby("doc_id"):
+        if len(grp) < 2:
+            continue
+        bh = set(fb[fb["doc_id"] == did]["h"])
+        f_kept += sum(1 for h in grp["h"] if h in bh)
+        f_orig += len(grp)
+    assert f_orig > 0
+    fixed_rate = f_kept / f_orig
+    cdc_rate = kept_total / orig_total
+    assert fixed_rate <= 0.2, fixed_rate
+    assert cdc_rate > fixed_rate + 0.3, (cdc_rate, fixed_rate)
+
+
+def test_shared_chunk_fraction_detects_partial_duplication(spark):
+    """A doc that embeds another doc's full text behind a different
+    header scores containment ≈ 1 against it; unrelated docs never pair."""
+    docs = _cdc_corpus(spark).toPandas().iloc[:10]
+    # embed the longest doc (most chunks → clearest containment signal)
+    base_row = docs.loc[docs["text"].str.split().str.len().idxmax()]
+    base_text = base_row["text"]
+    import pandas as pd
+
+    wrapped = pd.DataFrame(
+        {
+            "doc_id": [9001],
+            "text": ["mirror site banner : " + base_text + " : footer links"],
+        }
+    )
+    corpus = pd.concat([docs, wrapped], ignore_index=True)
+    chunks = T_mod.cdc_chunks(spark.createDataFrame(corpus), target_tokens=12)
+    pairs = T_mod.shared_chunk_fraction(chunks).toPandas()
+    hit = pairs[(pairs["id_a"] == base_row["doc_id"]) & (pairs["id_b"] == 9001)]
+    assert len(hit) == 1
+    assert hit.iloc[0]["containment"] >= 0.6, hit
+    # the synthetic documents corpus is pairwise-unrelated: no other
+    # pair shares enough to clear even a lenient containment bar
+    others = pairs[(pairs["id_b"] != 9001)]
+    assert (others["containment"] < 0.5).all()
