@@ -244,3 +244,99 @@ def collapse_verdicts(verdicts: DataFrame, threshold: float = 0.8) -> DataFrame:
         F.when(F.col("est_jaccard") >= threshold, F.col("dup_of")).alias("dup_of"),
         "est_jaccard",
     )
+
+
+def near_dedup_stream_tws(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """``near_dedup_stream`` on ``transformWithStateInPandas`` (Spark 4's
+    arbitrary-state v2 API) — identical bucket semantics with the
+    ids+signatures blob as a named ``ValueState``.
+
+    Same runtime requirements as ``merge.latest_value_merge_stream_tws``:
+    the RocksDB state store provider and the ``protobuf`` package
+    (``merge.HAS_TWS_RUNTIME``); the ``applyInPandasWithState`` form is
+    the always-available path.  Verdict rows, arrival-order tie-break,
+    bucket cap, and the transitive-suppression contract are all as
+    documented on ``near_dedup_stream``."""
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+
+    h = F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    sig = minhash_signature_arrow(num_hashes)(h)
+    banded = (
+        stream.select(F.col(id_col).cast("long").alias("doc_id"), sig.alias("__sig"))
+        .select(
+            "doc_id",
+            "__sig",
+            F.posexplode(_band_hash_expr(F.col("__sig"), num_hashes, bands)).alias(
+                "band", "bhash"
+            ),
+        )
+    )
+
+    class _BucketProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._bucket = handle.getValueState("bucket", _BUCKET_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._bucket.exists():
+                ids, blob = tuple(self._bucket.get())
+                ids = list(ids)
+                S = np.frombuffer(bytes(blob), dtype=np.int64).reshape(
+                    len(ids), num_hashes
+                )
+            else:
+                ids = []
+                S = np.empty((0, num_hashes), dtype=np.int64)
+            band = int(key[0])
+            chunks = [S]
+            for pdf in rows:
+                pdf = pdf.sort_values("doc_id")
+                out = {"doc_id": [], "band": [], "dup_of": [], "est_jaccard": []}
+                for doc_id, sig_arr in zip(pdf["doc_id"], pdf["__sig"]):
+                    v = np.asarray(sig_arr, dtype=np.int64)
+                    if len(ids):
+                        if len(chunks) > 1:
+                            chunks = [np.vstack(chunks)]
+                        S = chunks[0]
+                        agree = (S == v).mean(axis=1)
+                        best = int(np.argmax(agree))
+                        out["dup_of"].append(ids[best])
+                        out["est_jaccard"].append(float(agree[best]))
+                    else:
+                        out["dup_of"].append(None)
+                        out["est_jaccard"].append(0.0)
+                    out["doc_id"].append(int(doc_id))
+                    out["band"].append(band)
+                    if len(ids) < max_bucket_size:
+                        ids.append(int(doc_id))
+                        chunks.append(v[None, :])
+                if out["doc_id"]:
+                    yield pd.DataFrame(out).astype(
+                        {"doc_id": "int64", "band": "int32", "est_jaccard": "float64"}
+                    )
+            S = np.vstack(chunks) if len(chunks) > 1 else chunks[0]
+            self._bucket.update((ids, S.tobytes()))
+
+        def close(self) -> None:
+            pass
+
+    return banded.groupBy("band", "bhash").transformWithStateInPandas(
+        statefulProcessor=_BucketProcessor(),
+        outputStructType=_VERDICT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -151,3 +151,47 @@ def test_near_dedup_stream_transitive_chain(spark, tmp_path):
     # its buckets surface — the chain never resurrects a duplicate
     assert folded.loc[2001, "is_dup"]
     assert folded.loc[2001, "dup_of"] in (1, 1001)
+
+
+from bigdataproject_formula1_telemetry_spark.streaming import merge as _merge
+
+
+@pytest.mark.skipif(
+    not _merge.HAS_TWS_RUNTIME,
+    reason="transformWithState needs the protobuf package at runtime",
+)
+def test_near_dedup_stream_tws_matches_v1(spark, corpus_pdf, tmp_path):
+    """The transformWithStateInPandas form must emit the same folded
+    verdicts as the applyInPandasWithState form on the same corpus."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = _start_stream(
+            spark,
+            tmp_path,
+            corpus_pdf,
+            lambda s: curation.near_dedup_stream_tws(s, num_hashes=64, bands=16),
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    v1 = _start_stream(
+        spark,
+        tmp_path / "v1",
+        corpus_pdf,
+        lambda s: curation.near_dedup_stream(s, num_hashes=64, bands=16),
+    )
+    fa = (
+        curation.collapse_verdicts(spark.createDataFrame(tws), threshold=0.8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    fb = (
+        curation.collapse_verdicts(spark.createDataFrame(v1), threshold=0.8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert fa.equals(fb)
