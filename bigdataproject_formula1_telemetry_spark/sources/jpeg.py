@@ -10,13 +10,14 @@ JPEGs any other way.
 Supported (decode): baseline sequential (SOF0), 8-bit, grayscale or
 3-component YCbCr, MCU-interleaved scans with integer-ratio sampling
 factors — 4:4:4, 4:2:0, 4:2:2 and friends (chroma replicated up to full
-resolution; JFIF mandates no upsampling filter), tables read from the
-stream's own DQT/DHT markers.  Progressive (SOF2), arithmetic coding,
-12-bit, non-integer sampling ratios, and restart intervals raise
+resolution; JFIF mandates no upsampling filter), restart intervals
+(DRI/RSTn: byte-aligned markers, cycle-checked, DC predictors reset),
+tables read from the stream's own DQT/DHT markers.  Progressive (SOF2),
+arithmetic coding, 12-bit, and non-integer sampling ratios raise
 ``NotImplementedError`` — real boundaries, stated, not silently wrong.
 The encoder emits the supported subset (Annex K quant tables scaled by
 libjpeg's quality curve, Annex K Huffman tables, ``subsampling=`` 444 /
-420 / 422).
+420 / 422, ``restart_interval=``).
 
 Throughput reality: the entropy loop is per-symbol Python — fine for the
 thumbnail-scale assets these pipelines carry in test; swap a codec
@@ -186,6 +187,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed if it lands on 0xFF) and emit
+        RSTm — the encoder side of a restart interval boundary."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 0x07)])
+
 
 class _BitReader:
     """Reads the entropy-coded segment: un-stuffs FF00 on the fly and
@@ -204,8 +213,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers (DRI/RSTn) unsupported"
+                raise ValueError(
+                    "restart marker inside an entropy-coded segment — "
+                    "corrupt stream or restart-interval mismatch"
                 )
             else:
                 raise EOFError("hit marker inside entropy data")
@@ -235,6 +245,29 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: discard the
+        partial byte (decoder side of the encoder's 1-padding), skip a
+        stuffed FF00 the padding may have produced, verify the marker,
+        and return its 0..7 cycle number."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RSTn marker at restart interval")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
+
 
 def _extend(v: int, size: int) -> int:
     """DC/AC value decode: ``size``-bit magnitude → signed coefficient."""
@@ -260,6 +293,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, qt_id)])
     scan_comps = None  # [(comp_id, dc_id, ac_id)]
+    restart_interval = 0
     pos = 2
     data = payload
     while pos + 4 <= len(data):
@@ -325,8 +359,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"JPEG frame type SOF{marker - 0xC0} unsupported (baseline "
                 "sequential SOF0 only — no progressive/arithmetic/lossless)"
             )
-        elif marker == 0xDD:  # DRI
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs (0 = disabled)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             nc = seg[0]
             scan_comps = [
@@ -352,6 +386,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     }
     reader = _BitReader(data, pos)
     pred = {cid: 0 for cid, _, _, _ in comps}
+    mcu_done = 0
+
+    def maybe_restart(total_mcus: int) -> None:
+        """After each MCU: at a restart boundary (and not at scan end),
+        consume the RSTn marker — verifying the 0..7 cycle — and reset
+        the DC predictors (T.81 F.2.1.3.1)."""
+        nonlocal mcu_done
+        mcu_done += 1
+        if (
+            restart_interval
+            and mcu_done < total_mcus
+            and mcu_done % restart_interval == 0
+        ):
+            m = reader.restart()
+            expect = (mcu_done // restart_interval - 1) % 8
+            if m != expect:
+                raise ValueError(f"RST{m} out of sequence (expected RST{expect})")
+            for k in pred:
+                pred[k] = 0
 
     def read_block(dc_id: int, ac_id: int, cid: int) -> np.ndarray:
         coeffs = np.zeros(64)
@@ -385,11 +438,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         sh, sv = samp_of[cid]
         ch = -(-(h * sv) // vmax)  # ceil(h·sv/vmax): true component dims
         cw = -(-(w * sh) // hmax)
-        for by in range((ch + 7) // 8):
-            for bx in range((cw + 7) // 8):
+        nby, nbx = (ch + 7) // 8, (cw + 7) // 8
+        for by in range(nby):
+            for bx in range(nbx):
                 planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     read_block(dc_id, ac_id, cid)
                 )
+                maybe_restart(nby * nbx)  # non-interleaved MCU = 1 block
     else:
         # interleaved scan (T.81 A.2.3): per MCU, each component
         # contributes sh×sv blocks in row-major order
@@ -404,6 +459,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             planes[cid][y0 : y0 + 8, x0 : x0 + 8] = (
                                 read_block(dc_id, ac_id, cid)
                             )
+                maybe_restart(mcuy * mcux)
 
     # crop each plane to its true component size, then replicate up to
     # full resolution (nearest-neighbor — JFIF mandates no upsampling
@@ -476,7 +532,10 @@ def _encode_block(
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """H×W (gray) or H×W×{1,3} (RGB) uint8 → baseline JPEG bytes
     (Annex K tables at the given libjpeg-curve quality).
@@ -486,7 +545,12 @@ def encode_jpeg(
     baseline JPEGs) or ``"422"`` (luma 2×1).  Chroma planes are box-mean
     downsampled and the scan is MCU-interleaved per T.81 A.2.3, which
     is exactly what ``decode_jpeg`` parses back.  Grayscale ignores the
-    parameter (one component has nothing to subsample)."""
+    parameter (one component has nothing to subsample).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RST0..7 marker
+    after every that-many MCUs (byte-aligned, DC predictors reset) —
+    the error-resilience feature cameras/libjpeg commonly enable, and
+    the unit a parallel decoder can split the entropy segment on."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -542,6 +606,7 @@ def encode_jpeg(
 
     writer = _BitWriter()
     pred = [0] * c
+    mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(c):
@@ -557,6 +622,14 @@ def encode_jpeg(
                             writer, qcoef, pred[ci],
                             dc_codes[comp_ht[ci]], ac_codes[comp_ht[ci]],
                         )
+            mcu_done += 1
+            if (
+                restart_interval
+                and mcu_done < mcuy * mcux
+                and mcu_done % restart_interval == 0
+            ):
+                writer.restart_marker(mcu_done // restart_interval - 1)
+                pred = [0] * c
     entropy = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -573,6 +646,8 @@ def encode_jpeg(
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, comp_qt[ci]])
     out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     specs = [(0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC)]
     if c == 3:
         specs += [(0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)]

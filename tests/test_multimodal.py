@@ -360,3 +360,38 @@ def test_jpeg_420_chroma_plane_is_box_mean():
     back = J.decode_jpeg(J.encode_jpeg(img, quality=97, subsampling="420"))
     err = np.abs(back.astype(int) - img.astype(int))
     assert err.mean() < 6.0 and err.max() <= 60, (err.mean(), err.max())
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: encode with restart markers every 2 MCUs and decode —
+    output must be BIT-IDENTICAL to the no-restart encode of the same
+    image (restarts change the entropy framing, not the coefficients),
+    across gray/RGB and all subsampling modes."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(3)
+    for shape, sub in [((24, 40, 3), "444"), ((24, 40, 3), "420"),
+                       ((24, 40, 3), "422"), ((24, 40), "444")]:
+        grad = _smooth_gradient(*shape[:2], 3 if len(shape) == 3 else 1)
+        img = grad + rng.integers(0, 8, grad.shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling=sub))
+        with_rst = J.encode_jpeg(
+            img, quality=90, subsampling=sub, restart_interval=2
+        )
+        assert b"\xff\xdd" in with_rst      # DRI present
+        assert b"\xff\xd0" in with_rst      # at least one RST0
+        got = J.decode_jpeg(with_rst)
+        assert np.array_equal(got, base), (shape, sub)
+
+    # a stream whose RSTn sequence is out of order is rejected
+    payload = bytearray(
+        J.encode_jpeg(_smooth_gradient(24, 40, 3), restart_interval=2)
+    )
+    i = payload.find(b"\xff\xd0")
+    payload[i + 1] = 0xD5  # RST0 → RST5
+    import pytest
+
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_jpeg(bytes(payload))

@@ -1,0 +1,153 @@
+"""500k-document (100×-class) sweep for the COMPOSED curation pipeline.
+
+Extends the round-5 10× measurement (SCALING.md: curation_pipeline
+1.15× on a replica corpus) to the 500k-distinct-document scale the
+standalone minhash operator was already swept at: the full
+``pipelines.curate_documents`` tail (doc-level minhash near-dedup →
+context-window chunking → sharded first-fit packing → salt-keyed epoch
+shuffle) over
+
+- ``distinct500k`` — 100 word-shuffled variants of each sf0.1 document
+  (real shingle load, no exact-collapse shortcut: shuffling the words
+  changes every shingle, so the dedup stage does full LSH work), and
+- ``planted``      — + 1,000 true near-dups (copy + one appended token,
+  fresh ids) whose suppression is asserted, with zero false drops.
+
+Timing protocol: barrier-cold (release_barriers between runs), one
+warm-up + min of N_RUNS, same as bench.py.
+
+Usage: python tools/sweep_curation_100x.py [--quick]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from bigdataproject_formula1_telemetry_spark.plans import pipelines
+from bigdataproject_formula1_telemetry_spark.operators.dedup import release_barriers
+
+QUICK = "--quick" in sys.argv
+REPLICAS = 10 if QUICK else 100
+N_PLANTED = 100 if QUICK else 1_000
+N_RUNS = 2
+OUT = "/tmp/curation_sweep"
+
+
+def build_corpus(spark) -> None:
+    """100 word-shuffled variants per sf0.1 doc, written once as parquet.
+    The shuffle is seeded per (doc, replica) — deterministic corpus."""
+    import pandas as pd
+
+    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = src.toPandas()
+    n_docs = len(pdf)
+    rng = np.random.default_rng(99)
+    rows_id, rows_text = [], []
+    for r, (did, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+        words = text.split()
+        for k in range(REPLICAS):
+            w = list(words)
+            rng.shuffle(w)
+            rows_id.append(int(did) * REPLICAS + k)
+            rows_text.append(" ".join(w))
+    out = pd.DataFrame({"doc_id": rows_id, "text": rows_text})
+    os.makedirs(OUT, exist_ok=True)
+    spark.createDataFrame(out).repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/distinct.parquet"
+    )
+    print(f"  corpus: {len(out)} distinct docs ({n_docs} × {REPLICAS})", flush=True)
+
+    base = out.sample(n=N_PLANTED, random_state=7)
+    planted = pd.DataFrame(
+        {
+            "doc_id": (base["doc_id"] + 100_000_000).to_numpy(),
+            "text": (base["text"] + " appended").to_numpy(),
+        }
+    )
+    spark.createDataFrame(planted).write.mode("overwrite").parquet(
+        f"{OUT}/planted_extra.parquet"
+    )
+
+
+def main() -> None:
+    if os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .appName("curation-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("building corpus ...", flush=True)
+    build_corpus(spark)
+
+    distinct = spark.read.parquet(f"{OUT}/distinct.parquet")
+    n = distinct.count()
+    results: dict[str, float | int | bool] = {"n_docs": n}
+
+    def build():
+        release_barriers()
+        return pipelines.curate_documents(distinct)
+
+    print("curate_documents, distinct corpus ...", flush=True)
+    build().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    release_barriers()
+    results["curation_s"] = round(best, 2)
+    results["docs_per_sec"] = round(n / best)
+    print(f"  {best:.2f} s  ({n / best:,.0f} docs/s)", flush=True)
+
+    # quality at scale: planted near-dups suppressed, zero false drops
+    print("dedup-stage recall on planted near-dups ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import dedup as D
+
+    planted = distinct.unionByName(
+        spark.read.parquet(f"{OUT}/planted_extra.parquet")
+    )
+    kept = D.near_dedup_minhash(planted, threshold=0.8)
+    stats = (
+        planted.select("doc_id")
+        .exceptAll(kept.select("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("dropped"),
+            F.sum((F.col("doc_id") >= 100_000_000).cast("long")).alias(
+                "dropped_planted"
+            ),
+        )
+        .first()
+    )
+    release_barriers()
+    results["dropped"] = stats["dropped"]
+    results["dropped_planted"] = int(stats["dropped_planted"] or 0)
+    results["recall_ok"] = (
+        stats["dropped"] == N_PLANTED and stats["dropped_planted"] == N_PLANTED
+    )
+    print(
+        f"  dropped {stats['dropped']} ({stats['dropped_planted']} planted)",
+        flush=True,
+    )
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
