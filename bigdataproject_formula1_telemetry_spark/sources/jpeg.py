@@ -7,17 +7,21 @@ dequantize → inverse 8×8 DCT → YCbCr→RGB.  The matching encoder exists
 so the codec is round-trip testable in a container that cannot *create*
 JPEGs any other way.
 
-Supported (decode): baseline sequential (SOF0), 8-bit, grayscale or
+Supported (decode): baseline sequential (SOF0) AND progressive (SOF2 —
+spectral selection + successive approximation, all four scan kinds with
+EOBRUN and refinement correction bits, T.81 G.2), 8-bit, grayscale or
 3-component YCbCr, MCU-interleaved scans with integer-ratio sampling
 factors — 4:4:4, 4:2:0, 4:2:2 and friends (chroma replicated up to full
 resolution; JFIF mandates no upsampling filter), restart intervals
 (DRI/RSTn: byte-aligned markers, cycle-checked, DC predictors reset),
-tables read from the stream's own DQT/DHT markers.  Progressive (SOF2),
-arithmetic coding, 12-bit, and non-integer sampling ratios raise
-``NotImplementedError`` — real boundaries, stated, not silently wrong.
-The encoder emits the supported subset (Annex K quant tables scaled by
-libjpeg's quality curve, Annex K Huffman tables, ``subsampling=`` 444 /
-420 / 422, ``restart_interval=``).
+tables read from the stream's own DQT/DHT markers.  Arithmetic coding,
+12-bit, and non-integer sampling ratios raise ``NotImplementedError`` —
+real boundaries, stated, not silently wrong.  Two encoders keep both
+decode paths round-trip testable: ``encode_jpeg`` (baseline, Annex K
+quant tables scaled by libjpeg's quality curve, Annex K Huffman tables,
+``subsampling=`` 444 / 420 / 422, ``restart_interval=``) and
+``encode_jpeg_progressive`` (SOF2 scan script exercising every
+progressive path; decodes bit-identical to the baseline encode).
 
 Throughput reality: the entropy loop is per-symbol Python — fine for the
 thumbnail-scale assets these pipelines carry in test; swap a codec
@@ -280,6 +284,194 @@ def _category(v: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# Progressive scans (T.81 G.2: spectral selection + successive approximation)
+# --------------------------------------------------------------------------
+
+def _frame_geometry(frame) -> dict:
+    """MCU grid + per-component padded and true block-grid sizes."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    samp = {cid: (sh, sv) for cid, sh, sv, _ in comps}
+    true_blocks = {}
+    for cid, sh, sv, _ in comps:
+        ch = -(-(h * sv) // vmax)
+        cw = -(-(w * sh) // hmax)
+        true_blocks[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+    return {
+        "mcux": mcux, "mcuy": mcuy, "samp": samp,
+        "true_blocks": true_blocks, "comps": comps,
+    }
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    geom: dict,
+    coef: dict,
+    huff: dict,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    stores (zigzag order) and return the offset of the next marker.
+
+    Four scan kinds (T.81 G.2): DC first (Ss=0, Ah=0 — baseline DC with
+    the value shifted up by Al), DC refinement (one raw bit per block),
+    AC first (band Ss..Se with EOBRUN end-of-band run lengths), and AC
+    refinement (newly-significant coefficients interleaved with one
+    correction bit per already-nonzero coefficient passed over).  DC
+    predictors and EOBRUN reset at scan start and restart markers.
+    """
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    state = {"eobrun": 0, "mcu": 0}
+
+    def restart_check(total: int) -> None:
+        state["mcu"] += 1
+        if (
+            restart_interval
+            and state["mcu"] < total
+            and state["mcu"] % restart_interval == 0
+        ):
+            m = reader.restart()
+            expect = (state["mcu"] // restart_interval - 1) % 8
+            if m != expect:
+                raise ValueError(f"RST{m} out of sequence (expected RST{expect})")
+            for k in pred:
+                pred[k] = 0
+            state["eobrun"] = 0
+
+    def dc_one(blk: np.ndarray, cid: int, dc_id: int) -> None:
+        if ah == 0:
+            s = reader.read_symbol(huff[(0, dc_id)])
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << al
+        elif reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(blk: np.ndarray, table: dict) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + ext end-of-band blocks
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk: np.ndarray, table: dict) -> None:
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k: int) -> None:
+            c = int(blk[k])
+            if c and reader.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.read_symbol(table)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement coef size must be 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if int(blk[k]) != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        if len(scan_comps) > 1:  # interleaved: full padded MCU grid
+            total = geom["mcuy"] * geom["mcux"]
+            for my in range(geom["mcuy"]):
+                for mx in range(geom["mcux"]):
+                    for cid, dc_id, _ in scan_comps:
+                        sh, sv = geom["samp"][cid]
+                        for byy in range(sv):
+                            for bxx in range(sh):
+                                dc_one(
+                                    coef[cid][my * sv + byy, mx * sh + bxx],
+                                    cid, dc_id,
+                                )
+                    restart_check(total)
+        else:  # single component: its own true block grid
+            cid, dc_id, _ = scan_comps[0]
+            nby, nbx = geom["true_blocks"][cid]
+            for by in range(nby):
+                for bx in range(nbx):
+                    dc_one(coef[cid][by, bx], cid, dc_id)
+                    restart_check(nby * nbx)
+    else:  # AC scan: spec mandates non-interleaved
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        cid, _, ac_id = scan_comps[0]
+        table = huff[(1, ac_id)]
+        nby, nbx = geom["true_blocks"][cid]
+        fn = ac_first if ah == 0 else ac_refine
+        for by in range(nby):
+            for bx in range(nbx):
+                fn(coef[cid][by, bx], table)
+                restart_check(nby * nbx)
+
+    # advance to the next marker (skip pad bits / stuffed zero bytes)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            if data[p + 1] == 0x00:
+                p += 2
+                continue
+            if data[p + 1] == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("progressive scan ran past end of stream")
+
+
+# --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
@@ -294,6 +486,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, qt_id)])
     scan_comps = None  # [(comp_id, dc_id, ac_id)]
     restart_interval = 0
+    progressive = False
+    geom = None
+    coef_store = None
     pos = 2
     data = payload
     while pos + 4 <= len(data):
@@ -331,7 +526,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17 : p + 17 + n])
                 huff[(cls_id >> 4, cls_id & 0x0F)] = _decode_table(bits, symbols)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             depth, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG bit depth {depth} unsupported")
@@ -353,11 +548,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"{hmax}x{vmax} unsupported"
                     )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{marker - 0xC0} unsupported (baseline "
-                "sequential SOF0 only — no progressive/arithmetic/lossless)"
+                "sequential SOF0 and progressive SOF2 only — no "
+                "arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI: restart every Ri MCUs (0 = disabled)
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -367,11 +564,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
                 for i in range(nc)
             ]
-            pos = pos + 2 + seglen
-            break
+            if not progressive:
+                pos = pos + 2 + seglen
+                break
+            # progressive scan (T.81 G.2): decode it now, accumulate
+            # coefficients, continue the marker walk for the next scan
+            ss = seg[1 + 2 * nc]
+            se = seg[2 + 2 * nc]
+            ah, al = seg[3 + 2 * nc] >> 4, seg[3 + 2 * nc] & 0x0F
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            if geom is None:
+                geom = _frame_geometry(frame)
+                coef_store = {
+                    cid: np.zeros(
+                        (geom["mcuy"] * sv, geom["mcux"] * sh, 64),
+                        dtype=np.int64,
+                    )
+                    for cid, sh, sv, _ in frame[2]
+                }
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, geom, coef_store, huff,
+                scan_comps, ss, se, ah, al, restart_interval,
+            )
+            continue
         pos += 2 + seglen
     if frame is None or scan_comps is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+        raise ValueError("JPEG missing SOF/SOS")
 
     h, w, comps = frame
     qt_of = {cid: qid for cid, _, _, qid in comps}
@@ -380,6 +599,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if progressive:
+        if coef_store is None:
+            raise ValueError("progressive JPEG with no scans")
+        # all scans accumulated — dequantize + IDCT every block at once
+        planes = {}
+        for cid, sh, sv, qid in comps:
+            C = coef_store[cid].astype(np.float64)
+            nat = np.zeros_like(C)
+            nat[..., ZIGZAG] = C
+            bh, bw = C.shape[0], C.shape[1]
+            nat = nat.reshape(bh, bw, 8, 8) * qt[qid]
+            spat = np.einsum("ij,abjk,kl->abil", _DCT_T.T, nat, _DCT_T) + 128.0
+            planes[cid] = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        return _assemble_image(planes, comps, h, w, hmax, vmax)
     planes = {
         cid: np.zeros((mcuy * sv * 8, mcux * sh * 8))
         for cid, sh, sv, _ in comps
@@ -461,10 +694,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             )
                 maybe_restart(mcuy * mcux)
 
-    # crop each plane to its true component size, then replicate up to
-    # full resolution (nearest-neighbor — JFIF mandates no upsampling
-    # filter; libjpeg's default "fancy" triangular filter differs by
-    # ≤1 code value on smooth chroma)
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_image(
+    planes: dict, comps: list, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Crop each plane to its true component size, replicate up to full
+    resolution (nearest-neighbor — JFIF mandates no upsampling filter;
+    libjpeg's default "fancy" triangular filter differs by ≤1 code value
+    on smooth chroma), then YCbCr→RGB for 3-component frames."""
     full = []
     for cid, sh, sv, _ in comps:
         ch = -(-(h * sv) // vmax)
@@ -494,14 +733,106 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255)
 
 
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _prepare_encode(img: np.ndarray, quality: int, subsampling: str) -> dict:
+    """Shared encoder front half: color transform, subsample, pad, and
+    the forward DCT + quantization of EVERY block (vectorized einsum over
+    the padded MCU grid).  Returns zigzag-ordered int coefficient grids
+    ``qcoefs[ci]`` of shape (blocks_y, blocks_x, 64) plus the geometry
+    and table assignments both entropy back-ends (baseline scan,
+    progressive scan script) consume."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    f = img.astype(np.float64)
+    if c == 3:  # RGB → YCbCr (JFIF full range)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        f = np.stack(
+            [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            ],
+            axis=-1,
+        )
+    sf_map = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in sf_map:
+        raise ValueError(f"subsampling must be one of {sorted(sf_map)}")
+    lh, lv = sf_map[subsampling] if c == 3 else (1, 1)
+    sampling = [(lh, lv)] + [(1, 1)] * (c - 1)
+    hmax, vmax = lh, lv
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    q_luma = _quality_scale(QUANT_LUMA, quality)
+    q_chroma = _quality_scale(QUANT_CHROMA, quality)
+    qtables = [q_luma] if c == 1 else [q_luma, q_chroma]
+    comp_qt = [0] if c == 1 else [0, 1, 1]
+    comp_ht = [0] if c == 1 else [0, 1, 1]
+
+    qcoefs = []
+    for ci, (sh, sv) in enumerate(sampling):
+        plane = f[..., ci]
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:  # box-mean downsample
+            ph0 = -(-h // fy) * fy
+            pw0 = -(-w // fx) * fx
+            p = np.pad(plane, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
+            plane = p.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        bh, bw = th // 8, tw // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,abjk,kl->abil", _DCT_T, blocks, _DCT_T.T)
+        q = np.round(
+            coef / qtables[comp_qt[ci]]
+        ).astype(np.int64).reshape(bh, bw, 64)[..., ZIGZAG]
+        qcoefs.append(q)
+
+    return {
+        "h": h, "w": w, "c": c, "sampling": sampling,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "qtables": qtables, "comp_qt": comp_qt, "comp_ht": comp_ht,
+        "qcoefs": qcoefs,
+    }
+
+
+def _header(prep: dict, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF — shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for i, tbl in enumerate(prep["qtables"]):
+        zz = np.zeros(64, dtype=np.uint8)
+        zz[:] = tbl.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += _seg(0xDB, bytes([i]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, prep["h"], prep["w"], prep["c"])
+    for ci in range(prep["c"]):
+        sh, sv = prep["sampling"][ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, prep["comp_qt"][ci]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
 def _encode_block(
     writer: _BitWriter,
-    qcoef: np.ndarray,
+    zz: np.ndarray,
     pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    zz = qcoef.reshape(64)[ZIGZAG].astype(int)
+    """Baseline entropy coding of one zigzag-ordered quantized block."""
+    zz = zz.astype(int)
     diff = int(zz[0]) - pred
     s = _category(diff)
     code, ln = dc_codes[s]
@@ -551,58 +882,13 @@ def encode_jpeg(
     after every that-many MCUs (byte-aligned, DC predictors reset) —
     the error-resilience feature cameras/libjpeg commonly enable, and
     the unit a parallel decoder can split the entropy segment on."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    if c not in (1, 3):
-        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
-    f = img.astype(np.float64)
-    if c == 3:  # RGB → YCbCr (JFIF full range)
-        r, g, b = f[..., 0], f[..., 1], f[..., 2]
-        f = np.stack(
-            [
-                0.299 * r + 0.587 * g + 0.114 * b,
-                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-            ],
-            axis=-1,
-        )
-    sf_map = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
-    if subsampling not in sf_map:
-        raise ValueError(f"subsampling must be one of {sorted(sf_map)}")
-    lh, lv = sf_map[subsampling] if c == 3 else (1, 1)
-    sampling = [(lh, lv)] + [(1, 1)] * (c - 1)
-    hmax, vmax = lh, lv
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    q_luma = _quality_scale(QUANT_LUMA, quality)
-    q_chroma = _quality_scale(QUANT_CHROMA, quality)
-    qtables = [q_luma] if c == 1 else [q_luma, q_chroma]
-    comp_qt = [0] if c == 1 else [0, 1, 1]
+    prep = _prepare_encode(img, quality, subsampling)
+    c, sampling = prep["c"], prep["sampling"]
+    mcux, mcuy = prep["mcux"], prep["mcuy"]
+    qcoefs, comp_ht = prep["qcoefs"], prep["comp_ht"]
 
     dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
     ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
-    comp_ht = [0] if c == 1 else [0, 1, 1]
-
-    # per-component planes: box-mean downsample by the factor vs the max,
-    # then edge-pad out to the MCU block coverage
-    planes = []
-    for ci, (sh, sv) in enumerate(sampling):
-        plane = f[..., ci]
-        fx, fy = hmax // sh, vmax // sv
-        if fx > 1 or fy > 1:
-            ph0 = -(-h // fy) * fy
-            pw0 = -(-w // fx) * fx
-            p = np.pad(plane, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
-            plane = p.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
-        th, tw = mcuy * sv * 8, mcux * sh * 8
-        plane = np.pad(
-            plane,
-            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
-            mode="edge",
-        )
-        planes.append(plane)
 
     writer = _BitWriter()
     pred = [0] * c
@@ -613,13 +899,10 @@ def encode_jpeg(
                 sh, sv = sampling[ci]
                 for byy in range(sv):
                     for bxx in range(sh):
-                        y0 = (my * sv + byy) * 8
-                        x0 = (mx * sh + bxx) * 8
-                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _DCT_T @ block @ _DCT_T.T
-                        qcoef = np.round(coef / qtables[comp_qt[ci]])
                         pred[ci] = _encode_block(
-                            writer, qcoef, pred[ci],
+                            writer,
+                            qcoefs[ci][my * sv + byy, mx * sh + bxx],
+                            pred[ci],
                             dc_codes[comp_ht[ci]], ac_codes[comp_ht[ci]],
                         )
             mcu_done += 1
@@ -632,32 +915,266 @@ def encode_jpeg(
                 pred = [0] * c
     entropy = writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    for i, tbl in enumerate(qtables):
-        zz = np.zeros(64, dtype=np.uint8)
-        zz[:] = tbl.reshape(64)[ZIGZAG].astype(np.uint8)
-        out += seg(0xDB, bytes([i]) + zz.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, c)
-    for ci in range(c):
-        sh, sv = sampling[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, comp_qt[ci]])
-    out += seg(0xC0, sof)
+    out = _header(prep, 0xC0)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     specs = [(0, 0, DC_LUMA_SPEC), (1, 0, AC_LUMA_SPEC)]
     if c == 3:
         specs += [(0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)]
     for cls, tid, (bits, symbols) in specs:
-        out += seg(0xC4, bytes([(cls << 4) | tid] + bits + symbols))
+        out += _seg(0xC4, bytes([(cls << 4) | tid] + bits + symbols))
     sos = bytes([c])
     for ci in range(c):
         sos += bytes([ci + 1, (comp_ht[ci] << 4) | comp_ht[ci]])
     sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 G.1: spectral selection + successive approx)
+# --------------------------------------------------------------------------
+
+def _flat_spec(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical Huffman spec over exactly the given
+    alphabet: every symbol gets an L-bit code with 2^L - 1 ≥ n (the
+    all-ones code stays unused, as DHT conventions expect).  Progressive
+    scans need EOBn symbols the Annex K sequential tables don't carry,
+    so each scan ships a table over its own alphabet — compression is
+    not the point of this encoder, correctness of the scan structure is."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+class _OpRecorder:
+    """Scan body builder: records (symbol, raw-bit) ops so the alphabet
+    is known before the DHT is written, then replays through _BitWriter."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple[str, int, int]] = []
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("s", s, 0))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def alphabet(self) -> list[int]:
+        return [v for kind, v, _ in self.ops if kind == "s"]
+
+    def replay(self, codes: dict[int, tuple[int, int]]) -> bytes:
+        w = _BitWriter()
+        for kind, v, n in self.ops:
+            if kind == "s":
+                code, ln = codes[v]
+                w.write(code, ln)
+            else:
+                w.write(v, n)
+        return w.flush()
+
+
+def _emit_eobrun(rec: _OpRecorder, eobrun: int, pending: list[int]) -> int:
+    """Flush an accumulated end-of-band run (EOBn symbol + extension
+    bits) followed by any buffered refinement correction bits."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        rec.sym(r << 4)
+        rec.bits(eobrun - (1 << r), r)
+    for b in pending:
+        rec.bits(b, 1)
+    pending.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """H×W (gray) or H×W×{1,3} uint8 → progressive JPEG (SOF2) bytes.
+
+    Scan script (exercises every progressive decode path):
+
+    1. DC first, all components interleaved, Al=1
+    2. DC refinement, Ah=1 → Al=0 (raw bits, no symbols)
+    3. per component: AC first, Ss=1..63, Al=1 (EOBRUN-accumulated)
+    4. per component: AC refinement, Ah=1 → Al=0 (correction bits)
+
+    Coefficients are identical to ``encode_jpeg``'s (same quantizer),
+    and the scan script transmits every bit of them — so a full decode
+    is BIT-IDENTICAL to decoding the baseline encode of the same image
+    (asserted in tests).  DC uses the Annex K DC tables; AC scans ship
+    per-scan fixed-length tables because progressive EOBn symbols are
+    not in the Annex K sequential alphabets (see ``_flat_spec``).
+    """
+    prep = _prepare_encode(img, quality, subsampling)
+    c, sampling = prep["c"], prep["sampling"]
+    mcux, mcuy = prep["mcux"], prep["mcuy"]
+    qcoefs, comp_ht = prep["qcoefs"], prep["comp_ht"]
+
+    out = _header(prep, 0xC2)
+    dc_specs = [(0, DC_LUMA_SPEC), (1, DC_CHROMA_SPEC)] if c == 3 else [
+        (0, DC_LUMA_SPEC)
+    ]
+    for tid, (bits, symbols) in dc_specs:
+        out += _seg(0xC4, bytes([tid] + bits + symbols))
+    dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci, dc_id, ac_id in scan_comps:
+            body += bytes([ci + 1, (dc_id << 4) | ac_id])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_blocks():
+        """Interleaved MCU walk over every component's padded grid."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(c):
+                    sh, sv = sampling[ci]
+                    for byy in range(sv):
+                        for bxx in range(sh):
+                            yield ci, qcoefs[ci][my * sv + byy, mx * sh + bxx]
+
+    # --- scan 1: DC first, Al=1 ------------------------------------------
+    rec = _OpRecorder()
+    pred = [0] * c
+    for ci, zz in dc_blocks():
+        v = int(zz[0]) >> 1  # point transform (arithmetic shift, G.1.2.1)
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = _category(diff)
+        code, ln = dc_codes[comp_ht[ci]][s]
+        rec.bits(code, ln)  # DC tables are fixed (Annex K) — emit direct
+        if s:
+            rec.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos([(ci, comp_ht[ci], 0) for ci in range(c)], 0, 0, 0, 1)
+    out += rec.replay({})
+    # --- scan 2: DC refinement, Ah=1, Al=0 (raw bit per block) -----------
+    rec = _OpRecorder()
+    for ci, zz in dc_blocks():
+        rec.bits(int(zz[0]) & 1, 1)
+    out += sos([(ci, comp_ht[ci], 0) for ci in range(c)], 0, 0, 1, 0)
+    out += rec.replay({})
+
+    # --- AC scans: per component, true block grid ------------------------
+    h, w = prep["h"], prep["w"]
+    hmax, vmax = prep["hmax"], prep["vmax"]
+
+    def true_grid(ci):
+        sh, sv = sampling[ci]
+        ch = -(-(h * sv) // vmax)
+        cw = -(-(w * sh) // hmax)
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                yield qcoefs[ci][by, bx]
+
+    ac_scans: list[tuple[bytes, _OpRecorder]] = []
+
+    for ci in range(c):  # AC first, Al=1
+        rec = _OpRecorder()
+        eobrun = 0
+        for zz in true_grid(ci):
+            band = [int(v) for v in zz[1:64]]
+            tvals = [
+                (abs(v) >> 1) * (1 if v >= 0 else -1) for v in band
+            ]  # AC point transform is sign-magnitude (G.1.2.2)
+            nz = [k for k, v in enumerate(tvals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(rec, eobrun, [])
+                continue
+            eobrun = _emit_eobrun(rec, eobrun, [])
+            run = 0
+            last = nz[-1]
+            for k, v in enumerate(tvals):
+                if k > last:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    rec.sym(0xF0)
+                    run -= 16
+                s = _category(v)
+                rec.sym((run << 4) | s)
+                rec.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 62:
+                eobrun += 1
+        _emit_eobrun(rec, eobrun, [])
+        ac_scans.append((sos([(ci, 0, 0)], 1, 63, 0, 1), rec))
+
+    for ci in range(c):  # AC refinement, Ah=1, Al=0
+        rec = _OpRecorder()
+        eobrun = 0
+        pending: list[int] = []
+        for zz in true_grid(ci):
+            band = [int(v) for v in zz[1:64]]
+            tvals = [abs(v) for v in band]
+            new = [k for k, t in enumerate(tvals) if t == 1]
+            if not new:
+                # EOB block: corrections for already-significant coefs
+                # ride with the (possibly accumulated) EOB run
+                eobrun += 1
+                for t in tvals:
+                    if t > 1:
+                        pending.append(t & 1)
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(rec, eobrun, pending)
+                continue
+            eobrun = _emit_eobrun(rec, eobrun, pending)
+            run = 0
+            br: list[int] = []
+            last_new = new[-1]
+            for k, v in enumerate(band):
+                t = tvals[k]
+                if k > last_new:
+                    break
+                if t == 0:
+                    run += 1
+                    continue
+                # drain ZRLs at EVERY nonzero (history included!) so the
+                # decoder's ZRL walk — which consumes 16 zero-HISTORY
+                # positions reading corrections inline — stays aligned
+                # with where the buffered correction bits were flushed
+                while run > 15:
+                    rec.sym(0xF0)
+                    for b in br:
+                        rec.bits(b, 1)
+                    br.clear()
+                    run -= 16
+                if t > 1:  # history coefficient: buffered correction bit
+                    br.append(t & 1)
+                    continue
+                rec.sym((run << 4) | 1)
+                rec.bits(1 if v > 0 else 0, 1)
+                for b in br:
+                    rec.bits(b, 1)
+                br.clear()
+                run = 0
+            # trailing positions (zeros + history corrections) fold into
+            # the next EOB run
+            if last_new < 62:
+                eobrun += 1
+                pending.extend(
+                    t & 1 for t in tvals[last_new + 1 :] if t > 1
+                )
+        _emit_eobrun(rec, eobrun, pending)
+        ac_scans.append((sos([(ci, 0, 0)], 1, 63, 1, 0), rec))
+
+    for sos_seg, rec in ac_scans:
+        # every AC scan redefines AC table slot 0 over its own alphabet
+        bits, syms = _flat_spec(rec.alphabet() or [0x00])
+        out += _seg(0xC4, bytes([(1 << 4) | 0] + bits + syms))
+        out += sos_seg
+        out += rec.replay(_canonical_codes(bits, syms))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -188,7 +188,7 @@ def test_png_metadata_mismatch_raises():
 
 def test_remaining_codecs_still_stubbed():
     # jpeg is real now — a truncated stream is a data error, not a stub
-    with pytest.raises(ValueError, match="missing SOF0"):
+    with pytest.raises(ValueError, match="missing SOF"):
         M.decode_image(b"\xff\xd8", 4, 4, 3, "jpeg")
     # mpeg audio is real now — garbage with no syncword is a data error
     with pytest.raises(ValueError, match="no Layer I frames"):
@@ -241,12 +241,13 @@ def test_jpeg_unsupported_variants_raise():
     img = _smooth_gradient(16, 16, 3)
     payload = bytearray(J.encode_jpeg(img))
 
-    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    # flip SOF0 (FFC0) into arithmetic-coded SOF9 (FFC9) — progressive
+    # SOF2 decodes for real now, arithmetic still raises honestly
     sof = payload.find(b"\xff\xc0")
-    prog = payload.copy()
-    prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        J.decode_jpeg(bytes(prog))
+    arith = payload.copy()
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        J.decode_jpeg(bytes(arith))
 
     # claim 3x3 luma sampling in SOF0: chroma stays 1x1, and 3:1 is an
     # integer ratio — but the ENTROPY data was coded 4:4:4, so honest
@@ -395,3 +396,53 @@ def test_jpeg_restart_intervals_roundtrip():
 
     with pytest.raises(ValueError, match="out of sequence"):
         J.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_roundtrip_bit_identical_to_baseline():
+    """Progressive (SOF2) encode → decode must be BIT-IDENTICAL to the
+    baseline decode of the same image: the scan script (DC first+refine,
+    per-component AC first+refine with EOBRUN accumulation) transmits
+    every coefficient bit, and both encoders share one quantizer.
+    Cases target each entropy path: long EOB runs (flat), ZRL chains
+    (sparse high-freq), refinement-heavy (dense noise), dummy padded
+    blocks (odd sizes), all subsampling modes, grayscale."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.full((64, 64, 3), 128, np.uint8), "420", 90),
+        (np.full((128, 96), 200, np.uint8), "444", 50),
+        (rng.integers(0, 256, (48, 56, 3)).astype(np.uint8), "444", 95),
+        (rng.integers(0, 256, (48, 56, 3)).astype(np.uint8), "420", 10),
+        (
+            (np.full((80, 80), 128) + (rng.random((80, 80)) < 0.01) * 120)
+            .astype(np.uint8),
+            "444",
+            75,
+        ),
+        (rng.integers(0, 256, (33, 41, 3)).astype(np.uint8), "422", 80),
+    ]
+    for img, sub, q in cases:
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsampling=sub))
+        payload = J.encode_jpeg_progressive(img, quality=q, subsampling=sub)
+        assert b"\xff\xc2" in payload  # really SOF2
+        prog = J.decode_jpeg(payload)
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_jpeg_progressive_stream_structure():
+    """The progressive stream has the declared scan script: one SOF2,
+    2 DC scans + 2 AC scans per component (3 comps → 8 SOS total), and
+    per-scan AC Huffman tables (DHT count ≥ scans that need one)."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    img = np.linspace(0, 255, 32 * 48 * 3).reshape(32, 48, 3).astype(np.uint8)
+    payload = J.encode_jpeg_progressive(img)
+    assert payload.count(b"\xff\xc2") == 1
+    assert payload.count(b"\xff\xc0") == 0
+    n_sos = payload.count(b"\xff\xda")
+    assert n_sos == 2 + 2 * 3  # DC first + DC refine + (AC first+refine) × 3
