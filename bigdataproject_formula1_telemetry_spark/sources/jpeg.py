@@ -967,6 +967,9 @@ class _OpRecorder:
         if n:
             self.ops.append(("b", v, n))
 
+    def restart(self, m: int) -> None:
+        self.ops.append(("r", m, 0))
+
     def alphabet(self) -> list[int]:
         return [v for kind, v, _ in self.ops if kind == "s"]
 
@@ -976,6 +979,8 @@ class _OpRecorder:
             if kind == "s":
                 code, ln = codes[v]
                 w.write(code, ln)
+            elif kind == "r":
+                w.restart_marker(v)
             else:
                 w.write(v, n)
         return w.flush()
@@ -995,7 +1000,10 @@ def _emit_eobrun(rec: _OpRecorder, eobrun: int, pending: list[int]) -> int:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """H×W (gray) or H×W×{1,3} uint8 → progressive JPEG (SOF2) bytes.
 
@@ -1012,6 +1020,11 @@ def encode_jpeg_progressive(
     (asserted in tests).  DC uses the Annex K DC tables; AC scans ship
     per-scan fixed-length tables because progressive EOBn symbols are
     not in the Annex K sequential alphabets (see ``_flat_spec``).
+
+    ``restart_interval`` > 0 inserts RSTn markers every that-many MCUs
+    in EVERY scan (progressive MCU = one block in the non-interleaved
+    AC scans), with EOB runs flushed and predictors reset at each
+    boundary — exercising the decoder's per-scan restart handling.
     """
     prep = _prepare_encode(img, quality, subsampling)
     c, sampling = prep["c"], prep["sampling"]
@@ -1024,7 +1037,21 @@ def encode_jpeg_progressive(
     ]
     for tid, (bits, symbols) in dc_specs:
         out += _seg(0xC4, bytes([tid] + bits + symbols))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
+
+    def at_restart(rec: _OpRecorder, i: int, total: int) -> bool:
+        """Emit RSTn after MCU index i (0-based) when a boundary falls
+        there and the scan continues; caller resets its own state."""
+        if (
+            restart_interval
+            and i + 1 < total
+            and (i + 1) % restart_interval == 0
+        ):
+            rec.restart(((i + 1) // restart_interval - 1) % 8)
+            return True
+        return False
 
     def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
         body = bytes([len(scan_comps)])
@@ -1032,34 +1059,45 @@ def encode_jpeg_progressive(
             body += bytes([ci + 1, (dc_id << 4) | ac_id])
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
-    def dc_blocks():
-        """Interleaved MCU walk over every component's padded grid."""
+    def dc_mcus():
+        """Interleaved MCU walk over every component's padded grid,
+        one (ci, block) list per MCU."""
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = []
                 for ci in range(c):
                     sh, sv = sampling[ci]
                     for byy in range(sv):
                         for bxx in range(sh):
-                            yield ci, qcoefs[ci][my * sv + byy, mx * sh + bxx]
+                            mcu.append(
+                                (ci, qcoefs[ci][my * sv + byy, mx * sh + bxx])
+                            )
+                yield mcu
 
+    n_mcu = mcuy * mcux
     # --- scan 1: DC first, Al=1 ------------------------------------------
     rec = _OpRecorder()
     pred = [0] * c
-    for ci, zz in dc_blocks():
-        v = int(zz[0]) >> 1  # point transform (arithmetic shift, G.1.2.1)
-        diff = v - pred[ci]
-        pred[ci] = v
-        s = _category(diff)
-        code, ln = dc_codes[comp_ht[ci]][s]
-        rec.bits(code, ln)  # DC tables are fixed (Annex K) — emit direct
-        if s:
-            rec.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    for i, mcu in enumerate(dc_mcus()):
+        for ci, zz in mcu:
+            v = int(zz[0]) >> 1  # point transform (arith shift, G.1.2.1)
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _category(diff)
+            code, ln = dc_codes[comp_ht[ci]][s]
+            rec.bits(code, ln)  # DC tables are fixed (Annex K) — direct
+            if s:
+                rec.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        if at_restart(rec, i, n_mcu):
+            pred = [0] * c
     out += sos([(ci, comp_ht[ci], 0) for ci in range(c)], 0, 0, 0, 1)
     out += rec.replay({})
     # --- scan 2: DC refinement, Ah=1, Al=0 (raw bit per block) -----------
     rec = _OpRecorder()
-    for ci, zz in dc_blocks():
-        rec.bits(int(zz[0]) & 1, 1)
+    for i, mcu in enumerate(dc_mcus()):
+        for ci, zz in mcu:
+            rec.bits(int(zz[0]) & 1, 1)
+        at_restart(rec, i, n_mcu)
     out += sos([(ci, comp_ht[ci], 0) for ci in range(c)], 0, 0, 1, 0)
     out += rec.replay({})
 
@@ -1075,12 +1113,19 @@ def encode_jpeg_progressive(
             for bx in range((cw + 7) // 8):
                 yield qcoefs[ci][by, bx]
 
+    def true_count(ci):
+        sh, sv = sampling[ci]
+        ch = -(-(h * sv) // vmax)
+        cw = -(-(w * sh) // hmax)
+        return ((ch + 7) // 8) * ((cw + 7) // 8)
+
     ac_scans: list[tuple[bytes, _OpRecorder]] = []
 
     for ci in range(c):  # AC first, Al=1
         rec = _OpRecorder()
         eobrun = 0
-        for zz in true_grid(ci):
+        nblk = true_count(ci)
+        for bi, zz in enumerate(true_grid(ci)):
             band = [int(v) for v in zz[1:64]]
             tvals = [
                 (abs(v) >> 1) * (1 if v >= 0 else -1) for v in band
@@ -1090,25 +1135,35 @@ def encode_jpeg_progressive(
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     eobrun = _emit_eobrun(rec, eobrun, [])
-                continue
-            eobrun = _emit_eobrun(rec, eobrun, [])
-            run = 0
-            last = nz[-1]
-            for k, v in enumerate(tvals):
-                if k > last:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    rec.sym(0xF0)
-                    run -= 16
-                s = _category(v)
-                rec.sym((run << 4) | s)
-                rec.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            else:
+                eobrun = _emit_eobrun(rec, eobrun, [])
                 run = 0
-            if last < 62:
-                eobrun += 1
+                last = nz[-1]
+                for k, v in enumerate(tvals):
+                    if k > last:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        rec.sym(0xF0)
+                        run -= 16
+                    s = _category(v)
+                    rec.sym((run << 4) | s)
+                    rec.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 62:
+                    eobrun += 1
+            # boundary check must run for EVERY block (the all-EOB path
+            # included — a `continue` here once skipped the restart and
+            # desynced the decoder's RSTn expectation)
+            if (
+                restart_interval
+                and bi + 1 < nblk
+                and (bi + 1) % restart_interval == 0
+            ):
+                eobrun = _emit_eobrun(rec, eobrun, [])
+                at_restart(rec, bi, nblk)
         _emit_eobrun(rec, eobrun, [])
         ac_scans.append((sos([(ci, 0, 0)], 1, 63, 0, 1), rec))
 
@@ -1116,7 +1171,8 @@ def encode_jpeg_progressive(
         rec = _OpRecorder()
         eobrun = 0
         pending: list[int] = []
-        for zz in true_grid(ci):
+        nblk = true_count(ci)
+        for bi, zz in enumerate(true_grid(ci)):
             band = [int(v) for v in zz[1:64]]
             tvals = [abs(v) for v in band]
             new = [k for k, t in enumerate(tvals) if t == 1]
@@ -1129,44 +1185,53 @@ def encode_jpeg_progressive(
                         pending.append(t & 1)
                 if eobrun == 0x7FFF:
                     eobrun = _emit_eobrun(rec, eobrun, pending)
-                continue
-            eobrun = _emit_eobrun(rec, eobrun, pending)
-            run = 0
-            br: list[int] = []
-            last_new = new[-1]
-            for k, v in enumerate(band):
-                t = tvals[k]
-                if k > last_new:
-                    break
-                if t == 0:
-                    run += 1
-                    continue
-                # drain ZRLs at EVERY nonzero (history included!) so the
-                # decoder's ZRL walk — which consumes 16 zero-HISTORY
-                # positions reading corrections inline — stays aligned
-                # with where the buffered correction bits were flushed
-                while run > 15:
-                    rec.sym(0xF0)
+            else:
+                eobrun = _emit_eobrun(rec, eobrun, pending)
+                run = 0
+                br: list[int] = []
+                last_new = new[-1]
+                for k, v in enumerate(band):
+                    t = tvals[k]
+                    if k > last_new:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    # drain ZRLs at EVERY nonzero (history included!) so
+                    # the decoder's ZRL walk — which consumes 16
+                    # zero-HISTORY positions reading corrections inline —
+                    # stays aligned with where the buffered correction
+                    # bits were flushed
+                    while run > 15:
+                        rec.sym(0xF0)
+                        for b in br:
+                            rec.bits(b, 1)
+                        br.clear()
+                        run -= 16
+                    if t > 1:  # history coef: buffered correction bit
+                        br.append(t & 1)
+                        continue
+                    rec.sym((run << 4) | 1)
+                    rec.bits(1 if v > 0 else 0, 1)
                     for b in br:
                         rec.bits(b, 1)
                     br.clear()
-                    run -= 16
-                if t > 1:  # history coefficient: buffered correction bit
-                    br.append(t & 1)
-                    continue
-                rec.sym((run << 4) | 1)
-                rec.bits(1 if v > 0 else 0, 1)
-                for b in br:
-                    rec.bits(b, 1)
-                br.clear()
-                run = 0
-            # trailing positions (zeros + history corrections) fold into
-            # the next EOB run
-            if last_new < 62:
-                eobrun += 1
-                pending.extend(
-                    t & 1 for t in tvals[last_new + 1 :] if t > 1
-                )
+                    run = 0
+                # trailing positions (zeros + history corrections) fold
+                # into the next EOB run
+                if last_new < 62:
+                    eobrun += 1
+                    pending.extend(
+                        t & 1 for t in tvals[last_new + 1 :] if t > 1
+                    )
+            # boundary check must run for EVERY block (see AC-first note)
+            if (
+                restart_interval
+                and bi + 1 < nblk
+                and (bi + 1) % restart_interval == 0
+            ):
+                eobrun = _emit_eobrun(rec, eobrun, pending)
+                at_restart(rec, bi, nblk)
         _emit_eobrun(rec, eobrun, pending)
         ac_scans.append((sos([(ci, 0, 0)], 1, 63, 1, 0), rec))
 

@@ -446,3 +446,23 @@ def test_jpeg_progressive_stream_structure():
     assert payload.count(b"\xff\xc0") == 0
     n_sos = payload.count(b"\xff\xda")
     assert n_sos == 2 + 2 * 3  # DC first + DC refine + (AC first+refine) × 3
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Progressive + DRI: RSTn boundaries in every scan (EOB runs
+    flushed, predictors reset) still decode bit-identical to baseline."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(29)
+    for ri in (1, 2, 5):
+        for shape, sub in [((33, 41, 3), "420"), ((9, 18), "444")]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=70, subsampling=sub))
+            payload = J.encode_jpeg_progressive(
+                img, quality=70, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in payload
+            got = J.decode_jpeg(payload)
+            assert np.array_equal(got, base), (ri, shape, sub)
