@@ -258,23 +258,68 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """WAV (RIFF PCM16) bytes → (mono float64 waveform in [-1, 1],
-    sample_rate).  Multi-channel audio is downmixed by channel mean."""
-    import io
-    import wave
+    """WAV bytes → (mono float64 waveform in [-1, 1], sample_rate).
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"WAV sample width {w.getsampwidth() * 8}-bit unsupported (PCM16 only)"
-            )
-        n_ch = w.getnchannels()
-        rate = w.getframerate()
-        frames = w.readframes(w.getnframes())
-    wave_i16 = np.frombuffer(frames, dtype="<i2")
-    out = wave_i16.astype(np.float64) / 32768.0
+    Own RIFF walker (the stdlib ``wave`` module only reads integer PCM):
+    format tag 1 (PCM: unsigned 8-bit, signed 16/24/32-bit — 24-bit
+    assembled from byte triples with vectorized sign extension), tag 3
+    (IEEE float32/float64), and tag 0xFFFE (WAVE_FORMAT_EXTENSIBLE,
+    resolved through the SubFormat GUID).  Unknown chunks (LIST, fact,
+    cue …) are skipped with the spec's odd-length padding; multi-channel
+    audio is downmixed by channel mean.  Other format tags (ADPCM,
+    µ-law …) raise ``NotImplementedError`` — honest boundaries."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None  # (tag, n_ch, rate, bits)
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if tag == 0xFFFE:  # EXTENSIBLE: real tag leads the SubFormat GUID
+                if len(body) < 26:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                tag = struct.unpack("<H", body[24:26])[0]
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, bits = fmt
+
+    if tag == 1:  # integer PCM
+        if bits == 8:  # 8-bit PCM is UNSIGNED, midpoint 128
+            out = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            out = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+            b3 = b3.reshape(-1, 3).astype(np.int32)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign extend
+            out = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            out = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"PCM sample width {bits}-bit unsupported")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            out = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            out = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"float sample width {bits}-bit unsupported")
+    else:
+        raise NotImplementedError(f"WAV format tag {tag} unsupported (PCM/float only)")
     if n_ch > 1:
-        out = out.reshape(-1, n_ch).mean(axis=1)
+        out = out[: len(out) - len(out) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return out, rate
 
 

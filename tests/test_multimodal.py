@@ -466,3 +466,82 @@ def test_jpeg_progressive_restart_intervals():
             assert b"\xff\xdd" in payload
             got = J.decode_jpeg(payload)
             assert np.array_equal(got, base), (ri, shape, sub)
+
+
+def _build_wav(samples: np.ndarray, rate: int, tag: int, bits: int, n_ch: int = 1) -> bytes:
+    """Hand-rolled RIFF builder for formats stdlib wave can't write
+    (float32/float64, 24-bit, 8-bit, EXTENSIBLE)."""
+    import struct
+
+    if tag == 1 and bits == 8:
+        data = (np.clip(np.round(samples * 128.0 + 128.0), 0, 255)).astype(np.uint8).tobytes()
+    elif tag == 1 and bits == 16:
+        data = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    elif tag == 1 and bits == 24:
+        v = np.clip(np.round(samples * float(1 << 23)), -(1 << 23), (1 << 23) - 1).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif tag == 1 and bits == 32:
+        data = np.clip(np.round(samples * float(1 << 31)), -(1 << 31), (1 << 31) - 1).astype("<i4").tobytes()
+    elif tag == 3 and bits == 32:
+        data = samples.astype("<f4").tobytes()
+    elif tag == 3 and bits == 64:
+        data = samples.astype("<f8").tobytes()
+    else:
+        raise ValueError("unsupported test format")
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # a junk chunk with ODD length exercises word-alignment skipping
+    chunks += b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_formats_beyond_pcm16():
+    """decode_wav reads float32/float64, 8/24/32-bit PCM, EXTENSIBLE,
+    stereo downmix, and skips odd-length junk chunks; unsupported tags
+    raise honestly."""
+    import struct
+
+    t = np.arange(4000) / 8000.0
+    mono = (np.sin(2 * np.pi * 440 * t) * 0.6)
+    for tag, bits, tol in [
+        (1, 8, 1e-2), (1, 16, 1e-4), (1, 24, 1e-6), (1, 32, 1e-9),
+        (3, 32, 1e-7), (3, 64, 0.0),
+    ]:
+        wave, rate = M.decode_wav(_build_wav(mono, 8000, tag, bits))
+        assert rate == 8000
+        assert np.allclose(wave, mono, atol=max(tol, 1e-12)), (tag, bits)
+
+    # stereo float32 downmix: L = x, R = -x → mean 0
+    stereo = np.empty(2 * len(mono))
+    stereo[0::2] = mono
+    stereo[1::2] = -mono
+    wave, _ = M.decode_wav(_build_wav(stereo, 8000, 3, 32, n_ch=2))
+    assert np.allclose(wave, 0.0, atol=1e-7)
+
+    # EXTENSIBLE wrapper resolving to float32
+    inner = _build_wav(mono, 8000, 3, 32)
+    fmt_at = inner.find(b"fmt ")
+    base = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32)
+    ext = struct.pack("<H", 22) + struct.pack("<HI", 32, 3) + b"\x03\x00" + b"\x00" * 12
+    new_fmt = base + ext
+    rest = inner[fmt_at + 8 + 16:]
+    payload = (
+        inner[:fmt_at] + b"fmt " + struct.pack("<I", len(new_fmt)) + new_fmt + rest
+    )
+    wave, _ = M.decode_wav(payload)
+    assert np.allclose(wave, mono, atol=1e-7)
+
+    # format tag 7 (µ-law) at its fixed offset (byte 20, first fmt field)
+    bad = bytearray(_build_wav(mono, 8000, 1, 16))
+    bad[20:22] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="format tag"):
+        M.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"not audio")
