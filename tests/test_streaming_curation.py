@@ -195,3 +195,82 @@ def test_near_dedup_stream_tws_matches_v1(spark, corpus_pdf, tmp_path):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert fa.equals(fb)
+
+
+def test_exact_dedup_stream_watermark_bounded_state(spark, tmp_path):
+    """The bounded-state form: a copy arriving within the watermark
+    horizon is dropped; a copy arriving after the original's state has
+    been evicted (event time far past the watermark) passes through —
+    the documented state-size/recall trade."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(1, "alpha beta gamma", base),
+             (2, "delta epsilon zeta", base + dt.timedelta(seconds=10))]
+    # batch 2: near-in-time copy of doc 1 (inside the 5 min horizon →
+    # dropped) + an unrelated doc 2 h ahead that advances the watermark
+    rows2 = [(1001, "alpha beta gamma", base + dt.timedelta(seconds=60)),
+             (999, "eta theta iota", base + dt.timedelta(hours=2))]
+    # batch 3: spacer — state eviction happens at the END of the first
+    # batch that runs with the advanced watermark, so the far copy must
+    # arrive one batch after the advance
+    rows3 = [(998, "kappa lambda mu", base + dt.timedelta(hours=2, seconds=30))]
+    # batch 4: far copy of doc 2 — doc 2's state is evicted by now
+    rows4 = [(1002, "delta epsilon zeta",
+              base + dt.timedelta(hours=2, seconds=60))]
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "wm")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src, mode="overwrite")
+    for rows in (rows2, rows3, rows4):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curation.dedup_stream_exact(stream, ts_col="ts", within="5 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM wm_dedup").collect()
+    )
+    assert 1 in got and 2 in got and 999 in got
+    assert 1001 not in got          # within horizon → duplicate dropped
+    assert 1002 in got              # state evicted → passes (documented)
+
+
+def test_near_dedup_stream_rocksdb_state_store(spark, corpus_pdf, tmp_path):
+    """The 100 TB state recipe the docstrings point at: the LSH-bucket
+    state runs unchanged on the RocksDB state store provider."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        verdicts = _start_stream(
+            spark,
+            tmp_path,
+            corpus_pdf,
+            lambda s: curation.near_dedup_stream(s, num_hashes=64, bands=16),
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    folded = curation.collapse_verdicts(
+        spark.createDataFrame(verdicts), threshold=0.8
+    ).toPandas()
+    batch = dedup.near_dedup_clustered(
+        spark.createDataFrame(corpus_pdf, DOC_SCHEMA), threshold=0.8
+    )
+    assert set(folded[~folded["is_dup"]]["doc_id"]) == set(
+        r.doc_id for r in batch.select("doc_id").collect()
+    )
