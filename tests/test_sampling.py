@@ -258,6 +258,12 @@ def test_cdc_chunks_partition_reconstruction_and_bounds(spark):
     assert got.sort_values(["doc_id", "chunk_idx"])["chunk_hash"].tolist() == \
         again.sort_values(["doc_id", "chunk_idx"])["chunk_hash"].tolist()
 
+    # narrow map stage: the chunker must never shuffle
+    plan = (
+        T_mod.cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
 
 def test_cdc_chunks_shift_invariance_vs_fixed_windows(spark):
     """THE property CDC buys: prepending a header re-aligns at the next

@@ -232,6 +232,41 @@ def main() -> None:
     clustered = spark.read.parquet(f"{OUT}/clustered.parquet")
     ivf_leg(clustered, "clustered")
     ivf_leg(distinct, "iid")
+
+    # --- int8 serving at scale: quantize once (write-path cost, staged
+    # outside the timer), then brute-force kNN on the stored codes;
+    # top-k overlap vs the float path must hold at 500k ---
+    print("int8 serving leg (quantize once, kNN on codes) ...", flush=True)
+    q8_path = f"{OUT}/distinct_q8.parquet"
+    sim.quantize_embeddings(distinct).select("vec_id", "embedding_q8").write.mode(
+        "overwrite"
+    ).parquet(q8_path)
+    q8 = spark.read.parquet(q8_path)
+    queries_q8 = q8.where(F.col("vec_id") < 100)
+    queries_f = distinct.where(F.col("vec_id") < 100)
+    timed(
+        "knn_q8_s",
+        lambda: sim.knn_bruteforce_arrow(
+            q8, queries_q8, k=10, vec_col="embedding_q8", quantized=True
+        ),
+        results,
+    )
+    f_top = sim.knn_bruteforce_arrow(distinct, queries_f, k=10).collect()
+    q_top = sim.knn_bruteforce_arrow(
+        q8, queries_q8, k=10, vec_col="embedding_q8", quantized=True
+    ).collect()
+    fa: dict[int, set] = {}
+    qa: dict[int, set] = {}
+    for r in f_top:
+        fa.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in q_top:
+        qa.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlap = sum(
+        len(s & qa.get(qid, set())) / 10.0 for qid, s in fa.items()
+    ) / len(fa)
+    results["q8_topk_overlap"] = round(overlap, 3)
+    results["q8_overlap_ok"] = overlap >= 0.9
+    print(f"  q8 top-10 overlap {overlap:.3f}", flush=True)
     # the gate runs on the realistic (clustered) corpus; the i.i.d.
     # number is the structureless floor (~nprobe/n_clusters + the
     # query's own cluster), reported for honesty not gated
