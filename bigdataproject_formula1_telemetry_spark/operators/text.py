@@ -246,6 +246,50 @@ def pack_sequences(
 _CDC_BASE = 0x9E3779B97F4A7C15
 
 
+def _cdc_cuts(
+    h,
+    target_tokens: int,
+    min_tokens: int,
+    max_tokens: int,
+    window: int,
+):
+    """Pure cut-point computation over a token-hash array (uint64 view):
+    returns [(start, end), ...] spans that exactly partition [0, n).
+    Factored out of the Spark kernel so the boundary logic — the subtle
+    part of CDC — is directly property-testable without a session."""
+    import numpy as np
+
+    B = np.uint64(_CDC_BASE)
+    D = np.uint64(target_tokens)
+    cut_val = np.uint64(target_tokens - 1)
+    n = len(h)
+    if n == 0:
+        return []
+    bpow = np.empty(window, dtype=np.uint64)
+    bpow[0] = np.uint64(1)
+    for j in range(1, window):
+        bpow[j] = bpow[j - 1] * B
+    with np.errstate(over="ignore"):
+        # H[i] = sum_{j<window} h[i-j] * B^j  (positions < window use the
+        # partial prefix — cuts there are rare and legal)
+        H = np.zeros(n, dtype=np.uint64)
+        for j in range(min(window, n)):
+            H[j:] += h[: n - j] * bpow[j]
+    cand = np.nonzero(H % D == cut_val)[0]
+    spans = []
+    start = 0
+    while start < n:
+        lo, hi = start + min_tokens - 1, start + max_tokens - 1
+        pos = cand.searchsorted(lo)
+        if pos < len(cand) and cand[pos] <= hi and cand[pos] < n - 1:
+            end = int(cand[pos]) + 1
+        else:
+            end = min(start + max_tokens, n)
+        spans.append((start, end))
+        start = end
+    return spans
+
+
 def cdc_chunks(
     df,
     text_col: str = "text",
@@ -316,14 +360,8 @@ def cdc_chunks(
         ]
     )
     B = np.uint64(_CDC_BASE)
-    D = np.uint64(target_tokens)
-    cut_val = np.uint64(target_tokens - 1)
 
     def chunker(batches):
-        bpow = np.empty(window, dtype=np.uint64)
-        bpow[0] = np.uint64(1)
-        for j in range(1, window):
-            bpow[j] = bpow[j - 1] * B
         with np.errstate(over="ignore"):
             for pdf in batches:
                 out = {
@@ -337,32 +375,18 @@ def cdc_chunks(
                     if tk is None or len(tk) == 0:
                         continue
                     h = np.asarray(hh, dtype=np.int64).view(np.uint64)
-                    n = len(h)
-                    # H[i] = sum_{j<window} h[i-j] * B^j  (positions < window
-                    # use the partial prefix — cuts there are rare and legal)
-                    H = np.zeros(n, dtype=np.uint64)
-                    for j in range(min(window, n)):
-                        H[j:] += h[: n - j] * bpow[j]
-                    cand = np.nonzero(H % D == cut_val)[0]
-                    start, idx = 0, 0
-                    while start < n:
-                        lo, hi = start + min_tokens - 1, start + max_tokens - 1
-                        pos = cand.searchsorted(lo)
-                        if pos < len(cand) and cand[pos] <= hi and cand[pos] < n - 1:
-                            end = int(cand[pos]) + 1
-                        else:
-                            end = min(start + max_tokens, n)
-                        seg = h[start:end]
+                    spans = _cdc_cuts(
+                        h, target_tokens, min_tokens, max_tokens, window
+                    )
+                    for idx, (start, end) in enumerate(spans):
                         fold = np.uint64(0)
-                        for v in seg:
+                        for v in h[start:end]:
                             fold = fold * B + v
                         out[id_col].append(did)
                         out["chunk_idx"].append(idx)
                         out["n_tokens"].append(end - start)
                         out["chunk_hash"].append(int(fold.view(np.int64)))
                         out["chunk_text"].append(" ".join(tk[start:end]))
-                        start = end
-                        idx += 1
                 if out["chunk_idx"]:
                     yield pd.DataFrame(out).astype(
                         {

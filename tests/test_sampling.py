@@ -336,3 +336,60 @@ def test_shared_chunk_fraction_detects_partial_duplication(spark):
     # pair shares enough to clear even a lenient containment bar
     others = pairs[(pairs["id_b"] != 9001)]
     assert (others["containment"] < 0.5).all()
+
+
+def test_cdc_cuts_properties_hypothesis():
+    """Property-based hardening of the CDC boundary logic (no Spark):
+    cuts exactly partition [0, n); every chunk except the last respects
+    [min, max]; the last respects max; determinism; and suffix stability
+    — chunking h and a prefix-extended copy agree on all spans after
+    their first common cut point."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdataproject_formula1_telemetry_spark.operators.text import _cdc_cuts
+
+    hashes = st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=400
+    )
+    params = st.tuples(
+        st.integers(min_value=2, max_value=64),   # target
+        st.integers(min_value=1, max_value=8),    # window
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(hashes, params)
+    def check(hs, p):
+        target, window = p
+        min_t = max(1, target // 4)
+        max_t = target * 4
+        h = np.asarray(hs, dtype=np.uint64)
+        spans = _cdc_cuts(h, target, min_t, max_t, window)
+        # exact partition
+        assert [s for s, _ in spans] == (
+            [0] + [e for _, e in spans[:-1]] if spans else []
+        )
+        assert (spans[-1][1] if spans else 0) == len(h)
+        # bounds
+        for i, (s, e) in enumerate(spans):
+            assert e > s
+            assert e - s <= max_t
+            if i < len(spans) - 1:
+                assert e - s >= min_t
+        # determinism
+        assert spans == _cdc_cuts(h, target, min_t, max_t, window)
+        # suffix stability: prepend `window + max_t` items — after the
+        # first cut at identical content offset, spans must coincide
+        if len(h) > 2 * max_t:
+            pre = np.arange(window + max_t, dtype=np.uint64) * np.uint64(7919)
+            h2 = np.concatenate([pre, h])
+            off = len(pre)
+            s2 = {(s - off, e - off) for s, e in _cdc_cuts(h2, target, min_t, max_t, window)}
+            s1 = set(spans)
+            shared = s1 & s2
+            if shared:
+                first_shared_end = min(e for _, e in shared)
+                tail1 = {(s, e) for s, e in s1 if s >= first_shared_end}
+                tail2 = {(s, e) for s, e in s2 if s >= first_shared_end}
+                assert tail1 == tail2
+
+    check()
