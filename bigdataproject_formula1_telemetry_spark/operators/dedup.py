@@ -867,3 +867,74 @@ def simhash_md5_table(
     return toks.select(
         "id", simhash_md5_arrow()(F.col("toks")).alias("fp_hex")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training documents that share at least ``min_hits`` word
+    ``shingle_n``-grams with an evaluation/benchmark corpus — the
+    standard published decontamination recipe (long-n-gram overlap; 8-13
+    gram windows are the usual public choices, long enough that chance
+    collisions are negligible).
+
+    Plan shape: both sides shingle to xxhash64 n-gram hashes (one narrow
+    map each), the benchmark's DISTINCT hash set becomes the build side
+    of a broadcast hash join (an eval suite is tiny next to a training
+    corpus — thousands of documents vs billions), and a grouped
+    hit-count left-anti filters the corpus.  The training side is
+    touched by exactly one scan + one aggregation keyed on ``id_col``;
+    nothing about the benchmark's size enters the shuffle.
+
+    Returns the surviving documents (all columns).  For the audit frame
+    (which doc matched how many benchmark n-grams) use
+    ``contamination_hits``."""
+    hits = contamination_hits(docs, benchmark, text_col, id_col, shingle_n)
+    flagged = hits.where(F.col("n_contaminated_ngrams") >= min_hits).select(
+        F.col(id_col).alias("__bad_id")
+    )
+    return docs.join(
+        flagged, docs[id_col] == F.col("__bad_id"), "left_anti"
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """(id, n_contaminated_ngrams) for every training document sharing at
+    least one ``shingle_n``-gram hash with the benchmark corpus — the
+    audit/report face of ``decontaminate``."""
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("__g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.transform(
+                    shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+                )
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )

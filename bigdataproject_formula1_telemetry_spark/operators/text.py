@@ -440,3 +440,90 @@ def shared_chunk_fraction(
             ).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Curation rules: PII redaction + repetition filters (Gopher-style)
+# --------------------------------------------------------------------------
+
+#: conservative, regex-dialect-portable PII patterns (the cheap scrub
+#: pass every public curation recipe runs before anything model-based);
+#: each maps to its replacement token.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 7+ digit runs with optional separators — phones and account-ish ids
+    ("phone", r"(?<![\dA-Za-z])\+?\d[\d ().-]{5,}\d(?![\dA-Za-z])", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — one chained ``regexp_replace`` pass per
+    pattern, all JVM-side.  Order matters: emails first (an email's
+    digits must not half-match the phone pattern afterward)."""
+    out = text
+    for _, pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(email, ipv4, phone) match counts per document — the audit
+    column pipelines keep next to the redacted text."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(name)
+            for name, pat, _ in _PII_PATTERNS
+        ]
+    )
+
+
+def repetition_stats(text: Column) -> Column:
+    """Gopher-style within-document repetition signals, pure JVM:
+
+    - ``dup_line_frac``: 1 − distinct/total over newline-split lines
+      (trimmed, empties dropped),
+    - ``dup_3gram_frac``: 1 − distinct/total over word 3-grams,
+    - ``top_word_frac``: share of the single most frequent token.
+
+    High values on any of them are the canonical boilerplate/spam marks
+    (C4/Gopher/RefinedWeb publish thresholds like dup_line_frac > 0.30).
+    Empty documents score 0.0 everywhere."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    from .dedup import shingles
+
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    grams = shingles(text, 3)  # distinct 3-grams (dedup.shingles is distinct)
+    toks = tokens(F.lower(text))
+    n_tok = F.size(toks)
+    n_grams_total = F.greatest(n_tok - F.lit(2), F.lit(0))
+    dup_gram = F.when(
+        n_grams_total > 0,
+        1.0 - F.size(grams).cast("double") / n_grams_total,
+    ).otherwise(F.lit(0.0))
+
+    counts = F.aggregate(
+        F.array_distinct(toks),
+        F.array().cast("array<int>"),
+        lambda acc, w: F.array_append(
+            acc, F.size(F.filter(toks, lambda t: t == w))
+        ),
+    )
+    top_word = F.when(
+        n_tok > 0,
+        F.array_max(F.array_append(counts, F.lit(0))).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        dup_line.alias("dup_line_frac"),
+        dup_gram.alias("dup_3gram_frac"),
+        top_word.alias("top_word_frac"),
+    )

@@ -387,3 +387,87 @@ def test_release_barriers_frees_cache_blocks(spark):
     assert not sh.storageLevel.useDisk  # blocks actually freed
     # idempotent
     assert dedup.release_barriers() == 0
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """Docs sharing an 8-gram with the benchmark are dropped; clean docs
+    survive; the audit frame counts the shared n-grams; short docs whose
+    whole text is under n tokens only match on full-text equality."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            # embeds the benchmark sentence verbatim → contaminated
+            (1, "intro words " + bench_text + " trailing words"),
+            # clean: same vocabulary, different order/content
+            (2, "fox dog lazy brown the quick words other entirely here"),
+            (3, "completely unrelated text about formula one telemetry data"),
+            # exact copy of the benchmark line → contaminated
+            (4, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    kept = dedup.decontaminate(docs, bench, shingle_n=8)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [2, 3]
+
+    audit = dedup.contamination_hits(docs, bench, shingle_n=8).toPandas()
+    audit = audit.set_index("doc_id")["n_contaminated_ngrams"]
+    # 10-token benchmark → 3 eight-grams; doc 4 shares all 3
+    assert audit.loc[4] == 3
+    assert audit.loc[1] == 3
+    assert 2 not in audit.index and 3 not in audit.index
+
+    # benchmark side must broadcast (training side never shuffles on it)
+    plan = (
+        dedup.contamination_hits(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_and_counts(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or 192.168.0.1 soon"),
+        (2, "call +1 (415) 555-0199 today"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io c@d.org and 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("clean"),
+        T.pii_counts(F.col("text")).alias("c"),
+    ).toPandas().set_index("doc_id")
+    assert "<EMAIL>" in out.loc[1, "clean"] and "<IP>" in out.loc[1, "clean"]
+    assert "jane" not in out.loc[1, "clean"]
+    assert "<PHONE>" in out.loc[2, "clean"] and "555" not in out.loc[2, "clean"]
+    assert out.loc[3, "clean"] == "no pii here at all"
+    assert out.loc[4, "clean"].count("<EMAIL>") == 2
+    assert out.loc[1, "c"]["email"] == 1 and out.loc[1, "c"]["ipv4"] == 1
+    assert out.loc[2, "c"]["phone"] == 1
+    assert out.loc[4, "c"]["email"] == 2 and out.loc[4, "c"]["ipv4"] == 1
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    boiler = "\n".join(["click here to subscribe now"] * 10)
+    clean = "a genuinely varied sentence with many different words in it"
+    spam = " ".join(["buy"] * 30)
+    df = spark.createDataFrame(
+        [(1, boiler), (2, clean), (3, spam), (4, "")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", T.repetition_stats(F.col("text")).alias("r")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "r"]["dup_line_frac"] == 0.9       # 10 lines, 1 distinct
+    assert out.loc[1, "r"]["dup_3gram_frac"] > 0.5
+    assert out.loc[2, "r"]["dup_line_frac"] == 0.0
+    assert out.loc[2, "r"]["dup_3gram_frac"] == 0.0
+    assert out.loc[3, "r"]["top_word_frac"] == 1.0       # all the same token
+    assert out.loc[4, "r"]["dup_line_frac"] == 0.0
+    assert out.loc[4, "r"]["top_word_frac"] == 0.0
