@@ -172,6 +172,9 @@ def curate_documents(
     epoch_salt: str = "epoch0",
     text_col: str = "text",
     id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    redact: bool = False,
+    max_dup_line_frac: float | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -191,6 +194,12 @@ def curate_documents(
     contract).  The final epoch shuffle orders by the salt-keyed gate on
     the full chunk identity ``(doc_id, chunk_idx)``.
 
+    Optional gates, each a standard published curation stage:
+    ``max_dup_line_frac`` (Gopher repetition rule, pre-dedup),
+    ``benchmark`` (8-gram eval-set decontamination, broadcast-anti),
+    ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
+    chunk identities see the redacted text).
+
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
     from bigdataproject_formula1_telemetry_spark.operators import (
@@ -199,6 +208,25 @@ def curate_documents(
         text as T,
     )
 
+    if max_dup_line_frac is not None:
+        # Gopher-style repetition gate BEFORE dedup: boilerplate-heavy
+        # docs would otherwise flood the LSH buckets they deserve no
+        # seat in (pure column expression — one extra predicate on the
+        # same scan)
+        docs = docs.where(
+            T.repetition_stats(F.col(text_col))["dup_line_frac"]
+            <= F.lit(max_dup_line_frac)
+        )
+    if benchmark is not None:
+        # eval-set decontamination: broadcast the benchmark's 8-gram
+        # hash set, left-anti the corpus (see dedup.decontaminate)
+        docs = D.decontaminate(
+            docs, benchmark, text_col=text_col, id_col=id_col
+        )
+    if redact:
+        # PII scrub before anything content-hashed downstream, so the
+        # dedup keys and chunk hashes see the redacted text
+        docs = docs.withColumn(text_col, T.redact_pii(F.col(text_col)))
     kept = D.near_dedup_minhash(
         docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )

@@ -172,3 +172,38 @@ def test_curate_documents_end_to_end(spark):
     ).toPandas()
     assert pdf[key].values.tolist() != other[key].values.tolist()
     assert sorted(map(tuple, pdf[key].values)) == sorted(map(tuple, other[key].values))
+
+
+def test_curate_documents_with_all_gates(spark):
+    """The composed pipeline with every optional gate on: repetitive
+    boilerplate filtered, benchmark-contaminated docs dropped, PII
+    scrubbed before chunking (no chunk carries the raw email)."""
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    bench_text = "what is the capital of france paris is the answer here"
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary document with enough distinct words "
+                "to chunk and keep around for training purposes today"),
+            (2, "\n".join(["subscribe to our newsletter now"] * 8)),
+            (3, "leading text " + bench_text + " trailing text"),
+            (4, "reach me at someone@example.com for more information and "
+                "details about the varied topics discussed in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    out = P.curate_documents(
+        docs,
+        chunk_tokens=8,
+        overlap=0,
+        token_budget=32,
+        benchmark=bench,
+        redact=True,
+        max_dup_line_frac=0.3,
+    ).toPandas()
+    kept_ids = set(out["doc_id"])
+    assert kept_ids == {1, 4}          # 2 = boilerplate, 3 = contaminated
+    joined = " ".join(out[out["doc_id"] == 4]["chunk_text"])
+    assert "someone@example.com" not in joined
+    assert "<EMAIL>" in joined
