@@ -452,8 +452,12 @@ def shared_chunk_fraction(
 _PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # 7+ digit runs with optional separators — phones and account-ish ids
-    ("phone", r"(?<![\dA-Za-z])\+?\d[\d ().-]{5,}\d(?![\dA-Za-z])", "<PHONE>"),
+    # 7+ DIGITS with at most two separator chars between consecutive
+    # digits — phones and account-ish ids.  Deliberately errs toward
+    # redaction: an 8-digit date like 2026-08-14 matches too (the safe
+    # direction for a PII scrub); prose year ranges ("2020 - 2024",
+    # three separator chars) do not.
+    ("phone", r"(?<![\dA-Za-z])\+?(?:\d[ ().-]{0,2}){6,}\d(?![\dA-Za-z])", "<PHONE>"),
 ]
 
 
@@ -484,7 +488,8 @@ def repetition_stats(text: Column) -> Column:
 
     - ``dup_line_frac``: 1 − distinct/total over newline-split lines
       (trimmed, empties dropped),
-    - ``dup_3gram_frac``: 1 − distinct/total over word 3-grams,
+    - ``dup_3gram_frac``: 1 − distinct/total over normalized-token
+      3-grams (``dedup.shingles``'s lowercase/punctuation-stripped view),
     - ``top_word_frac``: share of the single most frequent token.
 
     High values on any of them are the canonical boilerplate/spam marks
