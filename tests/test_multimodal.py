@@ -432,6 +432,23 @@ def test_jpeg_progressive_roundtrip_bit_identical_to_baseline():
         assert np.array_equal(base, prog), (img.shape, sub, q)
 
 
+def test_jpeg_progressive_flows_through_spark(spark):
+    """A progressive payload rides the same multimodal Spark path as
+    baseline: identical features for the same image in both encodings."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.sources import jpeg as J
+
+    img = np.linspace(0, 255, 16 * 24 * 3).reshape(16, 24, 3).astype(np.uint8)
+    rows = [
+        (30, "image", "jpeg", bytearray(J.encode_jpeg(img, quality=95)), 24, 16, 3, None, None),
+        (31, "image", "jpeg", bytearray(J.encode_jpeg_progressive(img, quality=95)), 24, 16, 3, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = M.image_features(df).toPandas().set_index("media_id")
+    assert list(feats.loc[30, "mean_rgb"]) == list(feats.loc[31, "mean_rgb"])
+
+
 def test_jpeg_progressive_stream_structure():
     """The progressive stream has the declared scan script: one SOF2,
     2 DC scans + 2 AC scans per component (3 comps → 8 SOS total), and

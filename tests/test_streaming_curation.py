@@ -5,6 +5,7 @@ identical survivors where the est-Jaccard is decisively off-threshold).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -274,3 +275,33 @@ def test_near_dedup_stream_rocksdb_state_store(spark, corpus_pdf, tmp_path):
     assert set(folded[~folded["is_dup"]]["doc_id"]) == set(
         r.doc_id for r in batch.select("doc_id").collect()
     )
+
+
+def test_stateless_text_gates_apply_to_streams(spark, corpus_pdf, tmp_path):
+    """The module docstring's claim, pinned: quality/PII/repetition are
+    pure column expressions, so the same transform applied to the stream
+    equals the batch result row-for-row."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    def gates(df):
+        return df.select(
+            "doc_id",
+            T.redact_pii(F.col("text")).alias("clean"),
+            T.quality_score(F.col("text")).alias("q"),
+            T.repetition_stats(F.col("text"))["dup_line_frac"].alias("dup"),
+        )
+
+    got = (
+        _start_stream(spark, tmp_path, corpus_pdf, gates)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        gates(spark.createDataFrame(corpus_pdf, DOC_SCHEMA))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["clean"].tolist() == exp["clean"].tolist()
+    assert np.allclose(got["q"], exp["q"])
+    assert np.allclose(got["dup"], exp["dup"])
