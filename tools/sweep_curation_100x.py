@@ -145,6 +145,33 @@ def main() -> None:
         f"  dropped {stats['dropped']} ({stats['dropped_planted']} planted)",
         flush=True,
     )
+
+    # decontamination at scale: a 500-doc "benchmark" sampled verbatim
+    # from the corpus — exactly those docs share 8-grams (word-shuffled
+    # siblings don't), so the expected drop set is known
+    print("decontaminate vs a 500-doc benchmark ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import sampling as SA
+
+    bench = SA.deterministic_sample(
+        distinct, ["doc_id"], 500 / n, salt="bench-eval"
+    )
+    n_bench = bench.count()
+    t0 = time.time()
+    kept = D.decontaminate(distinct, bench)
+    kept_n = kept.count()
+    results["decontaminate_s"] = round(time.time() - t0, 2)
+    results["bench_docs"] = n_bench
+    results["decon_dropped"] = n - kept_n
+    # every benchmark doc must be gone; a few extra drops are legitimate
+    # (short docs whose word-shuffle happens to reproduce a benchmark
+    # sibling's exact token order share that full-text shingle)
+    leak = kept.join(bench.select("doc_id"), "doc_id").count()
+    results["decon_ok"] = leak == 0 and (n - kept_n) <= n_bench + 200
+    print(
+        f"  {results['decontaminate_s']} s — dropped {n - kept_n} "
+        f"(benchmark {n_bench}, leaked {leak})",
+        flush=True,
+    )
     print(json.dumps(results))
     spark.stop()
 
