@@ -451,3 +451,49 @@ def test_inverted_file_partition_prunes_and_matches_join_form(spark, emb, tmp_pa
     assert in_list is not None, m.group(1)
     probed_ids = set(int(x) for x in re.findall(r"\d+", in_list.group(1)))
     assert 0 < len(probed_ids) <= 6, m.group(1)
+
+
+def test_inverted_file_incremental_append_and_quantized_serving(spark, emb, tmp_path):
+    """The 100 TB maintenance + serving combos, composed from existing
+    pieces: (a) new vectors appended to the inverted file (one more
+    assignment pass, mode="append") are found by the partition-pruned
+    search; (b) an inverted file built from int8 codes serves kNN
+    directly on the codes (cosine is scale-invariant), top-k overlap vs
+    the float path ≥ 0.9."""
+    import re
+
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=3)
+    root = str(tmp_path / "ivf_inc")
+    old = emb.where(F.col("vec_id") >= 100)
+    new = emb.where(F.col("vec_id") < 100)
+    sim.build_inverted_file(old, C, root)
+    sim.build_inverted_file(new, C, root, mode="append")
+
+    queries = emb.where(F.col("vec_id") < 2)
+    got = sim.knn_ivf_materialized(spark, root, queries, C, k=5, nprobe=3)
+    flat = sim.knn_ivf(emb, queries, C, k=5, nprobe=3)
+    g = got.toPandas().sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    f = flat.toPandas().sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    assert list(g["neighbor_id"]) == list(f["neighbor_id"])
+
+    # quantized inverted file: codes partitioned by (float-assigned)
+    # cluster, searched directly
+    q8 = sim.quantize_embeddings(emb).select(
+        "vec_id", F.col("embedding_q8").alias("embedding")
+    )
+    root_q8 = str(tmp_path / "ivf_q8")
+    sim.build_inverted_file(q8, C, root_q8)
+    got_q8 = sim.knn_ivf_materialized(spark, root_q8, q8.where(F.col("vec_id") < 2), C, k=5, nprobe=3)
+    plan = got_q8._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cluster", plan)
+    gq = got_q8.toPandas()
+    overlap = 0.0
+    for qid in (0, 1):
+        a = set(g[g["query_id"] == qid]["neighbor_id"])
+        b = set(gq[gq["query_id"] == qid]["neighbor_id"])
+        overlap += len(a & b) / 5.0
+    assert overlap / 2 >= 0.9, overlap / 2
