@@ -1,0 +1,195 @@
+"""Byte-pair-encoding tokenizer training over a document corpus —
+Spark-first split of the classic algorithm (Sennrich et al. 2016,
+public):
+
+- the CORPUS-scale work (one pass over every document to build the
+  word-frequency table) is a Spark explode + groupBy with map-side
+  combine — the only stage that touches all the text, linear at any
+  corpus size;
+- the VOCAB-scale work (the iterative most-frequent-pair merge loop)
+  runs driver-side on the bounded word-frequency table, exactly how
+  production tokenizer trainers do it (the pair statistics live on the
+  distinct-word list, not the corpus — merging "t h" → "th" does not
+  need the documents again);
+- applying the trained merges back to the corpus (`bpe_segment` /
+  `bpe_token_count`) is one Arrow ``mapInPandas`` pass with the merge
+  ranks broadcast in the closure.
+
+The trainer is deterministic: pair counts tie-break lexicographically,
+and the word table is capped to the ``max_words`` most frequent words
+(ties by word) so the driver memory is bounded by vocabulary, never by
+corpus size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: end-of-word marker appended to every word's final symbol, so merges
+#: distinguish word-final from word-internal contexts ("est</w>" vs "est")
+EOW = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> DataFrame:
+    """(word, freq) over the lowercased whitespace tokens of the corpus,
+    capped to the ``max_words`` most frequent (deterministic tie-break
+    by word).  The single corpus-scale stage of BPE training: one scan,
+    one combinable aggregation, and the result is vocabulary-sized."""
+    from .text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return counts.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(
+        max_words
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 100,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.  Returns the
+    ordered merge list [(left, right), ...] — the entire model (the
+    vocabulary is the base characters plus one new symbol per merge).
+
+    Each round re-segments only the words containing the merged pair
+    and recounts pairs over the (vocabulary-sized) word table, so
+    training cost is O(vocab-chars · merges) — independent of corpus
+    size after the one Spark aggregation."""
+    rows = word_frequencies(docs, text_col, max_words).collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        chars = tuple(r["word"]) if len(r["word"]) else ()
+        if not chars:
+            continue
+        vocab[chars[:-1] + (chars[-1] + EOW,)] = (
+            vocab.get(chars[:-1] + (chars[-1] + EOW,), 0) + r["freq"]
+        )
+
+    def pair_counts(v):
+        pc: dict[tuple[str, str], int] = {}
+        for word, freq in v.items():
+            for a, b in zip(word, word[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq
+        return pc
+
+    merges: list[tuple[str, str]] = []
+    pc = pair_counts(vocab)
+    for _ in range(num_merges):
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 1:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, freq in vocab.items():
+            if a in word:
+                out = []
+                i = 0
+                while i < len(word):
+                    if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                word = tuple(out)
+            new_vocab[word] = new_vocab.get(word, 0) + freq
+        vocab = new_vocab
+        pc = pair_counts(vocab)
+    return merges
+
+
+def _segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word, lowest-rank-first (the canonical BPE
+    inference loop)."""
+    pieces = list(word[:-1]) + [word[-1] + EOW] if word else []
+    while len(pieces) > 1:
+        best_rank = None
+        best_i = -1
+        for i, (a, b) in enumerate(zip(pieces, pieces[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        pieces[best_i : best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+    return pieces
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pieces) — every document segmented into BPE pieces by one
+    Arrow pass (merge ranks broadcast in the closure; a per-batch memo
+    caches each distinct word's segmentation, so the per-row cost is a
+    dict lookup for all but the first occurrence)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("pieces", ArrayType(StringType())),
+            StructField("n_pieces", IntegerType()),
+        ]
+    )
+    src = docs.select(id_col, F.lower(F.col(text_col)).alias("__t"))
+
+    def seg(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, pieces_col, counts = [], [], []
+            for did, text in zip(pdf[id_col], pdf["__t"]):
+                if text is None:
+                    continue
+                pieces: list[str] = []
+                for w in text.split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = _segment_word(w, ranks)
+                        memo[w] = got
+                    pieces.extend(got)
+                ids.append(did)
+                pieces_col.append(pieces)
+                counts.append(len(pieces))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "pieces": pieces_col, "n_pieces": counts}
+                ).astype({"n_pieces": "int32"})
+
+    return src.mapInPandas(seg, out_schema)
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_pieces) — the trained-tokenizer sequel to the regex-proxy
+    ``text.bpe_ish_token_count``: real counts under the learned merges,
+    the number that actually budgets context windows."""
+    return bpe_segment(docs, merges, text_col, id_col).select(id_col, "n_pieces")
