@@ -193,3 +193,41 @@ def bpe_token_count(
     ``text.bpe_ish_token_count``: real counts under the learned merges,
     the number that actually budgets context windows."""
     return bpe_segment(docs, merges, text_col, id_col).select(id_col, "n_pieces")
+
+
+def with_bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """All input columns + ``out_col`` = the trained-BPE piece count of
+    ``text_col`` (replacing ``out_col`` if it already exists) — the
+    column-preserving form ``pipelines.curate_documents`` uses to make
+    ``pack_sequences`` budget REAL tokenizer counts instead of the
+    whitespace proxy.  One memoized Arrow pass, schema passthrough."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(fields + [StructField(out_col, IntegerType())])
+    names = [f.name for f in fields]
+
+    def fn(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            counts = []
+            for text in pdf[text_col]:
+                if text is None:
+                    counts.append(0)
+                    continue
+                c = 0
+                for w in text.lower().split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(_segment_word(w, ranks))
+                        memo[w] = got
+                    c += got
+                counts.append(c)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(counts, dtype="int32")
+            yield pdf
+    return df.select(names).mapInPandas(fn, schema)

@@ -175,6 +175,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     redact: bool = False,
     max_dup_line_frac: float | None = None,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -198,7 +199,9 @@ def curate_documents(
     ``max_dup_line_frac`` (Gopher repetition rule, pre-dedup),
     ``benchmark`` (8-gram eval-set decontamination, broadcast-anti),
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
-    chunk identities see the redacted text).
+    chunk identities see the redacted text), ``bpe_merges`` (a
+    ``bpe.train_bpe`` model — bins then budget real tokenizer piece
+    counts instead of whitespace tokens).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -236,6 +239,15 @@ def curate_documents(
     ).withColumn(
         "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_pack_shards))
     )
+    if bpe_merges is not None:
+        # budget the bins with REAL tokenizer counts: replace the
+        # whitespace n_tokens with the trained-BPE piece count (one
+        # memoized Arrow pass over the chunks)
+        from bigdataproject_formula1_telemetry_spark.operators import bpe as B
+
+        chunks = B.with_bpe_token_count(
+            chunks, bpe_merges, text_col="chunk_text", out_col="n_tokens"
+        )
     packed = T.pack_sequences(
         chunks,
         token_budget=token_budget,

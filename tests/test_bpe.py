@@ -74,3 +74,26 @@ def test_word_frequencies_cap_and_determinism(spark):
     )
     top2 = bpe.word_frequencies(docs, max_words=2).collect()
     assert [(r.word, r.freq) for r in top2] == [("a", 3), ("b", 3)]
+
+
+def test_curation_pipeline_budgets_bpe_counts(spark):
+    """curate_documents(bpe_merges=...) packs bins by trained-tokenizer
+    piece counts: every bin's BPE-token total respects the budget, and
+    the n_tokens column ≥ the whitespace count (each word ≥ 1 piece)."""
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    docs = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 20)
+    )
+    merges = bpe.train_bpe(docs, num_merges=40)
+    out = P.curate_documents(
+        docs, chunk_tokens=16, overlap=0, token_budget=64, bpe_merges=merges
+    ).toPandas()
+    assert len(out) > 0
+    fills = out[~out["oversize"]].groupby(["pack_shard", "seq_id"])["n_tokens"].sum()
+    assert (fills <= 64).all()
+    # BPE pieces >= whitespace tokens for every chunk
+    ws = out["chunk_text"].str.split().str.len()
+    assert (out["n_tokens"] >= ws).all()
