@@ -176,6 +176,8 @@ def curate_documents(
     redact: bool = False,
     max_dup_line_frac: float | None = None,
     bpe_merges: list[tuple[str, str]] | None = None,
+    max_ppl: float | None = None,
+    lm_model: DataFrame | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -201,7 +203,11 @@ def curate_documents(
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
-    counts instead of whitespace tokens).
+    counts instead of whitespace tokens), ``max_ppl`` (CCNet-style
+    perplexity gate under a smoothed unigram LM — pass a pre-trained
+    ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
+    a clean sample, reuse across corpus shards) or let it self-train on
+    the post-repetition-gate corpus).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -220,6 +226,22 @@ def curate_documents(
             T.repetition_stats(F.col(text_col))["dup_line_frac"]
             <= F.lit(max_dup_line_frac)
         )
+    if max_ppl is not None:
+        # CCNet-style quality gate: drop the high-perplexity tail under
+        # a smoothed unigram LM (self-trained here if no model given —
+        # at corpus scale pass lm_model trained on a deterministic
+        # sample with vocab_size set, so the gate is one broadcast join)
+        from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+        model = (
+            lm_model
+            if lm_model is not None
+            else L.unigram_lm(docs, text_col=text_col)
+        )
+        scored = L.doc_perplexity(
+            docs, model, text_col=text_col, id_cols=(id_col,)
+        ).where(F.col("ppl") <= F.lit(max_ppl))
+        docs = docs.join(scored.select(id_col), id_col, "semi")
     if benchmark is not None:
         # eval-set decontamination: broadcast the benchmark's 8-gram
         # hash set, left-anti the corpus (see dedup.decontaminate)

@@ -30,6 +30,7 @@ from bigdataproject_formula1_telemetry_spark import io
 from bigdataproject_formula1_telemetry_spark.operators import (
     asof,
     dedup,
+    lm as LM,
     relational as R,
     resample,
     similarity as sim,
@@ -702,29 +703,55 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         x -> x <> '')) AS ntok
       FROM documents
+    ), lt AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, count(*) AS c FROM lt GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+      FROM cnt
+    ), lmt AS (
+      SELECT tok,
+        ln((CAST(c AS DOUBLE) + 1.0) / (n + 1.0 * (v + 1.0))) AS logp
+      FROM cnt, tot
+    ), sc AS (
+      SELECT lt.doc_id, count(*) AS nt, sum(lmt.logp) AS lp
+      FROM lt JOIN lmt USING (tok)
+      GROUP BY lt.doc_id
     )
-    SELECT doc_id,
-      CAST(ntok AS BIGINT) AS n_tokens,
-      floor((CASE WHEN length(text) > 0
-                 THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                      / length(text)
+    SELECT t.doc_id,
+      CAST(t.ntok AS BIGINT) AS n_tokens,
+      floor((CASE WHEN length(t.text) > 0
+                 THEN CAST(length(regexp_replace(t.text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                      / length(t.text)
                  ELSE 0 END) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
-      floor(CAST(length(text) AS DOUBLE) / ntok * 1000000 + 0.5) / 1000000.0
-        AS avg_tok_len
-    FROM t
+      floor(CAST(length(t.text) AS DOUBLE) / t.ntok * 1000000 + 0.5) / 1000000.0
+        AS avg_tok_len,
+      floor(exp(-sc.lp / sc.nt) * 10000 + 0.5) / 10000.0 AS ppl
+    FROM t JOIN sc ON t.doc_id = sc.doc_id
     """,
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality stats: token count, punctuation density, mean token
-    length — JVM-side regex, no UDFs (north-star)."""
+    length — JVM-side regex, no UDFs — plus CCNet-style corpus
+    perplexity under a self-trained smoothed unigram LM
+    (`operators/lm.py`: word-count train, broadcast-join score;
+    north-star quality-filtering op)."""
     docs = _t(spark, sf_dir, "documents")
+    model = LM.unigram_lm(docs)
+    ppl = LM.doc_perplexity(docs, model).select(
+        "doc_id", _pround(F.col("ppl"), 4).alias("ppl")
+    )
     ntok = T.token_count(F.col("text"))
     return docs.select(
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
         _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
-    )
+    ).join(ppl, "doc_id")
 
 
 @_q(
