@@ -305,3 +305,32 @@ def test_stateless_text_gates_apply_to_streams(spark, corpus_pdf, tmp_path):
     assert got["clean"].tolist() == exp["clean"].tolist()
     assert np.allclose(got["q"], exp["q"])
     assert np.allclose(got["dup"], exp["dup"])
+
+
+def test_lm_perplexity_gate_applies_to_streams(spark, corpus_pdf, tmp_path):
+    """The CCNet perplexity gate on a stream: the LM is trained offline
+    (batch word-count), the Arrow scoring form is a stateless mapInPandas
+    — so stream == batch row-for-row (the 100 TB ingest-time quality
+    gate: score documents as they arrive, no state store needed)."""
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    batch_docs = spark.createDataFrame(corpus_pdf, DOC_SCHEMA)
+    logp, unk = L.collect_lm(L.unigram_lm(batch_docs, vocab_size=1000))
+
+    def gate(df):
+        return L.doc_perplexity_arrow(df, logp, unk)
+
+    got = (
+        _start_stream(spark, tmp_path, corpus_pdf, gate)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        gate(batch_docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+    assert np.allclose(got["ppl"], exp["ppl"])

@@ -172,6 +172,38 @@ def main() -> None:
         f"(benchmark {n_bench}, leaked {leak})",
         flush=True,
     )
+    # LM quality filter at scale: train a vocab-capped unigram LM on the
+    # 500k corpus (one word-count job + bounded collect), then score
+    # every document with the zero-shuffle Arrow form — the CCNet-gate
+    # cost a 100 TB curation run would actually pay
+    print("unigram-LM train (vocab 50k) + perplexity score ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    t0 = time.time()
+    model = L.unigram_lm(distinct, vocab_size=50_000)
+    logp, unk = L.collect_lm(model)  # terminal action → times the train
+    results["lm_train_s"] = round(time.time() - t0, 2)
+    results["lm_vocab"] = len(logp)
+    scored = L.doc_perplexity_arrow(distinct, logp, unk)
+    scored.write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        L.doc_perplexity_arrow(distinct, logp, unk).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    results["lm_score_s"] = round(best, 2)
+    results["lm_docs_per_sec"] = round(n / best)
+    bad = scored.where(
+        F.col("ppl").isNull() | F.isnan("ppl") | (F.col("ppl") <= 0)
+    ).count()
+    results["lm_ok"] = bad == 0 and scored.count() == n
+    print(
+        f"  train {results['lm_train_s']} s (vocab {len(logp)}), "
+        f"score {best:.2f} s ({n / best:,.0f} docs/s)",
+        flush=True,
+    )
     print(json.dumps(results))
     spark.stop()
 
