@@ -178,6 +178,7 @@ def curate_documents(
     bpe_merges: list[tuple[str, str]] | None = None,
     max_ppl: float | None = None,
     lm_model: DataFrame | None = None,
+    semantic_threshold: float | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -199,7 +200,9 @@ def curate_documents(
 
     Optional gates, each a standard published curation stage:
     ``max_dup_line_frac`` (Gopher repetition rule, pre-dedup),
-    ``benchmark`` (8-gram eval-set decontamination, broadcast-anti),
+    ``benchmark`` (8-gram eval-set decontamination, broadcast-anti;
+    ``semantic_threshold`` adds the order-invariant hashed-BoW cosine
+    pass on top),
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
@@ -248,6 +251,18 @@ def curate_documents(
         docs = D.decontaminate(
             docs, benchmark, text_col=text_col, id_col=id_col
         )
+        if semantic_threshold is not None:
+            # order-invariant second pass: hashed-BoW cosine vs the
+            # benchmark matrix catches shuffled/reworded benchmark text
+            # the 8-gram pass can't (one narrow kernel, see
+            # embed.semantic_decontaminate)
+            from bigdataproject_formula1_telemetry_spark.operators import (
+                embed as EM,
+            )
+
+            docs = EM.semantic_decontaminate(
+                docs, benchmark, threshold=semantic_threshold, text_col=text_col
+            )
     if redact:
         # PII scrub before anything content-hashed downstream, so the
         # dedup keys and chunk hashes see the redacted text
