@@ -294,6 +294,95 @@ def curate_documents(
     return SA.deterministic_shuffle(packed, [id_col, "chunk_idx"], salt=epoch_salt)
 
 
+def corpus_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Dataset datasheet for a (curated) document corpus — the summary
+    artifact a training-data release ships with (public practice:
+    "Datasheets for Datasets", Gebru et al. 2021; model-card corpus
+    sections).  Returns tidy ``(section, key, value)`` rows:
+
+    - ``size``: docs, total whitespace tokens, total chars;
+    - ``quality``: p10/p50/p90 of the heuristic quality score and of
+      perplexity under a self-trained unigram LM (vocab-capped);
+    - ``dup``: exact-duplicate fraction via ``approx_count_distinct``
+      of the content hash (never a text shuffle);
+    - ``pii``: total email/ipv4/phone pattern hits;
+    - ``lang``: per-language doc counts (when ``lang_col`` exists).
+
+    ONE full scan computes every global measure in a single aggregate
+    (the LM leg adds its own train+score pass), plus one tiny groupBy
+    for the language breakdown; everything is already-reduced, so the
+    frame feeds ``sinks.write_html_report`` directly."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        lm as L,
+        text as T,
+    )
+
+    t = F.col(text_col)
+    q = T.quality_score(t)
+    pii = T.pii_counts(t)
+    model = L.unigram_lm(docs, text_col=text_col, vocab_size=50_000)
+    ppl = L.doc_perplexity(docs, model, text_col=text_col).select("ppl")
+
+    def _rows(sections: dict[str, str], df: DataFrame) -> DataFrame:
+        # one aggregate row → tidy long form (section looked up per key)
+        pairs = df.first().asDict()
+        return docs.sparkSession.createDataFrame(
+            [
+                (sections[k], k, float(v) if v is not None else None)
+                for k, v in pairs.items()
+            ],
+            schema="section string, key string, value double",
+        )
+
+    key = F.when(t.isNotNull(), F.md5(t)).otherwise(F.lit("\x00null"))
+    qtiles = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+    glob = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("docs"),
+        F.sum(T.token_count(t)).cast("double").alias("tokens"),
+        F.sum(F.length(t)).cast("double").alias("chars"),
+        F.percentile_approx(q, qtiles).alias("_q"),
+        (
+            1.0
+            - F.approx_count_distinct(key, 0.02).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_frac_approx"),
+        F.sum(pii["email"]).cast("double").alias("pii_emails"),
+        F.sum(pii["ipv4"]).cast("double").alias("pii_ipv4"),
+        F.sum(pii["phone"]).cast("double").alias("pii_phones"),
+    ).select(
+        "docs", "tokens", "chars",
+        F.col("_q")[0].alias("q_p10"),
+        F.col("_q")[1].alias("q_p50"),
+        F.col("_q")[2].alias("q_p90"),
+        "exact_dup_frac_approx", "pii_emails", "pii_ipv4", "pii_phones",
+    )
+    pplq = ppl.agg(F.percentile_approx("ppl", qtiles).alias("_p")).select(
+        F.col("_p")[0].alias("ppl_p10"),
+        F.col("_p")[1].alias("ppl_p50"),
+        F.col("_p")[2].alias("ppl_p90"),
+    )
+    sections = {
+        "docs": "size", "tokens": "size", "chars": "size",
+        "q_p10": "quality", "q_p50": "quality", "q_p90": "quality",
+        "ppl_p10": "quality", "ppl_p50": "quality", "ppl_p90": "quality",
+        "exact_dup_frac_approx": "dup",
+        "pii_emails": "pii", "pii_ipv4": "pii", "pii_phones": "pii",
+    }
+    card = _rows(sections, glob).unionByName(_rows(sections, pplq))
+    if lang_col is not None and lang_col in docs.columns:
+        langs = docs.groupBy(F.col(lang_col).alias("key")).agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        )
+        card = card.unionByName(
+            langs.select(F.lit("lang").alias("section"), "key", "value")
+        )
+    return card
+
+
 def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
     """§5 audit as a real assertable query (detailed_data_audit,
     F1_Data_Test.ipynb:135-240): expected races left-joined to per-round

@@ -207,3 +207,28 @@ def test_curate_documents_with_all_gates(spark):
     joined = " ".join(out[out["doc_id"] == 4]["chunk_text"])
     assert "someone@example.com" not in joined
     assert "<EMAIL>" in joined
+
+
+def test_corpus_card(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io, sinks
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    card = pipelines.corpus_card(docs)
+    rows = {(r["section"], r["key"]): r["value"] for r in card.collect()}
+    n = docs.count()
+    assert rows[("size", "docs")] == float(n)
+    assert rows[("size", "tokens")] > 0 and rows[("size", "chars")] > 0
+    # quantiles ordered, ppl present and positive
+    assert rows[("quality", "q_p10")] <= rows[("quality", "q_p50")] <= rows[("quality", "q_p90")]
+    assert 0 < rows[("quality", "ppl_p10")] <= rows[("quality", "ppl_p50")] <= rows[("quality", "ppl_p90")]
+    # synthetic corpus has no exact dups: approx fraction ~0 (2% HLL band)
+    assert abs(rows[("dup", "exact_dup_frac_approx")]) <= 0.05
+    # lang breakdown sums to the doc count
+    langs = {k: v for (s, k), v in rows.items() if s == "lang"}
+    assert sum(langs.values()) == float(n)
+    # feeds the report sink (already-reduced by construction)
+    out = str(tmp_path / "card.html")
+    assert sinks.write_html_report(card, out, "corpus card") == len(rows)
+    assert "corpus card" in open(out).read()
