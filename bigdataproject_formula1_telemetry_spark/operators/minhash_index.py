@@ -1,0 +1,238 @@
+"""Materialized MinHash index: incremental batch near-dedup at corpus
+scale.
+
+``near_dedup_minhash`` re-shingles the WHOLE corpus every run — right
+for a one-shot curation pass, wrong for the steady state of a 100 TB
+corpus that grows by daily increments: re-hashing petabytes to admit a
+few million new documents is the dominant (and avoidable) cost.  This
+module materializes the dedup state once and makes each increment pay
+only for itself, mirroring the repo's other ingest-time/serving-time
+splits (``similarity.build_inverted_file`` / ``knn_ivf_materialized``
+for ANN; ``streaming/curation.py`` holds the same state per LSH bucket
+in a state store for the streaming topology):
+
+- ``build_minhash_index(docs, path)`` — ONE pass over the corpus writes
+  two parquet tables: ``sigs`` (id, 64-lane minhash signature — the
+  fused Arrow kernel, 8·64 B/doc) and ``banded`` (band, bhash, id),
+  partitioned by ``band`` (16 directories).
+- ``dedup_against_index(spark, new_docs, path)`` — the increment (small
+  by contract, like a kNN query set) is signed and banded, then
+  **broadcast** against the index scan: candidate generation and
+  signature verification never shuffle the index, whose only cost is a
+  column-pruned parquet scan (plan asserted in tests).  Verification
+  uses the unbiased signature estimate of Jaccard (matching-lane
+  fraction, 64 lanes) — the standard at-scale verify when the indexed
+  side's shingle sets are not retained.
+- ``append_minhash_index(new_docs, path)`` — append the survivors'
+  rows; partition-append for ``banded``, so tomorrow's increment
+  dedups against today's.
+
+Intra-increment duplicates are deliberately out of scope: self-dedup
+the increment first (``near_dedup_minhash`` — it is small), then filter
+it against the index, then append.  ``incremental_near_dedup``
+composes exactly that and is equivalence-tested against the one-shot
+batch pipeline on planted duplicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+    minhash_signature_arrow,
+    near_dedup_minhash,
+    shingle_sets,
+)
+
+__all__ = [
+    "build_minhash_index",
+    "append_minhash_index",
+    "dedup_against_index",
+    "incremental_near_dedup",
+]
+
+
+def _sig_frame(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, sig) — NULL-text docs are excluded (they have no shingle set;
+    they can neither certify nor suffer a near-dup)."""
+    sh = shingle_sets(
+        docs.where(F.col(text_col).isNotNull()),
+        text_col,
+        id_col,
+        shingle_n,
+        storage="none",  # single consumer here — no barrier needed
+    )
+    return sh.select(
+        "id", minhash_signature_arrow(num_hashes)(F.col("h")).alias("sig")
+    )
+
+
+def _banded(sig_frame: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode (id, sig) to (band, bhash, id) — JVM slice+xxhash64 over
+    the stored signature, deterministic across sessions (fixed seed)."""
+    rows_per_band = num_hashes // bands
+    return sig_frame.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.bhash", "id")
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """One corpus pass → ``path/sigs`` + ``path/banded`` (partitioned by
+    band).  The signature kernel runs once; the banded table derives
+    from the *written* sigs so the two tables can never drift."""
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    sig = _sig_frame(docs, text_col, id_col, num_hashes, shingle_n)
+    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    spark = docs.sparkSession
+    stored = spark.read.parquet(os.path.join(path, "sigs"))
+    _banded(stored, num_hashes, bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "banded"))
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Admit an increment: append its rows to both tables (the caller
+    filters the increment first — see ``incremental_near_dedup``)."""
+    sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
+    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+    _banded(sig, num_hashes, bands).write.mode("append").partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "banded"))
+
+
+def _est_jaccard(sig_a, sig_b, num_hashes: int):
+    """Unbiased minhash estimate: fraction of agreeing lanes."""
+    agree = F.filter(
+        F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m
+    )
+    return F.size(agree).cast("double") / F.lit(float(num_hashes))
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The increment minus every doc whose estimated Jaccard against ANY
+    indexed doc reaches ``threshold``.
+
+    Plan shape (asserted in tests): the increment's banded/sig frames
+    are BROADCAST; the index's ``banded`` and ``sigs`` scans are joined
+    broadcast-side-small, so the index is never shuffled — its cost is
+    one column-pruned scan per table."""
+    new_sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
+    new_banded = _banded(new_sig, num_hashes, bands).withColumnRenamed(
+        "id", "new_id"
+    )
+    idx_banded = spark.read.parquet(os.path.join(path, "banded"))
+    cand = (
+        idx_banded.join(F.broadcast(new_banded), ["band", "bhash"])
+        .select(F.col("id").alias("old_id"), "new_id")
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    scored = (
+        idx_sigs.withColumnRenamed("sig", "old_sig")
+        .join(F.broadcast(cand), idx_sigs["id"] == cand["old_id"])
+        .join(
+            F.broadcast(new_sig.select(F.col("id").alias("nid"), F.col("sig").alias("new_sig"))),
+            F.col("new_id") == F.col("nid"),
+        )
+        .select(
+            "new_id",
+            _est_jaccard(F.col("old_sig"), F.col("new_sig"), num_hashes).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    dup_ids = scored.where(F.col("est_jaccard") >= threshold).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return new_docs.join(F.broadcast(dup_ids), id_col, "left_anti")
+
+
+def incremental_near_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    append: bool = True,
+) -> DataFrame:
+    """The steady-state daily step: self-dedup the increment (it is
+    small — the full batch operator is fine), drop what the index
+    already has, and (by default) admit the survivors.  Returns the
+    admitted survivors.  NOTE: ``append=True`` runs an action (the
+    index write), so call it once — not inside a lazy plan."""
+    kept = near_dedup_minhash(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    survivors = dedup_against_index(
+        spark, kept, path, threshold, text_col, id_col,
+        num_hashes, bands, shingle_n,
+    )
+    if append:
+        survivors = survivors.localCheckpoint(eager=True)
+        append_minhash_index(
+            survivors, path, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    return survivors

@@ -1,0 +1,132 @@
+"""Materialized MinHash index (operators/minhash_index.py): build/search
+round trip, broadcast-only plan, append growth, and equivalence of the
+incremental step with the one-shot batch pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import minhash_index as MI
+from bigdataproject_formula1_telemetry_spark.operators.dedup import near_dedup_minhash
+
+
+@pytest.fixture(scope="module")
+def old_docs(spark):
+    return io.read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+@pytest.fixture()
+def index_path(spark, old_docs, tmp_path):
+    p = str(tmp_path / "mhidx")
+    MI.build_minhash_index(old_docs, p)
+    return p
+
+
+def _increment(spark, old_docs):
+    rows = old_docs.orderBy("doc_id").limit(2).collect()
+    return spark.createDataFrame(
+        [
+            Row(doc_id=100_000, text=rows[0]["text"]),                  # exact copy
+            Row(doc_id=100_001, text=rows[1]["text"] + " appended"),    # near copy
+            Row(doc_id=100_002, text="a genuinely fresh document about nothing else"),
+            Row(doc_id=100_003, text="another brand new text with its own words"),
+        ]
+    )
+
+
+def test_search_drops_copies_keeps_fresh(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    kept = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, inc, index_path, 0.8).collect()
+    }
+    assert kept == {100_002, 100_003}
+
+
+def test_plan_never_shuffles_the_index(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    plan = (
+        MI.dedup_against_index(spark, inc, index_path, 0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_est_jaccard_extremes(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    new_sig = MI._sig_frame(inc, "text", "doc_id", 64, 3)
+    idx = spark.read.parquet(index_path + "/sigs")
+    first_old = old_docs.orderBy("doc_id").first()["doc_id"]
+    a = idx.where(F.col("id") == first_old).select(F.col("sig").alias("sa"))
+    b = new_sig.where(F.col("id") == 100_000).select(F.col("sig").alias("sb"))
+    est = a.crossJoin(b).select(MI._est_jaccard(F.col("sa"), F.col("sb"), 64).alias("e")).first()["e"]
+    assert est == 1.0
+    c = new_sig.where(F.col("id") == 100_002).select(F.col("sig").alias("sb"))
+    est2 = a.crossJoin(c).select(MI._est_jaccard(F.col("sa"), F.col("sb"), 64).alias("e")).first()["e"]
+    assert est2 < 0.2
+
+
+def test_append_grows_the_state(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    admitted = MI.incremental_near_dedup(spark, inc, index_path, 0.8)
+    assert {r["doc_id"] for r in admitted.collect()} == {100_002, 100_003}
+    # a second increment copying a FIRST-increment survivor must now drop
+    inc2 = spark.createDataFrame(
+        [
+            Row(doc_id=200_000, text="a genuinely fresh document about nothing else"),
+            Row(doc_id=200_001, text="yet more entirely new material to admit"),
+        ]
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, inc2, index_path, 0.8).collect()
+    }
+    assert kept2 == {200_001}
+
+
+def test_incremental_equals_batch_on_planted_corpus(spark, old_docs, tmp_path):
+    p = str(tmp_path / "mhidx_eq")
+    # index what was ADMITTED: the corpus self-deduped (sf0.001 has a few
+    # natural near-dup pairs) — the realistic steady-state precondition
+    base = near_dedup_minhash(old_docs).localCheckpoint(eager=True)
+    MI.build_minhash_index(base, p)
+    rows = base.orderBy("doc_id").limit(2).collect()
+    inc = spark.createDataFrame(
+        [
+            Row(doc_id=100_000, text=rows[0]["text"]),
+            Row(doc_id=100_001, text=rows[1]["text"]),
+            Row(doc_id=100_002, text="fresh text one about new subjects entirely"),
+            Row(doc_id=100_003, text="fresh text one about new subjects entirely"),
+            Row(doc_id=100_004, text="fresh text two with different content"),
+        ]
+    )
+    batch = {
+        r["doc_id"]
+        for r in near_dedup_minhash(base.unionByName(inc)).collect()
+    }
+    incr = {
+        r["doc_id"]
+        for r in MI.incremental_near_dedup(spark, inc, p, 0.8, append=False).collect()
+    }
+    old_ids = {r["doc_id"] for r in base.collect()}
+    # the corpus is dup-free and ids order old < inc, so batch keeps all
+    # old docs and exactly the increment's incremental survivors
+    assert batch == old_ids | incr
+    assert incr == {100_002, 100_004}
+
+
+def test_null_text_docs_pass_through(spark, old_docs, index_path):
+    inc = spark.createDataFrame(
+        [Row(doc_id=1, text=None)], schema="doc_id long, text string"
+    )
+    kept = MI.dedup_against_index(spark, inc, index_path, 0.8).collect()
+    assert [r["doc_id"] for r in kept] == [1]
