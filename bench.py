@@ -204,6 +204,51 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings["knn_ivf_materialized"] = round(best, 3)
 
+    # Materialized-MinHash serving: the index over the documents table is
+    # written ONCE outside the timer (ingest-time cost), then each timed
+    # run is a 200-doc increment search — the steady-state daily-dedup
+    # path, where the increment broadcasts and the index is only scanned.
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        minhash_index as MI,
+    )
+    from pyspark.sql import functions as _F
+
+    with _tf.TemporaryDirectory() as mtmp:
+        docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        mpath = os.path.join(mtmp, "mhidx")
+        MI.build_minhash_index(docs, mpath)
+        # increment: 100 copies of indexed docs (must drop) + 100 fresh
+        inc = (
+            docs.orderBy("doc_id")
+            .limit(100)
+            .select((_F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+            .unionByName(
+                docs.orderBy("doc_id")
+                .limit(100)
+                .select(
+                    (_F.col("doc_id") + 20_000_000).alias("doc_id"),
+                    _F.concat_ws(
+                        " ",
+                        _F.lit("entirely fresh content prefix"),
+                        _F.col("doc_id").cast("string"),
+                        _F.reverse(_F.col("text")),
+                    ).alias("text"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def build_mh_search():
+            return MI.dedup_against_index(spark, inc, mpath, 0.8)
+
+        build_mh_search().write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            build_mh_search().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["minhash_index_search"] = round(best, 3)
+
     # Reference-shaped ETL benchmark: bronze → 10 m-grid warehouse via the
     # grouped-map resampler (BASELINE.md: reference did 62M rows in ~2h06m
     # ≈ 8.2k input-rows/s with a process pool; we report input rows/s).

@@ -204,6 +204,58 @@ def main() -> None:
         f"score {best:.2f} s ({n / best:,.0f} docs/s)",
         flush=True,
     )
+    # incremental dedup at scale: index the 500k corpus ONCE (ingest
+    # cost), then search a 5k daily increment — half verbatim copies of
+    # indexed docs (must drop), half fresh permutations (word-order
+    # reversal changes every 3-gram shingle, so Jaccard ≈ 0 → must keep)
+    print("materialized MinHash index: build + increment search ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        minhash_index as MI,
+    )
+
+    n_half = 250 if QUICK else 2_500
+    mpath = f"{OUT}/mhidx"
+    t0 = time.time()
+    MI.build_minhash_index(distinct, mpath)
+    results["mhidx_build_s"] = round(time.time() - t0, 2)
+    head = distinct.orderBy("doc_id").limit(n_half)
+    inc = (
+        head.select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+        .unionByName(
+            head.select(
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+                F.array_join(
+                    F.reverse(F.split(F.col("text"), " ")), " "
+                ).alias("text"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    MI.dedup_against_index(spark, inc, mpath, 0.8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        MI.dedup_against_index(spark, inc, mpath, 0.8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    results["mhidx_search_s"] = round(best, 2)
+    kept_ids = [
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, inc, mpath, 0.8)
+        .select("doc_id")
+        .collect()
+    ]
+    n_copies_kept = sum(1 for i in kept_ids if i < 2_000_000_000)
+    results["mhidx_ok"] = n_copies_kept == 0 and len(kept_ids) == n_half
+    print(
+        f"  build {results['mhidx_build_s']} s, search {best:.2f} s for a "
+        f"{2*n_half}-doc increment — copies dropped "
+        f"{n_half - n_copies_kept}/{n_half}, fresh kept {len(kept_ids)}/{n_half}",
+        flush=True,
+    )
     print(json.dumps(results))
     spark.stop()
 
