@@ -1,0 +1,97 @@
+"""Property-based checks (hypothesis) for the LM perplexity and hashed
+embedding kernels: the Spark pipelines against slow, obviously-correct
+pure-python references on random corpora."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+
+from bigdataproject_formula1_telemetry_spark.operators import embed as E
+from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+#: tokens from a small alphabet → dense collision structure; plus
+#: whitespace-only and empty entries to exercise the degenerate paths
+_token = st.text(alphabet="abcXYZ09", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _py_ppl(corpus: list[str]) -> dict[int, float]:
+    """Reference implementation: add-1-smoothed unigram ppl, full vocab."""
+    toks = [d.lower().split() for d in corpus]
+    counts: dict[str, int] = {}
+    for ts in toks:
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    if n == 0:
+        return {}
+    denom = n + (v + 1)
+    out = {}
+    for i, ts in enumerate(toks):
+        if not ts:
+            continue
+        lp = sum(math.log((counts[t] + 1) / denom) for t in ts)
+        out[i] = math.exp(-lp / len(ts))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus)
+def test_perplexity_matches_python_reference(spark, corpus):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    expected = _py_ppl(corpus)
+    model = L.unigram_lm(df)
+    got = {r["doc_id"]: r["ppl"] for r in L.doc_perplexity(df, model).collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], rel=1e-9)
+    # and the Arrow serving form agrees with both
+    logp, unk = L.collect_lm(model)
+    arrow = {
+        r["doc_id"]: r["ppl"]
+        for r in L.doc_perplexity_arrow(df, logp, unk).collect()
+    }
+    assert set(arrow) == set(expected)
+    for k in expected:
+        assert arrow[k] == pytest.approx(expected[k], rel=1e-9)
+
+
+def _py_embed(text: str, dim: int, salt: str) -> np.ndarray:
+    v = np.zeros(dim)
+    for tok in text.lower().split():
+        b, s = E.token_bucket_sign(tok, dim, salt)
+        v[b] += s
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+@settings(**_SETTINGS)
+@given(corpus=_corpus, dim=st.sampled_from([8, 32, 64]))
+def test_hashed_embedding_matches_python_reference(spark, corpus, dim):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in E.hashed_embedding(df, dim=dim, salt="p").collect()
+    }
+    for i, t in enumerate(corpus):
+        assert np.allclose(got[i], _py_embed(t, dim, "p"), atol=1e-12), (i, t)

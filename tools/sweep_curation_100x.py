@@ -172,6 +172,41 @@ def main() -> None:
         f"(benchmark {n_bench}, leaked {leak})",
         flush=True,
     )
+    # semantic decontamination at scale — with a sharp prediction: the
+    # corpus is word-shuffled variants, so every variant of a benchmark
+    # doc's SOURCE shares its exact bag of words → hashed-BoW cosine 1.0
+    # → the semantic pass must drop exactly REPLICAS × (distinct sources
+    # in the benchmark), the overlap class the 8-gram pass provably
+    # cannot see (it dropped only the ~500 verbatim members above)
+    print("semantic decontaminate vs the same benchmark ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import embed as EM
+
+    n_sources = (
+        bench.select((F.col("doc_id") / REPLICAS).cast("long").alias("s"))
+        .distinct()
+        .count()
+    )
+    t0 = time.time()
+    sem_kept = EM.semantic_decontaminate(distinct, bench, threshold=0.999)
+    sem_kept_n = sem_kept.count()
+    results["semantic_decon_s"] = round(time.time() - t0, 2)
+    results["semantic_dropped"] = n - sem_kept_n
+    results["semantic_expected"] = n_sources * REPLICAS
+    # >= expected: every bag-identical sibling must go.  Tight upper
+    # band: the synthetic vocabulary is tiny (~31 tokens), so a few
+    # DISTINCT sources have near-identical token bags — legitimate
+    # positives at this threshold, bounded to +1%.
+    results["semantic_ok"] = (
+        n_sources * REPLICAS
+        <= (n - sem_kept_n)
+        <= int(n_sources * REPLICAS * 1.01)
+    )
+    print(
+        f"  {results['semantic_decon_s']} s — dropped {n - sem_kept_n} "
+        f"(expected {n_sources * REPLICAS} = {n_sources} sources × {REPLICAS})",
+        flush=True,
+    )
+
     # LM quality filter at scale: train a vocab-capped unigram LM on the
     # 500k corpus (one word-count job + bounded collect), then score
     # every document with the zero-shuffle Arrow form — the CCNet-gate
