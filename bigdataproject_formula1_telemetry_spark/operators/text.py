@@ -532,3 +532,139 @@ def repetition_stats(text: Column) -> Column:
         dup_gram.alias("dup_3gram_frac"),
         top_word.alias("top_word_frac"),
     )
+
+
+#: minimal HTML entity map — the handful that dominate scraped text;
+#: numeric entities are decoded structurally below.
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Tag-strip + entity decode for scraped documents, pure JVM regex:
+    drop ``<script>``/``<style>`` elements with their contents, replace
+    block-level tags with newlines (so line-based heuristics still see
+    line structure), strip every remaining tag, decode the common
+    entities, and collapse horizontal whitespace runs.  A heuristic
+    extractor (the published C4/CCNet preprocessing class), not an HTML
+    parser — malformed markup degrades to text passthrough, never an
+    error."""
+    out = F.regexp_replace(
+        text, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    out = F.regexp_replace(out, r"(?i)<!--.*?-->", " ")
+    out = F.regexp_replace(
+        out, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>", "\n"
+    )
+    out = F.regexp_replace(out, r"<[^>]{0,512}>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    out = F.regexp_replace(out, r"&#(\d{1,7});", " ")  # rare numeric entities
+    return F.trim(F.regexp_replace(out, r"[ \t\x0b\f\r]+", " "))
+
+
+def c4_line_filter(
+    text: Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """The C4 line-level cleanup (Raffel et al. 2020 §2.2, public
+    recipe), pure JVM: keep only lines that (a) have at least
+    ``min_words`` words, (b) end in terminal punctuation (. ! ? "), and
+    (c) contain neither a curly brace (code/templating) nor the
+    lowercase phrase "lorem ipsum" nor the word "javascript".  Returns
+    the document rebuilt from the surviving lines (newline-joined);
+    documents with no surviving line become the empty string — pair
+    with a ``!= ''`` predicate to drop them."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    def _ok(l: Column) -> Column:
+        low = F.lower(l)
+        cond = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))) >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & low.rlike(r'[.!?"]$')
+        return (
+            cond
+            & ~low.contains("{") & ~low.contains("}")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+        )
+    return F.array_join(F.filter(lines, _ok), "\n")
+
+
+def dedup_lines_across_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """RefinedWeb-style corpus-level line dedup: a line that appears in
+    more than ``max_occurrences`` documents is boilerplate (cookie
+    banners, nav text, signatures) and is removed from EVERY document;
+    short lines (< ``min_line_chars``) are exempt (headings, list
+    bullets — too collision-prone to count).
+
+    Plan shape: posexplode lines → ONE hash-agg on xxhash64(line) for
+    corpus counts → broadcast the boilerplate hash set (bounded: lines
+    crossing the threshold, not all lines) → reassemble surviving lines
+    per document with an order-preserving sort inside
+    ``array_agg``-equivalent (collect after a window sort is avoided:
+    group + ``array_sort`` on (pos, line) structs keeps it one
+    exchange).  Documents whose every line was boilerplate come back as
+    the empty string.
+
+    The boilerplate set must be broadcast-small; with web-scale corpora
+    raise ``max_occurrences`` (the set shrinks as the threshold rises)
+    or pre-shard.  Count semantics are per-document occurrence (a line
+    repeated inside ONE doc counts once — within-doc repetition is
+    ``repetition_stats``'s job)."""
+    lines = docs.select(
+        F.col(id_col).alias("__ld_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+                lambda l: l != F.lit(""),
+            )
+        ).alias("__pos", "__line"),
+    )
+    counted = F.length(F.col("__line")) >= min_line_chars
+    boiler = (
+        lines.where(counted)
+        .select("__ld_id", F.xxhash64("__line").alias("__lh"))
+        .distinct()  # per-document occurrence
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_occurrences)
+        .select("__lh")
+    )
+    kept_lines = lines.join(
+        F.broadcast(boiler),
+        (F.length(F.col("__line")) >= min_line_chars)
+        & (F.xxhash64("__line") == F.col("__lh")),
+        "left_anti",
+    )
+    rebuilt = (
+        kept_lines.groupBy("__ld_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("__new_text")
+        )
+    )
+    out = (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__ld_id"], "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__ld_id", "__new_text")
+    )
+    return out

@@ -179,6 +179,9 @@ def curate_documents(
     max_ppl: float | None = None,
     lm_model: DataFrame | None = None,
     semantic_threshold: float | None = None,
+    html: bool = False,
+    c4_clean: bool = False,
+    max_line_occurrences: int | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -206,7 +209,12 @@ def curate_documents(
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
-    counts instead of whitespace tokens), ``max_ppl`` (CCNet-style
+    counts instead of whitespace tokens), ``html``/``c4_clean`` (tag
+    strip + the C4 line heuristics, applied FIRST — every downstream
+    hash/score must see extracted text; docs emptied by the cleanup are
+    dropped), ``max_line_occurrences`` (RefinedWeb corpus-level line
+    dedup, applied just before doc dedup so near-dup hashing sees
+    boilerplate-free text), ``max_ppl`` (CCNet-style
     perplexity gate under a smoothed unigram LM — pass a pre-trained
     ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
     a clean sample, reuse across corpus shards) or let it self-train on
@@ -220,6 +228,12 @@ def curate_documents(
         text as T,
     )
 
+    if html:
+        docs = docs.withColumn(text_col, T.strip_html(F.col(text_col)))
+    if c4_clean:
+        docs = docs.withColumn(text_col, T.c4_line_filter(F.col(text_col)))
+    if html or c4_clean:
+        docs = docs.where(F.col(text_col) != "")
     if max_dup_line_frac is not None:
         # Gopher-style repetition gate BEFORE dedup: boilerplate-heavy
         # docs would otherwise flood the LSH buckets they deserve no
@@ -267,6 +281,13 @@ def curate_documents(
         # PII scrub before anything content-hashed downstream, so the
         # dedup keys and chunk hashes see the redacted text
         docs = docs.withColumn(text_col, T.redact_pii(F.col(text_col)))
+    if max_line_occurrences is not None:
+        # corpus-level boilerplate line removal BEFORE doc dedup: the
+        # near-dup hashes must see content, not shared nav/banner lines
+        docs = T.dedup_lines_across_corpus(
+            docs, text_col=text_col, id_col=id_col,
+            max_occurrences=max_line_occurrences,
+        ).where(F.col(text_col) != "")
     kept = D.near_dedup_minhash(
         docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )

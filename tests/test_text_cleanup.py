@@ -1,0 +1,155 @@
+"""HTML stripping, C4 line filtering, and corpus-level line dedup
+(operators/text.py additions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+
+def _one(spark, text, fn):
+    df = spark.createDataFrame([Row(text=text)], schema="text string")
+    return df.select(fn(F.col("text")).alias("o")).first()["o"]
+
+
+def test_strip_html_basic(spark):
+    html = (
+        "<html><head><style>body{color:red}</style>"
+        "<script>var x = 1;</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; welcome.</p>"
+        "<div>Second&nbsp;line.</div><!-- note --></body></html>"
+    )
+    out = _one(spark, html, T.strip_html)
+    assert "script" not in out and "var x" not in out and "color:red" not in out
+    assert "<" not in out and ">" not in out.replace("&gt;", "")
+    lines = [l.strip() for l in out.split("\n") if l.strip()]
+    assert lines == ["Title", "Hello & welcome.", "Second line."]
+
+
+def test_strip_html_malformed_degrades_to_text(spark):
+    out = _one(spark, "no markup at all, 3 < 5 but x > y", T.strip_html)
+    assert "no markup at all" in out
+
+
+def test_c4_line_filter(spark):
+    doc = "\n".join(
+        [
+            "This is a proper sentence with enough words.",
+            "short line.",                       # < 3 words
+            "No terminal punctuation here at all",
+            "Enable javascript to continue.",    # banned word
+            "function() { return 1; }",          # braces
+            "We use lorem ipsum filler text sometimes.",  # banned phrase
+            "Another good line survives the filter!",
+        ]
+    )
+    out = _one(spark, doc, T.c4_line_filter)
+    assert out.split("\n") == [
+        "This is a proper sentence with enough words.",
+        "Another good line survives the filter!",
+    ]
+    # all-bad document → empty string
+    assert _one(spark, "tiny.", T.c4_line_filter) == ""
+
+
+def test_dedup_lines_across_corpus(spark):
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique first line one\n{boiler}\nclosing line one here"),
+            Row(doc_id=2, text=f"{boiler}\nunique second line two"),
+            Row(doc_id=3, text=f"unique third line three\n{boiler}"),
+            Row(doc_id=4, text="entirely unique document four"),
+            Row(doc_id=5, text=f"{boiler}"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in T.dedup_lines_across_corpus(docs, max_occurrences=1).collect()
+    }
+    assert out[1] == "unique first line one\nclosing line one here"
+    assert out[2] == "unique second line two"
+    assert out[3] == "unique third line three"
+    assert out[4] == "entirely unique document four"
+    assert out[5] == ""  # every line was boilerplate
+    # schema and row count preserved
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_dedup_lines_short_lines_exempt_and_within_doc_once(spark):
+    docs = spark.createDataFrame(
+        [
+            # "- item" is short (< 10 chars): repeated everywhere, exempt
+            Row(doc_id=1, text="- item\na sufficiently long repeated line\na sufficiently long repeated line"),
+            Row(doc_id=2, text="- item\nsomething entirely different here"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in T.dedup_lines_across_corpus(docs, max_occurrences=1).collect()
+    }
+    # within-doc repetition counts ONCE → not corpus-boilerplate; the
+    # short bullet survives in both docs
+    assert out[1].split("\n") == [
+        "- item",
+        "a sufficiently long repeated line",
+        "a sufficiently long repeated line",
+    ]
+    assert out[2].split("\n") == ["- item", "something entirely different here"]
+
+
+def test_dedup_lines_threshold(spark):
+    line = "a repeated but acceptable disclaimer line"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{line}\nunique tail {i} padded out") for i in range(1, 4)]
+    )
+    # max_occurrences=3: appears in exactly 3 docs → kept
+    out3 = T.dedup_lines_across_corpus(docs, max_occurrences=3)
+    assert all(line in r["text"] for r in out3.collect())
+    # max_occurrences=2: 3 > 2 → removed everywhere
+    out2 = T.dedup_lines_across_corpus(docs, max_occurrences=2)
+    assert all(line not in r["text"] for r in out2.collect())
+
+
+def test_curate_documents_cleanup_gates(spark):
+    from pyspark.sql import Row
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    boiler = "subscribe to our newsletter for updates today."
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=(
+                    f"<p>A perfectly reasonable opening sentence number {i} here.</p>"
+                    f"<p>{boiler}</p>"
+                    "<script>nav()</script>"
+                    f"<p>Another unique closing thought for document {i} follows.</p>"
+                ),
+            )
+            for i in range(1, 5)
+        ]
+        + [Row(doc_id=99, text="<div><script>only_code()</script></div>")]
+    )
+    out = pipelines.curate_documents(
+        docs,
+        html=True,
+        c4_clean=True,
+        max_line_occurrences=1,
+        chunk_tokens=8,
+        overlap=0,
+        token_budget=64,
+    )
+    text_cols = [c for c in out.columns if "text" in c]
+    assert text_cols, out.columns
+    texts = " ".join(
+        " ".join(str(r[c]) for c in text_cols) for r in out.collect()
+    )
+    # boilerplate line is gone, scripts are gone, unique content survives
+    assert "subscribe to our newsletter" not in texts
+    assert "nav()" not in texts and "only_code" not in texts
+    assert "reasonable opening sentence" in texts
