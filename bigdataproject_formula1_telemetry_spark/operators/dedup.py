@@ -938,3 +938,67 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """All pairs within ``max_hamming`` bit flips of each other, exactly —
+    the pair-finding stage SimHash (text) and dHash (images) both need.
+
+    Pigeonhole banding: the 64-bit hash is split into ``max_hamming + 1``
+    near-equal bit runs; two hashes within distance d ≤ max_hamming must
+    agree EXACTLY on at least one run (d flips cannot touch all d+1
+    runs), so candidate generation is an equality self-join on
+    (band_idx, band_value) — the same shuffle shape as the MinHash LSH
+    bucket join, never all-pairs — with **guaranteed recall** (unlike
+    probabilistic LSH).  Verification is one JVM expression:
+    ``bit_count(a XOR b) <= max_hamming``.  Returns
+    (id_a, id_b, hamming) with id_a < id_b, distinct.
+
+    Scale: candidates ∝ corpus × bands / band-cardinality; degenerate
+    skew (many identical hashes) produces true duplicate groups whose
+    pairs are genuinely quadratic in the group size — collapse identical
+    hashes first if that is a concern (cf. ``_exact_collapse``).
+    """
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming {max_hamming} too large for {bits}-bit hashes")
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    h = F.col(hash_col).cast("long")
+    def _mask(w: int) -> int:
+        # a full-width band's mask is all-ones == signed -1 (1<<64 would
+        # overflow the Java long literal)
+        return (1 << w) - 1 if w < 64 else -1
+
+    band_vals = [
+        F.shiftrightunsigned(h, offs[i]).bitwiseAND(F.lit(_mask(widths[i])))
+        for i in range(n_bands)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("__hid"),
+        h.alias("__h"),
+        F.posexplode(F.array(*band_vals)).alias("__band", "__bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__hid") < F.col("b.__hid")),
+        )
+        .select(
+            F.col("a.__hid").alias("id_a"),
+            F.col("b.__hid").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
+    return cand

@@ -603,3 +603,81 @@ def audio_stream_info(df: DataFrame) -> DataFrame:
     return df.where(df.format.isin("mp1", "mp3")).mapInPandas(
         extract, AUDIO_STREAM_INFO_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + image near-dedup (curation on the image axis)
+# ---------------------------------------------------------------------------
+
+def _area_mean_grid(luma: np.ndarray, nr: int, nc: int) -> np.ndarray:
+    """nr×nc grid of cell means.  Area-averaging (reduceat over edge
+    buckets) when the image has at least one pixel per cell; nearest
+    sampling for degenerate tiny inputs."""
+    ih, iw = luma.shape
+    if ih >= nr and iw >= nc:
+        re = np.arange(nr) * ih // nr
+        ce = np.arange(nc) * iw // nc
+        sums = np.add.reduceat(np.add.reduceat(luma, re, axis=0), ce, axis=1)
+        rc = np.diff(np.append(re, ih))
+        cc = np.diff(np.append(ce, iw))
+        return sums / np.outer(rc, cc)
+    ys = (np.arange(nr) * ih // nr).clip(0, ih - 1)
+    xs = (np.arange(nc) * iw // nc).clip(0, iw - 1)
+    return luma[np.ix_(ys, xs)].astype(np.float64)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (public method: the classic dHash —
+    gradient-sign fingerprint): ITU-R 601 luma, area-mean downsample to
+    an 8×9 grid, one bit per horizontal neighbor comparison.  Robust to
+    resizing, recompression and small noise; NOT to crops/rotations
+    (that is an embedding model's job).  Returns a SIGNED 64-bit int so
+    the value round-trips a Spark LongType column exactly."""
+    f = img.astype(np.float64)
+    luma = (
+        0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        if f.ndim == 3 and f.shape[2] >= 3
+        else (f[:, :, 0] if f.ndim == 3 else f)
+    )
+    small = _area_mean_grid(luma, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).ravel()
+    v = np.uint64(0)
+    for bit in bits:
+        v = (v << np.uint64(1)) | bit
+    return int(v.view(np.int64))
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("dhash", LongType())]
+)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """(media_id, dhash) for every decodable image row — one narrow
+    Arrow pass over payloads (decode + hash in the kernel)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(r.payload, r.width, r.height, r.channels, r.format)
+                rows.append({"media_id": r.media_id, "dhash": dhash64(img)})
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return df.where(df.kind == "image").mapInPandas(extract, IMAGE_DHASH_SCHEMA)
+
+
+def near_dup_images(df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-dup pairs (id_a, id_b, hamming): dHash fingerprints →
+    pigeonhole-banded exact hamming join (``dedup.hamming_near_dup_pairs``
+    — guaranteed recall at ``max_hamming``, never all-pairs).  The
+    image-axis twin of the text MinHash pipeline: decode cost is one
+    narrow pass, pairing shuffles 8-byte hashes only."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    return hamming_near_dup_pairs(
+        image_dhash(df), hash_col="dhash", id_col="media_id",
+        max_hamming=max_hamming,
+    )
