@@ -1002,3 +1002,40 @@ def hamming_near_dup_pairs(
         .distinct()
     )
     return cand
+
+
+def near_dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    shingle_n: int = 2,
+    storage: str = "persist",
+) -> DataFrame:
+    """SimHash near-dedup, end to end: fingerprint → pigeonhole-banded
+    exact hamming pairs (guaranteed recall at ``max_hamming``) → greedy
+    keep-lowest-id, mirroring ``near_dedup_minhash``'s survivor
+    semantics on the SimHash axis.
+
+    When to prefer which: MinHash+verify thresholds on *Jaccard* (the
+    published near-dup criterion; exact verify); SimHash+hamming is one
+    64-bit fingerprint per doc — 8 bytes of dedup state, a cheaper
+    pair join, and a distance with guaranteed recall, at the cost of a
+    coarser similarity proxy.  The fingerprints are the same ones q31
+    computes; the hamming join is shared with image dHash dedup."""
+    fp = _barrier(
+        simhash_table(df, text_col, id_col, bits, shingle_n, storage=storage),
+        storage,
+    )
+    losers = (
+        hamming_near_dup_pairs(
+            fp, hash_col="simhash64", id_col="id", max_hamming=max_hamming,
+            bits=bits,
+        )
+        .select(F.col("id_b").alias("__lost"))
+        .distinct()
+    )
+    return df.join(
+        losers, df[id_col] == losers["__lost"], "left_anti"
+    )

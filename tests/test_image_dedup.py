@@ -101,3 +101,27 @@ def test_near_dup_images_end_to_end(spark):
     h1 = {r["media_id"]: r["dhash"] for r in M.image_dhash(df).collect()}
     h2 = {r["media_id"]: r["dhash"] for r in M.image_dhash(df).collect()}
     assert h1 == h2 and set(h1) == {1, 2, 3}
+
+
+def test_near_dedup_simhash_text(spark):
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+
+    docs = io.read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.orderBy("doc_id").limit(2).collect()
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=900_000, text=first[0]["text"]),                 # exact copy
+            Row(doc_id=900_001, text=first[1]["text"] + " tail token"),  # near copy
+            Row(doc_id=900_002, text="wholly unrelated new content that matches nothing"),
+        ]
+    )
+    corpus = docs.unionByName(planted)
+    kept = {r["doc_id"] for r in D.near_dedup_simhash(corpus, max_hamming=3).collect()}
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import release_barriers
+    release_barriers()
+    assert 900_000 not in kept            # exact copy dropped
+    assert 900_001 not in kept            # near copy dropped
+    assert 900_002 in kept                # fresh doc survives
+    assert first[0]["doc_id"] in kept     # keep-lowest-id: originals stay
+    assert first[1]["doc_id"] in kept
