@@ -424,3 +424,39 @@ def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
         .when(F.col("n_drivers") < 15, F.lit("INCOMPLETE"))
         .otherwise(F.lit("OK")),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    shard_col: str = "pack_shard",
+    seq_col: str = "seq_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Deliver a curated+packed corpus as training shards: the chunk rows
+    are written partitioned by ``shard_col`` (one directory per shard —
+    the unit a data-loader worker claims), and a tiny manifest table
+    (shard, n_sequences, n_chunks, n_tokens) is written next to them and
+    returned.  The manifest is what a training job reads FIRST: worker
+    assignment, token accounting, and progress denominators without
+    scanning the data.  Reading one shard back is a partition-pruned
+    scan (``spark.read.parquet(path/data).where(shard_col = k)`` — same
+    pruning contract as ``io.read_partition``)."""
+    import os as _os
+
+    packed.write.mode("overwrite").partitionBy(shard_col).parquet(
+        _os.path.join(path, "data")
+    )
+    spark = packed.sparkSession
+    written = spark.read.parquet(_os.path.join(path, "data"))
+    manifest = (
+        written.groupBy(shard_col)
+        .agg(
+            F.countDistinct(seq_col).alias("n_sequences"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(n_tokens_col).cast("long").alias("n_tokens"),
+        )
+        .orderBy(shard_col)
+    )
+    manifest.write.mode("overwrite").parquet(_os.path.join(path, "manifest"))
+    return spark.read.parquet(_os.path.join(path, "manifest"))

@@ -232,3 +232,36 @@ def test_corpus_card(spark, tmp_path):
     out = str(tmp_path / "card.html")
     assert sinks.write_html_report(card, out, "corpus card") == len(rows)
     assert "corpus card" in open(out).read()
+
+
+def test_write_training_shards(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+    from pyspark.sql import functions as F
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    packed = pipelines.curate_documents(docs, n_pack_shards=4)
+    out = str(tmp_path / "shards")
+    manifest = pipelines.write_training_shards(packed, out)
+    rows = {r["pack_shard"]: r for r in manifest.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # manifest accounting matches the frame itself
+    exp = {
+        r["pack_shard"]: r
+        for r in packed.groupBy("pack_shard")
+        .agg(
+            F.countDistinct("seq_id").alias("n_sequences"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    for k in exp:
+        for c in ("n_sequences", "n_chunks", "n_tokens"):
+            assert rows[k][c] == exp[k][c], (k, c)
+    # one shard reads back partition-pruned and complete
+    one = spark.read.parquet(out + "/data").where(F.col("pack_shard") == 2)
+    assert one.count() == rows[2]["n_chunks"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pack_shard" in plan
