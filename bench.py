@@ -149,7 +149,25 @@ def main() -> None:
                 vec_col="embedding_q8", quantized=True,
             )
 
-        for entry, build in (("knn_arrow_float", knn_float), ("knn_arrow_q8", knn_q8)):
+        # third serving tier: PQ codes (16× at rest) + ADC lookup search —
+        # codebooks trained and codes written ONCE outside the timer
+        from bigdataproject_formula1_telemetry_spark.operators import pq as PQ
+
+        books = PQ.pq_train(emb, m=8, n_codes=256, max_iter=2)
+        pq_path = os.path.join(qtmp, "embeddings_pq.parquet")
+        PQ.pq_encode(emb, books).write.mode("overwrite").parquet(pq_path)
+        emb_pq = spark.read.parquet(pq_path)
+
+        def knn_pq():
+            return PQ.knn_pq_adc(
+                emb_pq, emb.where("vec_id < 20"), books, k=10
+            )
+
+        for entry, build in (
+            ("knn_arrow_float", knn_float),
+            ("knn_arrow_q8", knn_q8),
+            ("knn_pq_adc", knn_pq),
+        ):
             build().write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(N_RUNS):

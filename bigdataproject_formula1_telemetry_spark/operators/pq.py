@@ -1,0 +1,324 @@
+"""Product quantization (PQ) for embedding columns: 16-64× vector
+compression with lookup-table (ADC) approximate search.
+
+Public method: Jégou, Douze, Schmid — "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011.  The embedding space is split into ``m``
+contiguous subspaces; each subspace gets its own 256-entry k-means
+codebook; a vector is stored as ``m`` one-byte codes.  Search uses
+asymmetric distance computation (ADC): per query, one ``m × 256`` table
+of exact subspace distances, then every corpus vector's approximate
+distance is just ``m`` table lookups + adds — no floats touched.
+
+This is the storage/serving tier BELOW ``similarity.quantize_embeddings``
+(int8: 4-8×, near-exact) — PQ trades more recall for 16-64×, the
+standard billion-vector regime.  Composes with the IVF router
+(``similarity.ivf_centroids``): route with IVF, score with ADC.
+
+Spark-first shapes (the ``ivf_centroids`` idioms):
+
+- **Training** is distributed Lloyd, ALL subspaces fused into ONE
+  ``mapInPandas`` kernel per round: each Arrow batch assigns every
+  subvector to its nearest code and emits per-(subspace, code) partial
+  sums — ≤ m·256 tiny rows per partition reach the driver, never
+  vectors.  Init is the deterministic smallest-md5 pick.
+- **Encoding** is one narrow Arrow pass (no shuffle).
+- **ADC search** broadcasts the query LUTs in the kernel closure and
+  emits only per-batch top-k candidates; a final per-query top-k
+  reduces them.  The corpus side is a column-pruned scan of m-byte
+  codes — at 100 TB the scan reads 1/16th-1/64th of the float bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["pq_train", "pq_encode", "pq_reconstruct", "knn_pq_adc"]
+
+
+def _split(dim: int, m: int) -> list[tuple[int, int]]:
+    """[start, end) bounds of the m near-equal subspaces."""
+    if m <= 0 or m > dim:
+        raise ValueError(f"m must be in [1, dim], got m={m} dim={dim}")
+    widths = [dim // m + (1 if i < dim % m else 0) for i in range(m)]
+    offs = [sum(widths[:i]) for i in range(m)]
+    return [(offs[i], offs[i] + widths[i]) for i in range(m)]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_salt: str = "pq",
+) -> list[list[list[float]]]:
+    """Train the m sub-quantizer codebooks (plain L2 k-means per
+    subspace, all subspaces in one fused kernel pass per Lloyd round).
+    Returns ``m`` codebooks of ``<= n_codes`` centroids each (fewer when
+    the init sample is smaller than ``n_codes``).  Train on a
+    deterministic sample at corpus scale (``sampling.deterministic_sample``)
+    — the same recipe the IVF quantizer practices."""
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .withColumn(
+            "__g",
+            F.md5(F.concat_ws("|", F.lit(init_salt), F.col(id_col).cast("string"))),
+        )
+        .orderBy("__g")
+        .limit(n_codes)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("empty corpus")
+    X0 = np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    dim = X0.shape[1]
+    bounds = _split(dim, m)
+    # init: the sampled vectors' own subvectors (distinct rows per
+    # subspace; duplicates collapse → codebook may hold < n_codes codes)
+    books = [np.unique(X0[:, s:e], axis=0) for s, e in bounds]
+
+    part_schema = StructType(
+        [
+            StructField("m", IntegerType()),
+            StructField("c", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    vecs_only = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+
+    for _ in range(max_iter):
+        books_round = [b.copy() for b in books]
+
+        def partial_sums(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                out_m, out_c, out_cnt, out_s = [], [], [], []
+                for mi, (s0, e0) in enumerate(bounds):
+                    Xm = X[:, s0:e0]
+                    B = books_round[mi]
+                    # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
+                    d = -2.0 * (Xm @ B.T) + (B * B).sum(axis=1)[None, :]
+                    a = np.argmin(d, axis=1)
+                    sums = np.zeros_like(B)
+                    np.add.at(sums, a, Xm)
+                    cnt = np.bincount(a, minlength=B.shape[0])
+                    live = np.nonzero(cnt > 0)[0]
+                    out_m.extend([mi] * len(live))
+                    out_c.extend(live.tolist())
+                    out_cnt.extend(cnt[live].tolist())
+                    out_s.extend(list(sums[live]))
+                yield pd.DataFrame(
+                    {
+                        "m": np.asarray(out_m, dtype="int32"),
+                        "c": np.asarray(out_c, dtype="int32"),
+                        "cnt": np.asarray(out_cnt, dtype="int64"),
+                        "s": out_s,
+                    }
+                )
+
+        parts = vecs_only.mapInPandas(partial_sums, part_schema).collect()
+        new_books = [b.copy() for b in books]
+        sums = [np.zeros_like(b) for b in books]
+        cnts = [np.zeros(b.shape[0], dtype=np.int64) for b in books]
+        for r in parts:
+            sums[r["m"]][r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            cnts[r["m"]][r["c"]] += r["cnt"]
+        converged = True
+        for mi in range(m):
+            live = cnts[mi] > 0
+            new_books[mi][live] = sums[mi][live] / cnts[mi][live, None]
+            if not np.allclose(new_books[mi], books[mi], atol=1e-12):
+                converged = False
+        books = new_books
+        if converged:
+            break
+    return [b.tolist() for b in books]
+
+
+def _assign_codes(X: np.ndarray, books: list[np.ndarray], bounds) -> np.ndarray:
+    codes = np.empty((X.shape[0], len(books)), dtype=np.int64)
+    for mi, (s0, e0) in enumerate(bounds):
+        B = books[mi]
+        d = -2.0 * (X[:, s0:e0] @ B.T) + (B * B).sum(axis=1)[None, :]
+        codes[:, mi] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, pq_codes): one narrow Arrow pass, no shuffle.  NULL vectors
+    encode as the zero vector's codes (the suite's standard degradation
+    path — they quantize like any far-from-everything point)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dim = sum(b.shape[1] for b in books)
+    bounds = _split(dim, len(books))
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(code_col, ArrayType(ShortType()), False),
+        ]
+    )
+
+    def encode(batches):
+        zero = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [
+                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            codes = _assign_codes(X, books, bounds).astype("int16")
+            yield pd.DataFrame({id_col: pdf[id_col], code_col: list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Decode codes back to the centroid-concatenation approximation —
+    the reconstruction whose error the tests bound."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    id_field = codes.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(vec_col, ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            X = np.concatenate(
+                [books[mi][C[:, mi]] for mi in range(len(books))], axis=1
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(X)})
+
+    return codes.select(id_col, code_col).mapInPandas(decode, out_schema)
+
+
+def knn_pq_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` by ADC distance: ``(query_id, neighbor_id, adc_dist)``,
+    smallest (approximate squared L2) first per query, neighbor id as
+    the deterministic tiebreak.  The query set is collected and its
+    ``m × 256`` LUTs ride in the kernel closure (broadcast-small by the
+    kNN-query contract); the corpus side scans only the m-byte codes.
+    Self-matches (same id value) are excluded.  NULL query vectors
+    yield no rows (NaN LUT — never ranks)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dim = sum(b.shape[1] for b in books)
+    bounds = _split(dim, len(books))
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = [r[0] for r in q_rows]
+    luts = []
+    for r in q_rows:
+        if r[1] is None:
+            luts.append(np.full((len(books), max(b.shape[0] for b in books)), np.nan))
+            continue
+        q = np.asarray(r[1], dtype=np.float64)
+        lut = np.full((len(books), max(b.shape[0] for b in books)), np.inf)
+        for mi, (s0, e0) in enumerate(bounds):
+            B = books[mi]
+            diff = B - q[s0:e0][None, :]
+            lut[mi, : B.shape[0]] = (diff * diff).sum(axis=1)
+        luts.append(lut)
+    LUT = np.stack(luts)  # (nq, m, maxcodes)
+
+    qid_field = queries.schema[query_id_col]
+    nid_field = corpus_codes.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("query_id", qid_field.dataType, qid_field.nullable),
+            StructField("neighbor_id", nid_field.dataType, nid_field.nullable),
+            StructField("adc_dist", DoubleType(), True),
+        ]
+    )
+    nq, M = LUT.shape[0], len(books)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            acc = np.zeros((nq, C.shape[0]), dtype=np.float64)
+            for mi in range(M):
+                acc += LUT[:, mi, :][:, C[:, mi]]
+            ids = pdf[id_col].to_numpy()
+            top = min(k + 1, C.shape[0])  # +1 absorbs a self-match
+            frames = []
+            for qi in range(nq):
+                d = acc[qi]
+                finite = np.isfinite(d)
+                if not finite.any():
+                    continue
+                idx = np.nonzero(finite)[0]
+                sel = idx[np.argsort(d[idx], kind="stable")[:top]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[sel],
+                            "adc_dist": d[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = corpus_codes.select(id_col, code_col).mapInPandas(score, out_schema)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
