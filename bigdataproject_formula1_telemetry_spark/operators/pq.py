@@ -45,7 +45,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["pq_train", "pq_encode", "pq_reconstruct", "knn_pq_adc"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_reconstruct",
+    "knn_pq_adc",
+    "build_inverted_file_pq",
+    "knn_ivfpq_materialized",
+]
 
 
 def _split(dim: int, m: int) -> list[tuple[int, int]]:
@@ -313,6 +320,168 @@ def knn_pq_adc(
                 yield pd.concat(frames, ignore_index=True)
 
     cand = corpus_codes.select(id_col, code_col).mapInPandas(score, out_schema)
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def build_inverted_file_pq(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    code_col: str = "pq_codes",
+    mode: str = "overwrite",
+) -> None:
+    """The billion-vector serving layout: ONE pass assigns each vector
+    to its nearest coarse centroid AND encodes its PQ codes, writing
+    ``(id, pq_codes)`` hive-partitioned by cluster — NO float vectors in
+    the table at all.  A search then reads ~nprobe/n_clusters of the
+    directories (partition pruning) and only m bytes per row inside
+    them: the two prunings compose (cf. ``similarity.build_inverted_file``,
+    which stores floats, and ``pq_encode``, which doesn't route)."""
+    from bigdataproject_formula1_telemetry_spark.operators.similarity import (
+        _np_assigner,
+    )
+
+    assigned = corpus.select(
+        id_col,
+        vec_col,
+        _np_assigner(centroids, nprobe=1)(F.col(vec_col))[0].alias(cluster_col),
+    )
+    coded = pq_encode(
+        assigned.select(id_col, vec_col), codebooks, id_col, vec_col, code_col
+    )
+    (
+        assigned.select(id_col, cluster_col)
+        .join(coded, id_col)
+        .write.mode(mode)
+        .partitionBy(cluster_col)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def knn_ivfpq_materialized(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    cluster_col: str = "ivf_cluster",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-routed ADC search over a ``build_inverted_file_pq`` table:
+    probe sets computed driver-side (same float64 math as the Arrow
+    assigner — bit-identical routing to ``knn_ivf_materialized``), the
+    probed-cluster UNION pushed as a partition filter, and ONE Arrow
+    kernel scoring every candidate row against every query's LUT with a
+    per-query cluster mask.  Returns (query_id, neighbor_id, adc_dist),
+    ascending per query.  The scanned bytes are ~nprobe/n_clusters of
+    the corpus × m bytes/vector — both prunings at once."""
+    C = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dim = sum(b.shape[1] for b in books)
+    bounds = _split(dim, len(books))
+    n = min(nprobe, C.shape[0])
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids, luts, probes = [], [], []
+    maxcodes = max(b.shape[0] for b in books)
+    for r in q_rows:
+        q_ids.append(r[0])
+        v = r[1]
+        x = (
+            np.zeros(dim, dtype=np.float64)
+            if v is None
+            else np.asarray(v, dtype=np.float64)
+        )
+        nrm = np.linalg.norm(x)
+        sims = (x / (nrm if nrm else 1.0)) @ C.T
+        top = (
+            np.argpartition(-sims, n - 1)[:n]
+            if n > 1
+            else np.asarray([int(np.argmax(sims))])
+        )
+        probes.append(np.sort(top.astype(np.int64)))
+        if v is None:
+            luts.append(np.full((len(books), maxcodes), np.nan))
+            continue
+        lut = np.full((len(books), maxcodes), np.inf)
+        for mi, (s0, e0) in enumerate(bounds):
+            B = books[mi]
+            diff = B - x[s0:e0][None, :]
+            lut[mi, : B.shape[0]] = (diff * diff).sum(axis=1)
+        luts.append(lut)
+    LUT = np.stack(luts)
+    nq, M = LUT.shape[0], len(books)
+
+    probed_union = sorted({int(c) for p in probes for c in p})
+    scan = spark.read.parquet(path).where(
+        F.col(cluster_col).isin(probed_union)
+    )
+
+    nid_field = scan.schema[id_col]
+    qid_field = queries.schema[query_id_col]
+    out_schema = StructType(
+        [
+            StructField("query_id", qid_field.dataType, qid_field.nullable),
+            StructField("neighbor_id", nid_field.dataType, nid_field.nullable),
+            StructField("adc_dist", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            clusters = pdf[cluster_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            acc = np.zeros((nq, Cd.shape[0]), dtype=np.float64)
+            for mi in range(M):
+                acc += LUT[:, mi, :][:, Cd[:, mi]]
+            top = min(k + 1, Cd.shape[0])
+            frames = []
+            for qi in range(nq):
+                d = acc[qi].copy()
+                d[~np.isin(clusters, probes[qi])] = np.inf  # per-query routing
+                finite = np.isfinite(d)
+                if not finite.any():
+                    continue
+                idx = np.nonzero(finite)[0]
+                sel = idx[np.argsort(d[idx], kind="stable")[:top]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[sel],
+                            "adc_dist": d[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = scan.select(id_col, code_col, cluster_col).mapInPandas(
+        score, out_schema
+    )
     cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

@@ -127,3 +127,76 @@ def test_null_handling(spark, emb):
     corpus_codes = PQ.pq_encode(emb, books)
     out = PQ.knn_pq_adc(corpus_codes, nulls, books, k=3).collect()
     assert out == []
+
+
+def test_ivfpq_materialized(spark, emb, tmp_path):
+    from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+
+    books = PQ.pq_train(emb, m=8, n_codes=256, max_iter=2)
+    C = sim.ivf_centroids(emb, n_clusters=8, max_iter=2)
+    path = str(tmp_path / "ivfpq")
+    PQ.build_inverted_file_pq(emb, C, books, path)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "pq_codes", "ivf_cluster"}  # no floats
+    queries = emb.where(F.col("vec_id") < 8)
+
+    # full probe == flat ADC search exactly (same candidates, same
+    # distances, same tiebreak)
+    flat_codes = PQ.pq_encode(emb, books)
+    flat = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in PQ.knn_pq_adc(flat_codes, queries, books, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in PQ.knn_ivfpq_materialized(
+            spark, path, queries, C, books, k=5, nprobe=8
+        ).collect()
+    }
+    assert full.keys() == flat.keys()
+    for key in flat:
+        assert full[key] == pytest.approx(flat[key], rel=1e-12)
+
+    # pruned probe: plan carries PartitionFilters, and the results are
+    # EXACTLY the numpy-recomputed top-5 of ADC distance restricted to
+    # each query's probed clusters (routing math replicated from-scratch
+    # — random vectors have no cluster locality, so overlap-with-full is
+    # not a meaningful bar; exactness of the restriction is)
+    pruned_df = PQ.knn_ivfpq_materialized(
+        spark, path, queries, C, books, k=5, nprobe=3
+    )
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+    srows = stored.collect()
+    sids = np.array([r["vec_id"] for r in srows])
+    scodes = np.stack([np.asarray(r["pq_codes"], dtype=np.int64) for r in srows])
+    sclusters = np.array([r["ivf_cluster"] for r in srows])
+    Cn = np.asarray(C, dtype=np.float64)
+    Bs = [np.asarray(b, dtype=np.float64) for b in books]
+    dims = np.cumsum([0] + [b.shape[1] for b in Bs])
+    q_rows = queries.select("vec_id", "embedding").collect()
+    expected: dict[int, list] = {}
+    for r in q_rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        sims = (x / np.linalg.norm(x)) @ Cn.T
+        probe = set(np.argpartition(-sims, 2)[:3].tolist())
+        dist = np.zeros(len(sids))
+        for mi, B in enumerate(Bs):
+            diff = B[scodes[:, mi]] - x[dims[mi]:dims[mi + 1]][None, :]
+            dist += (diff * diff).sum(axis=1)
+        ok = np.isin(sclusters, list(probe)) & (sids != r["vec_id"])
+        cand = sorted(zip(dist[ok], sids[ok]))[:5]
+        expected[r["vec_id"]] = cand
+    got: dict[int, list] = {}
+    for r in pruned_df.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["adc_dist"], r["neighbor_id"])
+        )
+    assert set(got) == set(expected)
+    for q in expected:
+        exp_ids = [int(i) for _, i in expected[q]]
+        got_ids = [int(i) for _, i in sorted(got[q])]
+        assert got_ids == exp_ids, q
+        for (de, _), (dg, _) in zip(expected[q], sorted(got[q])):
+            assert dg == pytest.approx(de, rel=1e-9)
