@@ -681,3 +681,125 @@ def near_dup_images(df: DataFrame, max_hamming: int = 4) -> DataFrame:
         image_dhash(df), hash_col="dhash", id_col="media_id",
         max_hamming=max_hamming,
     )
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("hamming_prev", IntegerType()),
+        StructField("is_scene_change", BooleanType()),
+    ]
+)
+
+
+def scene_changes(df: DataFrame, threshold: int = 16) -> DataFrame:
+    """Video scene-boundary detection by perceptual frame differencing:
+    per frame, a dHash fingerprint; a frame whose hamming distance to
+    its predecessor reaches ``threshold`` starts a new scene (frame 0
+    always does; ``hamming_prev`` is NULL there).  The standard first
+    stage of video curation — sample one frame per scene instead of
+    every-nth, dedup near-static clips — and a pure composition of the
+    in-repo pieces (raw-frame walk + ``dhash64``).  One narrow Arrow
+    pass; a video's frames stay inside one kernel call, so no
+    shuffle and no window function."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                _require_decodable(r.format, "video", RAW_FORMATS)
+                frame_size = r.width * r.height * r.channels
+                buf = np.frombuffer(r.payload, dtype=np.uint8)
+                n = min(r.n_frames, len(buf) // frame_size)
+                prev = None
+                for i in range(n):
+                    img = buf[i * frame_size : (i + 1) * frame_size].reshape(
+                        r.height, r.width, r.channels
+                    )
+                    h = dhash64(img)
+                    if prev is None:
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "hamming_prev": None,
+                                "is_scene_change": True,
+                            }
+                        )
+                    else:
+                        hd = int(bin((h ^ prev) & 0xFFFFFFFFFFFFFFFF).count("1"))
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "hamming_prev": hd,
+                                "is_scene_change": hd >= threshold,
+                            }
+                        )
+                    prev = h
+            out = pd.DataFrame(rows, columns=[f.name for f in SCENE_SCHEMA.fields])
+            out["hamming_prev"] = out["hamming_prev"].astype("Int32")
+            yield out
+
+    return df.where(df.kind == "video").mapInPandas(detect, SCENE_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("audio_fp", LongType())]
+)
+
+
+def audio_fingerprint64(wave: np.ndarray, n_windows: int = 65) -> int:
+    """64-bit envelope fingerprint: RMS energy over 65 equal windows,
+    one bit per consecutive-window energy comparison — the 1-D analog
+    of ``dhash64`` (gradient-sign coding; public folklore construction,
+    the same family as dHash).  Robust to gain changes (comparisons are
+    scale-invariant) and small edits; NOT to time-shifts (that needs a
+    real spectral fingerprint).  Returns a signed 64-bit int."""
+    if len(wave) == 0:
+        return 0
+    edges = (np.arange(n_windows + 1) * len(wave)) // n_windows
+    edges = np.unique(edges)
+    if len(edges) - 1 < 2:
+        return 0
+    sq = np.concatenate([[0.0], np.cumsum(np.asarray(wave, dtype=np.float64) ** 2)])
+    e = np.diff(sq[edges]) / np.maximum(np.diff(edges), 1)
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    if len(bits) < 64:
+        bits = np.concatenate([bits, np.zeros(64 - len(bits), dtype=np.uint64)])
+    v = np.uint64(0)
+    for bit in bits[:64]:
+        v = (v << np.uint64(1)) | bit
+    return int(v.view(np.int64))
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(media_id, audio_fp) for every decodable audio row — one narrow
+    Arrow pass (decode + envelope hash in the kernel)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                wave = decode_audio(r.payload, r.format)
+                rows.append(
+                    {"media_id": r.media_id, "audio_fp": audio_fingerprint64(wave)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "audio_fp"])
+
+    return df.where(df.kind == "audio").mapInPandas(extract, AUDIO_FP_SCHEMA)
+
+
+def near_dup_audio(df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Audio near-dup pairs via the shared pigeonhole hamming join —
+    the audio leg of the multimodal dedup triangle (text MinHash/SimHash,
+    image dHash, audio envelope fingerprint)."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    return hamming_near_dup_pairs(
+        audio_fingerprints(df), hash_col="audio_fp", id_col="media_id",
+        max_hamming=max_hamming,
+    )

@@ -125,3 +125,55 @@ def test_near_dedup_simhash_text(spark):
     assert 900_002 in kept                # fresh doc survives
     assert first[0]["doc_id"] in kept     # keep-lowest-id: originals stay
     assert first[1]["doc_id"] in kept
+
+
+def test_scene_changes(spark):
+    rng = np.random.default_rng(9)
+    # two scenes: 10 frames of image A (+tiny noise), then 10 of image B
+    A = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    B = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    frames = []
+    for _ in range(10):
+        frames.append(np.clip(A.astype(int) + rng.integers(-2, 3, A.shape), 0, 255).astype(np.uint8))
+    for _ in range(10):
+        frames.append(np.clip(B.astype(int) + rng.integers(-2, 3, B.shape), 0, 255).astype(np.uint8))
+    payload = np.stack(frames).tobytes()
+    df = spark.createDataFrame(
+        [(7, "video", "raw", bytearray(payload), 16, 16, 3, None, 20)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = {r["frame_idx"]: r for r in M.scene_changes(df, threshold=16).collect()}
+    assert len(out) == 20
+    assert out[0]["is_scene_change"] and out[0]["hamming_prev"] is None
+    changes = [i for i in range(1, 20) if out[i]["is_scene_change"]]
+    assert changes == [10]  # exactly the A→B cut
+    assert out[10]["hamming_prev"] >= 16
+
+
+def test_audio_fingerprint_invariances_and_near_dup(spark):
+    t = np.arange(16000) / 8000.0
+    melody = np.sin(2 * np.pi * 440 * t) * np.sin(2 * np.pi * 0.7 * t)
+    other = np.sin(2 * np.pi * 523 * t) * np.cos(2 * np.pi * 1.3 * t + 0.4)
+    fp = M.audio_fingerprint64
+    # gain invariance: comparisons are scale-free
+    assert fp(melody) == fp(melody * 0.25)
+    # small noise: close; different content: far
+    noisy = melody + np.random.default_rng(4).normal(0, 0.01, len(melody))
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(fp(melody), fp(noisy)) <= 4
+    assert ham(fp(melody), fp(other)) > 10
+    assert fp(np.array([])) == 0
+
+    def pcm(w):
+        return bytearray((np.clip(w, -1, 1) * 32767).astype("<i2").tobytes())
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "pcm16", pcm(melody), None, None, None, 8000, None),
+            (2, "audio", "pcm16", pcm(melody * 0.5), None, None, None, 8000, None),
+            (3, "audio", "pcm16", pcm(other), None, None, None, 8000, None),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in M.near_dup_audio(df, max_hamming=4).collect()}
+    assert pairs == {(1, 2)}
