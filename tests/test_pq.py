@@ -200,3 +200,72 @@ def test_ivfpq_materialized(spark, emb, tmp_path):
         assert got_ids == exp_ids, q
         for (de, _), (dg, _) in zip(expected[q], sorted(got[q])):
             assert dg == pytest.approx(de, rel=1e-9)
+
+
+def _aniso_corpus(spark, n=2000, dim=32, seed=5):
+    """Anisotropic, cross-subspace-correlated vectors: z ~ N(0,1)^dim
+    with a decaying spectrum, mixed by a fixed random orthogonal matrix
+    so the variance directions do NOT align with the contiguous
+    subspace split — exactly the structure OPQ's rotation recovers."""
+    rng = np.random.default_rng(seed)
+    spectrum = np.exp(-np.arange(dim) / 6.0)
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    X = rng.normal(size=(n, dim)) * spectrum[None, :]
+    X = X @ Q.T
+    return (
+        spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(n)],
+            schema="vec_id long, embedding array<double>",
+        ),
+        X,
+    )
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data(spark):
+    df, X = _aniso_corpus(spark)
+    m, n_codes = 4, 64
+
+    def recon_mse(codes_df, books, rotation=None):
+        rec = {
+            r["vec_id"]: np.asarray(r["embedding"])
+            for r in PQ.pq_reconstruct(codes_df, books).collect()
+        }
+        R = np.stack([rec[i] for i in range(len(X))])
+        target = X if rotation is None else X @ np.asarray(rotation).T
+        return float(((target - R) ** 2).sum(axis=1).mean())
+
+    plain_books = PQ.pq_train(df, m=m, n_codes=n_codes, max_iter=3)
+    plain_mse = recon_mse(PQ.pq_encode(df, plain_books), plain_books)
+
+    R, opq_books = PQ.opq_train(df, m=m, n_codes=n_codes, n_rot_iters=3, pq_max_iter=3)
+    Rm = np.asarray(R)
+    # R is orthogonal
+    assert np.allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-8)
+    opq_mse = recon_mse(PQ.opq_encode(df, R, opq_books), opq_books, rotation=R)
+    # the rotation must find real structure: strictly better quantization
+    assert opq_mse < 0.9 * plain_mse, (opq_mse, plain_mse)
+
+
+def test_opq_search_retrieves_planted_neighbor(spark):
+    df, X = _aniso_corpus(spark, n=1000)
+    R, books = PQ.opq_train(df, m=4, n_codes=64, n_rot_iters=2, pq_max_iter=2)
+    codes = PQ.opq_encode(df, R, books)
+    # probes: perturbed copies of corpus vectors
+    rng = np.random.default_rng(8)
+    probes = spark.createDataFrame(
+        [
+            (1_000_000 + i, (X[i] + rng.normal(0, 0.01, X.shape[1])).tolist())
+            for i in range(10)
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+    out = PQ.knn_pq_adc(codes, probes, books, k=5, rotation=R).collect()
+    tops: dict[int, list] = {}
+    for r in out:
+        tops.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbor_id"]))
+    hits = sum(
+        1
+        for qid, v in tops.items()
+        if (qid - 1_000_000) in [n for _, n in sorted(v)]
+    )
+    assert hits >= 9, hits
