@@ -117,3 +117,64 @@ def deterministic_shuffle(
     ``(doc_id, chunk_idx)`` or ``seq_id`` give a uniform gate and
     balanced ranges."""
     return df.orderBy(_gate(id_cols, salt), *id_cols)
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    id_cols: Sequence[str],
+    target_fraction: float,
+    gamma: float = 1.0,
+    salt: str = "soft",
+) -> DataFrame:
+    """Soft quality sampling: keep each row with probability
+    ``min(1, c * score^gamma)``, with ``c`` solved so the expected
+    keep-rate is ``target_fraction`` — the published alternative to a
+    hard quality cutoff (high-scoring documents survive almost surely,
+    low-scoring ones are thinned, none are categorically banned).
+    ``gamma`` sharpens (>1) or flattens (<1) the preference.
+
+    Deterministic: the acceptance draw is the md5 hash gate (same
+    engine-portable uniform as ``deterministic_sample``), so the sample
+    is stable under retries/repartitioning.  Sizing ``c`` needs one
+    aggregate over the score distribution; the per-row gate is then a
+    pure column expression on the main scan.  Solved iteratively
+    because of the ``min(1, ·)`` cap (rows already kept with certainty
+    can't absorb more mass): a few driver-side bisection rounds over a
+    second tiny aggregate.  Negative/NULL scores keep probability 0.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0,1], got {target_fraction}")
+    s = F.when(
+        F.col(score_col).isNotNull() & (F.col(score_col) > 0),
+        F.pow(F.col(score_col).cast("double"), F.lit(float(gamma))),
+    ).otherwise(F.lit(0.0))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("sw"), F.max(s).alias("mx")
+    ).first()
+    n, sw, mx = row["n"], float(row["sw"] or 0.0), float(row["mx"] or 0.0)
+    if n == 0 or sw <= 0:
+        return df.where(F.lit(False))
+    target = target_fraction * n
+    # bisection on c: E[kept](c) = Σ min(1, c·s_i) is monotone in c
+    lo, hi = 0.0, (n / sw) * 10.0 if mx > 0 else 1.0
+    for _ in range(20):
+        c = (lo + hi) / 2.0
+        kept = df.agg(
+            F.sum(F.least(F.lit(1.0), F.lit(c) * s)).alias("k")
+        ).first()["k"]
+        if kept is None:
+            break
+        if kept < target:
+            lo = c
+        else:
+            hi = c
+        if abs(kept - target) <= max(1.0, 0.001 * target):
+            break
+    c = (lo + hi) / 2.0
+    p = F.least(F.lit(1.0), F.lit(c) * s)
+    # uniform in [0,1) from the hash gate's 8 hex digits
+    u = F.conv(F.substring(_gate(id_cols, salt), 1, _HEX_DIGITS), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**_HEX_DIGITS))
+    return df.where(u < p)

@@ -393,3 +393,47 @@ def test_cdc_cuts_properties_hypothesis():
                 assert tail1 == tail2
 
     check()
+
+
+def test_score_weighted_sample(spark):
+    from tests.conftest import SF_CORRECT
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        score_weighted_sample,
+    )
+
+    docs = io.read_table(spark, SF_CORRECT, "documents")  # 500 rows
+    n = docs.count()
+    out = score_weighted_sample(docs, "n_chars", ["doc_id"], 0.4)
+    kept = out.count()
+    assert abs(kept - 0.4 * n) <= 3 * (0.4 * 0.6 * n) ** 0.5 + 5
+    # soft preference: high-score rows keep at a higher realized rate
+    med = docs.agg(F.expr("percentile_approx(n_chars, 0.5)")).first()[0]
+    hi_rate = out.where(F.col("n_chars") > med).count() / max(
+        docs.where(F.col("n_chars") > med).count(), 1
+    )
+    lo_rate = out.where(F.col("n_chars") <= med).count() / max(
+        docs.where(F.col("n_chars") <= med).count(), 1
+    )
+    assert hi_rate > lo_rate
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in score_weighted_sample(
+            docs.repartition(13), "n_chars", ["doc_id"], 0.4
+        ).collect()
+    )
+    assert a == b
+    # target_fraction=1 keeps every positive-score row
+    assert score_weighted_sample(docs, "n_chars", ["doc_id"], 1.0).count() == n
+    # NULL / non-positive scores never survive
+    bad = spark.createDataFrame(
+        [(1, None), (2, -5.0), (3, 0.0), (4, 10.0)],
+        schema="doc_id long, s double",
+    )
+    kept_bad = {
+        r["doc_id"]
+        for r in score_weighted_sample(bad, "s", ["doc_id"], 1.0).collect()
+    }
+    assert kept_bad == {4}
