@@ -291,6 +291,53 @@ def main() -> None:
         f"{n_half - n_copies_kept}/{n_half}, fresh kept {len(kept_ids)}/{n_half}",
         flush=True,
     )
+    # pigeonhole hamming join at scale: 500k random 64-bit fingerprints
+    # (SimHash/dHash domain) + 1,000 planted ≤4-flip pairs — recall of
+    # the planted set must be exact (the banding GUARANTEES it), random
+    # collisions are counted honestly, and the pair join stays linear
+    # (random hashes → astronomically sparse band buckets)
+    print("hamming near-dup join, 500k fingerprints ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rng_h = np.random.default_rng(17)
+    base_h = rng_h.integers(-(2**63), 2**63, n, dtype=np.int64)
+    n_pl = 100 if QUICK else 1_000
+    planted_ids = rng_h.choice(n, size=n_pl, replace=False)
+    flips = rng_h.integers(0, 5, size=n_pl)
+    extra = []
+    for j, src in enumerate(planted_ids):
+        v = int(base_h[src]) & 0xFFFFFFFFFFFFFFFF
+        for bit in rng_h.choice(64, size=int(flips[j]), replace=False):
+            v ^= 1 << int(bit)
+        extra.append(v - (1 << 64) if v >= (1 << 63) else v)  # signed wrap
+    all_h = np.concatenate([base_h, np.asarray(extra, dtype=np.int64)])
+    import pandas as _pd
+
+    hdf = spark.createDataFrame(
+        _pd.DataFrame(
+            {"doc_id": np.arange(len(all_h), dtype=np.int64), "simhash": all_h}
+        )
+    ).repartition(32)
+    t0 = time.time()
+    pairs = hamming_near_dup_pairs(hdf, max_hamming=4)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    results["hamming_join_s"] = round(time.time() - t0, 2)
+    expected_pairs = {
+        (int(min(src, n + j)), int(max(src, n + j)))
+        for j, src in enumerate(planted_ids)
+    }
+    missed = expected_pairs - got_pairs
+    results["hamming_pairs_found"] = len(got_pairs)
+    results["hamming_planted_missed"] = len(missed)
+    results["hamming_ok"] = len(missed) == 0
+    print(
+        f"  {results['hamming_join_s']} s — {len(got_pairs)} pairs, "
+        f"planted missed {len(missed)}/{n_pl}",
+        flush=True,
+    )
+
     print(json.dumps(results))
     spark.stop()
 
