@@ -182,6 +182,8 @@ def curate_documents(
     html: bool = False,
     c4_clean: bool = False,
     max_line_occurrences: int | None = None,
+    soft_quality: tuple[str, float] | None = None,
+    mixture: tuple[str, float, int] | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -214,7 +216,14 @@ def curate_documents(
     hash/score must see extracted text; docs emptied by the cleanup are
     dropped), ``max_line_occurrences`` (RefinedWeb corpus-level line
     dedup, applied just before doc dedup so near-dup hashing sees
-    boilerplate-free text), ``max_ppl`` (CCNet-style
+    boilerplate-free text), ``soft_quality=(score_col, fraction)``
+    (FineWeb-style score-weighted thinning via
+    ``sampling.score_weighted_sample``, applied pre-dedup like the other
+    quality gates), ``mixture=(strata_col, temperature, target_rows)``
+    (temperature rebalance via ``mixing.mixture_sample``, applied
+    POST-dedup — domain proportions should reflect the deduped corpus,
+    and the published multilingual recipes rebalance last), ``max_ppl``
+    (CCNet-style
     perplexity gate under a smoothed unigram LM — pass a pre-trained
     ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
     a clean sample, reuse across corpus shards) or let it self-train on
@@ -288,9 +297,28 @@ def curate_documents(
             docs, text_col=text_col, id_col=id_col,
             max_occurrences=max_line_occurrences,
         ).where(F.col(text_col) != "")
+    if soft_quality is not None:
+        # FineWeb-style soft thinning before dedup (cheaper dedup, and
+        # quality gates precede dedup in the published recipes)
+        score_col, frac = soft_quality
+        docs = SA.score_weighted_sample(
+            docs, score_col, [id_col], frac, salt=f"{epoch_salt}-quality"
+        )
     kept = D.near_dedup_minhash(
         docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )
+    if mixture is not None:
+        # temperature rebalance AFTER dedup: proportions should reflect
+        # the deduped corpus, not the duplicate mass
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            mixing as MX,
+        )
+
+        strata_col, tau, target_rows = mixture
+        kept = MX.mixture_sample(
+            kept, strata_col, [id_col], temperature=tau,
+            target_rows=target_rows, salt=f"{epoch_salt}-mix",
+        )
     chunks = T.chunk_documents(
         kept, text_col=text_col, id_col=id_col,
         chunk_tokens=chunk_tokens, overlap=overlap,

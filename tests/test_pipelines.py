@@ -265,3 +265,49 @@ def test_write_training_shards(spark, tmp_path):
     assert one.count() == rows[2]["n_chunks"]
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pack_shard" in plan
+
+
+def test_curate_documents_all_gates_compose(spark):
+    """Every published-recipe gate ON at once: the flagship composition
+    must still produce a valid packed corpus, and each gate must have
+    had an observable effect (strictly fewer docs surviving than the
+    gate-free run at the document stage)."""
+    from tests.conftest import SF_CORRECT
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+    from pyspark.sql import functions as F
+
+    docs = io.read_table(spark, SF_CORRECT, "documents")
+    bench = docs.orderBy("doc_id").limit(3)
+    base = pipelines.curate_documents(docs)
+    full = pipelines.curate_documents(
+        docs,
+        benchmark=bench,
+        semantic_threshold=0.999,
+        redact=True,
+        max_dup_line_frac=0.9,
+        max_ppl=1e9,
+        soft_quality=("n_chars", 0.7),
+        mixture=("lang", 0.5, 300),
+    )
+    n_base, n_full = base.count(), full.count()
+    assert 0 < n_full < n_base
+    # the packed output keeps its invariants: budgets respected
+    agg = (
+        full.groupBy("pack_shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("t"), F.max("oversize").alias("ov"))
+        .collect()
+    )
+    assert all(r["t"] <= 1024 or r["ov"] for r in agg)
+    # deterministic end to end
+    again = pipelines.curate_documents(
+        docs,
+        benchmark=bench,
+        semantic_threshold=0.999,
+        redact=True,
+        max_dup_line_frac=0.9,
+        max_ppl=1e9,
+        soft_quality=("n_chars", 0.7),
+        mixture=("lang", 0.5, 300),
+    )
+    assert sorted(map(str, full.collect())) == sorted(map(str, again.collect()))
