@@ -349,6 +349,7 @@ def build_inverted_file_pq(
     cluster_col: str = "ivf_cluster",
     code_col: str = "pq_codes",
     mode: str = "overwrite",
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """The billion-vector serving layout: ONE pass assigns each vector
     to its nearest coarse centroid AND encodes its PQ codes, writing
@@ -361,6 +362,12 @@ def build_inverted_file_pq(
         _np_assigner,
     )
 
+    if rotation is not None:
+        # OPQ: centroids and codebooks live in the rotated space — both
+        # trained on the rotated corpus, queries rotated at LUT time
+        corpus = rotate_embeddings(
+            corpus.select(id_col, vec_col), rotation, vec_col
+        )
     assigned = corpus.select(
         id_col,
         vec_col,
@@ -392,6 +399,7 @@ def knn_ivfpq_materialized(
     cluster_col: str = "ivf_cluster",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-routed ADC search over a ``build_inverted_file_pq`` table:
     probe sets computed driver-side (same float64 math as the Arrow
@@ -420,6 +428,9 @@ def knn_ivfpq_materialized(
             if v is None
             else np.asarray(v, dtype=np.float64)
         )
+        if rotation is not None and v is not None:
+            # rotate into the index's (OPQ) space before routing/LUTs
+            x = x @ np.asarray(rotation, dtype=np.float64).T
         nrm = np.linalg.norm(x)
         sims = (x / (nrm if nrm else 1.0)) @ C.T
         top = (

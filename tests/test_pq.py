@@ -269,3 +269,38 @@ def test_opq_search_retrieves_planted_neighbor(spark):
         if (qid - 1_000_000) in [n for _, n in sorted(v)]
     )
     assert hits >= 9, hits
+
+
+def test_opq_ivfpq_materialized_end_to_end(spark, tmp_path):
+    """The full billion-vector stack with a learned rotation: OPQ train
+    → rotated coarse centroids → float-free inverted file → routed ADC
+    search with query rotation — planted perturbed probes must retrieve
+    their source."""
+    from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+
+    df, X = _aniso_corpus(spark, n=1000)
+    R, books = PQ.opq_train(df, m=4, n_codes=64, n_rot_iters=2, pq_max_iter=2)
+    rotated = PQ.rotate_embeddings(df, R)
+    C = sim.ivf_centroids(rotated, n_clusters=8, max_iter=2)
+    path = str(tmp_path / "opq_ivf")
+    PQ.build_inverted_file_pq(df, C, books, path, rotation=R)
+    rng = np.random.default_rng(21)
+    probes = spark.createDataFrame(
+        [
+            (1_000_000 + i, (X[i] + rng.normal(0, 0.005, X.shape[1])).tolist())
+            for i in range(10)
+        ],
+        schema="vec_id long, embedding array<double>",
+    )
+    out = PQ.knn_ivfpq_materialized(
+        spark, path, probes, C, books, k=5, nprobe=4, rotation=R
+    ).collect()
+    tops: dict[int, list] = {}
+    for r in out:
+        tops.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbor_id"]))
+    hits = sum(
+        1
+        for qid, v in tops.items()
+        if (qid - 1_000_000) in [nb for _, nb in sorted(v)]
+    )
+    assert hits >= 9, hits
