@@ -1039,3 +1039,135 @@ def near_dedup_simhash(
     return df.join(
         losers, df[id_col] == losers["__lost"], "left_anti"
     )
+
+
+def _span_hashes_kernel(text_col: str, id_col: str, span_tokens: int):
+    """(id, pos, h) rows: a 64-bit rolling polynomial hash of every
+    ``span_tokens``-token window (stride 1), O(n_tokens) per doc."""
+    import numpy as np
+
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (splitmix gamma)
+
+    def kernel(batches):
+        import hashlib
+
+        Bpow = B ** np.uint64(span_tokens - 1)
+        memo: dict[str, int] = {}  # token→hash, amortized across batches
+
+        def tok_hash(t: str) -> int:
+            # stable across processes (never the PYTHONHASHSEED builtin)
+            v = memo.get(t)
+            if v is None:
+                v = memo[t] = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little"
+                )
+            return v
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.split()
+                n = len(toks)
+                if n < span_tokens:
+                    continue
+                th = np.array([tok_hash(t) for t in toks], dtype=np.uint64)
+                # rolling: h_i = sum_{j<span} th[i+j] * B^(span-1-j)
+                h = np.uint64(0)
+                out = np.empty(n - span_tokens + 1, dtype=np.uint64)
+                for j in range(span_tokens):
+                    h = h * B + th[j]
+                out[0] = h
+                for i in range(1, n - span_tokens + 1):
+                    h = (h - th[i - 1] * Bpow) * B + th[i + span_tokens - 1]
+                    out[i] = h
+                ids.extend([rid] * len(out))
+                poss.extend(range(len(out)))
+                hs.extend(out.view(np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "pos": pd.array(poss, dtype="int64"),
+                    "h": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return kernel
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+) -> DataFrame:
+    """ExactSubstr dedup (public method: Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): every
+    ``span_tokens``-token window that occurs more than once in the
+    corpus — across documents OR repeated within one — is excised from
+    every occurrence EXCEPT the first (global order: smallest
+    ``(doc_id, pos)`` keeps).  Token order elsewhere is untouched;
+    documents shorter than the span pass through verbatim.
+
+    Plan: ONE narrow rolling-hash kernel emits (id, pos, span-hash)
+    rows (O(n_tokens) work and rows — the inherent cost the paper's
+    suffix-array approach pays too); one hash-shuffle groups identical
+    spans (uniform 64-bit key); non-keeper occurrences group per doc
+    (~cut-count rows); a final narrow kernel drops the union of cut
+    token ranges per document.  Hash collisions (2⁻⁶⁴ per pair) can cut
+    a false span — the standard fingerprint-dedup tradeoff, same class
+    as the shingle-hash Jaccard note in ``shingle_sets``."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType as _AT,
+        LongType as _LT,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    spans_schema = _ST(
+        [
+            df.schema[id_col],
+            _SF("pos", _LT()),
+            _SF("h", _LT()),
+        ]
+    )
+    spans = df.select(id_col, text_col).mapInPandas(
+        _span_hashes_kernel(text_col, id_col, span_tokens), spans_schema
+    )
+    w = Window.partitionBy("h")
+    ranked = spans.withColumn(
+        "__keep",
+        F.row_number().over(
+            w.orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        ),
+    ).withColumn("__n", F.count(F.lit(1)).over(w))
+    cuts = (
+        ranked.where((F.col("__n") > 1) & (F.col("__keep") > 1))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__cut_pos"))
+    )
+    joined = df.join(cuts, id_col, "left")
+
+    out_schema = df.schema
+    cols = df.columns
+
+    def excise(batches):
+        for pdf in batches:
+            texts = []
+            for text, cut in zip(pdf[text_col], pdf["__cut_pos"]):
+                if cut is None or text is None or len(cut) == 0:
+                    texts.append(text)
+                    continue
+                toks = text.split()
+                drop = np.zeros(len(toks), dtype=bool)
+                for p in cut:
+                    drop[int(p): int(p) + span_tokens] = True
+                texts.append(" ".join(t for t, d in zip(toks, drop) if not d))
+            out = pdf[cols].copy()
+            out[text_col] = texts
+            yield out
+
+    return joined.mapInPandas(excise, out_schema)

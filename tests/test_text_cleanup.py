@@ -153,3 +153,52 @@ def test_curate_documents_cleanup_gates(spark):
     assert "subscribe to our newsletter" not in texts
     assert "nav()" not in texts and "only_code" not in texts
     assert "reasonable opening sentence" in texts
+
+
+def test_remove_duplicate_spans_exactsubstr(spark):
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    para = " ".join(f"w{i}" for i in range(12))  # a 12-token span
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {para} gamma delta"),
+            Row(doc_id=2, text=f"{para} something else entirely here"),
+            Row(doc_id=3, text="no duplication in this document at all"),
+            Row(doc_id=4, text="short doc"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, span_tokens=12).collect()
+    }
+    # first occurrence (doc 1, smallest (doc,pos)) keeps the paragraph
+    assert para in out[1]
+    assert out[1] == f"alpha beta {para} gamma delta"
+    # the later occurrence is excised, surrounding text intact
+    assert "w0" not in out[2] and "w11" not in out[2]
+    assert out[2] == "something else entirely here"
+    # untouched docs pass through verbatim
+    assert out[3] == "no duplication in this document at all"
+    assert out[4] == "short doc"
+
+
+def test_remove_duplicate_spans_within_doc_and_long_runs(spark):
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    para = " ".join(f"x{i}" for i in range(10))
+    # the same 10-token paragraph twice inside ONE document
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=f"{para} middle words here {para} tail")]
+    )
+    [r] = remove_duplicate_spans(docs, span_tokens=10).collect()
+    toks = r["text"].split()
+    # exactly one copy survives plus the unique text
+    assert toks.count("x0") == 1 and toks.count("x9") == 1
+    assert "middle" in toks and "tail" in toks
+    # determinism
+    [r2] = remove_duplicate_spans(docs, span_tokens=10).collect()
+    assert r2["text"] == r["text"]
