@@ -1073,15 +1073,17 @@ def _span_hashes_kernel(text_col: str, id_col: str, span_tokens: int):
                 if n < span_tokens:
                     continue
                 th = np.array([tok_hash(t) for t in toks], dtype=np.uint64)
-                # rolling: h_i = sum_{j<span} th[i+j] * B^(span-1-j)
-                h = np.uint64(0)
-                out = np.empty(n - span_tokens + 1, dtype=np.uint64)
-                for j in range(span_tokens):
-                    h = h * B + th[j]
-                out[0] = h
-                for i in range(1, n - span_tokens + 1):
-                    h = (h - th[i - 1] * Bpow) * B + th[i + span_tokens - 1]
-                    out[i] = h
+                # rolling: h_i = sum_{j<span} th[i+j] * B^(span-1-j);
+                # uint64 wraparound IS the hash semantics (mod 2^64)
+                with np.errstate(over="ignore"):
+                    h = np.uint64(0)
+                    out = np.empty(n - span_tokens + 1, dtype=np.uint64)
+                    for j in range(span_tokens):
+                        h = h * B + th[j]
+                    out[0] = h
+                    for i in range(1, n - span_tokens + 1):
+                        h = (h - th[i - 1] * Bpow) * B + th[i + span_tokens - 1]
+                        out[i] = h
                 ids.extend([rid] * len(out))
                 poss.extend(range(len(out)))
                 hs.extend(out.view(np.int64).tolist())

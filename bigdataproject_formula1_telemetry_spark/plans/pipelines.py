@@ -183,6 +183,7 @@ def curate_documents(
     c4_clean: bool = False,
     max_line_occurrences: int | None = None,
     soft_quality: tuple[str, float] | None = None,
+    span_dedup_tokens: int | None = None,
     mixture: tuple[str, float, int] | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
@@ -219,7 +220,9 @@ def curate_documents(
     boilerplate-free text), ``soft_quality=(score_col, fraction)``
     (FineWeb-style score-weighted thinning via
     ``sampling.score_weighted_sample``, applied pre-dedup like the other
-    quality gates), ``mixture=(strata_col, temperature, target_rows)``
+    quality gates), ``span_dedup_tokens`` (ExactSubstr duplicated-span
+    excision after doc dedup — partial overlaps doc-level dedup can't
+    see), ``mixture=(strata_col, temperature, target_rows)``
     (temperature rebalance via ``mixing.mixture_sample``, applied
     POST-dedup — domain proportions should reflect the deduped corpus,
     and the published multilingual recipes rebalance last), ``max_ppl``
@@ -307,6 +310,14 @@ def curate_documents(
     kept = D.near_dedup_minhash(
         docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )
+    if span_dedup_tokens is not None:
+        # ExactSubstr (Lee et al.) AFTER doc-level dedup: whole-document
+        # near-dups are already gone, so the span stage only pays for
+        # the partial overlaps it alone can see
+        kept = D.remove_duplicate_spans(
+            kept, text_col=text_col, id_col=id_col,
+            span_tokens=span_dedup_tokens,
+        ).where(F.col(text_col) != "")
     if mixture is not None:
         # temperature rebalance AFTER dedup: proportions should reflect
         # the deduped corpus, not the duplicate mass

@@ -288,6 +288,7 @@ def test_curate_documents_all_gates_compose(spark):
         max_dup_line_frac=0.9,
         max_ppl=1e9,
         soft_quality=("n_chars", 0.7),
+        span_dedup_tokens=40,
         mixture=("lang", 0.5, 300),
     )
     n_base, n_full = base.count(), full.count()
@@ -308,6 +309,7 @@ def test_curate_documents_all_gates_compose(spark):
         max_dup_line_frac=0.9,
         max_ppl=1e9,
         soft_quality=("n_chars", 0.7),
+        span_dedup_tokens=40,
         mixture=("lang", 0.5, 300),
     )
     assert sorted(map(str, full.collect())) == sorted(map(str, again.collect()))

@@ -338,6 +338,38 @@ def main() -> None:
         flush=True,
     )
 
+    # ExactSubstr span dedup at scale: ONE 30-token paragraph planted
+    # at the head of 1,000 docs — after remove_duplicate_spans exactly
+    # one copy may survive corpus-wide, every other doc keeps its own
+    # text minus the paragraph.  The heavy stage (the O(n_tokens) span
+    # explode + hash shuffle, ~35M span rows here) is the honest
+    # published cost of substring-level dedup.
+    print("ExactSubstr span dedup, 500k docs ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    para = " ".join(f"qq{i}" for i in range(30))
+    n_para = 100 if QUICK else 1_000
+    tagged = distinct.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % F.lit(n // n_para) == 0,
+            F.concat_ws(" ", F.lit(para), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    cleaned = remove_duplicate_spans(tagged, span_tokens=30)
+    with_para = cleaned.where(F.col("text").contains("qq0 qq1 ")).count()
+    results["exactsubstr_s"] = round(time.time() - t0, 2)
+    results["exactsubstr_para_survivors"] = with_para
+    results["exactsubstr_ok"] = with_para == 1
+    print(
+        f"  {results['exactsubstr_s']} s — paragraph survives in "
+        f"{with_para} doc(s) (must be 1)",
+        flush=True,
+    )
+
     print(json.dumps(results))
     spark.stop()
 
