@@ -803,3 +803,153 @@ def near_dup_audio(df: DataFrame, max_hamming: int = 4) -> DataFrame:
         audio_fingerprints(df), hash_col="audio_fp", id_col="media_id",
         max_hamming=max_hamming,
     )
+
+
+IMAGE_STREAM_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),     # png | jpeg | raw | NULL
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("profile", StringType()),       # png color-type / jpeg SOFn
+        StructField("subsampling", StringType()),   # jpeg: 4:4:4 / 4:2:0 / ...
+        StructField("decodable", StringType()),     # pixels | metadata_only | error
+    ]
+)
+
+
+def _png_header_info(payload: bytes) -> dict:
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    import struct as _st
+
+    length, tag = _st.unpack(">I4s", payload[8:16])
+    if tag != b"IHDR" or length != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = _st.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    name = {0: "gray", 2: "rgb", 3: "palette", 4: "gray+alpha", 6: "rgba"}.get(
+        ctype, f"ctype{ctype}"
+    )
+    if interlace:
+        name += "+interlaced"
+    return {
+        "container": "png",
+        "img_width": int(w),
+        "img_height": int(h),
+        "n_channels": channels,
+        "bit_depth": int(depth),
+        "profile": name,
+        "subsampling": None,
+        # mirrors decode_png's support: 8-bit gray/rgb/rgba, no interlace
+        "decodable": "pixels"
+        if depth == 8 and ctype in (0, 2, 6) and not interlace
+        else "metadata_only",
+    }
+
+
+def _jpeg_header_info(payload: bytes) -> dict:
+    """Walk JPEG markers to the first SOFn — structure only, no entropy
+    decode (same marker rules as sources/jpeg.py: 0xFF fill bytes and
+    length-less TEM/RSTn skipped)."""
+    import struct as _st
+
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM / RSTn: no length
+            continue
+        if marker == 0xD9:  # EOI before SOF
+            break
+        (seglen,) = _st.unpack(">H", payload[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            depth, h, w, nc = _st.unpack(">BHHB", payload[pos + 2 : pos + 8])
+            comps = payload[pos + 8 : pos + 8 + 3 * nc]
+            sub = None
+            if nc == 3:
+                hv = [(comps[3 * i + 1] >> 4, comps[3 * i + 1] & 0xF) for i in range(3)]
+                key = (hv[0], hv[1], hv[2])
+                sub = {
+                    ((1, 1), (1, 1), (1, 1)): "4:4:4",
+                    ((2, 2), (1, 1), (1, 1)): "4:2:0",
+                    ((2, 1), (1, 1), (1, 1)): "4:2:2",
+                }.get(key, f"{hv}")
+            kind = marker - 0xC0
+            return {
+                "container": "jpeg",
+                "img_width": int(w),
+                "img_height": int(h),
+                "n_channels": int(nc),
+                "bit_depth": int(depth),
+                "profile": f"SOF{kind}"
+                + (" baseline" if kind == 0 else " progressive" if kind == 2 else ""),
+                "subsampling": sub,
+                # mirrors decode_jpeg's support: SOF0/SOF2
+                "decodable": "pixels" if kind in (0, 2) else "metadata_only",
+            }
+        pos += seglen
+    raise ValueError("JPEG missing SOF")
+
+
+def image_stream_info(df: DataFrame) -> DataFrame:
+    """Corpus triage over image payloads WITHOUT pixel decode — the
+    image analog of ``audio_stream_info``: one Arrow pass parsing only
+    the container headers (PNG IHDR / JPEG SOF marker walk), emitting
+    dimensions, channel count, bit depth, profile and chroma
+    subsampling per row.  ``decodable`` mirrors the in-repo codecs'
+    actual support; unparseable payloads become dead-letter rows
+    ("error"), never a crash.  At 100 TB this is the first scan an image
+    corpus gets (dimension/profile histograms, partitioning, decode
+    planning) and it reads only the leading bytes of each blob."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_STREAM_INFO_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = {c: None for c in cols}
+                base["media_id"] = r.media_id
+                payload = bytes(r.payload)
+                try:
+                    if r.format == "png" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        base.update(_png_header_info(payload))
+                    elif r.format == "jpeg" or payload[:2] == b"\xff\xd8":
+                        base.update(_jpeg_header_info(payload))
+                    elif r.format in RAW_FORMATS:
+                        base.update(
+                            {
+                                "container": "raw",
+                                "img_width": r.width,
+                                "img_height": r.height,
+                                "n_channels": r.channels,
+                                "bit_depth": 8,
+                                "profile": "raw",
+                                "subsampling": None,
+                                "decodable": "pixels",
+                            }
+                        )
+                    else:
+                        base["decodable"] = "error"
+                except Exception:  # noqa: BLE001 — dead-letter row, never a crash
+                    base = {c: None for c in cols}
+                    base["media_id"] = r.media_id
+                    base["decodable"] = "error"
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.where(df.kind == "image").mapInPandas(
+        extract, IMAGE_STREAM_INFO_SCHEMA
+    )

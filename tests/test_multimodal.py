@@ -562,3 +562,36 @@ def test_wav_formats_beyond_pcm16():
         M.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         M.decode_wav(b"not audio")
+
+
+def test_image_stream_info_triage(spark):
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.sources import multimodal as MM
+    from bigdataproject_formula1_telemetry_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "png", bytearray(MM.encode_png(img)), 32, 24, 3, None, None),
+        (2, "image", "jpeg", bytearray(encode_jpeg(img)), 32, 24, 3, None, None),
+        (3, "image", "jpeg", bytearray(encode_jpeg(img, subsampling="420")), 32, 24, 3, None, None),
+        (4, "image", "jpeg", bytearray(encode_jpeg_progressive(img)), 32, 24, 3, None, None),
+        (5, "image", "raw", bytearray(img.tobytes()), 32, 24, 3, None, None),
+        (6, "image", "jpeg", bytearray(b"\xff\xd8garbage"), 8, 8, 3, None, None),
+        (7, "audio", "pcm16", bytearray(b"\x00\x00"), None, None, None, 8000, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.image_stream_info(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # audio row excluded
+    assert out[1]["container"] == "png" and out[1]["profile"] == "rgb"
+    assert (out[1]["img_width"], out[1]["img_height"]) == (32, 24)
+    assert out[1]["decodable"] == "pixels"
+    assert out[2]["container"] == "jpeg" and out[2]["subsampling"] == "4:4:4"
+    assert out[2]["profile"].startswith("SOF0")
+    assert out[3]["subsampling"] == "4:2:0"
+    assert out[4]["profile"].startswith("SOF2") and "progressive" in out[4]["profile"]
+    assert out[5]["container"] == "raw" and out[5]["decodable"] == "pixels"
+    assert out[6]["decodable"] == "error"  # dead-letter, not a crash
