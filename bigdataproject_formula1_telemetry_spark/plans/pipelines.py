@@ -358,6 +358,8 @@ def corpus_card(
     docs: DataFrame,
     text_col: str = "text",
     lang_col: str | None = "lang",
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Dataset datasheet for a (curated) document corpus — the summary
     artifact a training-data release ships with (public practice:
@@ -439,6 +441,37 @@ def corpus_card(
         )
         card = card.unionByName(
             langs.select(F.lit("lang").alias("section"), "key", "value")
+        )
+    if benchmark is not None:
+        # contamination accounting vs an eval set: verbatim (8-gram) and
+        # order-invariant (hashed-BoW cosine) overlap counts — the two
+        # decontamination passes' audit faces, reported side by side
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            dedup as DD,
+            embed as EM,
+        )
+
+        ngram_docs = (
+            DD.contamination_hits(
+                docs, benchmark, text_col=text_col, id_col=id_col
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("contam_ngram_docs"))
+        )
+        sem_docs = (
+            EM.semantic_contamination_pairs(
+                docs, benchmark, threshold=0.95,
+                text_col=text_col, id_col=id_col,
+            )
+            .select(id_col)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("double").alias("contam_semantic_docs"))
+        )
+        csec = {
+            "contam_ngram_docs": "contamination",
+            "contam_semantic_docs": "contamination",
+        }
+        card = card.unionByName(_rows(csec, ngram_docs)).unionByName(
+            _rows(csec, sem_docs)
         )
     return card
 

@@ -953,3 +953,48 @@ def image_stream_info(df: DataFrame) -> DataFrame:
     return df.where(df.kind == "image").mapInPandas(
         extract, IMAGE_STREAM_INFO_SCHEMA
     )
+
+
+def sample_scene_frames(df: DataFrame, threshold: int = 16) -> DataFrame:
+    """Video → ONE representative frame per detected scene (the frame
+    that opens it), instead of ``sample_frames``'s blind every-nth: a
+    near-static clip yields a single frame, a fast-cut montage yields
+    one per cut — the content-adaptive sampling a vision-training
+    pipeline wants.  Same per-frame dHash differencing as
+    ``scene_changes``, fused into one kernel so frames are decoded
+    once.  Output schema matches ``sample_frames`` (``frame_idx`` is
+    the scene's opening frame)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                _require_decodable(r.format, "video", RAW_FORMATS)
+                frame_size = r.width * r.height * r.channels
+                buf = np.frombuffer(r.payload, dtype=np.uint8)
+                n = min(r.n_frames, len(buf) // frame_size)
+                prev = None
+                for i in range(n):
+                    img = buf[i * frame_size : (i + 1) * frame_size].reshape(
+                        r.height, r.width, r.channels
+                    )
+                    h = dhash64(img)
+                    is_cut = prev is None or (
+                        bin((h ^ prev) & 0xFFFFFFFFFFFFFFFF).count("1")
+                        >= threshold
+                    )
+                    if is_cut:
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "payload": img.tobytes(),
+                                "width": r.width,
+                                "height": r.height,
+                                "channels": r.channels,
+                            }
+                        )
+                    prev = h
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.where(df.kind == "video").mapInPandas(sample, FRAME_SCHEMA)

@@ -177,3 +177,22 @@ def test_audio_fingerprint_invariances_and_near_dup(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in M.near_dup_audio(df, max_hamming=4).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_sample_scene_frames(spark):
+    rng = np.random.default_rng(31)
+    A = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    B = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    C = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    frames = [A] * 5 + [B] * 7 + [C] * 3
+    payload = np.stack(frames).tobytes()
+    df = spark.createDataFrame(
+        [(9, "video", "raw", bytearray(payload), 16, 16, 3, None, 15)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = M.sample_scene_frames(df, threshold=16).collect()
+    # exactly one frame per scene, at the scene-opening indices
+    assert sorted(r["frame_idx"] for r in out) == [0, 5, 12]
+    # the emitted payloads are the opening frames themselves
+    got0 = np.frombuffer(out[0]["payload"], dtype=np.uint8).reshape(16, 16, 3)
+    assert (got0 == A).all() or (got0 == B).all() or (got0 == C).all()

@@ -232,6 +232,13 @@ def test_corpus_card(spark, tmp_path):
     out = str(tmp_path / "card.html")
     assert sinks.write_html_report(card, out, "corpus card") == len(rows)
     assert "corpus card" in open(out).read()
+    # contamination section: benchmark sampled from the corpus itself →
+    # both audit counters must see at least those docs
+    bench = docs.orderBy("doc_id").limit(3)
+    card2 = pipelines.corpus_card(docs, benchmark=bench)
+    rows2 = {(r["section"], r["key"]): r["value"] for r in card2.collect()}
+    assert rows2[("contamination", "contam_ngram_docs")] >= 3
+    assert rows2[("contamination", "contam_semantic_docs")] >= 3
 
 
 def test_write_training_shards(spark, tmp_path):
