@@ -137,3 +137,86 @@ def ghost_vs_human(
         F.col("ghost_pred").alias("Speed"),
     )
     return human.unionByName(ghost).orderBy("series", "Distance")
+
+
+def ann_method_report(
+    corpus: "DataFrame",
+    queries: "DataFrame",
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 4,
+    pq_m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Method-comparison report over one embedding corpus: run exact
+    brute-force, IVF, int8 and PQ-ADC top-``k`` for the same query set
+    and return tidy rows ``(method, recall_at_k, mean_top1_sim)`` with
+    exact brute-force as the recall reference — the capacity-planning
+    artifact an ANN deployment decision wants (feeds
+    ``sinks.write_html_report`` directly).  Driver-side comparison is
+    bounded by the kNN query-set contract (small by construction)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        pq as PQ,
+        sampling,
+        similarity as sim,
+    )
+
+    def topk_sets(df, id_out="neighbor_id"):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r[id_out])
+        return out
+
+    exact_df = sim.knn_bruteforce_arrow(corpus, queries, k=k,
+                                        id_col=id_col, vec_col=vec_col)
+    exact = topk_sets(exact_df)
+    top1 = {}
+    for r in exact_df.collect():
+        cur = top1.get(r["query_id"])
+        if cur is None or (r["cos_sim"] or -2) > cur:
+            top1[r["query_id"]] = r["cos_sim"] or -2
+
+    train = sampling.deterministic_sample(corpus, [id_col], 0.4, salt="annrep")
+    C = sim.ivf_centroids(train, n_clusters=n_clusters, max_iter=2,
+                          id_col=id_col, vec_col=vec_col)
+    ivf = topk_sets(
+        sim.knn_ivf_arrow(corpus, queries, C, k=k, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col)
+    )
+    q8 = sim.quantize_embeddings(corpus, vec_col=vec_col)
+    q8q = sim.quantize_embeddings(queries, vec_col=vec_col)
+    int8 = topk_sets(
+        sim.knn_bruteforce_arrow(
+            q8, q8q, k=k, id_col=id_col, vec_col="embedding_q8", quantized=True
+        )
+    )
+    books = PQ.pq_train(train, m=pq_m, n_codes=256, max_iter=2,
+                        id_col=id_col, vec_col=vec_col)
+    pq = topk_sets(
+        PQ.knn_pq_adc(
+            PQ.pq_encode(corpus, books, id_col=id_col, vec_col=vec_col),
+            queries, books, k=k, id_col=id_col,
+            query_id_col=id_col, query_vec_col=vec_col,
+        )
+    )
+
+    def recall(cand: dict) -> float:
+        if not exact:
+            return 0.0
+        return sum(
+            len(cand.get(q, set()) & s) / max(len(s), 1) for q, s in exact.items()
+        ) / len(exact)
+
+    spark = corpus.sparkSession
+    rows = [
+        ("exact_bruteforce", 1.0, float(sum(top1.values()) / max(len(top1), 1))),
+        ("ivf", recall(ivf), None),
+        ("int8_bruteforce", recall(int8), None),
+        ("pq_adc", recall(pq), None),
+    ]
+    return spark.createDataFrame(
+        rows, schema="method string, recall_at_k double, mean_top1_sim double"
+    )

@@ -181,3 +181,23 @@ def test_existing_partitions_error_narrowing(spark, tmp_path):
         io.existing_partitions(spark, path, ("no_such_col",))
     # sanity: the healthy path still lists partitions
     assert io.existing_partitions(spark, path, ("year",)) == {(2024,)}
+
+
+def test_ann_method_report(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from bigdataproject_formula1_telemetry_spark import apps, io, sinks
+    from tests.conftest import SF_CORRECT
+
+    emb = io.read_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    rep = apps.ann_method_report(emb, queries, k=10)
+    rows = {r["method"]: r for r in rep.collect()}
+    assert set(rows) == {"exact_bruteforce", "ivf", "int8_bruteforce", "pq_adc"}
+    assert rows["exact_bruteforce"]["recall_at_k"] == 1.0
+    # int8 is near-exact; the lossy methods stay above chance (10/500)
+    assert rows["int8_bruteforce"]["recall_at_k"] >= 0.9
+    assert rows["ivf"]["recall_at_k"] > 0.1
+    assert rows["pq_adc"]["recall_at_k"] > 0.1
+    # feeds the report sink
+    out = str(tmp_path / "ann.html")
+    assert sinks.write_html_report(rep, out, "ann report") == 4
