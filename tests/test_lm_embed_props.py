@@ -95,3 +95,55 @@ def test_hashed_embedding_matches_python_reference(spark, corpus, dim):
     }
     for i, t in enumerate(corpus):
         assert np.allclose(got[i], _py_embed(t, dim, "p"), atol=1e-12), (i, t)
+
+
+def _py_remove_duplicate_spans(corpus: dict[int, str], span: int) -> dict[int, str]:
+    """Brute-force reference: enumerate every span occurrence, group by
+    the token tuple, keep the global-first (doc,pos) per group with >1
+    occurrences, drop the union of other occurrences' token ranges."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    toks = {d: t.split() for d, t in corpus.items()}
+    for d in sorted(toks):
+        tt = toks[d]
+        for p in range(len(tt) - span + 1):
+            occ.setdefault(tuple(tt[p : p + span]), []).append((d, p))
+    cuts: dict[int, set] = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for d, p in sorted(places)[1:]:
+            cuts[d].update(range(p, p + span))
+    return {
+        d: " ".join(t for i, t in enumerate(tt) if i not in cuts[d])
+        for d, tt in toks.items()
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=20).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    span=st.sampled_from([2, 3]),
+)
+def test_remove_duplicate_spans_matches_bruteforce(spark, corpus, span):
+    """Tiny alphabet + short spans → dense collisions, overlapping and
+    nested duplicate regions — the adversarial regime for the rolling
+    hash + union-of-ranges excision."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = {i: t for i, t in enumerate(corpus)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, span_tokens=span).collect()
+    }
+    exp = _py_remove_duplicate_spans(docs, span)
+    assert got == exp
