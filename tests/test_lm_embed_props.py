@@ -147,3 +147,45 @@ def test_remove_duplicate_spans_matches_bruteforce(spark, corpus, span):
     }
     exp = _py_remove_duplicate_spans(docs, span)
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(blob=st.binary(min_size=0, max_size=200))
+def test_image_stream_info_never_crashes_on_garbage(spark, blob):
+    """Scraped corpora contain truncated/corrupt blobs — the triage pass
+    must emit dead-letter rows, never raise.  Prefixing real magics makes
+    the parser walk partial structures, the adversarial case."""
+    from bigdataproject_formula1_telemetry_spark.sources import multimodal as M
+
+    rows = [
+        (1, "image", "png", bytearray(blob), 8, 8, 3, None, None),
+        (2, "image", "jpeg", bytearray(blob), 8, 8, 3, None, None),
+        (3, "image", "png", bytearray(b"\x89PNG\r\n\x1a\n" + blob), 8, 8, 3, None, None),
+        (4, "image", "jpeg", bytearray(b"\xff\xd8" + blob), 8, 8, 3, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.image_stream_info(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["decodable"] in ("pixels", "metadata_only", "error")
+
+
+@settings(**_SETTINGS)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from(list("<>/ab &;#1x\n\"'=-!")), max_size=120
+    )
+)
+def test_strip_html_and_c4_never_crash(spark, text):
+    """Malformed markup degrades to text passthrough — no regex blowup,
+    no exception, output is always a string."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    df = spark.createDataFrame([Row(text=text)], schema="text string")
+    [r] = df.select(
+        T.strip_html(F.col("text")).alias("s"),
+        T.c4_line_filter(F.col("text")).alias("c"),
+    ).collect()
+    assert isinstance(r["s"], str) and isinstance(r["c"], str)
