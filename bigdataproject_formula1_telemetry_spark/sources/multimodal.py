@@ -998,3 +998,39 @@ def sample_scene_frames(df: DataFrame, threshold: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.where(df.kind == "video").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def _dedup_by_pairs(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Survivors from a (id_a, id_b, …) near-dup pair frame: connected
+    components over the duplicate graph, keep each component's minimum
+    media_id (transitive chains A~B~C collapse to one survivor — the
+    ``dedup.near_dedup_clustered`` semantics on the media axis)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("media_id")
+    )
+    return df.join(losers, "media_id", "left_anti")
+
+
+def dedup_images(df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image rows minus perceptual near-duplicates (keep each duplicate
+    component's lowest media_id).  Non-image rows pass through."""
+    pairs = near_dup_images(df.where(df.kind == "image"), max_hamming)
+    return df.where(df.kind != "image").unionByName(
+        _dedup_by_pairs(df.where(df.kind == "image"), pairs)
+    )
+
+
+def dedup_audio(df: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Audio rows minus envelope-fingerprint near-duplicates (component
+    min survives).  Non-audio rows pass through."""
+    pairs = near_dup_audio(df.where(df.kind == "audio"), max_hamming)
+    return df.where(df.kind != "audio").unionByName(
+        _dedup_by_pairs(df.where(df.kind == "audio"), pairs)
+    )

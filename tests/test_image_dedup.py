@@ -196,3 +196,37 @@ def test_sample_scene_frames(spark):
     # the emitted payloads are the opening frames themselves
     got0 = np.frombuffer(out[0]["payload"], dtype=np.uint8).reshape(16, 16, 3)
     assert (got0 == A).all() or (got0 == B).all() or (got0 == C).all()
+
+
+def test_dedup_images_and_audio_survivors(spark):
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        release_barriers,
+    )
+
+    rng = np.random.default_rng(13)
+    A = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    A2 = np.clip(A.astype(int) + rng.integers(-2, 3, A.shape), 0, 255).astype(np.uint8)
+    A3 = np.clip(A2.astype(int) + rng.integers(-2, 3, A.shape), 0, 255).astype(np.uint8)
+    B = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    t = np.arange(8000) / 8000.0
+    mel = np.sin(2 * np.pi * 330 * t) * np.sin(2 * np.pi * 0.5 * t)
+
+    def pcm(w):
+        return bytearray((np.clip(w, -1, 1) * 32767).astype("<i2").tobytes())
+
+    rows = [
+        (1, "image", "png", bytearray(M.encode_png(A)), 20, 20, 3, None, None),
+        (2, "image", "png", bytearray(M.encode_png(A2)), 20, 20, 3, None, None),
+        (3, "image", "png", bytearray(M.encode_png(A3)), 20, 20, 3, None, None),
+        (4, "image", "png", bytearray(M.encode_png(B)), 20, 20, 3, None, None),
+        (10, "audio", "pcm16", pcm(mel), None, None, None, 8000, None),
+        (11, "audio", "pcm16", pcm(mel * 0.7), None, None, None, 8000, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    # transitive chain 1~2~3 collapses to min id 1; B and audio keep
+    kept_img = {r["media_id"] for r in M.dedup_images(df, max_hamming=6).collect()}
+    release_barriers()
+    assert kept_img == {1, 4, 10, 11}
+    kept_aud = {r["media_id"] for r in M.dedup_audio(df, max_hamming=4).collect()}
+    release_barriers()
+    assert kept_aud == {1, 2, 3, 4, 10}
