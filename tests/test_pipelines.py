@@ -320,3 +320,20 @@ def test_curate_documents_all_gates_compose(spark):
         mixture=("lang", 0.5, 300),
     )
     assert sorted(map(str, full.collect())) == sorted(map(str, again.collect()))
+
+
+def test_write_training_shards_idempotent(spark, tmp_path):
+    """Re-running the delivery step (job retry / re-deploy) must yield a
+    byte-identical manifest — overwrite semantics, no append drift."""
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    packed = pipelines.curate_documents(docs, n_pack_shards=4)
+    out = str(tmp_path / "shards_idem")
+    m1 = sorted(map(str, pipelines.write_training_shards(packed, out).collect()))
+    m2 = sorted(map(str, pipelines.write_training_shards(packed, out).collect()))
+    assert m1 == m2
+    data = spark.read.parquet(out + "/data")
+    assert data.count() == packed.count()

@@ -292,3 +292,48 @@ def test_tws_merge_matches_batch_and_v1(spark, live_df, live_pdf, tmp_path):
     assert np.allclose(got["Distance"].to_numpy(), exp["Distance"].to_numpy())
     assert np.allclose(got["LapNumber"].to_numpy(), exp["LapNumber"].to_numpy())
     assert np.allclose(got["Speed"].to_numpy(), exp["Speed"].to_numpy())
+
+
+def test_windowed_agg_stream_matches_q24_registry_query(spark, tmp_path):
+    """Bridge the registry's batch tumbling window (q24, oracle-checked)
+    to the streaming surface: the same events through a file stream +
+    `throttle.windowed_agg` must produce identical per-hour aggregates."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import queries as Q
+    from bigdataproject_formula1_telemetry_spark.streaming.throttle import (
+        windowed_agg,
+    )
+
+    ev = io.read_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_stream_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 4),
+        },
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q24_stream_twin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win"]["start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from q24_stream_twin").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in Q.QUERIES["q24_tumbling_window"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp and len(got) > 0
