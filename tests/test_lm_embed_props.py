@@ -189,3 +189,58 @@ def test_strip_html_and_c4_never_crash(spark, text):
         T.c4_line_filter(F.col("text")).alias("c"),
     ).collect()
     assert isinstance(r["s"], str) and isinstance(r["c"], str)
+
+
+@settings(**_SETTINGS)
+@given(
+    hashes=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=25, unique=True
+    ),
+    max_h=st.integers(0, 6),
+)
+def test_hamming_pairs_property(spark, hashes, max_h):
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, simhash=h) for i, h in enumerate(hashes)],
+        schema="doc_id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(df, max_hamming=max_h).collect()
+    }
+    exp = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            hd = bin((hashes[i] ^ hashes[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if hd <= max_h:
+                exp.add((i, j, hd))
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(1, 500), min_size=1, max_size=6),
+    tau=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+    target=st.integers(1, 800),
+)
+def test_temperature_fractions_property(spark, counts, tau, target):
+    """f_c = min(1, target·p_c/n_c) with p_c = n^τ/Σn^τ — checked
+    against direct math on a frame built to have exactly those counts."""
+    import math
+
+    from bigdataproject_formula1_telemetry_spark.operators import mixing as MX
+
+    rows = [
+        Row(doc_id=i * 1000 + j, lang=f"d{i}")
+        for i, n in enumerate(counts)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    got = MX.temperature_fractions(df, "lang", tau, target)
+    z = sum(n**tau for n in counts)
+    for i, n in enumerate(counts):
+        exp = min(1.0, target * (n**tau / z) / n)
+        assert math.isclose(got[f"d{i}"], exp, rel_tol=1e-12), (i, n)
