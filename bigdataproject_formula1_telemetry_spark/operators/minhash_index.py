@@ -23,9 +23,11 @@ in a state store for the streaming topology):
   uses the unbiased signature estimate of Jaccard (matching-lane
   fraction, 64 lanes) — the standard at-scale verify when the indexed
   side's shingle sets are not retained.
-- ``append_minhash_index(new_docs, path)`` — append the survivors'
-  rows; partition-append for ``banded``, so tomorrow's increment
-  dedups against today's.
+- ``append_minhash_index(new_docs, path, increment_id)`` — admit the
+  survivors under an ``inc=<id>`` partition with DYNAMIC partition
+  overwrite, so a retried/re-run increment replaces itself instead of
+  double-appending (idempotent admission); tomorrow's increment dedups
+  against today's.
 
 Intra-increment duplicates are deliberately out of scope: self-dedup
 the increment first (``near_dedup_minhash`` — it is small), then filter
@@ -116,13 +118,19 @@ def build_minhash_index(
     from the *written* sigs so the two tables can never drift."""
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    sig = _sig_frame(docs, text_col, id_col, num_hashes, shingle_n)
-    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    sig = _sig_frame(docs, text_col, id_col, num_hashes, shingle_n).withColumn(
+        "inc", F.lit("base")
+    )
+    sig.write.mode("overwrite").partitionBy("inc").parquet(
+        os.path.join(path, "sigs")
+    )
     spark = docs.sparkSession
     stored = spark.read.parquet(os.path.join(path, "sigs"))
-    _banded(stored, num_hashes, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(os.path.join(path, "banded"))
+    _banded(stored.select("id", "sig"), num_hashes, bands).withColumn(
+        "inc", F.lit("base")
+    ).write.mode("overwrite").partitionBy("inc", "band").parquet(
+        os.path.join(path, "banded")
+    )
 
 
 def append_minhash_index(
@@ -133,14 +141,26 @@ def append_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    increment_id: str = "inc0",
 ) -> None:
-    """Admit an increment: append its rows to both tables (the caller
-    filters the increment first — see ``incremental_near_dedup``)."""
+    """Admit an increment under its own ``inc=<increment_id>`` partition
+    with per-write DYNAMIC partition overwrite: re-running the same
+    increment (job retry, re-deploy) REPLACES its partition instead of
+    double-appending — the admission is idempotent per increment id.
+    The caller filters the increment first (see
+    ``incremental_near_dedup``) and supplies a stable id per batch
+    (date, batch number)."""
     sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
-    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
-    _banded(sig, num_hashes, bands).write.mode("append").partitionBy(
-        "band"
-    ).parquet(os.path.join(path, "banded"))
+    sig.withColumn("inc", F.lit(increment_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy("inc").parquet(
+        os.path.join(path, "sigs")
+    )
+    _banded(sig, num_hashes, bands).withColumn(
+        "inc", F.lit(increment_id)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("inc", "band").parquet(os.path.join(path, "banded"))
 
 
 def _est_jaccard(sig_a, sig_b, num_hashes: int):
@@ -173,13 +193,13 @@ def dedup_against_index(
     new_banded = _banded(new_sig, num_hashes, bands).withColumnRenamed(
         "id", "new_id"
     )
-    idx_banded = spark.read.parquet(os.path.join(path, "banded"))
+    idx_banded = spark.read.parquet(os.path.join(path, "banded")).drop("inc")
     cand = (
         idx_banded.join(F.broadcast(new_banded), ["band", "bhash"])
         .select(F.col("id").alias("old_id"), "new_id")
         .distinct()
     )
-    idx_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    idx_sigs = spark.read.parquet(os.path.join(path, "sigs")).drop("inc")
     scored = (
         idx_sigs.withColumnRenamed("sig", "old_sig")
         .join(F.broadcast(cand), idx_sigs["id"] == cand["old_id"])
@@ -211,6 +231,7 @@ def incremental_near_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     append: bool = True,
+    increment_id: str = "inc0",
 ) -> DataFrame:
     """The steady-state daily step: self-dedup the increment (it is
     small — the full batch operator is fine), drop what the index
@@ -233,6 +254,7 @@ def incremental_near_dedup(
     if append:
         survivors = survivors.localCheckpoint(eager=True)
         append_minhash_index(
-            survivors, path, text_col, id_col, num_hashes, bands, shingle_n
+            survivors, path, text_col, id_col, num_hashes, bands, shingle_n,
+            increment_id=increment_id,
         )
     return survivors

@@ -130,3 +130,31 @@ def test_null_text_docs_pass_through(spark, old_docs, index_path):
     )
     kept = MI.dedup_against_index(spark, inc, index_path, 0.8).collect()
     assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_append_is_retry_idempotent(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    kept = MI.dedup_against_index(spark, inc, index_path, 0.8).localCheckpoint(
+        eager=True
+    )
+    n_sigs_before = spark.read.parquet(index_path + "/sigs").count()
+    # "retry": the same increment admitted twice under the same id
+    MI.append_minhash_index(kept, index_path, increment_id="day1")
+    n1 = spark.read.parquet(index_path + "/sigs").count()
+    MI.append_minhash_index(kept, index_path, increment_id="day1")
+    n2 = spark.read.parquet(index_path + "/sigs").count()
+    assert n1 == n2 == n_sigs_before + kept.count()
+    # a DIFFERENT increment id adds its own partition
+    MI.append_minhash_index(
+        kept.withColumn("doc_id", kept["doc_id"] + 500_000),
+        index_path,
+        increment_id="day2",
+    )
+    n3 = spark.read.parquet(index_path + "/sigs").count()
+    assert n3 == n2 + kept.count()
+    # search still sees everything admitted
+    again = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, kept, index_path, 0.8).collect()
+    }
+    assert again == set()  # every admitted doc is now its own index hit
