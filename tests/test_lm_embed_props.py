@@ -244,3 +244,30 @@ def test_temperature_fractions_property(spark, counts, tau, target):
     for i, n in enumerate(counts):
         exp = min(1.0, target * (n**tau / z) / n)
         assert math.isclose(got[f"d{i}"], exp, rel_tol=1e-12), (i, n)
+
+
+@settings(**_SETTINGS)
+@given(
+    scores=st.lists(st.floats(0.1, 10.0), min_size=30, max_size=120),
+    frac=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_score_weighted_sample_rate_property(spark, scores, frac):
+    """With the cap not binding (c·s_max ≤ 1 enforced by construction is
+    NOT guaranteed here — the bisection handles capped regimes too), the
+    realized keep-rate must land inside a generous binomial band of the
+    target for ANY positive score distribution."""
+    import math
+
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        score_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, s=float(v)) for i, v in enumerate(scores)],
+        schema="doc_id long, s double",
+    )
+    n = len(scores)
+    kept = score_weighted_sample(df, "s", ["doc_id"], frac).count()
+    exp = frac * n
+    band = 4 * math.sqrt(exp * (1 - frac)) + 2
+    assert abs(kept - exp) <= band, (kept, exp, band)
