@@ -1103,6 +1103,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 50,
+    storage: str = "persist",
 ) -> DataFrame:
     """ExactSubstr dedup (public method: Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022): every
@@ -1114,12 +1115,21 @@ def remove_duplicate_spans(
 
     Plan: ONE narrow rolling-hash kernel emits (id, pos, span-hash)
     rows (O(n_tokens) work and rows — the inherent cost the paper's
-    suffix-array approach pays too); one hash-shuffle groups identical
-    spans (uniform 64-bit key); non-keeper occurrences group per doc
+    suffix-array approach pays too); keeper selection is a
+    ``groupBy(h)`` AGGREGATE (count + min-struct), never a window over
+    the span hash: span hashes are uniform across DISTINCT spans, but
+    one boilerplate span (license header, nav text) repeated in
+    millions of documents piles every occurrence onto a single key, and
+    a window partition cannot be split — partial (map-side) aggregation
+    absorbs exactly that skew, and the join-back from occurrences to
+    the one-row-per-hash keeper side is an equi-join AQE's skew
+    handling CAN split.  Non-keeper occurrences group per doc
     (~cut-count rows); a final narrow kernel drops the union of cut
     token ranges per document.  Hash collisions (2⁻⁶⁴ per pair) can cut
     a false span — the standard fingerprint-dedup tradeoff, same class
-    as the shingle-hash Jaccard note in ``shingle_sets``."""
+    as the shingle-hash Jaccard note in ``shingle_sets``.  ``storage``
+    barriers the span frame between its two consumers (see
+    ``_barrier``)."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -1136,18 +1146,33 @@ def remove_duplicate_spans(
             _SF("h", _LT()),
         ]
     )
-    spans = df.select(id_col, text_col).mapInPandas(
-        _span_hashes_kernel(text_col, id_col, span_tokens), spans_schema
-    )
-    w = Window.partitionBy("h")
-    ranked = spans.withColumn(
-        "__keep",
-        F.row_number().over(
-            w.orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    # barrier: spans feeds BOTH the keeper aggregate and the join-back —
+    # without it the rolling-hash kernel would run twice over the corpus
+    spans = _barrier(
+        df.select(id_col, text_col).mapInPandas(
+            _span_hashes_kernel(text_col, id_col, span_tokens), spans_schema
         ),
-    ).withColumn("__n", F.count(F.lit(1)).over(w))
+        storage,
+    )
+    keepers = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),
+        )
+        .where(F.col("__n") > 1)
+        .select(
+            "h",
+            F.col(f"__keep.{id_col}").alias("__keep_id"),
+            F.col("__keep.pos").alias("__keep_pos"),
+        )
+    )
     cuts = (
-        ranked.where((F.col("__n") > 1) & (F.col("__keep") > 1))
+        spans.join(keepers, "h")
+        .where(
+            (F.col(id_col) != F.col("__keep_id"))
+            | (F.col("pos") != F.col("__keep_pos"))
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("__cut_pos"))
     )

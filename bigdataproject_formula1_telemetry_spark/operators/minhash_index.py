@@ -24,9 +24,10 @@ in a state store for the streaming topology):
   fraction, 64 lanes) — the standard at-scale verify when the indexed
   side's shingle sets are not retained.
 - ``append_minhash_index(new_docs, path, increment_id)`` — admit the
-  survivors under an ``inc=<id>`` partition with DYNAMIC partition
-  overwrite, so a retried/re-run increment replaces itself instead of
-  double-appending (idempotent admission); tomorrow's increment dedups
+  survivors under an ``inc=<id>`` partition whose directory is
+  explicitly cleared before the write, so a retried/re-run increment
+  replaces itself instead of double-appending — even when the retry
+  admits nothing (idempotent admission); tomorrow's increment dedups
   against today's.
 
 Intra-increment duplicates are deliberately out of scope: self-dedup
@@ -39,6 +40,7 @@ batch pipeline on planted duplicates.
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -133,6 +135,21 @@ def build_minhash_index(
     )
 
 
+_INC_ID_RE = _re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _clear_inc_partition(spark, table_path: str, increment_id: str) -> None:
+    """Recursively delete ``table_path/inc=<increment_id>`` (no-op if
+    absent) via the Hadoop FileSystem API, so the delete works on any
+    Hadoop-compatible store, not just local paths."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(table_path, f"inc={increment_id}")
+    )
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def append_minhash_index(
     new_docs: DataFrame,
     path: str,
@@ -143,24 +160,33 @@ def append_minhash_index(
     shingle_n: int = 3,
     increment_id: str = "inc0",
 ) -> None:
-    """Admit an increment under its own ``inc=<increment_id>`` partition
-    with per-write DYNAMIC partition overwrite: re-running the same
-    increment (job retry, re-deploy) REPLACES its partition instead of
-    double-appending — the admission is idempotent per increment id.
-    The caller filters the increment first (see
-    ``incremental_near_dedup``) and supplies a stable id per batch
-    (date, batch number)."""
+    """Admit an increment under its own ``inc=<increment_id>`` partition,
+    idempotently per increment id: the partition directory is explicitly
+    DELETED before the write, so a re-run (job retry, re-deploy)
+    replaces the prior attempt even when the new survivors frame is
+    EMPTY or covers fewer band partitions — dynamic partition overwrite
+    alone only replaces partitions present in the new data, which would
+    leave a previously-written ``inc=<id>`` intact on an empty retry and
+    let its stale signatures over-drop future increments.  The caller
+    filters the increment first (see ``incremental_near_dedup``) and
+    supplies a stable id per batch (date, batch number)."""
+    if not _INC_ID_RE.match(increment_id):
+        raise ValueError(
+            "increment_id must match [A-Za-z0-9._-]+ (it names a "
+            f"partition directory), got {increment_id!r}"
+        )
+    spark = new_docs.sparkSession
+    _clear_inc_partition(spark, os.path.join(path, "sigs"), increment_id)
+    _clear_inc_partition(spark, os.path.join(path, "banded"), increment_id)
     sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
     sig.withColumn("inc", F.lit(increment_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy("inc").parquet(
-        os.path.join(path, "sigs")
-    )
+        "append"
+    ).partitionBy("inc").parquet(os.path.join(path, "sigs"))
     _banded(sig, num_hashes, bands).withColumn(
         "inc", F.lit(increment_id)
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("inc", "band").parquet(os.path.join(path, "banded"))
+    ).write.mode("append").partitionBy("inc", "band").parquet(
+        os.path.join(path, "banded")
+    )
 
 
 def _est_jaccard(sig_a, sig_b, num_hashes: int):

@@ -119,6 +119,12 @@ def deterministic_shuffle(
     return df.orderBy(_gate(id_cols, salt), *id_cols)
 
 
+#: quantile-sketch resolution for score_weighted_sample sizing; the
+#: sizing error from the midpoint rule is O(n_pos / _SKETCH_Q) rows,
+#: well inside the binomial noise of the gate itself at any corpus size
+_SKETCH_Q = 512
+
+
 def score_weighted_sample(
     df: DataFrame,
     score_col: str,
@@ -136,12 +142,24 @@ def score_weighted_sample(
 
     Deterministic: the acceptance draw is the md5 hash gate (same
     engine-portable uniform as ``deterministic_sample``), so the sample
-    is stable under retries/repartitioning.  Sizing ``c`` needs one
-    aggregate over the score distribution; the per-row gate is then a
-    pure column expression on the main scan.  Solved iteratively
-    because of the ``min(1, ·)`` cap (rows already kept with certainty
-    can't absorb more mass): a few driver-side bisection rounds over a
-    second tiny aggregate.  Negative/NULL scores keep probability 0.
+    is stable under retries/repartitioning.
+
+    Sizing ``c`` costs exactly ONE corpus scan: a single aggregate
+    computes row counts, the minimum positive weight, and a
+    ``percentile_approx`` sketch of the positive score^gamma
+    distribution at ``_SKETCH_Q`` midpoint quantiles; the bisection for
+    ``c`` then runs driver-side against the sketch (the earlier
+    revision re-aggregated the corpus per bisection round — up to 21
+    full scans, a real bill when this gates a 100 TB pre-dedup pass).
+    The bracket is exact by construction: at ``hi = 1/min_positive``
+    every positive row is capped (kept = n_pos, the supremum), so
+    heavy-tailed score distributions cannot push the solution past the
+    upper bound (the old ``10·n/Σs`` bound silently under-kept on
+    them).  Sizing error is bounded by the sketch resolution
+    (≈ n_pos/_SKETCH_Q rows), inside the gate's own binomial noise.
+    If the target exceeds the positive-score mass (n_pos ≤ target),
+    every positive row is kept — non-positive/NULL scores always keep
+    probability 0.
     """
     if not 0.0 < target_fraction <= 1.0:
         raise ValueError(f"target_fraction must be in (0,1], got {target_fraction}")
@@ -149,29 +167,37 @@ def score_weighted_sample(
         F.col(score_col).isNotNull() & (F.col(score_col) > 0),
         F.pow(F.col(score_col).cast("double"), F.lit(float(gamma))),
     ).otherwise(F.lit(0.0))
+    s_pos = F.when(s > 0, s)  # NULL where non-positive: excluded from sketch
+    probs = F.array(
+        *[F.lit((j + 0.5) / _SKETCH_Q) for j in range(_SKETCH_Q)]
+    )
     row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(s).alias("sw"), F.max(s).alias("mx")
+        F.count(F.lit(1)).alias("n"),
+        F.count(s_pos).alias("n_pos"),
+        F.min(s_pos).alias("mn"),
+        F.percentile_approx(s_pos, probs, 10_000).alias("qs"),
     ).first()
-    n, sw, mx = row["n"], float(row["sw"] or 0.0), float(row["mx"] or 0.0)
-    if n == 0 or sw <= 0:
+    n, n_pos = row["n"], row["n_pos"]
+    if n == 0 or n_pos == 0:
         return df.where(F.lit(False))
+    min_pos, qs = float(row["mn"]), [float(v) for v in row["qs"]]
     target = target_fraction * n
-    # bisection on c: E[kept](c) = Σ min(1, c·s_i) is monotone in c
-    lo, hi = 0.0, (n / sw) * 10.0 if mx > 0 else 1.0
-    for _ in range(20):
+
+    def kept_est(c: float) -> float:
+        return (n_pos / len(qs)) * sum(min(1.0, c * q) for q in qs)
+
+    if n_pos <= target:
+        # supremum: cap every positive row (reachable, so this IS the solve)
+        c = 1.0 / min_pos
+    else:
+        lo, hi = 0.0, 1.0 / min_pos  # kept_est(hi) = n_pos ≥ target: bracketed
+        for _ in range(80):
+            c = (lo + hi) / 2.0
+            if kept_est(c) < target:
+                lo = c
+            else:
+                hi = c
         c = (lo + hi) / 2.0
-        kept = df.agg(
-            F.sum(F.least(F.lit(1.0), F.lit(c) * s)).alias("k")
-        ).first()["k"]
-        if kept is None:
-            break
-        if kept < target:
-            lo = c
-        else:
-            hi = c
-        if abs(kept - target) <= max(1.0, 0.001 * target):
-            break
-    c = (lo + hi) / 2.0
     p = F.least(F.lit(1.0), F.lit(c) * s)
     # uniform in [0,1) from the hash gate's 8 hex digits
     u = F.conv(F.substring(_gate(id_cols, salt), 1, _HEX_DIGITS), 16, 10).cast(

@@ -265,11 +265,12 @@ def _cdc_cuts(
     n = len(h)
     if n == 0:
         return []
-    bpow = np.empty(window, dtype=np.uint64)
-    bpow[0] = np.uint64(1)
-    for j in range(1, window):
-        bpow[j] = bpow[j - 1] * B
     with np.errstate(over="ignore"):
+        # uint64 wraparound IS the hash semantics (mod 2^64), here and below
+        bpow = np.empty(window, dtype=np.uint64)
+        bpow[0] = np.uint64(1)
+        for j in range(1, window):
+            bpow[j] = bpow[j - 1] * B
         # H[i] = sum_{j<window} h[i-j] * B^j  (positions < window use the
         # partial prefix — cuts there are rare and legal)
         H = np.zeros(n, dtype=np.uint64)
@@ -535,7 +536,9 @@ def repetition_stats(text: Column) -> Column:
 
 
 #: minimal HTML entity map — the handful that dominate scraped text;
-#: numeric entities are decoded structurally below.
+#: other numeric entities are REMOVED (replaced with a space) below,
+#: not decoded — acceptable for a heuristic extractor feeding hashes
+#: and quality stats, where a rare dropped glyph beats a parser dep.
 _HTML_ENTITIES = [
     ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),

@@ -731,7 +731,7 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       floor(CAST(length(t.text) AS DOUBLE) / t.ntok * 1000000 + 0.5) / 1000000.0
         AS avg_tok_len,
       floor(exp(-sc.lp / sc.nt) * 10000 + 0.5) / 10000.0 AS ppl
-    FROM t JOIN sc ON t.doc_id = sc.doc_id
+    FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
     """,
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +739,9 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length — JVM-side regex, no UDFs — plus CCNet-style corpus
     perplexity under a self-trained smoothed unigram LM
     (`operators/lm.py`: word-count train, broadcast-join score;
-    north-star quality-filtering op)."""
+    north-star quality-filtering op).  Every doc_id is emitted: the
+    perplexity frame only covers docs with ≥1 token, so it is LEFT
+    joined (token-less/empty docs get NULL ppl, not silently dropped)."""
     docs = _t(spark, sf_dir, "documents")
     model = LM.unigram_lm(docs)
     ppl = LM.doc_perplexity(docs, model).select(
@@ -751,7 +753,7 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntok.cast("long").alias("n_tokens"),
         _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
-    ).join(ppl, "doc_id")
+    ).join(ppl, "doc_id", "left")
 
 
 @_q(

@@ -44,6 +44,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -746,47 +747,72 @@ def scene_changes(df: DataFrame, threshold: int = 16) -> DataFrame:
 
 
 AUDIO_FP_SCHEMA = StructType(
-    [StructField("media_id", LongType()), StructField("audio_fp", LongType())]
+    [
+        StructField("media_id", LongType()),
+        StructField("audio_fp", LongType()),
+        StructField("n_valid_bits", IntegerType()),
+    ]
 )
 
 
-def audio_fingerprint64(wave: np.ndarray, n_windows: int = 65) -> int:
-    """64-bit envelope fingerprint: RMS energy over 65 equal windows,
-    one bit per consecutive-window energy comparison — the 1-D analog
-    of ``dhash64`` (gradient-sign coding; public folklore construction,
-    the same family as dHash).  Robust to gain changes (comparisons are
-    scale-invariant) and small edits; NOT to time-shifts (that needs a
-    real spectral fingerprint).  Returns a signed 64-bit int."""
+def audio_fingerprint_with_validity(
+    wave: np.ndarray, n_windows: int = 65
+) -> tuple[int, int]:
+    """(fingerprint, n_valid_bits): 64-bit envelope fingerprint — RMS
+    energy over 65 equal windows, one bit per consecutive-window energy
+    comparison — the 1-D analog of ``dhash64`` (gradient-sign coding;
+    public folklore construction, the same family as dHash).  Robust to
+    gain changes (comparisons are scale-invariant) and small edits; NOT
+    to time-shifts (that needs a real spectral fingerprint).
+
+    Clips too short to fill the window budget yield fewer than 64 real
+    comparison bits; the fingerprint is zero-padded to 64 bits but
+    ``n_valid_bits`` reports how many are real, so comparers can mask
+    or exclude the pad (agreeing pad bits are not evidence of
+    similarity — two unrelated short clips share every pad bit)."""
     if len(wave) == 0:
-        return 0
+        return 0, 0
     edges = (np.arange(n_windows + 1) * len(wave)) // n_windows
     edges = np.unique(edges)
     if len(edges) - 1 < 2:
-        return 0
+        return 0, 0
     sq = np.concatenate([[0.0], np.cumsum(np.asarray(wave, dtype=np.float64) ** 2)])
     e = np.diff(sq[edges]) / np.maximum(np.diff(edges), 1)
     bits = (e[1:] > e[:-1]).astype(np.uint64)
+    n_valid = min(len(bits), 64)
     if len(bits) < 64:
         bits = np.concatenate([bits, np.zeros(64 - len(bits), dtype=np.uint64)])
     v = np.uint64(0)
     for bit in bits[:64]:
         v = (v << np.uint64(1)) | bit
-    return int(v.view(np.int64))
+    return int(v.view(np.int64)), n_valid
+
+
+def audio_fingerprint64(wave: np.ndarray, n_windows: int = 65) -> int:
+    """The fingerprint half of ``audio_fingerprint_with_validity`` (kept
+    as the simple scalar form for full-length clips)."""
+    return audio_fingerprint_with_validity(wave, n_windows)[0]
 
 
 def audio_fingerprints(df: DataFrame) -> DataFrame:
-    """(media_id, audio_fp) for every decodable audio row — one narrow
-    Arrow pass (decode + envelope hash in the kernel)."""
+    """(media_id, audio_fp, n_valid_bits) for every decodable audio row —
+    one narrow Arrow pass (decode + envelope hash in the kernel)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 wave = decode_audio(r.payload, r.format)
+                fp, nv = audio_fingerprint_with_validity(wave)
                 rows.append(
-                    {"media_id": r.media_id, "audio_fp": audio_fingerprint64(wave)}
+                    {"media_id": r.media_id, "audio_fp": fp, "n_valid_bits": nv}
                 )
-            yield pd.DataFrame(rows, columns=["media_id", "audio_fp"])
+            out = pd.DataFrame(
+                rows, columns=["media_id", "audio_fp", "n_valid_bits"]
+            )
+            if len(out):
+                out["n_valid_bits"] = out["n_valid_bits"].astype("int32")
+            yield out
 
     return df.where(df.kind == "audio").mapInPandas(extract, AUDIO_FP_SCHEMA)
 
@@ -794,13 +820,21 @@ def audio_fingerprints(df: DataFrame) -> DataFrame:
 def near_dup_audio(df: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Audio near-dup pairs via the shared pigeonhole hamming join —
     the audio leg of the multimodal dedup triangle (text MinHash/SimHash,
-    image dHash, audio envelope fingerprint)."""
+    image dHash, audio envelope fingerprint).
+
+    Only clips with a FULL 64 valid comparison bits enter the join:
+    shorter clips share their zero pad bits, and agreeing pad would
+    count toward hamming similarity, matching unrelated short clips
+    (a <65-sample clip has no meaningful envelope anyway).  Inspect
+    ``audio_fingerprints(df).where("n_valid_bits < 64")`` to triage the
+    excluded rows."""
     from bigdataproject_formula1_telemetry_spark.operators.dedup import (
         hamming_near_dup_pairs,
     )
 
+    fps = audio_fingerprints(df).where(F.col("n_valid_bits") == 64)
     return hamming_near_dup_pairs(
-        audio_fingerprints(df), hash_col="audio_fp", id_col="media_id",
+        fps.drop("n_valid_bits"), hash_col="audio_fp", id_col="media_id",
         max_hamming=max_hamming,
     )
 

@@ -97,3 +97,65 @@ def test_curation_pipeline_budgets_bpe_counts(spark):
     # BPE pieces >= whitespace tokens for every chunk
     ws = out["chunk_text"].str.split().str.len()
     assert (out["n_tokens"] >= ws).all()
+
+
+def test_train_bpe_delta_update_matches_full_recount(spark):
+    """The incremental pair-count maintenance must reproduce the
+    full-recount reference exactly (same counts each round → same
+    argmax → same merge list), including spelling collapses and
+    repeated-symbol words."""
+    texts = [
+        "low lower lowest newest newer new wide wider widest",
+        "aaaa aaa aa a abab ababab",
+        "the the the them theme thesis",
+        "low low low lower lowest newest newest",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 schema="doc_id long, text string")
+    from bigdataproject_formula1_telemetry_spark.operators.bpe import (
+        EOW,
+        train_bpe,
+        word_frequencies,
+    )
+
+    # brute-force reference: recount every pair every round
+    rows = word_frequencies(docs, "text", 100_000).collect()
+    vocab = {}
+    for r in rows:
+        chars = tuple(r["word"])
+        if not chars:
+            continue
+        key = chars[:-1] + (chars[-1] + EOW,)
+        vocab[key] = vocab.get(key, 0) + r["freq"]
+
+    def pair_counts(v):
+        pc = {}
+        for word, freq in v.items():
+            for p in zip(word, word[1:]):
+                pc[p] = pc.get(p, 0) + freq
+        return pc
+
+    ref_merges = []
+    for _ in range(40):
+        pc = pair_counts(vocab)
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 1:
+            break
+        (a, b), _ = best
+        ref_merges.append((a, b))
+        merged, nv = a + b, {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + freq
+        vocab = nv
+
+    assert train_bpe(docs, num_merges=40) == ref_merges

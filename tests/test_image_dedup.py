@@ -230,3 +230,31 @@ def test_dedup_images_and_audio_survivors(spark):
     kept_aud = {r["media_id"] for r in M.dedup_audio(df, max_hamming=4).collect()}
     release_barriers()
     assert kept_aud == {1, 2, 3, 4, 10}
+
+
+def test_short_audio_clips_are_flagged_not_pad_matched(spark):
+    """Two unrelated clips shorter than the 65-window budget share all
+    their trailing pad bits; padding must not count as similarity —
+    short clips are excluded from the near-dup join and flagged via
+    n_valid_bits."""
+    rng = np.random.default_rng(11)
+    w1 = rng.normal(0, 1, 40)
+    w2 = rng.normal(0, 1, 40)
+    fp1, nv1 = M.audio_fingerprint_with_validity(w1)
+    _, nv2 = M.audio_fingerprint_with_validity(w2)
+    assert nv1 < 64 and nv2 < 64
+    assert M.audio_fingerprint64(w1) == fp1  # scalar form unchanged
+
+    def pcm(w):
+        return bytearray((np.clip(w, -1, 1) * 32767).astype("<i2").tobytes())
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "pcm16", pcm(w1), None, None, None, 8000, None),
+            (2, "audio", "pcm16", pcm(w2), None, None, None, 8000, None),
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    fps = {r["media_id"]: r for r in M.audio_fingerprints(df).collect()}
+    assert fps[1]["n_valid_bits"] < 64 and fps[2]["n_valid_bits"] < 64
+    assert M.near_dup_audio(df, max_hamming=4).collect() == []

@@ -158,3 +158,35 @@ def test_append_is_retry_idempotent(spark, old_docs, index_path):
         for r in MI.dedup_against_index(spark, kept, index_path, 0.8).collect()
     }
     assert again == set()  # every admitted doc is now its own index hit
+
+
+def test_append_empty_retry_clears_stale_partition(spark, old_docs, index_path):
+    """A retried increment that admits NOTHING must clear the prior
+    attempt's inc= partition: dynamic partition overwrite alone only
+    replaces partitions present in the new data, so stale signatures
+    would survive an empty re-run and over-drop future increments."""
+    inc = _increment(spark, old_docs)
+    kept = MI.dedup_against_index(spark, inc, index_path, 0.8).localCheckpoint(
+        eager=True
+    )
+    n_base = spark.read.parquet(index_path + "/sigs").count()
+    MI.append_minhash_index(kept, index_path, increment_id="day1")
+    assert spark.read.parquet(index_path + "/sigs").count() == n_base + kept.count()
+    # the retry admits nothing (upstream re-filter dropped everything)
+    MI.append_minhash_index(
+        kept.where(F.lit(False)), index_path, increment_id="day1"
+    )
+    assert spark.read.parquet(index_path + "/sigs").count() == n_base
+    # the once-admitted fresh docs are index hits no longer: they all
+    # survive a fresh search (state truly rolled back)
+    again = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, kept, index_path, 0.8).collect()
+    }
+    assert again == {r["doc_id"] for r in kept.collect()}
+
+
+def test_append_rejects_unsafe_increment_id(spark, old_docs, index_path):
+    inc = _increment(spark, old_docs)
+    with pytest.raises(ValueError, match="increment_id"):
+        MI.append_minhash_index(inc, index_path, increment_id="../evil")

@@ -437,3 +437,54 @@ def test_score_weighted_sample(spark):
         for r in score_weighted_sample(bad, "s", ["doc_id"], 1.0).collect()
     }
     assert kept_bad == {4}
+
+
+def test_score_weighted_sample_sizing_is_one_scan(spark):
+    """Sizing c must cost ONE aggregate over the corpus (a quantile
+    sketch bisected driver-side) — not one full aggregate per bisection
+    round (up to 21 scans in the earlier revision).  Job count is the
+    observable: one aggregate is at most 2 jobs under AQE (map stage +
+    result stage); the per-round form was 40+."""
+    from tests.conftest import SF_CORRECT
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        score_weighted_sample,
+    )
+
+    docs = io.read_table(spark, SF_CORRECT, "documents")
+    sc = spark.sparkContext
+    group = "sws-sizing-probe"
+    sc.setJobGroup(group, "score_weighted_sample sizing")
+    try:
+        score_weighted_sample(docs, "n_chars", ["doc_id"], 0.4)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert 1 <= len(jobs) <= 3, jobs
+
+
+def test_score_weighted_sample_heavy_tail_brackets(spark):
+    """The ADVICE counterexamples: heavy-tailed scores where the old
+    `10·n/Σs` upper bound failed to bracket the solve and the sampler
+    silently kept ~0.1% at a 90% target.  The `1/min_positive` bound
+    caps every row, so the bisection always brackets."""
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        score_weighted_sample,
+    )
+
+    # one huge score dominating the sum
+    rows = [(0, 1e6)] + [(i, 1e-6) for i in range(1, 1000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, s double")
+    kept = score_weighted_sample(df, "s", ["doc_id"], 0.9).count()
+    assert abs(kept - 900) <= 4 * (900 * 0.1) ** 0.5 + 2, kept
+
+    # Pareto(0.7)-style tail
+    rng = np.random.default_rng(7)
+    scores = (1.0 / rng.random(2000)) ** (1 / 0.7)
+    df2 = spark.createDataFrame(
+        [(int(i), float(s)) for i, s in enumerate(scores)],
+        schema="doc_id long, s double",
+    )
+    kept2 = score_weighted_sample(df2, "s", ["doc_id"], 0.5).count()
+    assert abs(kept2 - 1000) <= 4 * (1000 * 0.5) ** 0.5 + 2, kept2

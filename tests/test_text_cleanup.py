@@ -202,3 +202,43 @@ def test_remove_duplicate_spans_within_doc_and_long_runs(spark):
     # determinism
     [r2] = remove_duplicate_spans(docs, span_tokens=10).collect()
     assert r2["text"] == r["text"]
+
+
+def test_remove_duplicate_spans_hot_key_boilerplate(spark):
+    """One boilerplate paragraph planted in EVERY document (the 100 TB
+    failure shape: a license header in millions of docs).  Keeper
+    selection must be an aggregate, not a window over the span hash —
+    and exactly one global-first occurrence survives."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"unique{i} opener {boiler} unique{i} closer")
+            for i in range(1, 201)
+        ]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, span_tokens=10).collect()
+    }
+    survivors = [d for d, t in out.items() if "b0" in t.split()]
+    assert survivors == [1]  # global-first (smallest doc_id, pos) keeps
+    # every doc's unique text is untouched
+    for d, t in out.items():
+        assert f"unique{d}" in t and "closer" in t
+
+
+def test_remove_duplicate_spans_plan_has_no_window(spark):
+    """The keeper-selection plan must contain NO window operator: a
+    window partitioned by the span hash cannot be split under skew
+    (AQE can split a skewed equi-join, not a window partition)."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join("a" * 20))])
+    plan = remove_duplicate_spans(docs, span_tokens=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
