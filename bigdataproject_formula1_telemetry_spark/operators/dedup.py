@@ -913,10 +913,15 @@ def contamination_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 8,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """(id, n_contaminated_ngrams) for every training document sharing at
     least one ``shingle_n``-gram hash with the benchmark corpus — the
-    audit/report face of ``decontaminate``."""
+    audit/report face of ``decontaminate``.  ``bench_text_col`` names
+    the benchmark's text column when it differs from the corpus's
+    (e.g. auditing released ``chunk_text`` rows against a benchmark
+    whose column is ``text``); default = ``text_col``."""
+    bench_text_col = bench_text_col or text_col
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(
@@ -927,7 +932,8 @@ def contamination_hits(
         benchmark.select(
             F.explode(
                 F.transform(
-                    shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+                    shingles(F.col(bench_text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
                 )
             ).alias("__g")
         )

@@ -176,16 +176,19 @@ def semantic_contamination_pairs(
     bench_id_col: str = "doc_id",
     dim: int = 256,
     salt: str = "hashemb",
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Audit form: ``(doc_id, bench_id, cos_sim)`` for every
     corpus×benchmark pair at/above threshold (which benchmark item each
     dropped doc matched, and how strongly).  Same one-pass kernel as
     :func:`semantic_decontaminate`, emitting pairs instead of filtering.
-    ``bench_id`` keeps the benchmark id column's own type."""
+    ``bench_id`` keeps the benchmark id column's own type;
+    ``bench_text_col`` (default = ``text_col``) names the benchmark's
+    text column when it differs from the corpus's."""
     import pyspark.sql.types as SQT
 
     B, bench_ids = _benchmark_matrix(
-        benchmark, text_col, dim, salt, id_col=bench_id_col
+        benchmark, bench_text_col or text_col, dim, salt, id_col=bench_id_col
     )
     bench_ids = np.asarray(bench_ids)
     id_field = df.schema[id_col]

@@ -22,7 +22,13 @@ in a state store for the streaming topology):
   column-pruned parquet scan (plan asserted in tests).  Verification
   uses the unbiased signature estimate of Jaccard (matching-lane
   fraction, 64 lanes) — the standard at-scale verify when the indexed
-  side's shingle sets are not retained.
+  side's shingle sets are not retained.  The estimate is quantized to
+  1/64 with binomial lane noise (se ≈ √(J(1−J)/64) ≈ 0.05 at J = 0.8),
+  so verdicts near the threshold BAND: pairs whose exact Jaccard is
+  within ~3 se (±0.15) of the threshold may verify either way, pairs
+  outside that band get the exact verdict (pinned by a deterministic
+  sweep in ``tests/test_minhash_index.py``).  Widen ``num_hashes`` to
+  sharpen: the band shrinks as 1/√num_hashes.
 - ``append_minhash_index(new_docs, path, increment_id)`` — admit the
   survivors under an ``inc=<id>`` partition whose directory is
   explicitly cleared before the write, so a retried/re-run increment
@@ -207,6 +213,7 @@ def dedup_against_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    exclude_inc: str | None = None,
 ) -> DataFrame:
     """The increment minus every doc whose estimated Jaccard against ANY
     indexed doc reaches ``threshold``.
@@ -214,18 +221,30 @@ def dedup_against_index(
     Plan shape (asserted in tests): the increment's banded/sig frames
     are BROADCAST; the index's ``banded`` and ``sigs`` scans are joined
     broadcast-side-small, so the index is never shuffled — its cost is
-    one column-pruned scan per table."""
+    one column-pruned scan per table.
+
+    ``exclude_inc`` skips one ``inc=`` partition of the index (a
+    partition-pruned predicate): pass the increment's OWN id when the
+    search is part of a search-then-append step that may be retried —
+    a half-completed prior attempt would otherwise have admitted this
+    very increment, and the retry would drop every doc as a match
+    against itself."""
     new_sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
     new_banded = _banded(new_sig, num_hashes, bands).withColumnRenamed(
         "id", "new_id"
     )
-    idx_banded = spark.read.parquet(os.path.join(path, "banded")).drop("inc")
+    idx_banded = spark.read.parquet(os.path.join(path, "banded"))
+    idx_sigs_raw = spark.read.parquet(os.path.join(path, "sigs"))
+    if exclude_inc is not None:
+        idx_banded = idx_banded.where(F.col("inc") != F.lit(exclude_inc))
+        idx_sigs_raw = idx_sigs_raw.where(F.col("inc") != F.lit(exclude_inc))
+    idx_banded = idx_banded.drop("inc")
     cand = (
         idx_banded.join(F.broadcast(new_banded), ["band", "bhash"])
         .select(F.col("id").alias("old_id"), "new_id")
         .distinct()
     )
-    idx_sigs = spark.read.parquet(os.path.join(path, "sigs")).drop("inc")
+    idx_sigs = idx_sigs_raw.drop("inc")
     scored = (
         idx_sigs.withColumnRenamed("sig", "old_sig")
         .join(F.broadcast(cand), idx_sigs["id"] == cand["old_id"])
@@ -276,6 +295,9 @@ def incremental_near_dedup(
     survivors = dedup_against_index(
         spark, kept, path, threshold, text_col, id_col,
         num_hashes, bands, shingle_n,
+        # retry-safety: a half-completed prior run of THIS increment may
+        # already sit in the index; never match the increment against it
+        exclude_inc=increment_id if append else None,
     )
     if append:
         survivors = survivors.localCheckpoint(eager=True)

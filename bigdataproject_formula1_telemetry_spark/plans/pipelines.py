@@ -360,6 +360,7 @@ def corpus_card(
     lang_col: str | None = "lang",
     benchmark: DataFrame | None = None,
     id_col: str = "doc_id",
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """Dataset datasheet for a (curated) document corpus — the summary
     artifact a training-data release ships with (public practice:
@@ -453,7 +454,8 @@ def corpus_card(
 
         ngram_docs = (
             DD.contamination_hits(
-                docs, benchmark, text_col=text_col, id_col=id_col
+                docs, benchmark, text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col,
             )
             .agg(F.count(F.lit(1)).cast("double").alias("contam_ngram_docs"))
         )
@@ -461,6 +463,7 @@ def corpus_card(
             EM.semantic_contamination_pairs(
                 docs, benchmark, threshold=0.95,
                 text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col,
             )
             .select(id_col)
             .distinct()
@@ -532,3 +535,59 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(_os.path.join(path, "manifest"))
     return spark.read.parquet(_os.path.join(path, "manifest"))
+
+
+def corpus_release(
+    docs: DataFrame,
+    path: str,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_kwargs,
+) -> dict[str, DataFrame]:
+    """The end-to-end "corpus release" artifact a training run consumes:
+    curate → write sharded data + manifest → datasheet card, composed
+    as ONE pipeline and written under one root —
+
+    - ``path/data``      partitioned training shards (chunk rows),
+    - ``path/manifest``  (shard, n_sequences, n_chunks, n_tokens),
+    - ``path/card``      the ``corpus_card`` datasheet computed over the
+      RELEASED chunk rows (so its size section is the ground truth of
+      what was shipped, not of the pre-curation input), including the
+      contamination section when ``benchmark`` is given.
+
+    Returns ``{"manifest": ..., "card": ...}``, both re-read from the
+    written parquet (what a consumer will actually see).  Release
+    invariant (pinned in tests and derivable by any consumer): the
+    card's ``docs`` row equals the manifest's Σ n_chunks equals the
+    packed row count, and — when token budgeting used whitespace counts
+    — the card's ``tokens`` row equals the manifest's Σ n_tokens.
+
+    Scale shape: curation is the measured ``curate_documents`` plan; the
+    shard write is one partitioned write; the manifest and card are
+    single aggregate scans over the written shards.  See bench.py's
+    ``corpus_release`` entry."""
+    import os as _os
+
+    packed = curate_documents(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        benchmark=benchmark,
+        **curate_kwargs,
+    )
+    manifest = write_training_shards(packed, path)
+    spark = docs.sparkSession
+    released = spark.read.parquet(_os.path.join(path, "data"))
+    card = corpus_card(
+        released,
+        text_col="chunk_text",
+        lang_col=None,
+        benchmark=benchmark,
+        id_col=id_col,
+    )
+    card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
+    return {
+        "manifest": manifest,
+        "card": spark.read.parquet(_os.path.join(path, "card")),
+    }

@@ -13,6 +13,11 @@ against everything already admitted.  Spark-first building blocks:
 - near-dedup → explicit LSH-bucket state via ``applyInPandasWithState``:
   the stream carries each doc's minhash signature into its ``bands``
   band buckets, and every bucket holds the signatures admitted so far.
+- steady-state admission → ``admit_stream_against_index``: micro-batches
+  filtered against the MATERIALIZED MinHash index
+  (``operators/minhash_index.py``) in ``foreachBatch``, so batch and
+  streaming ingest share ONE dedup state instead of the stream holding
+  its own per-bucket copy.
 
 The stateless text operators (``operators/text.py`` quality scoring,
 language-ID, chunking) apply to streaming frames unchanged — they are
@@ -339,4 +344,84 @@ def near_dedup_stream_tws(
         outputStructType=_VERDICT_SCHEMA,
         outputMode="append",
         timeMode="none",
+    )
+
+
+def admit_batch_against_index(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    increment_id: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One micro-batch of the steady-state admission: self-dedup the
+    batch, drop what the materialized index already has, admit the
+    survivors under ``inc=<increment_id>`` — exactly
+    ``minhash_index.incremental_near_dedup`` (retry-idempotent: the
+    search excludes the increment's own partition, the append replaces
+    it).  Returns the admitted survivors, eagerly materialized."""
+    from ..operators.minhash_index import incremental_near_dedup
+
+    return incremental_near_dedup(
+        spark, batch_df, index_path, threshold, text_col, id_col,
+        num_hashes, bands, shingle_n, append=True, increment_id=increment_id,
+    )
+
+
+def admit_stream_against_index(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """The steady-state streaming-ingest topology: every micro-batch is
+    near-dedup-filtered against the MATERIALIZED MinHash index — the
+    same state batch jobs build and search — and the survivors are (a)
+    admitted to the index and (b) written to ``out_path``, both under
+    ``inc=b<batch_id>`` partitions.
+
+    This is the foreachBatch complement to ``near_dedup_stream``: that
+    operator holds its own per-LSH-bucket state inside the state store
+    (self-contained, exactly-once), which means a batch backfill and the
+    stream each dedup against a PRIVATE corpus view.  Routing the stream
+    through the shared index gives one dedup state for both ingest
+    modes; the trade is foreachBatch's at-least-once contract, which the
+    ``inc=`` discipline absorbs: a replayed micro-batch re-runs with the
+    same batch id, the index search EXCLUDES the batch's own partition
+    (a half-admitted prior attempt can't match the batch against
+    itself), and both writes clear-then-replace their partition — so
+    replays converge to the same index and output, byte-for-byte
+    (pinned in tests, including a full from-scratch replay).
+
+    Returns the configured ``DataStreamWriter`` — caller picks the
+    trigger and calls ``.start()``.  Survivor rows in ``out_path`` carry
+    their ``inc`` partition for provenance."""
+    from ..operators.minhash_index import _INC_ID_RE, _clear_inc_partition
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc_id = f"b{batch_id:012d}"
+        assert _INC_ID_RE.match(inc_id)
+        survivors = admit_batch_against_index(
+            spark, batch_df, index_path, inc_id, threshold,
+            text_col, id_col, num_hashes, bands, shingle_n,
+        )
+        _clear_inc_partition(spark, out_path, inc_id)
+        survivors.withColumn("inc", F.lit(inc_id)).write.mode(
+            "append"
+        ).partitionBy("inc").parquet(out_path)
+
+    return stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
     )

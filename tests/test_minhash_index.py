@@ -190,3 +190,54 @@ def test_append_rejects_unsafe_increment_id(spark, old_docs, index_path):
     inc = _increment(spark, old_docs)
     with pytest.raises(ValueError, match="increment_id"):
         MI.append_minhash_index(inc, index_path, increment_id="../evil")
+
+
+def test_signature_verify_band_near_threshold(spark, tmp_path):
+    """Verification sharpness: dedup_against_index verifies with the
+    64-lane signature ESTIMATE of Jaccard, quantized to 1/64 with
+    binomial lane noise (se ≈ 0.05 at J = 0.8).  Pin the band: every
+    pair whose EXACT shingle Jaccard is ≥ 0.15 (3 se) away from the 0.8
+    threshold must get the exact verdict; disagreements may only occur
+    inside that band (minhash is deterministic, so this is a fixed
+    measurement, not a flaky draw)."""
+    THRESH, BAND = 0.8, 0.15
+    n = 100  # tokens per doc
+    pairs = []  # (pair_idx, k_shared_tokens, exact_jaccard)
+    for i, target in enumerate([round(0.50 + 0.02 * j, 2) for j in range(25)]):
+        s = round(2 * (n - 2) * target / (1 + target))  # shared shingles
+        k = s + 2  # shared prefix tokens
+        a_toks = [f"p{i}a{t}" for t in range(n)]
+        b_toks = a_toks[:k] + [f"p{i}b{t}" for t in range(n - k)]
+        sh = lambda toks: {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+        inter = len(sh(a_toks) & sh(b_toks))
+        union = len(sh(a_toks) | sh(b_toks))
+        pairs.append((i, a_toks, b_toks, inter / union))
+
+    idx_path = str(tmp_path / "band_idx")
+    old = spark.createDataFrame(
+        [(i, " ".join(a)) for i, a, _, _ in pairs], "doc_id long, text string"
+    )
+    MI.build_minhash_index(old, idx_path)
+    inc = spark.createDataFrame(
+        [(1000 + i, " ".join(b)) for i, _, b, _ in pairs],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, inc, idx_path, THRESH)
+        .select("doc_id")
+        .collect()
+    }
+    disagree_margins = []
+    for i, _, _, jacc in pairs:
+        dropped = (1000 + i) not in kept
+        exact_verdict = jacc >= THRESH
+        if dropped != exact_verdict:
+            disagree_margins.append(abs(jacc - THRESH))
+    # every disagreement sits inside the 3-se band around the threshold
+    assert all(m < BAND for m in disagree_margins), disagree_margins
+    # sanity: the sweep actually covered both sides beyond the band
+    assert any(j >= THRESH + BAND for *_, j in pairs)
+    assert any(j <= THRESH - BAND for *_, j in pairs)

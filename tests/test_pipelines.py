@@ -337,3 +337,59 @@ def test_write_training_shards_idempotent(spark, tmp_path):
     assert m1 == m2
     data = spark.read.parquet(out + "/data")
     assert data.count() == packed.count()
+
+
+def test_corpus_release_manifest_card_consistency(spark, tmp_path):
+    """The composed release artifact (curate → shards+manifest → card):
+    the card's size section, the manifest totals, and the packed rows
+    must all agree — the invariant a training-run consumer checks before
+    trusting the shards."""
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "release")
+    res = P.corpus_release(
+        docs, out, chunk_tokens=64, overlap=8, token_budget=256,
+        n_pack_shards=4,
+    )
+    manifest = res["manifest"].toPandas()
+    card = {
+        (r["section"], r["key"]): r["value"] for r in res["card"].collect()
+    }
+    released = spark.read.parquet(out + "/data")
+    n_rows = released.count()
+    # three-way agreement: card size rows == manifest totals == data
+    assert card[("size", "docs")] == manifest["n_chunks"].sum() == n_rows
+    # whitespace-token budgeting: card tokens == manifest token total
+    assert card[("size", "tokens")] == manifest["n_tokens"].sum()
+    # the card ships next to the shards
+    import os
+    assert os.path.isdir(out + "/card")
+    # manifest covers every shard directory that was written
+    shard_dirs = {d for d in os.listdir(out + "/data") if d.startswith("pack_shard=")}
+    assert len(shard_dirs) == len(manifest)
+
+
+def test_corpus_release_with_benchmark_contamination_section(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary document with enough distinct words "
+                "to chunk and keep around for training purposes today"),
+            (2, "totally different content about other things entirely with "
+                "many additional words to survive chunk level filtering"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "unrelated benchmark question text")], "doc_id long, text string"
+    )
+    res = P.corpus_release(
+        docs, str(tmp_path / "rel2"), benchmark=bench,
+        chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in res["card"].collect()
+    }
+    # decontaminated upstream → the released corpus audits clean
+    assert card[("contamination", "contam_ngram_docs")] == 0.0

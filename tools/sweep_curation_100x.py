@@ -370,6 +370,35 @@ def main() -> None:
         flush=True,
     )
 
+    # ADVERSARIAL hot-key leg: the SAME 30-token boilerplate paragraph
+    # planted in EVERY one of the 500k docs — the license-header/nav-text
+    # shape that breaks a window-over-span-hash plan (one partition gets
+    # ALL 500k occurrences; a window partition cannot be split).  The
+    # groupBy-keeper plan must still excise to a single global-first
+    # occurrence, in wall time comparable to the uniform leg (the
+    # straggler check: partial aggregation absorbs the hot key, AQE can
+    # split the join-back).
+    print("ExactSubstr HOT KEY: boilerplate in EVERY doc ...", flush=True)
+    boiler = " ".join(f"zz{i}" for i in range(30))
+    all_tagged = distinct.withColumn(
+        "text", F.concat_ws(" ", F.lit(boiler), F.col("text"))
+    )
+    t0 = time.time()
+    hot_cleaned = remove_duplicate_spans(all_tagged, span_tokens=30)
+    with_boiler = hot_cleaned.where(F.col("text").contains("zz0 zz1 ")).count()
+    results["exactsubstr_hotkey_s"] = round(time.time() - t0, 2)
+    results["exactsubstr_hotkey_survivors"] = with_boiler
+    results["exactsubstr_hotkey_ratio_vs_uniform"] = round(
+        results["exactsubstr_hotkey_s"] / max(results["exactsubstr_s"], 1e-9), 2
+    )
+    results["exactsubstr_hotkey_ok"] = with_boiler == 1
+    print(
+        f"  {results['exactsubstr_hotkey_s']} s "
+        f"({results['exactsubstr_hotkey_ratio_vs_uniform']}× the uniform leg) — "
+        f"boilerplate survives in {with_boiler} doc(s) (must be 1)",
+        flush=True,
+    )
+
     print(json.dumps(results))
     spark.stop()
 
