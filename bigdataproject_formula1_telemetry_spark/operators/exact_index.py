@@ -1,0 +1,299 @@
+"""Materialized EXACT-dedup index with a Bloom-filter sidecar: the
+steady-state form of ``dedup.exact_dedup`` for a corpus that grows by
+increments, mirroring ``minhash_index`` (which holds NEAR-dedup state).
+
+``exact_dedup`` re-hashes the whole corpus per run; a 100 TB steady
+state wants content hashes materialized ONCE and each daily increment
+checked against them:
+
+- ``build_exact_index(docs, path, expected_items)`` — one pass writes
+  ``path/hashes`` (the md5 content hash per doc, partitioned by
+  ``inc``) and ``path/bloom`` (a Bloom filter over the hashes, sized
+  for ``expected_items`` at ``fpr``; stored as parquet rows of bit
+  chunks so it lives on the same storage as the index).
+- ``dedup_exact_against_index(spark, new_docs, path)`` — the increment
+  (small by contract) is hashed; the BLOOM SIDECAR — kilobytes-to-
+  megabytes where the hash table is gigabytes-to-terabytes — is
+  loaded once and tested per increment row in a vectorized kernel.
+  Bloom-negative docs are DEFINITELY new (no false negatives by
+  construction) and skip the index entirely; only the bloom-positive
+  subset (true dups + fpr·fresh) joins against the hash table —
+  broadcast against the index scan, index never shuffled, and when the
+  subset is empty AQE eliminates the index scan altogether.  The join
+  verifies on the full 128-bit md5, so Bloom false positives cost a
+  probe, never a wrong drop.
+- ``append_exact_index(new_docs, path, increment_id)`` — admit under
+  ``inc=<increment_id>`` with the same clear-then-write idempotent
+  retry discipline as ``minhash_index.append_minhash_index``; the
+  increment's Bloom chunk rows are OR-able with the base's (same
+  (m, k) read from the sidecar meta).
+
+Bloom construction is the textbook one (Bloom 1970; double hashing per
+Kirsch & Mitzenmacher's g_i = h1 + i·h2 composition): k positions per
+key derived from two 64-bit views of the key, bits in a numpy uint64
+array.  Appends past ``expected_items`` degrade the fpr gracefully
+(more probes, never wrong drops) — re-build with a larger capacity when
+``bloom_fill_fraction`` approaches ~0.5.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+    _INC_ID_RE,
+    _clear_inc_partition,
+)
+
+__all__ = [
+    "build_exact_index",
+    "append_exact_index",
+    "dedup_exact_against_index",
+    "bloom_fill_fraction",
+]
+
+#: bits per stored chunk row (1 MiB of filter per row keeps rows small)
+_CHUNK_BITS = 8 * 1024 * 1024
+
+_BLOOM_SCHEMA = StructType(
+    [
+        StructField("inc", StringType()),
+        StructField("m_bits", LongType()),
+        StructField("k", IntegerType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("bits", BinaryType()),
+    ]
+)
+
+_ODD = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden gamma (odd)
+
+
+def _bloom_params(expected_items: int, fpr: float) -> tuple[int, int]:
+    """(m_bits, k) for a target capacity/false-positive rate — the
+    standard sizing m = −n·ln p / ln²2, k = (m/n)·ln 2."""
+    if expected_items < 1:
+        raise ValueError(f"expected_items must be >= 1, got {expected_items}")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0,1), got {fpr}")
+    m = max(64, int(math.ceil(-expected_items * math.log(fpr) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole uint64 words
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _positions(hb: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: h1 = key, h2 = odd-mixed
+    key (never both zero-stride), g_i = h1 + i·h2 mod m."""
+    h1 = hb.view(np.uint64) if hb.dtype == np.int64 else hb.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 ^ (h1 >> np.uint64(31))) * _ODD | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits))
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    word, off = pos >> np.uint64(6), pos & np.uint64(63)
+    np.bitwise_or.at(bits, word.ravel(), np.uint64(1) << off.ravel())
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    word, off = pos >> np.uint64(6), pos & np.uint64(63)
+    hit = (bits[word] >> off) & np.uint64(1)
+    return hit.all(axis=1).astype(bool)
+
+
+def _content_hash(text_col: str):
+    """128-bit md5 of the text (the join/verify key) — NULL text gets a
+    sentinel so null-text docs dedup among themselves, matching
+    ``dedup.exact_dedup``'s key."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null"))
+
+
+def _hash_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        _content_hash(text_col).alias("h"),
+        F.xxhash64(_content_hash(text_col)).alias("hb"),
+    )
+
+
+def _bloom_rows(
+    hb: np.ndarray, m_bits: int, k: int, inc: str
+) -> pd.DataFrame:
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(hb):
+        _set_bits(bits, _positions(np.asarray(hb, dtype=np.int64), m_bits, k))
+    chunks = []
+    words_per_chunk = _CHUNK_BITS // 64
+    for ci in range(0, len(bits), words_per_chunk):
+        chunks.append(
+            {
+                "inc": inc,
+                "m_bits": m_bits,
+                "k": k,
+                "chunk_idx": ci // words_per_chunk,
+                "bits": bits[ci : ci + words_per_chunk].tobytes(),
+            }
+        )
+    return pd.DataFrame(chunks, columns=[f.name for f in _BLOOM_SCHEMA.fields])
+
+
+def _load_bloom(spark: SparkSession, path: str) -> tuple[np.ndarray, int, int]:
+    """OR every increment's chunks into one bit array (m, k are fixed at
+    build time and shared by all increments)."""
+    rows = spark.read.parquet(os.path.join(path, "bloom")).collect()
+    if not rows:
+        raise ValueError(f"empty bloom sidecar at {path}/bloom")
+    m_bits, k = int(rows[0]["m_bits"]), int(rows[0]["k"])
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    words_per_chunk = _CHUNK_BITS // 64
+    for r in rows:
+        if int(r["m_bits"]) != m_bits or int(r["k"]) != k:
+            raise ValueError("bloom chunks disagree on (m_bits, k)")
+        chunk = np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+        start = int(r["chunk_idx"]) * words_per_chunk
+        bits[start : start + len(chunk)] |= chunk
+    return bits, m_bits, k
+
+
+def build_exact_index(
+    docs: DataFrame,
+    path: str,
+    expected_items: int,
+    fpr: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One corpus pass → ``path/hashes`` (+ the Bloom sidecar sized for
+    ``expected_items`` total docs across base AND future increments).
+    The sidecar's bit array derives from the WRITTEN hashes so the two
+    can never drift."""
+    m_bits, k = _bloom_params(expected_items, fpr)
+    hf = _hash_frame(docs, text_col, id_col).withColumn("inc", F.lit("base"))
+    hf.write.mode("overwrite").partitionBy("inc").parquet(
+        os.path.join(path, "hashes")
+    )
+    spark = docs.sparkSession
+    hb = (
+        spark.read.parquet(os.path.join(path, "hashes"))
+        .select("hb")
+        .toPandas()["hb"]
+        .to_numpy()
+    )
+    spark.createDataFrame(
+        _bloom_rows(hb, m_bits, k, "base"), _BLOOM_SCHEMA
+    ).write.mode("overwrite").partitionBy("inc").parquet(
+        os.path.join(path, "bloom")
+    )
+
+
+def append_exact_index(
+    new_docs: DataFrame,
+    path: str,
+    increment_id: str = "inc0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit an increment under ``inc=<increment_id>`` — hashes AND its
+    Bloom chunk (same (m, k) as the base, read from the sidecar).
+    Idempotent per increment id: both partitions are cleared before the
+    write, so an empty retry truly rolls back."""
+    if not _INC_ID_RE.match(increment_id):
+        raise ValueError(
+            "increment_id must match [A-Za-z0-9._-]+ (it names a "
+            f"partition directory), got {increment_id!r}"
+        )
+    spark = new_docs.sparkSession
+    _, m_bits, k = _load_bloom(spark, path)
+    _clear_inc_partition(spark, os.path.join(path, "hashes"), increment_id)
+    _clear_inc_partition(spark, os.path.join(path, "bloom"), increment_id)
+    hf = _hash_frame(new_docs, text_col, id_col).localCheckpoint(eager=True)
+    hf.withColumn("inc", F.lit(increment_id)).write.mode("append").partitionBy(
+        "inc"
+    ).parquet(os.path.join(path, "hashes"))
+    hb = hf.select("hb").toPandas()["hb"].to_numpy()
+    if len(hb):
+        spark.createDataFrame(
+            _bloom_rows(hb, m_bits, k, increment_id), _BLOOM_SCHEMA
+        ).write.mode("append").partitionBy("inc").parquet(
+            os.path.join(path, "bloom")
+        )
+
+
+def dedup_exact_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_inc: str | None = None,
+) -> DataFrame:
+    """The increment minus every doc whose EXACT content (md5) is in the
+    index.  The Bloom sidecar prunes first: definitely-new docs never
+    touch the hash table; only bloom-positive docs probe it (broadcast
+    against the index scan — and when nothing is bloom-positive, AQE
+    eliminates the scan).  ``exclude_inc`` skips one index partition,
+    for retried search-then-append steps (see
+    ``minhash_index.dedup_against_index``)."""
+    bits, m_bits, k = _load_bloom(spark, path)
+    inc_cols = new_docs.columns
+    hashed = new_docs.withColumn("__h", _content_hash(text_col)).withColumn(
+        "__hb", F.xxhash64(F.col("__h"))
+    )
+    out_schema = StructType(
+        list(hashed.schema.fields) + [StructField("__maybe", IntegerType())]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            hb = pdf["__hb"].to_numpy(dtype=np.int64)
+            maybe = (
+                _test_bits(bits, _positions(hb, m_bits, k))
+                if len(hb)
+                else np.zeros(0, dtype=bool)
+            )
+            out = pdf.copy()
+            out["__maybe"] = maybe.astype("int32")
+            yield out
+
+    probed = hashed.mapInPandas(probe, out_schema)
+    idx = spark.read.parquet(os.path.join(path, "hashes"))
+    if exclude_inc is not None:
+        idx = idx.where(F.col("inc") != F.lit(exclude_inc))
+    candidates = probed.where(F.col("__maybe") == 1)
+    hits = (
+        idx.join(
+            F.broadcast(candidates.select(F.col("__h").alias("h")).distinct()),
+            "h",
+        )
+        .select("h")
+        .distinct()
+    )
+    kept = probed.join(
+        F.broadcast(hits), probed["__h"] == hits["h"], "left_anti"
+    )
+    return kept.select(*inc_cols)
+
+
+def bloom_fill_fraction(spark: SparkSession, path: str) -> float:
+    """Fraction of set bits in the (OR-combined) sidecar — the capacity
+    gauge: the realized fpr is ≈ fill^k, and past ~0.5 the filter stops
+    pruning; rebuild with a larger ``expected_items`` then."""
+    bits, _, _ = _load_bloom(spark, path)
+    ones = int(sum(bin(int(w)).count("1") for w in bits))
+    return ones / (len(bits) * 64)

@@ -204,3 +204,81 @@ def score_weighted_sample(
         "double"
     ) / F.lit(float(16**_HEX_DIGITS))
     return df.where(u < p)
+
+
+def assign_split(
+    df: DataFrame,
+    id_cols: Sequence[str | Column],
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset splitting: adds ``out_col`` ∈
+    ``fractions.keys()`` chosen by the md5 hash gate on the row
+    identity — reproducible on any engine/partitioning/retry, sizes
+    within binomial noise of the fractions (which must sum to 1).  The
+    LAST split listed absorbs the hash-quantization tail, so order the
+    dict with the largest split last (train) and the small eval splits
+    first.  Pure column expression: no shuffle, no sampling state."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    names = list(fractions)
+    g = _gate(id_cols, salt)
+    result = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        clause = g < F.lit(_threshold_hex(min(cum, 1.0)))
+        result = (
+            F.when(clause, F.lit(name))
+            if result is None
+            else result.when(clause, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if result is None else result.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    salt: str = "split",
+    out_col: str = "split",
+    **dedup_kwargs,
+) -> DataFrame:
+    """Dataset splitting that cannot leak near-duplicates across the
+    train/eval boundary: the hash gate keys on the document's
+    near-duplicate CLUSTER label (``dedup.duplicate_clusters`` — the
+    min-id of its connected component), so every member of a duplicate
+    family lands in the SAME split.  Splitting by doc id instead puts a
+    near-copy of a training document into validation with probability
+    (1 − train_fraction) per dup pair — the classic leakage that
+    inflates eval scores.
+
+    Cost at scale = one ``duplicate_clusters`` pass (the same bucketed
+    LSH plan as ``near_dedup_clustered``) + one join of the label onto
+    the corpus + the pure-expression gate.  If the corpus was already
+    clustered (curation ran), pass nothing and reuse: join your stored
+    cluster table and call ``assign_split(df, ["cluster"], ...)``
+    directly — this wrapper exists for the one-shot form."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    clusters = duplicate_clusters(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        **dedup_kwargs,
+    ).withColumnRenamed("id", "__split_id")
+    joined = docs.join(
+        clusters, docs[id_col] == F.col("__split_id"), "left"
+    ).drop("__split_id")
+    out = assign_split(joined, [F.col("cluster")], fractions, salt, out_col)
+    return out.drop("cluster")

@@ -185,6 +185,7 @@ def curate_documents(
     soft_quality: tuple[str, float] | None = None,
     span_dedup_tokens: int | None = None,
     mixture: tuple[str, float, int] | None = None,
+    quality_classifier: tuple | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -225,8 +226,13 @@ def curate_documents(
     see), ``mixture=(strata_col, temperature, target_rows)``
     (temperature rebalance via ``mixing.mixture_sample``, applied
     POST-dedup — domain proportions should reflect the deduped corpus,
-    and the published multilingual recipes rebalance last), ``max_ppl``
-    (CCNet-style
+    and the published multilingual recipes rebalance last),
+    ``quality_classifier=(weights, min_prob)`` (FineWeb-Edu/DCLM-style
+    TRAINED quality gate: ``classifier.train_text_classifier`` weights
+    scored in one narrow pass, rows under ``min_prob`` dropped —
+    applied pre-dedup with the other quality gates; pass
+    ``min_prob=None`` to only attach the score, e.g. to feed
+    ``soft_quality`` with it), ``max_ppl`` (CCNet-style
     perplexity gate under a smoothed unigram LM — pass a pre-trained
     ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
     a clean sample, reuse across corpus shards) or let it self-train on
@@ -300,6 +306,17 @@ def curate_documents(
             docs, text_col=text_col, id_col=id_col,
             max_occurrences=max_line_occurrences,
         ).where(F.col(text_col) != "")
+    if quality_classifier is not None:
+        # trained quality gate (FineWeb-Edu/DCLM class) before dedup,
+        # like the other quality gates; one narrow scoring pass
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            classifier as CL,
+        )
+
+        clf_weights, clf_min_prob = quality_classifier
+        docs = CL.with_quality_probability(
+            docs, clf_weights, min_prob=clf_min_prob, text_col=text_col
+        )
     if soft_quality is not None:
         # FineWeb-style soft thinning before dedup (cheaper dedup, and
         # quality gates precede dedup in the published recipes)

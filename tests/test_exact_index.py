@@ -1,0 +1,117 @@
+"""Materialized exact-dedup index + Bloom sidecar
+(operators/exact_index.py): membership correctness (no false
+negatives), measured false-positive rate, index round trip, idempotent
+append, and equivalence with batch exact_dedup semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from bigdataproject_formula1_telemetry_spark import io
+from bigdataproject_formula1_telemetry_spark.operators import exact_index as EI
+
+
+def test_bloom_params_and_no_false_negatives():
+    m, k = EI._bloom_params(10_000, 0.01)
+    assert m % 64 == 0 and k >= 1
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-(2**63), 2**63, 10_000, dtype=np.int64)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    EI._set_bits(bits, EI._positions(keys, m, k))
+    # every inserted key tests positive — Bloom guarantees it
+    assert EI._test_bits(bits, EI._positions(keys, m, k)).all()
+
+
+def test_bloom_measured_fpr_within_band():
+    m, k = EI._bloom_params(10_000, 0.01)
+    rng = np.random.default_rng(4)
+    keys = rng.integers(-(2**63), 2**63, 10_000, dtype=np.int64)
+    fresh = rng.integers(-(2**63), 2**63, 50_000, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, keys)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    EI._set_bits(bits, EI._positions(keys, m, k))
+    fp = EI._test_bits(bits, EI._positions(fresh, m, k)).mean()
+    assert fp <= 0.03, fp  # 3x the 1% design point
+
+
+@pytest.fixture()
+def exact_idx(spark, tmp_path):
+    docs = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 80)
+    )
+    p = str(tmp_path / "eidx")
+    EI.build_exact_index(docs, p, expected_items=10_000)
+    return p, docs
+
+
+def test_dedup_against_exact_index(spark, exact_idx):
+    p, docs = exact_idx
+    rows = docs.orderBy("doc_id").limit(3).collect()
+    inc = spark.createDataFrame(
+        [
+            Row(doc_id=9001, text=rows[0]["text"]),   # exact copy -> drop
+            Row(doc_id=9002, text=rows[1]["text"]),   # exact copy -> drop
+            Row(doc_id=9003, text=rows[2]["text"] + " x"),  # near, NOT exact -> keep
+            Row(doc_id=9004, text="a wholly fresh document"),
+            Row(doc_id=9005, text=None),              # null text: no null in index -> keep
+        ]
+    )
+    kept = {
+        r["doc_id"]
+        for r in EI.dedup_exact_against_index(spark, inc, p).collect()
+    }
+    assert kept == {9003, 9004, 9005}
+
+
+def test_append_and_empty_retry(spark, exact_idx):
+    p, docs = exact_idx
+    inc = spark.createDataFrame(
+        [Row(doc_id=9100, text="novel content one"),
+         Row(doc_id=9101, text="novel content two")]
+    )
+    n0 = spark.read.parquet(p + "/hashes").count()
+    EI.append_exact_index(inc, p, increment_id="day1")
+    EI.append_exact_index(inc, p, increment_id="day1")  # retry replaces
+    assert spark.read.parquet(p + "/hashes").count() == n0 + 2
+    # admitted docs are now exact-index hits
+    again = EI.dedup_exact_against_index(spark, inc, p).collect()
+    assert again == []
+    # an empty retry rolls the increment back — hashes AND bloom chunk
+    EI.append_exact_index(inc.where(F.lit(False)), p, increment_id="day1")
+    assert spark.read.parquet(p + "/hashes").count() == n0
+    revived = {
+        r["doc_id"] for r in EI.dedup_exact_against_index(spark, inc, p).collect()
+    }
+    assert revived == {9100, 9101}
+    with pytest.raises(ValueError, match="increment_id"):
+        EI.append_exact_index(inc, p, increment_id="bad/../id")
+
+
+def test_exclude_inc_enables_retry_of_search_then_append(spark, exact_idx):
+    p, _ = exact_idx
+    inc = spark.createDataFrame([Row(doc_id=9200, text="retry survivor doc")])
+    # half-completed prior attempt already admitted the increment
+    EI.append_exact_index(inc, p, increment_id="day2")
+    # naive retry would drop the doc as a self-match...
+    naive = EI.dedup_exact_against_index(spark, inc, p).collect()
+    assert naive == []
+    # ...excluding its own partition restores it
+    kept = EI.dedup_exact_against_index(
+        spark, inc, p, exclude_inc="day2"
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [9200]
+
+
+def test_bloom_fill_fraction_gauge(spark, exact_idx):
+    p, _ = exact_idx
+    fill = EI.bloom_fill_fraction(spark, p)
+    # 80 docs in a 10k-capacity filter: nearly empty, far from saturation
+    assert 0.0 < fill < 0.05

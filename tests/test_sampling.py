@@ -363,7 +363,13 @@ def test_cdc_cuts_properties_hypothesis():
         min_t = max(1, target // 4)
         max_t = target * 4
         h = np.asarray(hs, dtype=np.uint64)
-        spans = _cdc_cuts(h, target, min_t, max_t, window)
+        # uint64 wraparound is the intended hash semantics and must be
+        # silenced at the source (np.errstate), never leak as a warning
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            spans = _cdc_cuts(h, target, min_t, max_t, window)
         # exact partition
         assert [s for s, _ in spans] == (
             [0] + [e for _, e in spans[:-1]] if spans else []
@@ -488,3 +494,70 @@ def test_score_weighted_sample_heavy_tail_brackets(spark):
     )
     kept2 = score_weighted_sample(df2, "s", ["doc_id"], 0.5).count()
     assert abs(kept2 - 1000) <= 4 * (1000 * 0.5) ** 0.5 + 2, kept2
+
+
+def test_assign_split_partition_properties(spark):
+    from tests.conftest import SF_CORRECT
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        assign_split,
+    )
+
+    docs = io.read_table(spark, SF_CORRECT, "documents")
+    n = docs.count()
+    fr = {"val": 0.1, "test": 0.1, "train": 0.8}
+    out = assign_split(docs, ["doc_id"], fr)
+    sizes = {r["split"]: r["c"] for r in
+             out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(sizes) <= set(fr) and sum(sizes.values()) == n
+    for name, f in fr.items():
+        exp = f * n
+        assert abs(sizes.get(name, 0) - exp) <= 4 * (exp * (1 - f)) ** 0.5 + 2
+    # deterministic + partitioning-invariant
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in assign_split(docs.repartition(13), ["doc_id"], fr).collect()
+    )
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to 1"):
+        assign_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+    with _pt.raises(ValueError, match="at least one"):
+        assign_split(docs, ["doc_id"], {})
+
+
+def test_leakage_free_split_colocates_duplicate_families(spark):
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators.sampling import (
+        leakage_free_split,
+    )
+
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 40)
+    )
+    # plant exact copies AND near-copies (appended token) of every doc
+    copies = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+    )
+    nears = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("appended")).alias("text"),
+    )
+    corpus = base.unionByName(copies).unionByName(nears)
+    out = leakage_free_split(
+        corpus, {"val": 0.3, "train": 0.7}
+    ).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    assert len(split_of) == corpus.count()
+    # every family (base, +1000 copy, +2000 near-copy) in ONE split
+    for d in range(40):
+        fam = {split_of[d], split_of[d + 1000], split_of[d + 2000]}
+        assert len(fam) == 1, (d, fam)
+    # both splits are non-trivially populated at 30/70 over 40 families
+    from collections import Counter
+    c = Counter(split_of.values())
+    assert c["val"] > 0 and c["train"] > 0

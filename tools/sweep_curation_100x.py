@@ -375,9 +375,11 @@ def main() -> None:
     # shape that breaks a window-over-span-hash plan (one partition gets
     # ALL 500k occurrences; a window partition cannot be split).  The
     # groupBy-keeper plan must still excise to a single global-first
-    # occurrence, in wall time comparable to the uniform leg (the
-    # straggler check: partial aggregation absorbs the hot key, AQE can
-    # split the join-back).
+    # occurrence.  Wall time legitimately exceeds the uniform leg (ALL
+    # 500k docs gain a cut and are rewritten by the excision kernel);
+    # the straggler check is that the ratio stays small-constant (~2-3×,
+    # the rewrite work) rather than blowing up on the one hot key —
+    # partial aggregation absorbs it, AQE can split the join-back.
     print("ExactSubstr HOT KEY: boilerplate in EVERY doc ...", flush=True)
     boiler = " ".join(f"zz{i}" for i in range(30))
     all_tagged = distinct.withColumn(
