@@ -216,6 +216,82 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["cdc_chunk_documents"] = round(best, 3)
 
+    # Trained-classifier quality scoring: the model is trained ONCE
+    # outside the timer (on a 1k-doc deterministic sample labeled by the
+    # heuristic quality score — the distill-the-heuristic shape); each
+    # timed run scores the whole documents table in one zero-shuffle
+    # Arrow pass — the per-corpus cost of a learned quality gate.
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        classifier as _clf,
+        sampling as _smp0,
+        text as _textq,
+    )
+    from pyspark.sql import functions as _Fq
+
+    docs_q = io.read_table(spark, sf_dir, "documents")
+    seed = _smp0.deterministic_sample(
+        docs_q, ["doc_id"], min(1.0, 1000 / max(docs_q.count(), 1)),
+        salt="clf-seed",
+    )
+    med = seed.agg(
+        _Fq.percentile_approx(_textq.quality_score(_Fq.col("text")), 0.5)
+    ).first()[0]
+    labeled = seed.withColumn(
+        "label",
+        (_textq.quality_score(_Fq.col("text")) > _Fq.lit(float(med))).cast("int"),
+    )
+    clf_w = _clf.train_text_classifier(labeled, dim=512, epochs=5)
+
+    def build_clf_score():
+        return _clf.score_text_classifier(docs_q, clf_w)
+
+    build_clf_score().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_clf_score().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["quality_clf_score"] = round(best, 3)
+
+    # Exact-dedup index serving: hashes + Bloom sidecar built ONCE
+    # outside the timer; each timed run checks a 200-doc increment (100
+    # exact copies + 100 fresh) — the steady-state exact-dedup path
+    # (bloom prunes fresh docs without touching the hash table).
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        exact_index as _eidx,
+    )
+
+    with _tf.TemporaryDirectory() as etmp:
+        docs_e = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        epath = os.path.join(etmp, "eidx")
+        _eidx.build_exact_index(docs_e, epath, expected_items=1_000_000)
+        einc = (
+            docs_e.orderBy("doc_id").limit(100)
+            .select((_Fq.col("doc_id") + 30_000_000).alias("doc_id"), "text")
+            .unionByName(
+                docs_e.orderBy("doc_id").limit(100)
+                .select(
+                    (_Fq.col("doc_id") + 40_000_000).alias("doc_id"),
+                    _Fq.concat_ws(
+                        " ", _Fq.lit("fresh exact prefix"),
+                        _Fq.col("doc_id").cast("string"), _Fq.col("text"),
+                    ).alias("text"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def build_exact_search():
+            return _eidx.dedup_exact_against_index(spark, einc, epath)
+
+        build_exact_search().write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            build_exact_search().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["exact_index_search"] = round(best, 3)
+
     # Materialized-IVF serving: the inverted file is written ONCE outside
     # the timer (ingest-time cost), then each timed run is a 20-query
     # partition-pruned top-10 search — the 100 TB serving path, where the
