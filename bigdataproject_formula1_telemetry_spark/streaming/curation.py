@@ -425,3 +425,58 @@ def admit_stream_against_index(
     return stream.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def admit_stream_exact_against_index(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """EXACT-dedup twin of ``admit_stream_against_index``: micro-batches
+    filtered against the materialized md5 hash index + Bloom sidecar
+    (``operators/exact_index.py``) in ``foreachBatch``, survivors
+    admitted to the index and written to ``out_path`` under
+    ``inc=b<batch_id>`` — batch and streaming exact-dedup share ONE
+    state, with the same replay-convergent idempotency discipline
+    (own-partition-excluded search, clear-then-write admission; pinned
+    in tests including a full from-scratch replay).
+
+    Unlike ``dedup_stream_exact`` (whose dropDuplicates state lives in
+    the state store, private to the stream), this topology lets a batch
+    backfill and the live stream dedup against the same corpus.  The
+    per-batch self-dedup is ``dedup.exact_dedup`` (deterministic min-id
+    keeper — NOT dropDuplicates' arbitrary row, which would break
+    byte-identical replay convergence).
+
+    Returns the configured ``DataStreamWriter``."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.exact_index import (
+        append_exact_index,
+        dedup_exact_against_index,
+    )
+    from ..operators.minhash_index import _INC_ID_RE, _clear_inc_partition
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc_id = f"b{batch_id:012d}"
+        assert _INC_ID_RE.match(inc_id)
+        self_deduped = exact_dedup(batch_df, text_col, id_col)
+        survivors = dedup_exact_against_index(
+            spark, self_deduped, index_path, text_col, id_col,
+            exclude_inc=inc_id,
+        ).localCheckpoint(eager=True)
+        append_exact_index(
+            survivors, index_path, increment_id=inc_id,
+            text_col=text_col, id_col=id_col,
+        )
+        _clear_inc_partition(spark, out_path, inc_id)
+        survivors.withColumn("inc", F.lit(inc_id)).write.mode(
+            "append"
+        ).partitionBy("inc").parquet(out_path)
+
+    return stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -456,3 +456,81 @@ def test_admit_stream_full_replay_is_idempotent(spark, tmp_path, corpus_pdf):
     assert sorted(
         map(str, spark.read.parquet(idx + "/sigs").select("inc", "id").collect())
     ) == first_sigs
+
+
+def _run_exact_admission(spark, src, index_path, out_path, ckpt):
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curation.admit_stream_exact_against_index(
+            stream, index_path, out_path, ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_admit_stream_exact_shares_state_and_replays(spark, tmp_path, corpus_pdf):
+    """Exact-dedup streaming admission against the Bloom-backed index:
+    equals the sequential batch API on the same increments, and a full
+    from-scratch replay converges byte-identically."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        exact_index as EIX,
+    )
+
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") >= 300) & (F.col("doc_id") < 340))
+    )
+    sidx = str(tmp_path / "eidx_stream")
+    bidx = str(tmp_path / "eidx_batch")
+    EIX.build_exact_index(base, sidx, expected_items=10_000)
+    EIX.build_exact_index(base, bidx, expected_items=10_000)
+
+    src, parts = _write_stream_parts(spark, tmp_path, corpus_pdf)
+    out_path = str(tmp_path / "exact_admitted")
+    _run_exact_admission(spark, src, sidx, out_path, str(tmp_path / "eck1"))
+
+    # batch reference: same three increments, sequentially
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    batch_survivors = set()
+    for i, part in enumerate(parts):
+        inc = exact_dedup(spark.createDataFrame(part, DOC_SCHEMA))
+        kept = EIX.dedup_exact_against_index(
+            spark, inc, bidx, exclude_inc=f"b{i:012d}"
+        ).localCheckpoint(eager=True)
+        EIX.append_exact_index(kept, bidx, increment_id=f"b{i:012d}")
+        batch_survivors |= {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+    got = spark.read.parquet(out_path)
+    stream_survivors = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert stream_survivors == batch_survivors
+    # the 1000-block are verbatim copies of batch-0 docs: all dropped;
+    # the 2000-block are appended-token NEAR copies: exact dedup keeps them
+    assert not any(1000 <= d < 2000 for d in stream_survivors)
+    assert all(d + 2000 in stream_survivors
+               for d in stream_survivors if d < 32 and d >= 20)
+
+    first_out = sorted(
+        map(str, got.select("inc", "doc_id").collect())
+    )
+    first_hashes = sorted(
+        map(str, spark.read.parquet(sidx + "/hashes").select("inc", "id").collect())
+    )
+    # full replay (lost checkpoint) converges to identical content
+    _run_exact_admission(spark, src, sidx, out_path, str(tmp_path / "eck2"))
+    assert sorted(
+        map(str, spark.read.parquet(out_path).select("inc", "doc_id").collect())
+    ) == first_out
+    assert sorted(
+        map(str, spark.read.parquet(sidx + "/hashes").select("inc", "id").collect())
+    ) == first_hashes

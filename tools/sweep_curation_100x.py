@@ -401,6 +401,111 @@ def main() -> None:
         flush=True,
     )
 
+    # Trained-classifier gate at scale, with an EXACT planted outcome:
+    # half the corpus (doc_id % 2 == 0) gets a marker token appended ×8
+    # (8 repeats ≈ a boilerplate-phrase-strength signal after L2
+    # normalization — a single occurrence is statistically too weak for
+    # a 2k-label sample over this tiny synthetic vocabulary, verified by
+    # a numpy replica of the trainer); a 2k-doc sample labeled by the
+    # marker trains the hashed-BoW logistic regression; scoring ALL
+    # 500k docs must then separate the halves PERFECTLY.
+    print("trained classifier: 2k-sample train + full-corpus score ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        classifier as CL,
+        sampling as SA2,
+    )
+
+    marked = distinct.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(" ".join(["markertok"] * 8))),
+        ).otherwise(F.col("text")),
+    ).withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    seed = SA2.deterministic_sample(
+        marked, ["doc_id"], 2000 / n, salt="clf-sweep"
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    w = CL.train_text_classifier(seed, dim=1024, epochs=15)
+    results["clf_train_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    scored = CL.score_text_classifier(marked, w)
+    agg = scored.agg(
+        F.sum(((F.col("quality_prob") >= 0.5) != (F.col("label") == 1)).cast("long")).alias("wrong"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    results["clf_score_s"] = round(time.time() - t0, 2)
+    results["clf_docs_per_sec"] = round(n / max(results["clf_score_s"], 1e-9))
+    results["clf_misclassified"] = int(agg["wrong"])
+    results["clf_ok"] = agg["wrong"] == 0 and agg["n"] == n
+    print(
+        f"  train {results['clf_train_s']} s (2k sample), score "
+        f"{results['clf_score_s']} s ({results['clf_docs_per_sec']:,} docs/s) — "
+        f"misclassified {agg['wrong']}/{n} (must be 0)",
+        flush=True,
+    )
+
+    # Exact-dedup index + Bloom sidecar at scale: index the 500k corpus
+    # once, check a 5k increment (half verbatim copies — must drop; half
+    # fresh-prefixed — must keep).  The Bloom prune is measured: the
+    # fraction of FRESH docs that still probe the hash table must sit
+    # near the filter's design fpr (1%), not near 1.
+    print("exact index: build + Bloom-pruned increment search ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        exact_index as EIX,
+    )
+
+    epath = f"{OUT}/eidx"
+    t0 = time.time()
+    EIX.build_exact_index(distinct, epath, expected_items=2 * n)
+    results["eidx_build_s"] = round(time.time() - t0, 2)
+    head_e = distinct.orderBy("doc_id").limit(n_half)
+    einc = (
+        head_e.select((F.col("doc_id") + 3_000_000_000).alias("doc_id"), "text")
+        .unionByName(
+            head_e.select(
+                (F.col("doc_id") + 4_000_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.lit("fresh"), F.col("doc_id").cast("string"),
+                    F.col("text"),
+                ).alias("text"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    kept_e = [
+        r["doc_id"]
+        for r in EIX.dedup_exact_against_index(spark, einc, epath)
+        .select("doc_id")
+        .collect()
+    ]
+    results["eidx_search_s"] = round(time.time() - t0, 2)
+    n_copies_kept = sum(1 for i in kept_e if i < 4_000_000_000)
+    results["eidx_ok"] = n_copies_kept == 0 and len(kept_e) == n_half
+    # bloom prune effectiveness on the fresh half
+    bits, m_bits, k = EIX._load_bloom(spark, epath)
+    import numpy as _np
+
+    fresh_hb = (
+        einc.where(F.col("doc_id") >= 4_000_000_000)
+        .select(F.xxhash64(F.md5(F.col("text"))).alias("hb"))
+        .toPandas()["hb"]
+        .to_numpy(dtype=_np.int64)
+    )
+    fp_rate = float(
+        EIX._test_bits(bits, EIX._positions(fresh_hb, m_bits, k)).mean()
+    )
+    results["eidx_bloom_fp_rate"] = round(fp_rate, 4)
+    results["eidx_bloom_ok"] = fp_rate <= 0.03  # 3× the 1% design point
+    print(
+        f"  build {results['eidx_build_s']} s, search "
+        f"{results['eidx_search_s']} s — copies dropped "
+        f"{n_half - n_copies_kept}/{n_half}, fresh kept "
+        f"{len(kept_e) }/{n_half}, bloom fp on fresh {fp_rate:.2%}",
+        flush=True,
+    )
+
     print(json.dumps(results))
     spark.stop()
 
