@@ -795,6 +795,38 @@ def duplicate_clusters(
     )
 
 
+def duplicate_family_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """(family_size, n_families) — the duplicate-mass profile of a
+    corpus: how many near-duplicate families exist at each size
+    (``family_size = 1`` rows are the unique documents).  The standard
+    curation-audit artifact (duplicate-cluster size distributions are
+    how the published dedup papers characterize a crawl); feeds
+    ``sinks.write_html_report``.  Σ family_size·n_families = corpus
+    size; survivors after cluster dedup = Σ n_families.
+
+    Cost: one ``duplicate_clusters`` pass + two combinable counts
+    (cluster→size, size→families) — both skew-free (the second groups
+    on the bounded size domain; partial aggregation absorbs the
+    many-size-1 mass)."""
+    clusters = duplicate_clusters(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, **kwargs
+    )
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return (
+        sizes.groupBy("family_size")
+        .agg(F.count(F.lit(1)).alias("n_families"))
+        .orderBy("family_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -603,6 +603,37 @@ def corpus_release(
         benchmark=benchmark,
         id_col=id_col,
     )
+    # packing section: what the data loader actually consumes — bin
+    # counts, mean fill against the budget, and the oversize tail (a
+    # lone chunk larger than the budget monopolizes its bin).  One
+    # two-level aggregate over the released rows.
+    budget = float(curate_kwargs.get("token_budget", 1024))
+    bins = released.groupBy("pack_shard", "seq_id").agg(
+        F.sum("n_tokens").alias("__fill"),
+        F.max(F.col("oversize").cast("int")).alias("__over"),
+    )
+    pk = bins.agg(
+        F.count(F.lit(1)).cast("double").alias("n_sequences"),
+        F.avg("__fill").alias("mean_seq_tokens"),
+        (
+            F.avg(
+                F.when(F.col("__over") == 0, F.col("__fill") / F.lit(budget))
+            )
+        ).alias("occupancy"),
+        F.sum("__over").cast("double").alias("oversize_sequences"),
+    ).first()
+    card = card.unionByName(
+        spark.createDataFrame(
+            [
+                ("packing", "n_sequences", pk["n_sequences"]),
+                ("packing", "mean_seq_tokens", pk["mean_seq_tokens"]),
+                ("packing", "occupancy", pk["occupancy"]),
+                ("packing", "oversize_sequences", pk["oversize_sequences"]),
+                ("packing", "token_budget", budget),
+            ],
+            schema="section string, key string, value double",
+        )
+    )
     card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
     return {
         "manifest": manifest,

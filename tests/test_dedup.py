@@ -471,3 +471,57 @@ def test_repetition_stats_gopher_rules(spark):
     assert out.loc[3, "r"]["top_word_frac"] == 1.0       # all the same token
     assert out.loc[4, "r"]["dup_line_frac"] == 0.0
     assert out.loc[4, "r"]["top_word_frac"] == 0.0
+
+
+def test_duplicate_clusters_and_family_histogram(spark):
+    """Every doc gets a cluster label (own id when unique); the family
+    histogram accounts for the whole corpus and matches the planted
+    family structure (10 triples + singletons)."""
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_family_histogram,
+        near_dedup_clustered,
+    )
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    )
+    # 10 planted triples: base doc + exact copy + near copy
+    head = base.where(F.col("doc_id") < 110)
+    corpus = (
+        base.unionByName(
+            head.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        ).unionByName(
+            head.select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat_ws(" ", F.col("text"), F.lit("appended")).alias("text"),
+            )
+        )
+    )
+    n = corpus.count()
+    clusters = duplicate_clusters(corpus).collect()
+    assert len(clusters) == n  # every doc labeled exactly once
+    label = {r["id"]: r["cluster"] for r in clusters}
+    for d in range(100, 110):
+        assert label[d] == label[d + 1000] == label[d + 2000] == d
+    # survivor semantics: cluster == id set equals near_dedup_clustered
+    survivors = {i for i, c in label.items() if i == c}
+    batch = {
+        r["doc_id"]
+        for r in near_dedup_clustered(corpus).select("doc_id").collect()
+    }
+    assert survivors == batch
+
+    hist = {
+        r["family_size"]: r["n_families"]
+        for r in duplicate_family_histogram(corpus).collect()
+    }
+    assert sum(s * k for s, k in hist.items()) == n  # total mass accounted
+    assert hist.get(3, 0) >= 10  # the planted triples (>=: corpus may
+    # contain its own planted near-dup pairs merging into families)
+    assert sum(hist.values()) == len(survivors)

@@ -363,6 +363,11 @@ def test_corpus_release_manifest_card_consistency(spark, tmp_path):
     assert card[("size", "docs")] == manifest["n_chunks"].sum() == n_rows
     # whitespace-token budgeting: card tokens == manifest token total
     assert card[("size", "tokens")] == manifest["n_tokens"].sum()
+    # packing section: sequences counted from the data, occupancy sane
+    n_seqs = released.select("pack_shard", "seq_id").distinct().count()
+    assert card[("packing", "n_sequences")] == n_seqs == manifest["n_sequences"].sum()
+    assert 0.5 <= card[("packing", "occupancy")] <= 1.0
+    assert card[("packing", "token_budget")] == 256.0
     # the card ships next to the shards
     import os
     assert os.path.isdir(out + "/card")
