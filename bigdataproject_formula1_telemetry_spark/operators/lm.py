@@ -48,6 +48,9 @@ __all__ = [
     "collect_lm",
     "doc_perplexity",
     "doc_perplexity_arrow",
+    "bigram_lm",
+    "collect_bigram_lm",
+    "doc_order_perplexity_arrow",
 ]
 
 
@@ -219,6 +222,137 @@ def doc_perplexity_arrow(
                 lp = 0.0
                 for t in ts:
                     lp += logp.get(t, unk_logp)
+                keep.append(i)
+                n_tokens.append(n)
+                ppl.append(math.exp(-lp / n))
+            out = pdf[id_list].iloc[keep].copy()
+            out["n_tokens"] = pd.array(n_tokens, dtype="int64")
+            out["ppl"] = pd.array(ppl, dtype="float64")
+            yield out
+
+    cols = list(dict.fromkeys([*id_list, text_col]))
+    return docs.select(*cols).mapInPandas(score, schema=out_schema)
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bigrams: int | None = None,
+) -> DataFrame:
+    """Train a stupid-backoff bigram model (Brants et al., "Large
+    Language Models in Machine Translation", EMNLP 2007 — the published
+    web-scale n-gram recipe: unnormalized scores, count ratios for seen
+    n-grams, a fixed-penalty backoff for unseen ones — chosen exactly
+    because it needs NO discount normalization pass over the corpus).
+
+    Returns ``(v, w, log_cond)`` with ``log_cond = ln(c(v,w) / c(v·))``
+    — the conditional score of ``w`` following ``v``; unseen pairs back
+    off to ``backoff · p_unigram(w)`` at scoring time
+    (:func:`doc_order_perplexity_arrow`).  The unigram backoff is what
+    makes the ORDER signal usable as a quality gate: a document's
+    token BAG fixes its unigram perplexity, but scrambling the words
+    destroys the seen-bigram hits — an order-sensitivity the unigram
+    gate provably cannot express (pinned in tests).
+
+    Plan: pairs from ``arrays_zip`` of two shifted slices (the
+    ``shingles`` pattern — no per-index O(n²) slicing), one hash agg to
+    ``c(v,w)``, one to the EXACT pre-cap context totals ``c(v·)``, then
+    an optional deterministic sorted-limit cap (count desc, pair asc) so
+    the model is broadcast-small by construction — the long bigram tail
+    flows through the backoff, same shape as ``vocab_size`` above."""
+    toks = lm_tokens(F.col(text_col))
+    cnt = F.size(toks) - F.lit(1)
+    pair = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(cnt, F.lit(0))),
+        F.slice(toks, 2, F.greatest(cnt, F.lit(0))),
+    )
+    pairs = docs.select(F.explode(pair).alias("p")).select(
+        F.col("p")["0"].alias("v"), F.col("p")["1"].alias("w")
+    )
+    big = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = big.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    if max_bigrams is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.orderBy(
+                F.col("c_vw").desc(), F.col("v").asc(), F.col("w").asc()
+            )
+        )
+        big = big.withColumn("_rn", rn).where(F.col("_rn") <= max_bigrams).drop(
+            "_rn"
+        )
+    # join direction: ctx is vocab-sized (unbounded at corpus scale);
+    # the CAPPED bigram side is the broadcast-small one
+    joined = (
+        ctx.join(F.broadcast(big), "v")
+        if max_bigrams is not None
+        else big.join(ctx, "v")
+    )
+    return joined.select(
+        "v",
+        "w",
+        F.log(F.col("c_vw").cast("double") / F.col("c_v")).alias("log_cond"),
+    )
+
+
+def collect_bigram_lm(model: DataFrame) -> dict[tuple[str, str], float]:
+    """Materialize a trained bigram model for the Arrow serving form —
+    bounded by the ``max_bigrams`` training contract (same
+    broadcast-small class as :func:`collect_lm`)."""
+    return {(r["v"], r["w"]): r["log_cond"] for r in model.collect()}
+
+
+def doc_order_perplexity_arrow(
+    docs: DataFrame,
+    bigram_logp: dict[tuple[str, str], float],
+    logp: dict[str, float],
+    unk_logp: float,
+    backoff: float = 0.4,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document ORDER-sensitive perplexity under the stupid-backoff
+    bigram model — zero-shuffle Arrow serving form (the only form: the
+    per-position backoff branch is data-dependent, not a join).
+
+    ``ppl = exp(-mean(score))`` where the first token scores by the
+    unigram and token ``w`` after ``v`` scores ``log_cond(v, w)`` when
+    the pair is in the model, else ``ln(backoff) + logp_unigram(w)``
+    (Brants et al.'s fixed 0.4 penalty).  Scores are unnormalized by
+    design, so compare ppl values only under the SAME model.  Output
+    schema and empty-doc contract match :func:`doc_perplexity_arrow`."""
+    import pyspark.sql.types as SQT
+
+    id_fields = [docs.schema[c] for c in id_cols]
+    out_schema = SQT.StructType(
+        [
+            *id_fields,
+            SQT.StructField("n_tokens", SQT.LongType(), False),
+            SQT.StructField("ppl", SQT.DoubleType(), True),
+        ]
+    )
+    id_list = list(id_cols)
+    log_backoff = math.log(backoff)
+
+    def score(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            toks_per_doc = [
+                [t for t in _JAVA_WS.split(s.strip())] if s.strip() else []
+                for s in pdf[text_col].fillna("").str.lower().tolist()
+            ]
+            keep, n_tokens, ppl = [], [], []
+            for i, ts in enumerate(toks_per_doc):
+                n = len(ts)
+                if n == 0:
+                    continue
+                lp = logp.get(ts[0], unk_logp)
+                for v, w in zip(ts, ts[1:]):
+                    cond = bigram_logp.get((v, w))
+                    if cond is not None:
+                        lp += cond
+                    else:
+                        lp += log_backoff + logp.get(w, unk_logp)
                 keep.append(i)
                 n_tokens.append(n)
                 ppl.append(math.exp(-lp / n))

@@ -144,3 +144,96 @@ def test_curate_documents_ppl_gate(spark, docs):
     n_base = base.count()
     n_tight = tight.count()
     assert 0 < n_tight < n_base
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """(v, w, log_cond) must equal a from-scratch python bigram count on
+    the same tokenization."""
+    import math
+    from collections import Counter
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps",
+        "a lazy dog sleeps all day",
+        "single",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["v"], r["w"]): r["log_cond"] for r in L.bigram_lm(docs).collect()
+    }
+    pairs = Counter()
+    for t in texts:
+        toks = (t or "").lower().split()
+        pairs.update(zip(toks, toks[1:]))
+    ctx = Counter()
+    for (v, _), c in pairs.items():
+        ctx[v] += c
+    ref = {p: math.log(c / ctx[p[0]]) for p, c in pairs.items()}
+    assert set(got) == set(ref)
+    for p in ref:
+        assert abs(got[p] - ref[p]) < 1e-12, p
+
+
+def test_bigram_order_sensitivity_vs_unigram(spark):
+    """The capability the unigram gate provably lacks: a document and
+    its word-shuffled scramble have IDENTICAL unigram perplexity (same
+    bag), but the bigram model scores the in-order version strictly
+    better — order is signal."""
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    sent = "the quick brown fox jumps over the lazy dog".split()
+    train_texts = [" ".join(sent)] * 50 + [
+        "a very different sentence about other things entirely",
+    ] * 10
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    uni = L.unigram_lm(train)
+    logp, unk = L.collect_lm(uni)
+    big = L.collect_bigram_lm(L.bigram_lm(train))
+
+    rng = np.random.default_rng(9)
+    shuffled = list(sent)
+    while shuffled == sent:
+        rng.shuffle(shuffled)
+    probe = spark.createDataFrame(
+        [(1, " ".join(sent)), (2, " ".join(shuffled))],
+        "doc_id long, text string",
+    )
+    u = {r["doc_id"]: r["ppl"] for r in
+         L.doc_perplexity_arrow(probe, logp, unk).collect()}
+    assert abs(u[1] - u[2]) < 1e-9  # unigram: bag-identical → equal
+    b = {r["doc_id"]: r["ppl"] for r in
+         L.doc_order_perplexity_arrow(probe, big, logp, unk).collect()}
+    assert b[1] < b[2] * 0.5, b  # bigram: order separates decisively
+
+
+def test_bigram_cap_and_backoff(spark):
+    """max_bigrams keeps the most frequent pairs deterministically;
+    dropped pairs flow through the 0.4-penalty unigram backoff (score
+    finite, worse than the retained-pair score)."""
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    texts = ["a b " * 50 + "c d", "a b a b", "c d c d x y"]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    capped = L.bigram_lm(docs, max_bigrams=2).collect()
+    kept = {(r["v"], r["w"]) for r in capped}
+    assert ("a", "b") in kept and len(kept) == 2
+    logp, unk = L.collect_lm(L.unigram_lm(docs))
+    big = {(r["v"], r["w"]): r["log_cond"] for r in capped}
+    probe = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["ppl"] for r in
+           L.doc_order_perplexity_arrow(probe, big, logp, unk).collect()}
+    assert 0 < out[1] < out[2] < float("inf")  # backoff path finite, worse
