@@ -671,3 +671,43 @@ def dedup_lines_across_corpus(
         .drop("__ld_id", "__new_text")
     )
     return out
+
+
+def top_ngrams(
+    docs,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    min_count: int = 2,
+):
+    """(ngram, c): the ``k`` most frequent word n-grams of the corpus —
+    the boilerplate-phrase miner (nav text, cookie banners, license
+    headers surface at the top by construction), whose output feeds
+    blocklists and ``dedup_lines_across_corpus`` thresholds.
+
+    Plan: the ``shingles`` n-gram expression (distinct per doc — each
+    DOCUMENT votes once per phrase, so a single phrase-spamming doc
+    cannot inflate the corpus ranking) → explode → one combinable hash
+    agg → ``min_count`` filter → global sorted-limit top-k (TakeOrdered:
+    only k rows per partition reach the driver-side merge).  Linear at
+    any corpus size; the ranking domain is bounded by distinct n-grams,
+    never rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(F.explode(shingles_ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= F.lit(min_count))
+        .orderBy(F.col("c").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def shingles_ngrams(text, n: int):
+    """The word n-gram set of a text column (distinct) — re-exported
+    from ``dedup.shingles`` so text-analysis callers need not import
+    the dedup module."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import shingles
+
+    return shingles(text, n)

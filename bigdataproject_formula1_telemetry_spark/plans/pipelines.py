@@ -186,6 +186,8 @@ def curate_documents(
     span_dedup_tokens: int | None = None,
     mixture: tuple[str, float, int] | None = None,
     quality_classifier: tuple | None = None,
+    max_order_ppl: float | None = None,
+    order_lm: tuple | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -232,7 +234,11 @@ def curate_documents(
     scored in one narrow pass, rows under ``min_prob`` dropped —
     applied pre-dedup with the other quality gates; pass
     ``min_prob=None`` to only attach the score, e.g. to feed
-    ``soft_quality`` with it), ``max_ppl`` (CCNet-style
+    ``soft_quality`` with it), ``max_order_ppl`` (order-sensitive
+    stupid-backoff bigram perplexity gate — kills scrambled/word-salad
+    text that is bag-identical to clean text; pass pre-trained dicts
+    via ``order_lm=(bigram, unigram, unk_logp)`` at corpus scale),
+    ``max_ppl`` (CCNet-style
     perplexity gate under a smoothed unigram LM — pass a pre-trained
     ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
     a clean sample, reuse across corpus shards) or let it self-train on
@@ -306,6 +312,29 @@ def curate_documents(
             docs, text_col=text_col, id_col=id_col,
             max_occurrences=max_line_occurrences,
         ).where(F.col(text_col) != "")
+    if max_order_ppl is not None:
+        # ORDER-sensitive twin of the max_ppl gate: stupid-backoff
+        # bigram perplexity (lm.doc_order_perplexity_arrow) kills
+        # word-salad/scrambled spam that passes every bag-of-words gate
+        # (identical unigram ppl by construction).  Pass order_lm =
+        # (bigram_dict, unigram_dict, unk_logp) pre-trained on a clean
+        # sample for the production shape; self-training here is the
+        # small-scale convenience (two count jobs + bounded collects).
+        from bigdataproject_formula1_telemetry_spark.operators import lm as L2
+
+        if order_lm is not None:
+            big_d, uni_d, unk_d = order_lm
+        else:
+            uni_d, unk_d = L2.collect_lm(
+                L2.unigram_lm(docs, text_col=text_col, vocab_size=100_000)
+            )
+            big_d = L2.collect_bigram_lm(
+                L2.bigram_lm(docs, text_col=text_col, max_bigrams=1_000_000)
+            )
+        oscored = L2.doc_order_perplexity_arrow(
+            docs, big_d, uni_d, unk_d, text_col=text_col, id_cols=(id_col,)
+        ).where(F.col("ppl") <= F.lit(max_order_ppl))
+        docs = docs.join(oscored.select(id_col), id_col, "semi")
     if quality_classifier is not None:
         # trained quality gate (FineWeb-Edu/DCLM class) before dedup,
         # like the other quality gates; one narrow scoring pass

@@ -237,3 +237,37 @@ def test_bigram_cap_and_backoff(spark):
     out = {r["doc_id"]: r["ppl"] for r in
            L.doc_order_perplexity_arrow(probe, big, logp, unk).collect()}
     assert 0 < out[1] < out[2] < float("inf")  # backoff path finite, worse
+
+
+def test_curate_documents_order_ppl_gate_kills_scrambled_spam(spark):
+    """The pipeline composition the bigram model exists for: scrambled
+    word-salad is BAG-identical to clean text (passes token/quality/
+    unigram gates by construction) but the order gate drops it."""
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    sent = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight").split()
+    rng = np.random.default_rng(3)
+    scrambled = list(sent)
+    while scrambled == sent:
+        rng.shuffle(scrambled)
+    train = spark.createDataFrame(
+        [(i, " ".join(sent)) for i in range(40)], "doc_id long, text string"
+    )
+    uni_d, unk_d = L.collect_lm(L.unigram_lm(train))
+    big_d = L.collect_bigram_lm(L.bigram_lm(train))
+    # threshold between the two scores
+    probe = spark.createDataFrame(
+        [(1, " ".join(sent)), (2, " ".join(scrambled))],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["ppl"] for r in
+              L.doc_order_perplexity_arrow(probe, big_d, uni_d, unk_d).collect()}
+    cut = (scores[1] + scores[2]) / 2
+    out = P.curate_documents(
+        probe, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        max_order_ppl=cut, order_lm=(big_d, uni_d, unk_d),
+    ).toPandas()
+    assert set(out["doc_id"]) == {1}  # clean survives, scramble dies

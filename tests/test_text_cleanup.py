@@ -242,3 +242,24 @@ def test_remove_duplicate_spans_plan_has_no_window(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text=" ".join("a" * 20))])
     plan = remove_duplicate_spans(docs, span_tokens=10)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_top_ngrams_boilerplate_miner(spark):
+    """The planted boilerplate phrase ranks first; per-doc distinctness
+    means a phrase-spamming single doc votes once."""
+    from bigdataproject_formula1_telemetry_spark.operators.text import top_ngrams
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here {boiler} tail{i}") for i in range(30)]
+        + [(100, ("spam phrase here " * 50).strip())],  # one spammer doc
+        "doc_id long, text string",
+    )
+    # exactly 3 shared 4-token windows span the planted phrase; they tie
+    # at count 30 above everything else (deterministic ngram-asc order)
+    top = top_ngrams(docs, n=4, k=3).collect()
+    assert all(r["c"] == 30 for r in top)
+    assert boiler in {r["ngram"] for r in top}
+    # the spammer's repeated phrase counts ONCE (per-doc distinct)
+    spam_counts = [r["c"] for r in top if "spam" in r["ngram"]]
+    assert all(c == 1 for c in spam_counts)
