@@ -115,3 +115,24 @@ def test_bloom_fill_fraction_gauge(spark, exact_idx):
     fill = EI.bloom_fill_fraction(spark, p)
     # 80 docs in a 10k-capacity filter: nearly empty, far from saturation
     assert 0.0 < fill < 0.05
+
+
+def test_exact_index_plan_broadcasts_and_prunes(spark, exact_idx):
+    """The probe joins broadcast (index never shuffled); exclude_inc
+    reaches the hash scan as a partition filter."""
+    import re
+    from pyspark.sql import Row
+
+    p, _ = exact_idx
+    inc = spark.createDataFrame([Row(doc_id=9300, text="plan probe doc")])
+    EI.append_exact_index(inc, p, increment_id="day3")
+    plan = (
+        EI.dedup_exact_against_index(spark, inc, p, exclude_inc="day3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("inc" in f and "day3" in f for f in filters), filters

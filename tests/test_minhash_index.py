@@ -241,3 +241,23 @@ def test_signature_verify_band_near_threshold(spark, tmp_path):
     # sanity: the sweep actually covered both sides beyond the band
     assert any(j >= THRESH + BAND for *_, j in pairs)
     assert any(j <= THRESH - BAND for *_, j in pairs)
+
+
+def test_exclude_inc_is_partition_pruned(spark, old_docs, index_path):
+    """exclude_inc must reach the scans as a PARTITION filter (inc is a
+    partition column), not a post-scan predicate — at scale it prices
+    as skipped directories."""
+    import re
+
+    inc = _increment(spark, old_docs)
+    MI.append_minhash_index(inc, index_path, increment_id="day9")
+    plan = (
+        MI.dedup_against_index(spark, inc, index_path, 0.8, exclude_inc="day9")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("inc" in f and "day9" in f for f in filters), filters
+    # and the plan still never shuffles the index
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
