@@ -117,19 +117,50 @@ def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return hit.all(axis=1).astype(bool)
 
 
-def _content_hash(text_col: str):
+def _content_hash(text_col: str, normalize: bool = False):
     """128-bit md5 of the text (the join/verify key) — NULL text gets a
     sentinel so null-text docs dedup among themselves, matching
-    ``dedup.exact_dedup``'s key."""
-    return F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null"))
+    ``dedup.exact_dedup``'s key.  ``normalize=True`` keys on the
+    casefolded/punctuation-stripped token join instead (the q32
+    fingerprint identity), so trivial formatting variants — case,
+    punctuation, whitespace runs — dedup together; texts that normalize
+    to empty share one key (they carry no tokens)."""
+    src = F.col(text_col)
+    if normalize:
+        src = F.array_join(
+            F.filter(
+                F.split(F.lower(src), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+            ),
+            " ",
+        )
+    return F.coalesce(F.md5(src), F.lit("\x00null"))
 
 
-def _hash_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _hash_frame(
+    docs: DataFrame, text_col: str, id_col: str, normalize: bool = False
+) -> DataFrame:
+    h = _content_hash(text_col, normalize)
     return docs.select(
-        F.col(id_col).alias("id"),
-        _content_hash(text_col).alias("h"),
-        F.xxhash64(_content_hash(text_col)).alias("hb"),
+        F.col(id_col).alias("id"), h.alias("h"), F.xxhash64(h).alias("hb")
     )
+
+
+def _write_meta(spark: SparkSession, path: str, normalize: bool) -> None:
+    spark.createDataFrame(
+        [(bool(normalize),)], "normalize boolean"
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _read_normalize(spark: SparkSession, path: str) -> bool:
+    """The index's key mode is INDEX state, not a caller argument —
+    append/search read it back so a normalized index can never be
+    probed with raw keys (or vice versa)."""
+    try:
+        return bool(
+            spark.read.parquet(os.path.join(path, "meta")).first()["normalize"]
+        )
+    except Exception:
+        return False  # index predates the meta table: raw keys
 
 
 def _bloom_rows(
@@ -178,13 +209,20 @@ def build_exact_index(
     fpr: float = 0.01,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> None:
     """One corpus pass → ``path/hashes`` (+ the Bloom sidecar sized for
     ``expected_items`` total docs across base AND future increments).
     The sidecar's bit array derives from the WRITTEN hashes so the two
-    can never drift."""
+    can never drift.  ``normalize=True`` keys on the fingerprint
+    identity (see ``_content_hash``) — the mode is persisted in
+    ``path/meta`` and appends/searches follow it automatically."""
     m_bits, k = _bloom_params(expected_items, fpr)
-    hf = _hash_frame(docs, text_col, id_col).withColumn("inc", F.lit("base"))
+    spark0 = docs.sparkSession
+    _write_meta(spark0, path, normalize)
+    hf = _hash_frame(docs, text_col, id_col, normalize).withColumn(
+        "inc", F.lit("base")
+    )
     hf.write.mode("overwrite").partitionBy("inc").parquet(
         os.path.join(path, "hashes")
     )
@@ -220,9 +258,12 @@ def append_exact_index(
         )
     spark = new_docs.sparkSession
     _, m_bits, k = _load_bloom(spark, path)
+    normalize = _read_normalize(spark, path)
     _clear_inc_partition(spark, os.path.join(path, "hashes"), increment_id)
     _clear_inc_partition(spark, os.path.join(path, "bloom"), increment_id)
-    hf = _hash_frame(new_docs, text_col, id_col).localCheckpoint(eager=True)
+    hf = _hash_frame(new_docs, text_col, id_col, normalize).localCheckpoint(
+        eager=True
+    )
     hf.withColumn("inc", F.lit(increment_id)).write.mode("append").partitionBy(
         "inc"
     ).parquet(os.path.join(path, "hashes"))
@@ -251,10 +292,11 @@ def dedup_exact_against_index(
     for retried search-then-append steps (see
     ``minhash_index.dedup_against_index``)."""
     bits, m_bits, k = _load_bloom(spark, path)
+    normalize = _read_normalize(spark, path)
     inc_cols = new_docs.columns
-    hashed = new_docs.withColumn("__h", _content_hash(text_col)).withColumn(
-        "__hb", F.xxhash64(F.col("__h"))
-    )
+    hashed = new_docs.withColumn(
+        "__h", _content_hash(text_col, normalize)
+    ).withColumn("__hb", F.xxhash64(F.col("__h")))
     out_schema = StructType(
         list(hashed.schema.fields) + [StructField("__maybe", IntegerType())]
     )

@@ -188,6 +188,7 @@ def curate_documents(
     quality_classifier: tuple | None = None,
     max_order_ppl: float | None = None,
     order_lm: tuple | None = None,
+    minhash_index_path: str | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -242,7 +243,10 @@ def curate_documents(
     perplexity gate under a smoothed unigram LM — pass a pre-trained
     ``lm_model`` (``lm.unigram_lm``, the production shape: train once on
     a clean sample, reuse across corpus shards) or let it self-train on
-    the post-repetition-gate corpus).
+    the post-repetition-gate corpus), ``minhash_index_path`` (the
+    steady-state shape: after self-dedup, also drop docs the
+    MATERIALIZED MinHash index already holds — one broadcast search,
+    admission left to the caller's ``inc=`` discipline).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -356,6 +360,20 @@ def curate_documents(
     kept = D.near_dedup_minhash(
         docs, text_col=text_col, id_col=id_col, threshold=dedup_threshold
     )
+    if minhash_index_path is not None:
+        # steady-state form: today's batch also dedups against the
+        # MATERIALIZED corpus state (minhash_index) — the broadcast
+        # increment-vs-index search; admission stays with the caller
+        # (incremental_near_dedup / the streaming admission own the
+        # inc= write discipline)
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            minhash_index as MIX,
+        )
+
+        kept = MIX.dedup_against_index(
+            docs.sparkSession, kept, minhash_index_path,
+            threshold=dedup_threshold, text_col=text_col, id_col=id_col,
+        )
     if span_dedup_tokens is not None:
         # ExactSubstr (Lee et al.) AFTER doc-level dedup: whole-document
         # near-dups are already gone, so the span stage only pays for

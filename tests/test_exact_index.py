@@ -136,3 +136,38 @@ def test_exact_index_plan_broadcasts_and_prunes(spark, exact_idx):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("inc" in f and "day3" in f for f in filters), filters
+
+
+def test_normalized_index_dedups_formatting_variants(spark, tmp_path):
+    """normalize=True keys on the fingerprint identity: case,
+    punctuation and whitespace variants of an indexed doc are exact
+    hits; genuinely different token streams are not.  The mode is
+    persisted in the index, so appends/searches follow it without the
+    caller restating it."""
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="The quick brown fox, jumps!")]
+    )
+    p = str(tmp_path / "nidx")
+    EI.build_exact_index(base, p, expected_items=1000, normalize=True)
+    inc = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the QUICK   brown fox jumps"),   # variant -> drop
+            Row(doc_id=11, text="the quick brown fox jumped"),    # different -> keep
+        ]
+    )
+    kept = {r["doc_id"] for r in EI.dedup_exact_against_index(spark, inc, p).collect()}
+    assert kept == {11}
+    # append follows the stored mode: a variant of an admitted doc hits
+    EI.append_exact_index(
+        spark.createDataFrame([Row(doc_id=20, text="Entirely new words here.")]),
+        p, increment_id="d1",
+    )
+    probe = spark.createDataFrame(
+        [Row(doc_id=30, text="entirely NEW words here")]
+    )
+    assert EI.dedup_exact_against_index(spark, probe, p).collect() == []
+    # a raw-keyed index (default) does NOT collapse variants
+    p2 = str(tmp_path / "ridx")
+    EI.build_exact_index(base, p2, expected_items=1000)
+    kept2 = {r["doc_id"] for r in EI.dedup_exact_against_index(spark, inc, p2).collect()}
+    assert kept2 == {10, 11}

@@ -398,3 +398,41 @@ def test_corpus_release_with_benchmark_contamination_section(spark, tmp_path):
     }
     # decontaminated upstream → the released corpus audits clean
     assert card[("contamination", "contam_ngram_docs")] == 0.0
+
+
+def test_curate_documents_against_materialized_index(spark, tmp_path):
+    """The steady-state curation shape: minhash_index_path drops docs
+    the materialized corpus state already holds, on top of the batch
+    self-dedup."""
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        minhash_index as MI,
+    )
+
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 30)
+    )
+    idx = str(tmp_path / "curate_idx")
+    MI.build_minhash_index(base, idx)
+    indexed_row = base.orderBy("doc_id").first()
+    batch = spark.createDataFrame(
+        [
+            (5001, indexed_row["text"]),                      # in the index -> drop
+            (5002, "a brand new never indexed document with plenty of "
+                   "distinct words to chunk for training"),
+        ],
+        "doc_id long, text string",
+    )
+    out = P.curate_documents(
+        batch, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        minhash_index_path=idx,
+    ).toPandas()
+    assert set(out["doc_id"]) == {5002}
+    # without the index path, both survive (no self-dup between them)
+    out2 = P.curate_documents(
+        batch, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+    ).toPandas()
+    assert set(out2["doc_id"]) == {5001, 5002}
