@@ -101,16 +101,25 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact dedup by content hash: within each md5(text) group keep the row
-    with the smallest id (deterministic keeper).  One hash-shuffle on the
-    digest — the canonical 100 TB exact-dedup plan (hash is tiny vs text,
-    and the groupBy key is uniformly distributed)."""
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    """Exact dedup by content hash: within each md5(text) group keep the
+    row with the smallest id (deterministic keeper; NULL texts share one
+    sentinel key, so they dedup among themselves).
+
+    Keeper selection is a ``groupBy(hash)`` AGGREGATE + join-back, not a
+    window over the hash: distinct texts hash uniformly, but N copies of
+    ONE document (empty page, error boilerplate — the classic web-crawl
+    hot key) land every row on a single key, and a window partition
+    cannot be split; partial aggregation absorbs that skew and AQE can
+    split the skewed join-back.  Same de-skew as
+    ``remove_duplicate_spans``; plan asserted window-free.  Assumes ids
+    are unique (two rows sharing both text AND id would both survive)."""
+    key = F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null"))
+    keyed = df.withColumn("__h", key)
+    keepers = keyed.groupBy("__h").agg(F.min(id_col).alias("__keep_id"))
     return (
-        df.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+        keyed.join(keepers, "__h")
+        .where(F.col(id_col) == F.col("__keep_id"))
+        .drop("__h", "__keep_id")
     )
 
 
@@ -477,15 +486,23 @@ def _exact_collapse(df: DataFrame, text_col: str, id_col: str):
     the identical ``[xxhash64(NULL)]`` shingle set downstream (Jaccard
     1.0 — they dedup together regardless), and a per-id key would leave a
     NULL-heavy corpus sharing every LSH bucket, re-creating exactly the
-    O(n²) intra-bucket blowup the collapse exists to prevent."""
+    O(n²) intra-bucket blowup the collapse exists to prevent.
+
+    Representative selection is a ``groupBy(key)`` aggregate + join-back
+    (NOT ``min() over Window.partitionBy(key)``): the replica-heavy
+    corpus this collapse exists for is precisely the one where a single
+    text's copies would all land in one unsplittable window partition —
+    partial aggregation absorbs the hot key, AQE can split the skewed
+    join (the ``exact_dedup``/``remove_duplicate_spans`` de-skew)."""
     key = F.when(
         F.col(text_col).isNotNull(), F.md5(F.col(text_col))
     ).otherwise(F.lit("\x00null"))
-    tagged = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy(key))
-    )
-    reps = tagged.where(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
-    return tagged.select(id_col, "__rep"), reps
+    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn("__k", key)
+    reps_tbl = keyed.groupBy("__k").agg(F.min(id_col).alias("__rep"))
+    joined = keyed.join(reps_tbl, "__k")
+    tagged = joined.select(id_col, "__rep")
+    reps = joined.where(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
+    return tagged, reps
 
 
 def _expand_losers(

@@ -525,3 +525,29 @@ def test_duplicate_clusters_and_family_histogram(spark):
     assert hist.get(3, 0) >= 10  # the planted triples (>=: corpus may
     # contain its own planted near-dup pairs merging into families)
     assert sum(hist.values()) == len(survivors)
+
+
+def test_exact_dedup_and_collapse_plans_have_no_window(spark):
+    """Hot-key discipline: keeper/representative selection over a
+    content hash must be an aggregate + join (splittable under skew),
+    never a window over the hash — N copies of one viral/empty page
+    would pile into a single unsplittable window partition."""
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        _exact_collapse,
+        exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None)],
+        "doc_id long, text string",
+    )
+    p1 = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p1
+    tagged, reps = _exact_collapse(docs, "text", "doc_id")
+    p2 = tagged._jdf.queryExecution().executedPlan().toString()
+    p3 = reps._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p2 and "Window" not in p3
+    # semantics unchanged: min-id keeper, null texts group together
+    assert {r["doc_id"] for r in exact_dedup(docs).collect()} == {1, 3}
+    t = {r["doc_id"]: r["__rep"] for r in tagged.collect()}
+    assert t == {1: 1, 2: 1, 3: 3}
