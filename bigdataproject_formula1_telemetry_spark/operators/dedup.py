@@ -386,16 +386,22 @@ def minhash_lsh_candidates(
     # signature array the pre-fusion pipeline checkpointed here).
     banded = _barrier(banded, storage)
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bhash")
-        sized = banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        dropped = (
-            sized.where(F.col("__bsz") > max_bucket_size)
-            .agg(
-                F.countDistinct("band", "bhash").alias("buckets"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .first()
+        # bucket sizing via groupBy, never a window over the bucket key:
+        # the oversized bucket is BY DEFINITION the hot key, and a window
+        # would funnel all its rows into one unsplittable partition —
+        # exactly the blowup the cap exists to prevent.  Partial
+        # aggregation absorbs the count; the oversized bucket keys (at
+        # most n_rows/max_bucket_size of them — normally a handful) feed
+        # an anti join that AQE plans as broadcast when small and can
+        # skew-split otherwise.
+        big = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket_size)
         )
+        dropped = big.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("__bsz").alias("rows")
+        ).first()
         if dropped["buckets"]:
             logger.warning(
                 "minhash_lsh_candidates: dropping %d oversized LSH bucket(s) "
@@ -405,7 +411,9 @@ def minhash_lsh_candidates(
                 dropped["rows"],
                 max_bucket_size,
             )
-        banded = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+            banded = banded.join(
+                big.select("band", "bhash"), ["band", "bhash"], "left_anti"
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

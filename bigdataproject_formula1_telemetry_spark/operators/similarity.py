@@ -914,30 +914,39 @@ def near_dedup_cosine(
     the grouped path's pair stage only ever sees distinct vectors.
     Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup).
 
-    The collapse frame (id → representative) is computed once behind a
-    ``storage`` barrier — it feeds three consumers (representatives,
-    lost-member expansion, non-representative drop), each of which would
-    otherwise re-run the md5 keying and the group-min window."""
+    Representative selection is a ``groupBy(vector-key)`` aggregate —
+    NOT a group-min window: a replica-heavy corpus (the case this
+    collapse exists for) would land every copy of one vector in a
+    single unsplittable window partition, with the WIDE vector rows in
+    tow.  The member→rep mapping joins only narrow (id, key) rows back
+    on the key (AQE-splittable), and the representative rows come from
+    a skew-free semi join on the uniform id key (the
+    ``dedup.exact_dedup`` shape).  ``storage`` barriers the keyed frame
+    and the mapping between their multiple consumers."""
     from .dedup import _barrier
 
     nrm = l2_norm(F.col("__m_v"))
-    tagged = df.select(
-        F.col(id_col).alias("__m_id"), F.col(vec_col).alias("__m_v")
-    ).withColumn(
-        "__vk",
-        F.when(
-            nrm > 0, F.md5(F.to_json(F.struct(F.col("__m_v"))))
-        ).otherwise(F.concat(F.lit("zero:"), F.col("__m_id").cast("string"))),
-    )
-    rep = _barrier(
-        tagged.withColumn(
-            "__rep", F.min("__m_id").over(Window.partitionBy("__vk"))
+    tagged = _barrier(
+        df.select(
+            F.col(id_col).alias("__m_id"), F.col(vec_col).alias("__m_v")
+        ).withColumn(
+            "__vk",
+            F.when(
+                nrm > 0, F.md5(F.to_json(F.struct(F.col("__m_v"))))
+            ).otherwise(F.concat(F.lit("zero:"), F.col("__m_id").cast("string"))),
         ),
         storage,
     )
-    reps = rep.where(F.col("__m_id") == F.col("__rep")).select(
-        F.col("__m_id").alias(id_col), F.col("__m_v").alias(vec_col)
+    reps_tbl = tagged.groupBy("__vk").agg(F.min("__m_id").alias("__rep"))
+    member_rep = _barrier(
+        tagged.select("__m_id", "__vk").join(reps_tbl, "__vk").select(
+            "__m_id", "__rep"
+        ),
+        storage,
     )
+    reps = tagged.join(
+        reps_tbl.select(F.col("__rep").alias("__m_id")), "__m_id", "left_semi"
+    ).select(F.col("__m_id").alias(id_col), F.col("__m_v").alias(vec_col))
     losing_reps = (
         cosine_dup_pairs(
             reps, planes, threshold, id_col, vec_col, max_bucket_size, storage
@@ -947,10 +956,10 @@ def near_dedup_cosine(
     )
     # losers: every non-representative member, plus all members (incl. the
     # representative) of a group whose representative lost
-    lost_members = rep.join(
-        losing_reps, rep["__rep"] == losing_reps["__lost"], "left_semi"
+    lost_members = member_rep.join(
+        losing_reps, member_rep["__rep"] == losing_reps["__lost"], "left_semi"
     ).select(F.col("__m_id").alias(id_col))
-    non_reps = rep.where(F.col("__m_id") != F.col("__rep")).select(
+    non_reps = member_rep.where(F.col("__m_id") != F.col("__rep")).select(
         F.col("__m_id").alias(id_col)
     )
     losers = lost_members.unionByName(non_reps).distinct()
