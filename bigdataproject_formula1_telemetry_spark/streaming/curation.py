@@ -384,6 +384,7 @@ def admit_stream_against_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    stats_path: str | None = None,
 ):
     """The steady-state streaming-ingest topology: every micro-batch is
     near-dedup-filtered against the MATERIALIZED MinHash index — the
@@ -406,21 +407,49 @@ def admit_stream_against_index(
 
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``.  Survivor rows in ``out_path`` carry
-    their ``inc`` partition for provenance."""
+    their ``inc`` partition for provenance.
+
+    ``stats_path`` (optional) writes one admission-telemetry row per
+    micro-batch — ``(inc, n_input, n_admitted, n_dropped)`` — under the
+    same idempotent ``inc=`` discipline, so replays rewrite their own
+    stats row too.  This is the ingest dashboard feed: a dup-rate spike
+    (n_dropped/n_input) is the first sign of a crawler loop or a replayed
+    upstream source.  Counting costs two counts of the (small by
+    contract) increment."""
+    return _admission_writer(
+        stream,
+        checkpoint_dir,
+        out_path,
+        stats_path,
+        lambda spark, batch_df, inc_id: admit_batch_against_index(
+            spark, batch_df, index_path, inc_id, threshold,
+            text_col, id_col, num_hashes, bands, shingle_n,
+        ),
+    )
+
+
+def _admission_writer(stream, checkpoint_dir, out_path, stats_path, admit_fn):
+    """Shared foreachBatch body for the two index-admission topologies:
+    idempotent survivor write (+ optional per-batch stats row)."""
     from ..operators.minhash_index import _INC_ID_RE, _clear_inc_partition
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc_id = f"b{batch_id:012d}"
         assert _INC_ID_RE.match(inc_id)
-        survivors = admit_batch_against_index(
-            spark, batch_df, index_path, inc_id, threshold,
-            text_col, id_col, num_hashes, bands, shingle_n,
-        )
+        survivors = admit_fn(spark, batch_df, inc_id)
         _clear_inc_partition(spark, out_path, inc_id)
         survivors.withColumn("inc", F.lit(inc_id)).write.mode(
             "append"
         ).partitionBy("inc").parquet(out_path)
+        if stats_path is not None:
+            n_in = batch_df.count()
+            n_adm = survivors.count()
+            _clear_inc_partition(spark, stats_path, inc_id)
+            spark.createDataFrame(
+                [(inc_id, n_in, n_adm, n_in - n_adm)],
+                "inc string, n_input long, n_admitted long, n_dropped long",
+            ).write.mode("append").partitionBy("inc").parquet(stats_path)
 
     return stream.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir
@@ -434,6 +463,7 @@ def admit_stream_exact_against_index(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats_path: str | None = None,
 ):
     """EXACT-dedup twin of ``admit_stream_against_index``: micro-batches
     filtered against the materialized md5 hash index + Bloom sidecar
@@ -451,18 +481,15 @@ def admit_stream_exact_against_index(
     keeper — NOT dropDuplicates' arbitrary row, which would break
     byte-identical replay convergence).
 
-    Returns the configured ``DataStreamWriter``."""
+    Returns the configured ``DataStreamWriter``; ``stats_path`` as on
+    ``admit_stream_against_index``."""
     from ..operators.dedup import exact_dedup
     from ..operators.exact_index import (
         append_exact_index,
         dedup_exact_against_index,
     )
-    from ..operators.minhash_index import _INC_ID_RE, _clear_inc_partition
 
-    def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        inc_id = f"b{batch_id:012d}"
-        assert _INC_ID_RE.match(inc_id)
+    def _admit_one(spark, batch_df: DataFrame, inc_id: str) -> DataFrame:
         self_deduped = exact_dedup(batch_df, text_col, id_col)
         survivors = dedup_exact_against_index(
             spark, self_deduped, index_path, text_col, id_col,
@@ -472,11 +499,8 @@ def admit_stream_exact_against_index(
             survivors, index_path, increment_id=inc_id,
             text_col=text_col, id_col=id_col,
         )
-        _clear_inc_partition(spark, out_path, inc_id)
-        survivors.withColumn("inc", F.lit(inc_id)).write.mode(
-            "append"
-        ).partitionBy("inc").parquet(out_path)
+        return survivors
 
-    return stream.writeStream.foreachBatch(_admit).option(
-        "checkpointLocation", checkpoint_dir
+    return _admission_writer(
+        stream, checkpoint_dir, out_path, stats_path, _admit_one
     )

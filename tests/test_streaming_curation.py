@@ -534,3 +534,52 @@ def test_admit_stream_exact_shares_state_and_replays(spark, tmp_path, corpus_pdf
     assert sorted(
         map(str, spark.read.parquet(sidx + "/hashes").select("inc", "id").collect())
     ) == first_hashes
+
+
+def test_admission_stats_rows_and_replay_idempotence(spark, tmp_path, corpus_pdf):
+    """stats_path writes one (inc, n_input, n_admitted, n_dropped) row
+    per micro-batch under the same idempotent inc= discipline; totals
+    reconcile with the survivor output, and a full replay rewrites
+    rather than double-counts."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        minhash_index as MI,
+    )
+
+    base = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where((F.col("doc_id") >= 400) & (F.col("doc_id") < 430))
+    )
+    idx = str(tmp_path / "stats_idx")
+    MI.build_minhash_index(base, idx)
+    src, parts = _write_stream_parts(spark, tmp_path, corpus_pdf)
+    out_path = str(tmp_path / "stats_out")
+    stats_path = str(tmp_path / "stats_rows")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            curation.admit_stream_against_index(
+                stream, idx, out_path, ckpt, stats_path=stats_path
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "sck1"))
+    stats = spark.read.parquet(stats_path).toPandas().sort_values("inc")
+    assert len(stats) == 3  # one row per micro-batch
+    assert (stats["n_input"] == [len(p) for p in parts]).all()
+    assert (stats["n_dropped"] == stats["n_input"] - stats["n_admitted"]).all()
+    n_out = spark.read.parquet(out_path).count()
+    assert stats["n_admitted"].sum() == n_out
+    # full replay: stats rows are REWRITTEN per inc, never appended
+    run(str(tmp_path / "sck2"))
+    stats2 = spark.read.parquet(stats_path).toPandas().sort_values("inc")
+    assert len(stats2) == 3
+    assert stats2["n_admitted"].tolist() == stats["n_admitted"].tolist()
