@@ -1006,3 +1006,29 @@ def dequantize_embeddings(
             lambda c: c.cast("double") / 127.0 * F.col(scale_col),
         ),
     )
+
+
+def ivf_balance_report(
+    spark,
+    path: str,
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """(cluster, n_vectors) for a materialized inverted file — the
+    serving-ops capacity gauge.  IVF search cost is proportional to the
+    PROBED clusters' sizes, so a skewed file (one hot cluster holding
+    most vectors) silently degrades every query that probes it; the
+    published remedy is re-training the coarse quantizer when
+    max/mean cluster size drifts (≈ >8-10× is the usual re-cluster
+    trigger).
+
+    Cost: effectively metadata-only — ``cluster_col`` is a HIVE
+    PARTITION column, so the pruned scan reads directory names and
+    parquet footers (row counts), never vector data pages.  Feeds
+    ``sinks.write_html_report``; compute the trigger ratio with one
+    driver-side agg over the (n_clusters)-row result."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy(F.col("n_vectors").desc(), F.col("cluster").asc())
+    )

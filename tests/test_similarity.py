@@ -497,3 +497,28 @@ def test_inverted_file_incremental_append_and_quantized_serving(spark, emb, tmp_
         b = set(gq[gq["query_id"] == qid]["neighbor_id"])
         overlap += len(a & b) / 5.0
     assert overlap / 2 >= 0.9, overlap / 2
+
+
+def test_ivf_balance_report(spark, tmp_path):
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(6)
+    # two tight clusters, deliberately imbalanced 3:1
+    a = rng.normal(0, 0.05, (150, 8)) + np.array([1.0] * 8)
+    b = rng.normal(0, 0.05, (50, 8)) + np.array([-1.0] * 8)
+    X = np.vstack([a, b])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    C = sim.ivf_centroids(df, n_clusters=2, max_iter=5)
+    p = str(tmp_path / "ivf_bal")
+    sim.build_inverted_file(df, C, p)
+    rep = sim.ivf_balance_report(spark, p).collect()
+    counts = sorted(r["n_vectors"] for r in rep)
+    assert counts == [50, 150]
+    assert rep[0]["n_vectors"] == 150  # ordered hot-first
+    # the gauge a re-cluster trigger computes
+    ratio = max(counts) / (sum(counts) / len(counts))
+    assert 1.4 < ratio <= 2.0
