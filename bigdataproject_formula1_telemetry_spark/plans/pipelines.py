@@ -543,6 +543,36 @@ def corpus_card(
     return card
 
 
+def corpus_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release-to-release corpus accounting: one row per doc id in
+    either release with ``change`` ∈ {added, removed, modified,
+    unchanged} (modified = same id, different content hash) — what a
+    release reviewer reads before signing off an updated dataset, and
+    the input to incremental re-processing decisions (only added +
+    modified need re-curation).
+
+    Plan: each side reduces to narrow (id, md5) rows, ONE full outer
+    join on the uniform id key classifies — text never shuffles and the
+    join carries 16-byte hashes.  Summarize with
+    ``.groupBy("change").count()``."""
+    key = F.coalesce(F.md5(F.col(text_col)), F.lit("\x00null"))
+    o = old_docs.select(F.col(id_col).alias("id"), key.alias("__oh"))
+    n = new_docs.select(F.col(id_col).alias("id"), key.alias("__nh"))
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") == F.col("__nh"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+        .alias("change"),
+    )
+
+
 def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
     """§5 audit as a real assertable query (detailed_data_audit,
     F1_Data_Test.ipynb:135-240): expected races left-joined to per-round

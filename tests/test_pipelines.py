@@ -436,3 +436,19 @@ def test_curate_documents_against_materialized_index(spark, tmp_path):
         batch, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
     ).toPandas()
     assert set(out2["doc_id"]) == {5001, 5002}
+
+
+def test_corpus_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text CHANGED"), (4, None), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["change"] for r in P.corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "modified", 3: "removed", 4: "unchanged",
+        5: "added",
+    }
