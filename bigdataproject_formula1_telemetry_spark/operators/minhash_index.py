@@ -62,6 +62,8 @@ __all__ = [
     "append_minhash_index",
     "dedup_against_index",
     "incremental_near_dedup",
+    "list_increments",
+    "expire_increments",
 ]
 
 
@@ -306,3 +308,48 @@ def incremental_near_dedup(
             increment_id=increment_id,
         )
     return survivors
+
+
+def list_increments(spark: SparkSession, path: str) -> list[str]:
+    """The increment ids present in the index (from the ``sigs`` table's
+    partition directory names — metadata only, no data scan)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "sigs"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            out.append(name[len("inc="):])
+    return sorted(out)
+
+
+def expire_increments(
+    spark: SparkSession,
+    path: str,
+    keep: "callable | list[str]",
+    tables: tuple[str, ...] = ("sigs", "banded"),
+) -> list[str]:
+    """Retention for the materialized index: delete every ``inc=``
+    partition whose id is NOT kept — the dedup-horizon policy (e.g.
+    "only dedup against the last 90 days") that bounds index size the
+    way ``dropDuplicatesWithinWatermark`` bounds streaming state.
+    ``keep`` is a predicate over the increment id (or an explicit list);
+    the ``base`` partition is ALWAYS kept — rebuild to rotate it.
+    Returns the expired ids.  Metadata-only: partition directory
+    deletes, no data scan; expired documents simply become admissible
+    again (searches stop seeing their signatures)."""
+    kept = (
+        (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
+        else keep
+    )
+    expired = [
+        i for i in list_increments(spark, path)
+        if i != "base" and not kept(i)
+    ]
+    for inc in expired:
+        for t in tables:
+            _clear_inc_partition(spark, os.path.join(path, t), inc)
+    return expired

@@ -711,6 +711,40 @@ def corpus_release(
             schema="section string, key string, value double",
         )
     )
+    # provenance: the curation config ships WITH the release (one-row
+    # json table at path/config), and the card carries its hash — two
+    # releases with the same card hash row were curated identically,
+    # and corpus_diff + config diff together explain any delta.  Only
+    # JSON-serializable kwargs are recorded verbatim; model/DataFrame
+    # arguments record their type name (their content is already
+    # pinned by the released data itself).
+    import hashlib as _hl
+    import json as _json
+
+    def _jsonable(v):
+        try:
+            _json.dumps(v)
+            return v
+        except TypeError:
+            return f"<{type(v).__name__}>"
+
+    config = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "benchmark": benchmark is not None,
+        **{k: _jsonable(v) for k, v in sorted(curate_kwargs.items())},
+    }
+    config_json = _json.dumps(config, sort_keys=True)
+    config_hash = _hl.md5(config_json.encode()).hexdigest()
+    spark.createDataFrame(
+        [(config_json, config_hash)], "config_json string, config_md5 string"
+    ).write.mode("overwrite").parquet(_os.path.join(path, "config"))
+    card = card.unionByName(
+        spark.createDataFrame(
+            [("provenance", f"config_md5:{config_hash}", 1.0)],
+            schema="section string, key string, value double",
+        )
+    )
     card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
     return {
         "manifest": manifest,

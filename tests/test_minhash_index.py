@@ -261,3 +261,39 @@ def test_exclude_inc_is_partition_pruned(spark, old_docs, index_path):
     assert any("inc" in f and "day9" in f for f in filters), filters
     # and the plan still never shuffles the index
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_expire_increments_retention(spark, old_docs, index_path):
+    """The dedup-horizon policy: expired increments' documents become
+    admissible again; base is always kept; listing is metadata-only."""
+    fresh = spark.createDataFrame(
+        [
+            Row(doc_id=700_000, text="retention doc one with its own words"),
+            Row(doc_id=700_001, text="retention doc two about other things"),
+        ]
+    )
+    MI.append_minhash_index(
+        fresh.where(F.col("doc_id") == 700_000), index_path,
+        increment_id="day-001",
+    )
+    MI.append_minhash_index(
+        fresh.where(F.col("doc_id") == 700_001), index_path,
+        increment_id="day-002",
+    )
+    assert MI.list_increments(spark, index_path) == ["base", "day-001", "day-002"]
+    # both docs are index hits now
+    assert MI.dedup_against_index(spark, fresh, index_path, 0.8).count() == 0
+    # expire day-001 (keep predicate form)
+    gone = MI.expire_increments(
+        spark, index_path, keep=lambda i: i >= "day-002"
+    )
+    assert gone == ["day-001"]
+    assert MI.list_increments(spark, index_path) == ["base", "day-002"]
+    kept = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, fresh, index_path, 0.8).collect()
+    }
+    assert kept == {700_000}  # expired doc admissible again, day-002 still hits
+    # explicit-list form keeps nothing extra; base survives regardless
+    assert MI.expire_increments(spark, index_path, keep=[]) == ["day-002"]
+    assert MI.list_increments(spark, index_path) == ["base"]

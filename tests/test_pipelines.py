@@ -452,3 +452,36 @@ def test_corpus_diff_classification(spark):
         1: "unchanged", 2: "modified", 3: "removed", 4: "unchanged",
         5: "added",
     }
+
+
+def test_corpus_release_provenance_config(spark, tmp_path):
+    """The release ships its curation config and the card carries the
+    config hash: same kwargs → same hash, changed kwargs → changed."""
+    import json
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several words to chunk and pack "
+             f"plus unique token u{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    kw = dict(chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2)
+    r1 = P.corpus_release(docs, str(tmp_path / "p1"), **kw)
+    r2 = P.corpus_release(docs, str(tmp_path / "p2"), **kw)
+    r3 = P.corpus_release(
+        docs, str(tmp_path / "p3"), **{**kw, "token_budget": 64}
+    )
+
+    def config_row(p):
+        return spark.read.parquet(str(tmp_path / p / "config")).first()
+
+    def card_hash(res):
+        keys = [r["key"] for r in res["card"].collect()
+                if r["section"] == "provenance"]
+        assert len(keys) == 1 and keys[0].startswith("config_md5:")
+        return keys[0].split(":", 1)[1]
+
+    c1, c2, c3 = config_row("p1"), config_row("p2"), config_row("p3")
+    assert c1["config_md5"] == c2["config_md5"] != c3["config_md5"]
+    assert json.loads(c1["config_json"])["token_budget"] == 32
+    assert card_hash(r1) == c1["config_md5"]
+    assert card_hash(r3) == c3["config_md5"]
