@@ -179,24 +179,37 @@ def pack_sequences(
     n_tokens_col: str = "n_tokens",
     order_by: tuple[str, ...] = ("doc_id", "chunk_idx"),
     partition_by: str | None = None,
+    strategy: str = "first_fit",
 ):
-    """Greedy sequential packing of chunks into fixed-budget training
-    sequences: walk the chunks in a deterministic order, keep a running
-    token total, and open a new bin whenever the budget would overflow —
-    standard first-fit-in-order packing of tokenized documents into
-    context windows.  Guarantee: no bin exceeds ``token_budget`` unless
+    """Greedy packing of chunks into fixed-budget training sequences.
+    Guarantee (both strategies): no bin exceeds ``token_budget`` unless
     a single chunk alone does (flagged ``oversize``, monopolizing its
     bin); occupancy ≥ 50% whenever every chunk fits the budget.
+
+    ``strategy``:
+
+    - ``"first_fit"`` (default) — walk the chunks in the deterministic
+      ``order_by`` order, open a new bin whenever the budget would
+      overflow.  Preserves document contiguity: a doc's chunks stay
+      adjacent and in order inside bins (what a curriculum or
+      attention-mask-per-doc consumer wants).
+    - ``"best_fit_decreasing"`` — classic BFD: sort by size descending
+      (ties by ``order_by`` position — deterministic) and place each
+      chunk into the fullest bin it still fits.  Higher occupancy
+      (fewer padded tokens; BFD is the textbook offline bound ~11/9
+      OPT) at the cost of scrambling doc order inside bins — right when
+      sequences are independently shuffled samples anyway.
 
     The bin assignment carries loop state (current fill), which no
     window/cumsum expression can legally express once boundary pushes
     feed back into later assignments — a cumsum formulation was tried
     and packs 12 tokens into a 10-token bin on sizes (6,6,6).  So this
     is a grouped ``applyInPandas`` kernel (the resampler pattern): one
-    shuffle on ``partition_by``, then a linear numpy/python pass per
-    group.  With ``partition_by`` (a shard/language column the corpus
-    already has) packing runs independently per group — the scale form;
-    the ``partition_by=None`` convenience funnels everything through ONE
+    shuffle on ``partition_by``, then a per-group pass (linear for
+    first-fit; BFD keeps a sorted gap list — O(n log n) per group).
+    With ``partition_by`` (a shard/language column the corpus already
+    has) packing runs independently per group — the scale form; the
+    ``partition_by=None`` convenience funnels everything through ONE
     task and is for small frames only (the kernel asserts nothing, the
     plan simply has a single group)."""
     import numpy as np
@@ -208,11 +221,13 @@ def pack_sequences(
         StructType as _ST,
     )
 
+    if strategy not in ("first_fit", "best_fit_decreasing"):
+        raise ValueError(
+            f"strategy must be first_fit|best_fit_decreasing, got {strategy!r}"
+        )
     order_cols = list(order_by)
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        sizes = pdf[n_tokens_col].to_numpy()
+    def _assign_first_fit(sizes: "np.ndarray") -> "np.ndarray":
         seq = np.empty(len(sizes), dtype=np.int64)
         fill = 0
         b = 0
@@ -223,7 +238,39 @@ def pack_sequences(
                 fill = 0
             seq[i] = b
             fill += s
-        pdf = pdf.assign(seq_id=seq, oversize=sizes > token_budget)
+        return seq
+
+    def _assign_bfd(sizes: "np.ndarray") -> "np.ndarray":
+        import bisect
+
+        # descending size, stable on the order_by position for ties
+        order = np.lexsort((np.arange(len(sizes)), -sizes))
+        seq = np.empty(len(sizes), dtype=np.int64)
+        gaps: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
+        nbins = 0
+        for i in order:
+            s = min(int(sizes[i]), token_budget)
+            # tightest bin that still fits = first gap >= s
+            j = bisect.bisect_left(gaps, (s, -1))
+            if j < len(gaps):
+                rem, b = gaps.pop(j)
+                seq[i] = b
+                rem -= s
+            else:
+                b = nbins
+                nbins += 1
+                seq[i] = b
+                rem = token_budget - s
+            if rem > 0:
+                bisect.insort(gaps, (rem, b))
+        return seq
+
+    assign = _assign_first_fit if strategy == "first_fit" else _assign_bfd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[n_tokens_col].to_numpy()
+        pdf = pdf.assign(seq_id=assign(sizes), oversize=sizes > token_budget)
         if "__g" in pdf.columns:
             pdf = pdf.drop(columns="__g")
         return pdf

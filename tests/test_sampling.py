@@ -561,3 +561,43 @@ def test_leakage_free_split_colocates_duplicate_families(spark):
     from collections import Counter
     c = Counter(split_of.values())
     assert c["val"] > 0 and c["train"] > 0
+
+
+def test_pack_sequences_bfd_beats_first_fit_occupancy(spark):
+    """BFD packs tighter than first-fit-in-order on adversarial sizes,
+    honors the budget, and sorts ties deterministically."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    # first-fit on this order wastes half of every bin (7,4 pairs);
+    # BFD pairs 7s with 3s and 4s with each other
+    rows = []
+    for i, s in enumerate([7, 4] * 20 + [3] * 20):
+        rows.append(("a", i, 0, s))
+    sdf = spark.createDataFrame(
+        rows, "shard string, doc_id long, chunk_idx long, n_tokens long"
+    )
+
+    def occupancy(strategy):
+        out = T.pack_sequences(
+            sdf, token_budget=10, partition_by="shard", strategy=strategy
+        ).toPandas()
+        fills = out[~out.oversize].groupby("seq_id")["n_tokens"].sum()
+        assert (fills <= 10).all()
+        return fills.mean() / 10.0, out
+
+    ff_occ, _ = occupancy("first_fit")
+    bfd_occ, bfd_out = occupancy("best_fit_decreasing")
+    assert bfd_occ > ff_occ
+    # exact BFD outcome on this mix: 20 full (7+3) bins + 10 (4+4) bins
+    # = 280 tokens / 30 bins = 0.9333…
+    assert abs(bfd_occ - 280 / 300) < 1e-9
+    # deterministic
+    again = T.pack_sequences(
+        sdf, token_budget=10, partition_by="shard",
+        strategy="best_fit_decreasing",
+    ).toPandas()
+    assert bfd_out.sort_values("doc_id")["seq_id"].tolist() == \
+        again.sort_values("doc_id")["seq_id"].tolist()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strategy"):
+        T.pack_sequences(sdf, strategy="bogus")
