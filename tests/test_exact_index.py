@@ -171,3 +171,30 @@ def test_normalized_index_dedups_formatting_variants(spark, tmp_path):
     EI.build_exact_index(base, p2, expected_items=1000)
     kept2 = {r["doc_id"] for r in EI.dedup_exact_against_index(spark, inc, p2).collect()}
     assert kept2 == {10, 11}
+
+
+def test_bloom_positions_properties_hypothesis():
+    """Property form of the Bloom kernel (no Spark): positions always in
+    [0, m), deterministic, and membership has NO false negatives for
+    arbitrary int64 keys (including 0, -1, extremes)."""
+    from hypothesis import given, settings, strategies as st
+
+    keys_st = st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=300,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(keys_st, st.integers(min_value=1, max_value=2000))
+    def check(keys, n_cap):
+        m, k = EI._bloom_params(max(n_cap, len(keys)), 0.01)
+        arr = np.asarray(keys, dtype=np.int64)
+        pos = EI._positions(arr, m, k)
+        assert pos.shape == (len(keys), k)
+        assert (pos < m).all()
+        assert (pos == EI._positions(arr, m, k)).all()  # deterministic
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        EI._set_bits(bits, pos)
+        assert EI._test_bits(bits, pos).all()  # no false negatives
+
+    check()
