@@ -758,3 +758,60 @@ def shingles_ngrams(text, n: int):
     from bigdataproject_formula1_telemetry_spark.operators.dedup import shingles
 
     return shingles(text, n)
+
+
+def blocklist_filter(
+    docs,
+    blocked_words,
+    text_col: str = "text",
+    mode: str = "page",
+    min_hits: int = 1,
+):
+    """The C4 banned-words gate (Raffel et al. 2020 §2.2: pages
+    containing any word from a blocklist are removed; the canonical
+    list is public — supply it, or a domain-specific one).  Matching is
+    case-insensitive on WORD boundaries (split on non-alphanumerics, so
+    "assess" never matches a blocked "ass" — the classic scunthorpe
+    failure of substring blocklists).
+
+    ``mode="page"`` drops any document with ≥ ``min_hits`` blocked-word
+    occurrences (the published C4 behavior); ``mode="line"`` removes
+    only the offending lines and keeps the rest of the document
+    (documents emptied entirely become '' — pair with a != ''
+    predicate, like ``c4_line_filter``).
+
+    Scale: the blocklist rides as one lowercase literal array in the
+    plan (hundreds of words by contract — it is a curated list, not a
+    corpus); the gate is a pure JVM size(array_intersect(tokens,
+    blocked)) expression, no UDF, no shuffle, pushdown-friendly."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("page", "line"):
+        raise ValueError(f"mode must be page|line, got {mode!r}")
+    if not blocked_words:
+        return docs
+    blocked = F.array(
+        *[F.lit(w.lower()) for w in sorted(set(blocked_words))]
+    )
+
+    def _words(col):
+        return F.filter(
+            F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+
+    if mode == "page":
+        hits = F.size(F.array_intersect(_words(F.col(text_col)), blocked))
+        return docs.where(
+            F.col(text_col).isNull() | (hits < F.lit(min_hits))
+        )
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.size(F.array_intersect(_words(l), blocked)) < F.lit(min_hits),
+    )
+    return docs.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNull(), F.col(text_col)).otherwise(
+            F.array_join(kept, "\n")
+        ),
+    )

@@ -189,6 +189,7 @@ def curate_documents(
     max_order_ppl: float | None = None,
     order_lm: tuple | None = None,
     minhash_index_path: str | None = None,
+    blocklist: tuple | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -213,6 +214,8 @@ def curate_documents(
     ``benchmark`` (8-gram eval-set decontamination, broadcast-anti;
     ``semantic_threshold`` adds the order-invariant hashed-BoW cosine
     pass on top),
+    ``blocklist=(words, "page"|"line")`` (the C4 banned-words gate,
+    word-boundary matched, applied right after extraction),
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
@@ -262,6 +265,17 @@ def curate_documents(
         docs = docs.withColumn(text_col, T.c4_line_filter(F.col(text_col)))
     if html or c4_clean:
         docs = docs.where(F.col(text_col) != "")
+    if blocklist is not None:
+        # C4 banned-words gate right after extraction (the published
+        # order: the list must see extracted text, and everything
+        # downstream must never see blocked pages/lines); pure JVM
+        # word-boundary expression, see text.blocklist_filter
+        blocked_words, bl_mode = blocklist
+        docs = T.blocklist_filter(
+            docs, blocked_words, text_col=text_col, mode=bl_mode
+        )
+        if bl_mode == "line":
+            docs = docs.where(F.col(text_col) != "")
     if max_dup_line_frac is not None:
         # Gopher-style repetition gate BEFORE dedup: boilerplate-heavy
         # docs would otherwise flood the LSH buckets they deserve no
@@ -669,7 +683,16 @@ def corpus_release(
         id_col=id_col,
         benchmark=benchmark,
         **curate_kwargs,
-    )
+    ).localCheckpoint(eager=True)
+    if packed.isEmpty():
+        # refuse loudly: a partitioned write of zero rows produces an
+        # unreadable data directory, and a consumer pointed at the path
+        # would fail far from the cause.  An all-gates-drop release is
+        # an upstream configuration problem, not a deliverable.
+        raise ValueError(
+            "corpus_release: nothing survived curation — refusing to "
+            "write an empty release (check gate thresholds)"
+        )
     manifest = write_training_shards(packed, path)
     spark = docs.sparkSession
     released = spark.read.parquet(_os.path.join(path, "data"))

@@ -485,3 +485,29 @@ def test_corpus_release_provenance_config(spark, tmp_path):
     assert json.loads(c1["config_json"])["token_budget"] == 32
     assert card_hash(r1) == c1["config_md5"]
     assert card_hash(r3) == c3["config_md5"]
+
+
+def test_curate_documents_blocklist_gate_and_empty_release_guard(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean document with enough words to chunk and keep "
+                "around for the training corpus"),
+            (2, "this one mentions badword somewhere in its body text "
+                "across enough words to chunk"),
+        ],
+        "doc_id long, text string",
+    )
+    out = P.curate_documents(
+        docs, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        blocklist=(["badword"], "page"),
+    ).toPandas()
+    assert set(out["doc_id"]) == {1}
+    # all-blocked corpus → corpus_release refuses loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty release"):
+        P.corpus_release(
+            docs, str(tmp_path / "empty_rel"),
+            chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+            blocklist=(["badword", "clean", "document"], "page"),
+            # 'clean'/'document' also block doc 1 -> nothing survives
+        )

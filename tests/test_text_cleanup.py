@@ -263,3 +263,36 @@ def test_top_ngrams_boilerplate_miner(spark):
     # the spammer's repeated phrase counts ONCE (per-doc distinct)
     spam_counts = [r["c"] for r in top if "spam" in r["ngram"]]
     assert all(c == 1 for c in spam_counts)
+
+
+def test_blocklist_filter_page_and_line_modes(spark):
+    from bigdataproject_formula1_telemetry_spark.operators.text import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document about sports"),
+            (2, "contains the word BADWORD in its body"),
+            (3, "good line one\nthis line has badword here\ngood line two"),
+            (4, "assess the association assets"),  # no scunthorpe match on "ass"
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    page = blocklist_filter(docs, ["badword", "ass"], mode="page")
+    assert {r["doc_id"] for r in page.collect()} == {1, 4, 5}
+    line = {r["doc_id"]: r["text"]
+            for r in blocklist_filter(docs, ["badword"], mode="line").collect()}
+    assert line[3] == "good line one\ngood line two"
+    assert line[1] == "a perfectly clean document about sports"
+    assert line[5] is None
+    # pure expression: no shuffle
+    plan = blocklist_filter(docs, ["badword"], mode="page") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        blocklist_filter(docs, ["x"], mode="bogus")
+    # empty blocklist is the identity
+    assert blocklist_filter(docs, [], mode="page").count() == docs.count()
