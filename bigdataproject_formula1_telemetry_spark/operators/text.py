@@ -815,3 +815,69 @@ def blocklist_filter(
             F.array_join(kept, "\n")
         ),
     )
+
+
+def extract_main_content(
+    html: Column,
+    min_block_chars: int = 80,
+    max_link_density: float = 0.33,
+) -> Column:
+    """Main-content extraction by block-level link-density
+    classification — the jusText/Readability class of heuristic
+    (Pomikálek 2011; Arc90 Readability — both public): navigation,
+    menus, footers and "related links" are short and link-dense, body
+    text is long and link-sparse.  ``strip_html`` keeps every text node
+    (nav labels included); this keeps only blocks that read like
+    content:
+
+    1. drop script/style/comments (they are not content of any block);
+    2. split into candidate blocks on block-level tags;
+    3. per block, measure text length (tags stripped) and LINK DENSITY
+       = anchor-text chars / text chars (computed BEFORE stripping the
+       inline ``<a>`` tags — the signal the tag-stripper destroys);
+    4. keep blocks with ≥ ``min_block_chars`` of text and link density
+       ≤ ``max_link_density``; newline-join the survivors.
+
+    Pure JVM expressions (split → transform/aggregate over the block
+    array), no UDF, no shuffle.  A heuristic, not a parser: malformed
+    markup degrades to over/under-keeping, never an error.  Documents
+    with no qualifying block become '' — pair with a != '' predicate."""
+    cleaned = F.regexp_replace(
+        html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    cleaned = F.regexp_replace(cleaned, r"(?i)<!--.*?-->", " ")
+    blocks = F.split(
+        cleaned,
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|section|article|"
+        r"header|footer|nav|aside|main)\b[^>]*>",
+    )
+
+    def _text_len(b: Column) -> Column:
+        txt = F.trim(F.regexp_replace(b, r"<[^>]{0,512}>", " "))
+        return F.length(F.regexp_replace(txt, r"\s+", " "))
+
+    def _anchor_len(b: Column) -> Column:
+        anchors = F.regexp_extract_all(b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1)
+        return F.aggregate(
+            anchors,
+            F.lit(0),
+            lambda acc, a: acc + _text_len(a),
+        )
+
+    def _keep(b: Column) -> Column:
+        n = _text_len(b)
+        return (n >= F.lit(min_block_chars)) & (
+            _anchor_len(b).cast("double")
+            <= F.lit(float(max_link_density)) * n.cast("double")
+        )
+
+    kept = F.filter(blocks, _keep)
+    stripped = F.transform(
+        kept,
+        lambda b: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, r"<[^>]{0,512}>", " "), r"[ \t\x0b\f\r]+", " "
+            )
+        ),
+    )
+    return F.array_join(F.filter(stripped, lambda t: t != F.lit("")), "\n")

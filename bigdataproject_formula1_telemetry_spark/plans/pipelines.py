@@ -260,7 +260,13 @@ def curate_documents(
     )
 
     if html:
-        docs = docs.withColumn(text_col, T.strip_html(F.col(text_col)))
+        # html=True → tag-strip (keeps all text nodes); html="main" →
+        # jusText/Readability-class link-density block classification
+        # (drops nav/footer/related-links boilerplate structurally)
+        extractor = (
+            T.extract_main_content if html == "main" else T.strip_html
+        )
+        docs = docs.withColumn(text_col, extractor(F.col(text_col)))
     if c4_clean:
         docs = docs.withColumn(text_col, T.c4_line_filter(F.col(text_col)))
     if html or c4_clean:

@@ -511,3 +511,20 @@ def test_curate_documents_blocklist_gate_and_empty_release_guard(spark, tmp_path
             blocklist=(["badword", "clean", "document"], "page"),
             # 'clean'/'document' also block doc 1 -> nothing survives
         )
+
+
+def test_curate_documents_html_main_mode(spark):
+    art = ("A long informative body paragraph with plenty of words to "
+           "survive both the extractor and the chunker comfortably here.")
+    docs = spark.createDataFrame(
+        [(1, f'<nav><a href="/">Home</a> <a href="/x">More</a></nav>'
+             f"<p>{art}</p>")],
+        "doc_id long, text string",
+    )
+    out = P.curate_documents(
+        docs, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        html="main",
+    ).toPandas()
+    joined = " ".join(out["chunk_text"])
+    assert "informative body paragraph" in joined
+    assert "Home" not in joined  # nav dropped structurally

@@ -296,3 +296,38 @@ def test_blocklist_filter_page_and_line_modes(spark):
         blocklist_filter(docs, ["x"], mode="bogus")
     # empty blocklist is the identity
     assert blocklist_filter(docs, [], mode="page").count() == docs.count()
+
+
+def test_extract_main_content_link_density(spark):
+    """Nav/footer (short, link-dense) blocks drop; the article body
+    (long, link-sparse) survives — including a body block containing
+    ONE inline link, which a whole-page link heuristic would overkill.
+    Contrast: strip_html keeps the nav labels."""
+    article1 = ("This is the opening paragraph of a genuinely informative "
+                "article about an interesting subject with plenty of prose.")
+    article2 = ("A second substantial paragraph continues the discussion "
+                'with an inline <a href="/ref">reference link</a> amid '
+                "otherwise ordinary running text of reasonable length.")
+    html = (
+        '<nav><a href="/">Home</a> <a href="/news">News</a> '
+        '<a href="/about">About</a></nav>'
+        f"<p>{article1}</p>"
+        f"<p>{article2}</p>"
+        '<div><a href="/a">Related one</a> <a href="/b">Related two</a> '
+        '<a href="/c">Related three</a></div>'
+        '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>'
+        "<script>nav();</script>"
+    )
+    out = _one(spark, html, T.extract_main_content)
+    assert "opening paragraph" in out
+    assert "reference link" in out  # inline link text kept inside body
+    assert "Home" not in out and "Related one" not in out
+    assert "Terms" not in out and "nav();" not in out
+    # strip_html, by contrast, keeps the nav labels
+    naive = _one(spark, html, T.strip_html)
+    assert "Home" in naive
+    # malformed markup degrades, never crashes; long plain text survives
+    plain = "just a long enough plain text line " * 4
+    assert "plain text" in _one(spark, "<p>" + plain, T.extract_main_content)
+    # all-boilerplate page -> empty string
+    assert _one(spark, '<nav><a href="/">x</a></nav>', T.extract_main_content) == ""
