@@ -881,3 +881,106 @@ def extract_main_content(
         ),
     )
     return F.array_join(F.filter(stripped, lambda t: t != F.lit("")), "\n")
+
+
+#: the Gopher rule's required-stopword list (Rae et al. 2021, A1.1 —
+#: public): a real-language English document contains at least two.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(text: Column) -> Column:
+    """The Gopher quality-rule inputs (Rae et al., "Scaling Language
+    Models: ... Gopher", 2021, Appendix A1.1 — public recipe) as one
+    JVM struct; the repetition half lives in ``repetition_stats``:
+
+    - ``n_words``, ``mean_word_len`` — length band inputs;
+    - ``symbol_ratio`` — ('#' + '...') occurrences per word;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting
+      with a bullet / ending with an ellipsis;
+    - ``alpha_word_frac`` — words containing ≥ 1 alphabetic char;
+    - ``stopword_hits`` — how many of the rule's 8 required English
+      stopwords appear.
+
+    Empty documents score zeros.  Pure expressions, no UDF."""
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double") / nd,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n > 0, (n_hash + n_ell).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    nl = F.size(lines).cast("double")
+    bullet_frac = F.when(
+        F.size(lines) > 0,
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^[•‣▪*\-]"))
+        ).cast("double") / nl,
+    ).otherwise(F.lit(0.0))
+    ell_line_frac = F.when(
+        F.size(lines) > 0,
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("double") / nl,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-zA-Z]"))).cast("double")
+        / nd,
+    ).otherwise(F.lit(0.0))
+    req = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.lower(text))), req)
+    )
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def gopher_filter(
+    docs,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Apply the full Gopher quality rule set (published thresholds as
+    defaults) — a document survives only if EVERY rule passes.  Compose
+    with ``repetition_stats`` gates (``curate_documents(
+    max_dup_line_frac=)``) for the complete Gopher filter."""
+    s = gopher_stats(F.col(text_col))
+    return docs.where(
+        (s["n_words"] >= F.lit(min_words))
+        & (s["n_words"] <= F.lit(max_words))
+        & (s["mean_word_len"] >= F.lit(min_mean_word_len))
+        & (s["mean_word_len"] <= F.lit(max_mean_word_len))
+        & (s["symbol_ratio"] <= F.lit(max_symbol_ratio))
+        & (s["bullet_line_frac"] <= F.lit(max_bullet_line_frac))
+        & (s["ellipsis_line_frac"] <= F.lit(max_ellipsis_line_frac))
+        & (s["alpha_word_frac"] >= F.lit(min_alpha_word_frac))
+        & (s["stopword_hits"] >= F.lit(min_stopword_hits))
+    )

@@ -331,3 +331,41 @@ def test_extract_main_content_link_density(spark):
     assert "plain text" in _one(spark, "<p>" + plain, T.extract_main_content)
     # all-boilerplate page -> empty string
     assert _one(spark, '<nav><a href="/">x</a></nav>', T.extract_main_content) == ""
+
+
+def test_gopher_stats_and_filter(spark):
+    """Every Gopher rule (Rae et al. 2021 A1.1) individually rejects its
+    crafted violator while the compliant document passes all of them."""
+    good_words = ("the quick brown fox and the lazy dog have decided to "
+                  "wander off with great purpose across that wide field "
+                  "of golden wheat because exploration is rewarding and "
+                  "adventure builds character for everyone involved today "
+                  "with more words that keep the total comfortably high "
+                  "and a further clause extends the passage well beyond "
+                  "the fifty word minimum that the published rule demands")
+    docs = {
+        "good": good_words,
+        "too_short": "the and of that have with be to",
+        "long_words": " ".join(["pneumonoultramicroscopic"] * 60) + " the of and",
+        "symbols": " ".join(["tag#word"] * 30 + ["more..."] * 30) + " the of and",
+        "bullets": "\n".join(["- item one of the list here"] * 10),
+        "ellipses": "\n".join([f"{good_words} truncated..."] * 10),
+        "numeric": " ".join(str(i) for i in range(60)) + " the of and",
+        "no_stopwords": " ".join(f"w{i}x" for i in range(60)),
+    }
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id string, text string"
+    )
+    kept = {r["doc_id"] for r in T.gopher_filter(sdf).collect()}
+    assert kept == {"good"}
+    # stats are exact on a crafted doc
+    s = (
+        spark.createDataFrame([("x", "aaa bb# ...\n- bullet the of")],
+                              "doc_id string, text string")
+        .select(T.gopher_stats(F.col("text")).alias("s"))
+        .first()["s"]
+    )
+    assert s["n_words"] == 7
+    assert abs(s["symbol_ratio"] - 2 / 7) < 1e-9   # one '#', one '...'
+    assert abs(s["bullet_line_frac"] - 0.5) < 1e-9  # 1 of 2 lines
+    assert s["stopword_hits"] == 2                  # 'the', 'of'
