@@ -190,6 +190,7 @@ def curate_documents(
     order_lm: tuple | None = None,
     minhash_index_path: str | None = None,
     blocklist: tuple | None = None,
+    gopher: bool | dict = False,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -216,6 +217,9 @@ def curate_documents(
     pass on top),
     ``blocklist=(words, "page"|"line")`` (the C4 banned-words gate,
     word-boundary matched, applied right after extraction),
+    ``gopher=True`` / ``gopher={overrides}`` (the full Gopher A1.1
+    quality rule set via ``text.gopher_filter``; note the published
+    50-word minimum — pass overrides for short-document corpora),
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
@@ -282,6 +286,13 @@ def curate_documents(
         )
         if bl_mode == "line":
             docs = docs.where(F.col(text_col) != "")
+    if gopher:
+        # the full Gopher quality rule set (published thresholds, or a
+        # dict of overrides) — with the other quality gates, pre-dedup
+        docs = T.gopher_filter(
+            docs, text_col=text_col,
+            **(gopher if isinstance(gopher, dict) else {}),
+        )
     if max_dup_line_frac is not None:
         # Gopher-style repetition gate BEFORE dedup: boilerplate-heavy
         # docs would otherwise flood the LSH buckets they deserve no

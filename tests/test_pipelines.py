@@ -528,3 +528,28 @@ def test_curate_documents_html_main_mode(spark):
     joined = " ".join(out["chunk_text"])
     assert "informative body paragraph" in joined
     assert "Home" not in joined  # nav dropped structurally
+
+
+def test_curate_documents_gopher_gate(spark):
+    long_good = " ".join(
+        ["the quick brown fox and that lazy dog have wandered off with"] * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, " ".join(str(i) for i in range(80))),  # numeric: fails alpha rule
+        ],
+        "doc_id long, text string",
+    )
+    out = P.curate_documents(
+        docs, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        gopher=True,
+    ).toPandas()
+    assert set(out["doc_id"]) == {1}
+    # threshold overrides flow through
+    out2 = P.curate_documents(
+        docs, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        gopher={"min_alpha_word_frac": 0.0, "min_stopword_hits": 0,
+                "min_mean_word_len": 0.0},
+    ).toPandas()
+    assert set(out2["doc_id"]) == {1, 2}
