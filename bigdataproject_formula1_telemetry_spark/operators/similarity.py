@@ -345,7 +345,14 @@ def _pairwise_cosine_udf():
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if not len(va):
             return pd.Series([], dtype=np.float64)
-        dims = [len(v) for v in va if v is not None]
+        # the nan filler's dim must come from EITHER column: an Arrow
+        # batch can arrive with one side all-NULL (batch boundaries are
+        # partitioning-dependent, which made this an ordering flake),
+        # and a wrong-shaped filler breaks np.stack against the other
+        # side's real vectors
+        dims = [len(v) for v in va if v is not None] + [
+            len(v) for v in vb if v is not None
+        ]
         dim = dims[0] if dims else 1
         nanrow = np.full(dim, np.nan)
         A = np.stack([nanrow if v is None else np.asarray(v, dtype=np.float64) for v in va])

@@ -522,3 +522,26 @@ def test_ivf_balance_report(spark, tmp_path):
     # the gauge a re-cluster trigger computes
     ratio = max(counts) / (sum(counts) / len(counts))
     assert 1.4 < ratio <= 2.0
+
+
+def test_pairwise_cosine_udf_one_side_all_null_batch(spark):
+    """Regression: an Arrow batch whose LEFT column is entirely NULL
+    must still build a correctly-shaped nan filler (the dim comes from
+    either column).  With the filler keyed to the left column only this
+    crashed np.stack — and surfaced as an ordering-dependent flake in
+    near_dedup_cosine, because whether such a batch occurs depends on
+    partitioning."""
+    df = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (None, [0.0, 1.0])],
+        "va array<double>, vb array<double>",
+    )
+    cos = sim._pairwise_cosine_udf()
+    out = df.select(cos("va", "vb").alias("c")).collect()
+    import math
+    assert all(r["c"] is None or math.isnan(r["c"]) for r in out)
+    # and the symmetric case
+    df2 = spark.createDataFrame(
+        [([1.0, 0.0], None)], "va array<double>, vb array<double>"
+    )
+    [r2] = df2.select(cos("va", "vb").alias("c")).collect()
+    assert r2["c"] is None or math.isnan(r2["c"])
