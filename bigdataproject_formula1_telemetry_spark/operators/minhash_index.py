@@ -64,6 +64,7 @@ __all__ = [
     "incremental_near_dedup",
     "list_increments",
     "expire_increments",
+    "compact_index",
 ]
 
 
@@ -353,3 +354,44 @@ def expire_increments(
         for t in tables:
             _clear_inc_partition(spark, os.path.join(path, t), inc)
     return expired
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """LSM-style maintenance: fold every ``inc=`` partition into a fresh
+    ``base`` — after months of daily increments the banded table holds
+    incs × bands small files, and scan cost is file-count-bound long
+    before it is byte-bound.  Returns the number of increments folded.
+
+    Signatures are REWRITTEN, never recomputed (no text, no shingling —
+    a metadata-scale job relative to a build).  The swap is
+    staged-then-rename per table: the new ``base`` is written under
+    ``<table>.compact``, then the old table directory is replaced in
+    one rename each — a reader mid-swap sees the old or the new layout,
+    and a crashed compaction leaves the original intact (the stale
+    ``.compact`` staging dir is overwritten by the next attempt).
+    Run it when ``list_increments`` grows past a few hundred, after
+    ``expire_increments``."""
+    incs = list_increments(spark, path)
+    n_folded = len([i for i in incs if i != "base"])
+    if n_folded == 0:
+        return 0
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for table, parts in (("sigs", ["inc"]), ("banded", ["inc", "band"])):
+        tpath = os.path.join(path, table)
+        staged = tpath + ".compact"
+        (
+            spark.read.parquet(tpath)
+            .drop("inc")
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(staged)
+        )
+        src = jvm.org.apache.hadoop.fs.Path(staged)
+        dst = jvm.org.apache.hadoop.fs.Path(tpath)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"compact_index: rename {staged} -> {tpath} failed")
+    return n_folded

@@ -297,3 +297,40 @@ def test_expire_increments_retention(spark, old_docs, index_path):
     # explicit-list form keeps nothing extra; base survives regardless
     assert MI.expire_increments(spark, index_path, keep=[]) == ["day-002"]
     assert MI.list_increments(spark, index_path) == ["base"]
+
+
+def test_compact_index_folds_increments(spark, old_docs, index_path):
+    """Compaction folds every inc= partition into base: search results
+    identical before and after, increments list collapses, banded file
+    count shrinks."""
+    import glob
+
+    inc1 = spark.createDataFrame(
+        [Row(doc_id=800_000, text="compaction probe doc one of a kind")]
+    )
+    inc2 = spark.createDataFrame(
+        [Row(doc_id=800_001, text="compaction probe doc two equally unique")]
+    )
+    MI.append_minhash_index(inc1, index_path, increment_id="c1")
+    MI.append_minhash_index(inc2, index_path, increment_id="c2")
+    probe = inc1.unionByName(inc2).unionByName(
+        spark.createDataFrame(
+            [Row(doc_id=800_002, text="a wholly fresh never indexed doc")]
+        )
+    )
+    before = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, probe, index_path, 0.8).collect()
+    }
+    files_before = len(glob.glob(index_path + "/banded/**/*.parquet", recursive=True))
+    assert MI.compact_index(spark, index_path) == 2
+    assert MI.list_increments(spark, index_path) == ["base"]
+    after = {
+        r["doc_id"]
+        for r in MI.dedup_against_index(spark, probe, index_path, 0.8).collect()
+    }
+    assert after == before == {800_002}
+    files_after = len(glob.glob(index_path + "/banded/**/*.parquet", recursive=True))
+    assert files_after < files_before
+    # idempotent no-op on an already-compact index
+    assert MI.compact_index(spark, index_path) == 0
