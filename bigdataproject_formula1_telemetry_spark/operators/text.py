@@ -984,3 +984,84 @@ def gopher_filter(
         & (s["alpha_word_frac"] >= F.lit(min_alpha_word_frac))
         & (s["stopword_hits"] >= F.lit(min_stopword_hits))
     )
+
+
+def fineweb_line_stats(text: Column) -> Column:
+    """The FineWeb custom line-level signals (Penedo et al. 2024,
+    "The FineWeb Datasets" — public recipe; these three filters were
+    derived there by inspecting what C4/Gopher still let through):
+
+    - ``punct_line_frac``: fraction of lines ENDING in terminal
+      punctuation (FineWeb drops docs where < 0.12);
+    - ``short_line_frac``: fraction of lines with < 30 characters
+      (drop when > 0.67);
+    - ``dup_line_char_frac``: fraction of CHARACTERS sitting in
+      duplicated lines — the character-weighted complement of
+      ``repetition_stats.dup_line_frac`` (drop when > 0.1; a few
+      repeated long lines weigh more than many repeated short ones).
+
+    Empty documents score zeros.  Pure JVM expressions; the dup-char
+    measure is O(distinct_lines × lines) WITHIN each document —
+    bounded by per-doc line counts (tens to hundreds on web pages),
+    never corpus size."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    nl = F.size(lines)
+    nld = nl.cast("double")
+    punct_frac = F.when(
+        nl > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"’”]$'))).cast(
+            "double"
+        )
+        / nld,
+    ).otherwise(F.lit(0.0))
+    short_frac = F.when(
+        nl > 0,
+        F.size(F.filter(lines, lambda l: F.length(l) < 30)).cast("double") / nld,
+    ).otherwise(F.lit(0.0))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    # chars in duplicated lines = total - chars of one copy of each
+    # distinct line that appears exactly once... computed as: for each
+    # DISTINCT line, if it repeats, ALL its occurrences count as dup
+    # mass (the FineWeb definition: characters in duplicated lines)
+    distinct_lines = F.array_distinct(lines)
+    dup_chars = F.aggregate(
+        distinct_lines,
+        F.lit(0).cast("long"),
+        lambda a, d: a
+        + F.when(
+            F.size(F.filter(lines, lambda l: l == d)) > 1,
+            F.size(F.filter(lines, lambda l: l == d)).cast("long")
+            * F.length(d).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    dup_char_frac = F.when(
+        total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        punct_frac.alias("punct_line_frac"),
+        short_frac.alias("short_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+    )
+
+
+def fineweb_filter(
+    docs,
+    text_col: str = "text",
+    min_punct_line_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    max_dup_line_char_frac: float = 0.1,
+):
+    """Apply the three FineWeb custom line filters with the published
+    thresholds as defaults — compose after the C4/Gopher gates, as the
+    paper does."""
+    s = fineweb_line_stats(F.col(text_col))
+    return docs.where(
+        (s["punct_line_frac"] >= F.lit(min_punct_line_frac))
+        & (s["short_line_frac"] <= F.lit(max_short_line_frac))
+        & (s["dup_line_char_frac"] <= F.lit(max_dup_line_char_frac))
+    )

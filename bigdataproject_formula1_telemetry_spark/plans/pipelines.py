@@ -191,6 +191,7 @@ def curate_documents(
     minhash_index_path: str | None = None,
     blocklist: tuple | None = None,
     gopher: bool | dict = False,
+    fineweb: bool | dict = False,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -220,6 +221,9 @@ def curate_documents(
     ``gopher=True`` / ``gopher={overrides}`` (the full Gopher A1.1
     quality rule set via ``text.gopher_filter``; note the published
     50-word minimum — pass overrides for short-document corpora),
+    ``fineweb=True`` / ``fineweb={overrides}`` (the three FineWeb
+    custom line filters via ``text.fineweb_filter``, after the
+    C4/Gopher class — the paper's order),
     ``redact`` (PII scrub applied BEFORE hashing so dedup keys and
     chunk identities see the redacted text), ``bpe_merges`` (a
     ``bpe.train_bpe`` model — bins then budget real tokenizer piece
@@ -292,6 +296,13 @@ def curate_documents(
         docs = T.gopher_filter(
             docs, text_col=text_col,
             **(gopher if isinstance(gopher, dict) else {}),
+        )
+    if fineweb:
+        # the three FineWeb custom line filters, applied after the
+        # C4/Gopher class gates (the paper's order)
+        docs = T.fineweb_filter(
+            docs, text_col=text_col,
+            **(fineweb if isinstance(fineweb, dict) else {}),
         )
     if max_dup_line_frac is not None:
         # Gopher-style repetition gate BEFORE dedup: boilerplate-heavy

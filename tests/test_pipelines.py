@@ -553,3 +553,20 @@ def test_curate_documents_gopher_gate(spark):
                 "min_mean_word_len": 0.0},
     ).toPandas()
     assert set(out2["doc_id"]) == {1, 2}
+
+
+def test_curate_documents_fineweb_gate(spark):
+    good = "\n".join(
+        ["A properly terminated sentence of reasonable length sits here."] * 4
+    )
+    unpunct = "\n".join(
+        ["a line of decent length with no terminal punctuation at all"] * 4
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, unpunct)], "doc_id long, text string"
+    )
+    out = P.curate_documents(
+        docs, chunk_tokens=8, overlap=0, token_budget=32, n_pack_shards=2,
+        fineweb={"max_dup_line_char_frac": 1.0},  # the good doc repeats lines
+    ).toPandas()
+    assert set(out["doc_id"]) == {1}

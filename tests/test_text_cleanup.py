@@ -369,3 +369,41 @@ def test_gopher_stats_and_filter(spark):
     assert abs(s["symbol_ratio"] - 2 / 7) < 1e-9   # one '#', one '...'
     assert abs(s["bullet_line_frac"] - 0.5) < 1e-9  # 1 of 2 lines
     assert s["stopword_hits"] == 2                  # 'the', 'of'
+
+
+def test_fineweb_line_stats_and_filter(spark):
+    good = "\n".join(
+        [
+            "A full sentence that ends with terminal punctuation properly.",
+            "Another complete line of reasonable length ends here too!",
+            "And a third one keeps the punctuation fraction high enough.",
+        ]
+    )
+    unpunct = "\n".join(["a line with no end mark at all of decent size"] * 5)
+    shorty = "\n".join(["tiny."] * 9 + ["One acceptable full-length sentence here."])
+    dupheavy = "\n".join(
+        ["This exact long duplicated line is repeated verbatim often."] * 4
+        + ["One unique closing line finishes the document properly."]
+    )
+    sdf = spark.createDataFrame(
+        [("good", good), ("unpunct", unpunct), ("short", shorty),
+         ("dup", dupheavy)],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in T.fineweb_filter(sdf).collect()}
+    assert kept == {"good"}
+    # exact stats on a crafted doc: 2 lines, one punct-terminated, the
+    # short one (<30 chars) duplicated... keep it simple & exact:
+    s = (
+        spark.createDataFrame(
+            [("x", "dup line here\ndup line here\nA long properly terminated closing sentence.")],
+            "doc_id string, text string",
+        )
+        .select(T.fineweb_line_stats(F.col("text")).alias("s"))
+        .first()["s"]
+    )
+    assert abs(s["punct_line_frac"] - 1 / 3) < 1e-9
+    assert abs(s["short_line_frac"] - 2 / 3) < 1e-9
+    dup_mass = 2 * len("dup line here")
+    total = dup_mass + len("A long properly terminated closing sentence.")
+    assert abs(s["dup_line_char_frac"] - dup_mass / total) < 1e-9
