@@ -640,3 +640,63 @@ def opq_encode(
         corpus.select(id_col, vec_col), rotation, vec_col
     )
     return pq_encode(rotated, codebooks, id_col, vec_col, code_col)
+
+
+def knn_pq_adc_rerank(
+    corpus_codes: DataFrame,
+    corpus_float: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
+) -> DataFrame:
+    """Two-stage serving — the standard production ANN topology (Jégou
+    et al.: quantized first pass, exact re-rank of the short-list):
+    ADC retrieves ``k · rerank_factor`` candidates per query from the
+    CODE-ONLY table, then only those candidates' float vectors are
+    fetched and re-scored with exact cosine; output is the exact-cosine
+    top-``k`` (``query_id, neighbor_id, cos_sim``).
+
+    Why this shape at scale: the corpus-wide pass reads m-byte codes
+    (16-64× less than floats); the float table is touched ONLY for
+    nq·k·factor candidate rows, which ride in a BROADCAST against the
+    float scan (one column-pruned pass, no shuffle of the corpus) —
+    recall approaches exact as ``rerank_factor`` grows while the
+    float-byte traffic stays proportional to the short-list, not the
+    corpus.  With a candidate set covering the whole corpus this is
+    EXACTLY ``knn_bruteforce``'s answer (pinned in tests)."""
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    cand = knn_pq_adc(
+        corpus_codes, queries, codebooks, k=k * rerank_factor,
+        id_col=id_col, code_col=code_col, query_id_col=id_col,
+        query_vec_col=vec_col, rotation=rotation,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pairs = cand.join(F.broadcast(q), "query_id")
+    nf = corpus_float.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    from bigdataproject_formula1_telemetry_spark.operators.similarity import (
+        cosine,
+    )
+
+    scored = nf.join(F.broadcast(pairs), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

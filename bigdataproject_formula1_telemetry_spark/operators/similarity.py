@@ -1039,3 +1039,70 @@ def ivf_balance_report(
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy(F.col("n_vectors").desc(), F.col("cluster").asc())
     )
+
+
+def embedding_health_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector-table triage in ONE aggregate scan — the data-quality
+    check that runs before building any index: tidy ``(key, value)``
+    rows for
+
+    - ``n_rows`` / ``n_null`` / ``n_zero_norm`` / ``n_nan`` (vectors
+      containing any NaN — these poison matmuls silently),
+    - ``n_dim_mismatch`` (length differs from the majority dimension
+      ``dim_mode`` — ragged tables break every kernel),
+    - ``norm_p01/p50/p99`` (a collapsed-norm distribution is the
+      classic symptom of an upstream encoder bug).
+
+    Pure JVM expressions (higher-order aggregate for the norm, exists
+    for NaN); the dim mode comes from a tiny length-histogram
+    aggregate, not a scan of vector data twice — two jobs total, both
+    column-pruned to ``vec_col``."""
+    x = F.col(vec_col)
+    dim_mode_row = (
+        df.where(x.isNotNull())
+        .groupBy(F.size(x).alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__d").asc())
+        .limit(1)
+        .collect()
+    )
+    dim_mode = int(dim_mode_row[0]["__d"]) if dim_mode_row else 0
+    sq = F.aggregate(
+        x, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+    )
+    nrm = F.when(x.isNotNull(), F.sqrt(sq))
+    has_nan = F.exists(x, lambda v: F.isnan(v.cast("double")))
+    agg = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(x.isNull().cast("long")).cast("double").alias("n_null"),
+        F.sum(
+            (x.isNotNull() & ~has_nan & (sq == 0)).cast("long")
+        ).cast("double").alias("n_zero_norm"),
+        F.sum((x.isNotNull() & has_nan).cast("long")).cast("double").alias(
+            "n_nan"
+        ),
+        F.sum(
+            (x.isNotNull() & (F.size(x) != F.lit(dim_mode))).cast("long")
+        ).cast("double").alias("n_dim_mismatch"),
+        F.percentile_approx(
+            F.when(~F.coalesce(has_nan, F.lit(False)), nrm),
+            F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99)),
+        ).alias("_q"),
+    ).first()
+    spark = df.sparkSession
+    q = agg["_q"] or [None, None, None]
+    rows = [
+        ("n_rows", agg["n_rows"]),
+        ("n_null", agg["n_null"]),
+        ("n_zero_norm", agg["n_zero_norm"]),
+        ("n_nan", agg["n_nan"]),
+        ("n_dim_mismatch", agg["n_dim_mismatch"]),
+        ("dim_mode", float(dim_mode)),
+        ("norm_p01", q[0]),
+        ("norm_p50", q[1]),
+        ("norm_p99", q[2]),
+    ]
+    return spark.createDataFrame(rows, "key string, value double")

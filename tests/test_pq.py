@@ -304,3 +304,61 @@ def test_opq_ivfpq_materialized_end_to_end(spark, tmp_path):
         if (qid - 1_000_000) in [nb for _, nb in sorted(v)]
     )
     assert hits >= 9, hits
+
+
+def test_knn_pq_adc_rerank_improves_and_converges(spark):
+    """ADC + exact re-rank: the short-list re-score must (a) emit TRUE
+    cosines, (b) recall at least as well as plain ADC, and (c) equal
+    exact brute force when the candidate list covers the corpus."""
+    import numpy as np
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        pq as PQ,
+        similarity as sim,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    n, dim = 300, 16
+    X = rng.standard_normal((n, dim))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    books = PQ.pq_train(corpus, m=4, n_codes=16, max_iter=4)
+    codes = PQ.pq_encode(corpus, books).localCheckpoint(eager=True)
+    queries = corpus.where(F.col("vec_id") < 8)
+
+    exact = sim.knn_bruteforce(corpus, queries, k=5).toPandas()
+    rr = PQ.knn_pq_adc_rerank(
+        codes, corpus, queries, books, k=5, rerank_factor=4
+    ).toPandas()
+    # (a) true cosines
+    vecs = {int(i): X[i] for i in range(n)}
+    for r in rr.itertuples(index=False):
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(c - r.cos_sim) < 1e-9
+    # (b) recall >= plain ADC's
+    adc = PQ.knn_pq_adc(codes, queries, books, k=5,
+                        query_vec_col="embedding").toPandas()
+    def recall(df, col):
+        rs = []
+        for qid in range(8):
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(df[df["query_id"] == qid][col])
+            rs.append(len(e & a) / len(e))
+        return sum(rs) / len(rs)
+    assert recall(rr, "neighbor_id") >= recall(adc, "neighbor_id") - 1e-9
+    # (c) full-cover candidate list == exact
+    full = PQ.knn_pq_adc_rerank(
+        codes, corpus, queries, books, k=5, rerank_factor=n // 5 + 1
+    ).toPandas()
+    for qid in range(8):
+        e = list(exact[exact["query_id"] == qid].sort_values(
+            "cos_sim", ascending=False)["neighbor_id"])
+        g = list(full[full["query_id"] == qid].sort_values(
+            "cos_sim", ascending=False)["neighbor_id"])
+        assert e == g, qid
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rerank_factor"):
+        PQ.knn_pq_adc_rerank(codes, corpus, queries, books, rerank_factor=0)

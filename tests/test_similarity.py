@@ -545,3 +545,23 @@ def test_pairwise_cosine_udf_one_side_all_null_batch(spark):
     )
     [r2] = df2.select(cos("va", "vb").alias("c")).collect()
     assert r2["c"] is None or math.isnan(r2["c"])
+
+
+def test_embedding_health_report(spark):
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [3.0, 4.0]),
+        (2, None),
+        (3, [0.0, 0.0]),
+        (4, [float("nan"), 1.0]),
+        (5, [1.0, 2.0, 3.0]),  # dim mismatch vs majority dim 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = {r["key"]: r["value"] for r in sim.embedding_health_report(df).collect()}
+    assert rep["n_rows"] == 6
+    assert rep["n_null"] == 1
+    assert rep["n_zero_norm"] == 1
+    assert rep["n_nan"] == 1
+    assert rep["n_dim_mismatch"] == 1
+    assert rep["dim_mode"] == 2.0
+    assert rep["norm_p50"] is not None and rep["norm_p50"] > 0
