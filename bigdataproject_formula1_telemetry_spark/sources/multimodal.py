@@ -938,11 +938,73 @@ def _jpeg_header_info(payload: bytes) -> dict:
     raise ValueError("JPEG missing SOF")
 
 
+def _gif_header_info(payload: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor (public spec: 6-byte
+    signature, then LE width/height and a packed field whose low 3 bits
+    give the global-palette depth)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    import struct as _st
+
+    w, h, packed = _st.unpack("<HHB", payload[6:11])
+    return {
+        "container": "gif",
+        "img_width": int(w),
+        "img_height": int(h),
+        "n_channels": 3,
+        "bit_depth": (packed & 0x07) + 1,  # bits per palette channel
+        "profile": payload[3:6].decode("ascii"),
+        "subsampling": None,
+        "decodable": "metadata_only",  # LZW pixel decode not implemented
+    }
+
+
+def _webp_header_info(payload: bytes) -> dict:
+    """WebP dimensions from the RIFF container (public container spec):
+    lossy VP8 (frame-tag + start code + 14-bit dims), lossless VP8L
+    (14-bit minus-one dims), extended VP8X (24-bit minus-one canvas)."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    import struct as _st
+
+    fourcc = payload[12:16]
+    base = {"container": "webp", "n_channels": 3, "bit_depth": 8,
+            "subsampling": None, "decodable": "metadata_only"}
+    if fourcc == b"VP8 " and len(payload) >= 30:
+        # 3-byte frame tag, 3-byte start code 9D 01 2A, then 14-bit dims
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 start code missing")
+        w, h = _st.unpack("<HH", payload[26:30])
+        base.update(
+            img_width=w & 0x3FFF, img_height=h & 0x3FFF, profile="VP8",
+            subsampling="4:2:0",
+        )
+        return base
+    if fourcc == b"VP8L" and len(payload) >= 25:
+        if payload[20] != 0x2F:
+            raise ValueError("WebP VP8L signature byte missing")
+        bits = _st.unpack("<I", payload[21:25])[0]
+        base.update(
+            img_width=(bits & 0x3FFF) + 1,
+            img_height=((bits >> 14) & 0x3FFF) + 1,
+            profile="VP8L",
+            n_channels=4,  # lossless carries alpha
+        )
+        return base
+    if fourcc == b"VP8X" and len(payload) >= 30:
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        base.update(img_width=w, img_height=h, profile="VP8X")
+        return base
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
 def image_stream_info(df: DataFrame) -> DataFrame:
     """Corpus triage over image payloads WITHOUT pixel decode — the
     image analog of ``audio_stream_info``: one Arrow pass parsing only
-    the container headers (PNG IHDR / JPEG SOF marker walk), emitting
-    dimensions, channel count, bit depth, profile and chroma
+    the container headers (PNG IHDR / JPEG SOF marker walk / GIF
+    logical screen descriptor / WebP VP8-VP8L-VP8X dimensions),
+    emitting dimensions, channel count, bit depth, profile and chroma
     subsampling per row.  ``decodable`` mirrors the in-repo codecs'
     actual support; unparseable payloads become dead-letter rows
     ("error"), never a crash.  At 100 TB this is the first scan an image
@@ -962,6 +1024,14 @@ def image_stream_info(df: DataFrame) -> DataFrame:
                         base.update(_png_header_info(payload))
                     elif r.format == "jpeg" or payload[:2] == b"\xff\xd8":
                         base.update(_jpeg_header_info(payload))
+                    elif r.format == "gif" or payload[:6] in (
+                        b"GIF87a", b"GIF89a"
+                    ):
+                        base.update(_gif_header_info(payload))
+                    elif r.format == "webp" or (
+                        payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+                    ):
+                        base.update(_webp_header_info(payload))
                     elif r.format in RAW_FORMATS:
                         base.update(
                             {

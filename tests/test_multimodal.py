@@ -595,3 +595,45 @@ def test_image_stream_info_triage(spark):
     assert out[4]["profile"].startswith("SOF2") and "progressive" in out[4]["profile"]
     assert out[5]["container"] == "raw" and out[5]["decodable"] == "pixels"
     assert out[6]["decodable"] == "error"  # dead-letter, not a crash
+
+
+def test_image_stream_info_gif_and_webp_headers(spark):
+    """GIF and WebP dimension triage from crafted spec-shaped headers —
+    metadata_only decodability (no pixel decode for either), dead
+    letters for corrupt variants."""
+    import struct
+    from bigdataproject_formula1_telemetry_spark.sources import multimodal as M
+
+    gif = b"GIF89a" + struct.pack("<HHB", 320, 200, 0xF7) + b"\x00\x00" + b"\x3b"
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 14) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 640, 360) + b"\x00\x00"
+    )
+    bits = (511 - 1) | ((287 - 1) << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 17) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 9) + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    )
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 18) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + b"\x02" + b"\x00\x00\x00"
+        + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little")
+    )
+    rows = [
+        (1, "image", "gif", bytearray(gif), None, None, None, None, None),
+        (2, "image", "webp", bytearray(vp8), None, None, None, None, None),
+        (3, "image", "webp", bytearray(vp8l), None, None, None, None, None),
+        (4, "image", "webp", bytearray(vp8x), None, None, None, None, None),
+        (5, "image", "gif", bytearray(b"GIF89a\x01"), None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.image_stream_info(df).collect()}
+    assert (got[1]["container"], got[1]["img_width"], got[1]["img_height"]) == ("gif", 320, 200)
+    assert got[1]["bit_depth"] == 8 and got[1]["decodable"] == "metadata_only"
+    assert (got[2]["profile"], got[2]["img_width"], got[2]["img_height"]) == ("VP8", 640, 360)
+    assert got[2]["subsampling"] == "4:2:0"
+    assert (got[3]["profile"], got[3]["img_width"], got[3]["img_height"]) == ("VP8L", 511, 287)
+    assert got[3]["n_channels"] == 4
+    assert (got[4]["profile"], got[4]["img_width"], got[4]["img_height"]) == ("VP8X", 1024, 768)
+    assert got[5]["decodable"] == "error"  # truncated GIF -> dead letter
