@@ -460,6 +460,46 @@ def curate_documents(
     return SA.deterministic_shuffle(packed, [id_col, "chunk_idx"], salt=epoch_salt)
 
 
+def web_curation_kwargs(
+    benchmark_free: bool = True,
+    blocked_words: list[str] | None = None,
+) -> dict:
+    """The reference configuration for curating a raw WEB crawl — the
+    published recipes composed in their own order, as ready-to-splat
+    ``curate_documents`` kwargs:
+
+        main-content extraction (jusText class) → C4 line rules →
+        banned words (if a list is supplied) → Gopher quality rules →
+        FineWeb line rules → repetition gate → corpus line dedup →
+        near-dedup → ExactSubstr span dedup → chunk/pack/shuffle
+
+    This is a STARTING POINT, not policy: thresholds are the published
+    defaults (note Gopher's 50-word minimum), and a real run adds
+    ``benchmark=`` decontamination, a trained ``quality_classifier=``,
+    and ``minhash_index_path=`` for the steady state.  Pin the dict you
+    actually shipped via ``corpus_release``'s provenance config.
+
+    >>> P.corpus_release(docs, path, **P.web_curation_kwargs())
+    """
+    kw: dict = {
+        "html": "main",
+        "c4_clean": True,
+        "gopher": True,
+        "fineweb": True,
+        "max_dup_line_frac": 0.3,
+        "max_line_occurrences": 1,
+        "span_dedup_tokens": 50,
+    }
+    if blocked_words:
+        kw["blocklist"] = (blocked_words, "page")
+    if not benchmark_free:
+        raise ValueError(
+            "pass benchmark= directly to curate_documents/corpus_release; "
+            "this preset only bundles the corpus-intrinsic gates"
+        )
+    return kw
+
+
 def corpus_card(
     docs: DataFrame,
     text_col: str = "text",

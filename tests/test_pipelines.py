@@ -570,3 +570,31 @@ def test_curate_documents_fineweb_gate(spark):
         fineweb={"max_dup_line_char_frac": 1.0},  # the good doc repeats lines
     ).toPandas()
     assert set(out["doc_id"]) == {1}
+
+
+def test_web_curation_preset_end_to_end(spark):
+    """The reference web preset runs end-to-end on a synthetic crawl:
+    the article-shaped page survives every published gate, nav-only and
+    word-salad pages do not."""
+    art_sent = ("The quick brown fox and that lazy dog have wandered off "
+                "with great purpose to explore the wide golden field of "
+                "wheat because adventure is rewarding for everyone involved.")
+    article = "".join(f"<p>Paragraph {i}: {art_sent}</p>" for i in range(4))
+    pages = [
+        (1, f'<nav><a href="/">Home</a> <a href="/a">About</a></nav>{article}'),
+        (2, '<nav><a href="/">Home</a> <a href="/b">More</a> '
+            '<a href="/c">Links</a></nav>'),                     # nav only
+        (3, "<p>" + " ".join(f"tok{i}" for i in range(120)) + ".</p>"),  # no stopwords
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    kw = P.web_curation_kwargs()
+    out = P.curate_documents(
+        docs, chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+        **kw,
+    ).toPandas()
+    assert set(out["doc_id"]) == {1}
+    joined = " ".join(out["chunk_text"])
+    assert "Home" not in joined  # nav structurally removed from page 1 too
+    # the preset is provenance-serializable (json round trip)
+    import json
+    assert json.loads(json.dumps(kw, default=str))
