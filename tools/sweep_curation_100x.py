@@ -506,6 +506,69 @@ def main() -> None:
         flush=True,
     )
 
+    # FULL web-curation preset at 500k: every published gate on (main
+    # content extraction, C4, Gopher, FineWeb, repetition, corpus line
+    # dedup, near-dedup, span dedup, chunk/pack/shuffle).  1,000 planted
+    # article-shaped pages (HTML with nav boilerplate + compliant prose)
+    # must ALL survive; the organic word-salad corpus is counted
+    # honestly (most of it legitimately dies at the quality gates —
+    # that is the preset doing its job on salad).
+    print("FULL web preset over 500k + 1k planted articles ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.plans import (
+        pipelines as PL,
+    )
+
+    # each planted article is GENUINELY distinct (id-salted content in
+    # every paragraph) — shared-template near-copies would be correctly
+    # killed by line dedup / near-dedup, which is not the claim here
+    n_art = 100 if QUICK else 1_000
+    para = lambda j: F.concat(
+        F.lit(f"<p>The article number "), F.col("id").cast("string"),
+        F.lit(f" section {j} discusses the topic key"),
+        F.col("id").cast("string"), F.lit(f"x{j} and explains that many "
+        "of the central ideas have practical value with great clarity "
+        "for readers today.</p>"),
+    )
+    arts = spark.range(n_art).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.concat(
+            F.lit('<nav><a href="/">Home</a> <a href="/x">More</a></nav>'),
+            *[para(j) for j in range(4)],
+            F.lit("<p>The closing line of article "),
+            F.col("id").cast("string"),
+            F.lit(" ends this unique document properly.</p>"),
+        ).alias("text"),
+    )
+    web = distinct.unionByName(arts).localCheckpoint(eager=True)
+    release_barriers()
+    t0 = time.time()
+    packed = PL.curate_documents(
+        web, **PL.web_curation_kwargs(),
+        chunk_tokens=128, overlap=16, token_budget=1024,
+    )
+    srow = (
+        packed.select("doc_id")
+        .distinct()
+        .agg(
+            F.sum((F.col("doc_id") >= 900_000_000).cast("long")).alias("p"),
+            F.sum((F.col("doc_id") < 900_000_000).cast("long")).alias("o"),
+        )
+        .first()
+    )
+    n_planted_surv = int(srow["p"] or 0)
+    n_organic_surv = int(srow["o"] or 0)
+    results["web_preset_s"] = round(time.time() - t0, 2)
+    release_barriers()
+    results["web_preset_planted_survivors"] = n_planted_surv
+    results["web_preset_organic_survivors"] = n_organic_surv
+    results["web_preset_ok"] = n_planted_surv == n_art
+    print(
+        f"  {results['web_preset_s']} s — planted articles surviving "
+        f"{n_planted_surv}/{n_art} (must be all), organic word-salad "
+        f"surviving {n_organic_surv}/{n} (the gates' honest verdict)",
+        flush=True,
+    )
+
     print(json.dumps(results))
     spark.stop()
 
