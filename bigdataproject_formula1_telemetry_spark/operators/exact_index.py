@@ -65,6 +65,8 @@ __all__ = [
     "append_exact_index",
     "dedup_exact_against_index",
     "bloom_fill_fraction",
+    "list_increments",
+    "compact_exact_index",
 ]
 
 #: bits per stored chunk row (1 MiB of filter per row keeps rows small)
@@ -339,3 +341,79 @@ def bloom_fill_fraction(spark: SparkSession, path: str) -> float:
     bits, _, _ = _load_bloom(spark, path)
     ones = int(sum(bin(int(w)).count("1") for w in bits))
     return ones / (len(bits) * 64)
+
+
+def list_increments(spark: SparkSession, path: str) -> list[str]:
+    """Increment ids present in the index (hash-table partition
+    directory names — metadata only)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "hashes"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            out.append(name[len("inc="):])
+    return sorted(out)
+
+
+def compact_exact_index(spark: SparkSession, path: str) -> int:
+    """Fold every ``inc=`` partition into a fresh ``base`` — the
+    exact-dedup twin of ``minhash_index.compact_index`` (same
+    staged-then-rename swap, same file-count motivation).  Hashes are
+    rewritten, never recomputed; the Bloom sidecar needs NO per-key
+    work at all — its per-increment bit chunks simply OR into one base
+    chunk set (the union filter is exactly the bitwise OR).  Returns
+    the number of increments folded."""
+    incs = list_increments(spark, path)
+    n_folded = len([i for i in incs if i != "base"])
+    if n_folded == 0:
+        return 0
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # hashes: rewrite under base
+    tpath = os.path.join(path, "hashes")
+    staged = tpath + ".compact"
+    (
+        spark.read.parquet(tpath)
+        .drop("inc")
+        .withColumn("inc", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("inc")
+        .parquet(staged)
+    )
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dst = jvm.org.apache.hadoop.fs.Path(tpath)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"compact_exact_index: rename {staged} -> {tpath} failed")
+    # bloom: OR all chunks into one base chunk set
+    bits, m_bits, k = _load_bloom(spark, path)
+    bpath = os.path.join(path, "bloom")
+    bstaged = bpath + ".compact"
+    words_per_chunk = _CHUNK_BITS // 64
+    rows = []
+    for ci in range(0, len(bits), words_per_chunk):
+        rows.append(
+            {
+                "inc": "base",
+                "m_bits": m_bits,
+                "k": k,
+                "chunk_idx": ci // words_per_chunk,
+                "bits": bits[ci : ci + words_per_chunk].tobytes(),
+            }
+        )
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in _BLOOM_SCHEMA.fields]),
+        _BLOOM_SCHEMA,
+    ).write.mode("overwrite").partitionBy("inc").parquet(bstaged)
+    bsrc = jvm.org.apache.hadoop.fs.Path(bstaged)
+    bdst = jvm.org.apache.hadoop.fs.Path(bpath)
+    bfs = bdst.getFileSystem(conf)
+    bfs.delete(bdst, True)
+    if not bfs.rename(bsrc, bdst):
+        raise IOError(f"compact_exact_index: rename {bstaged} -> {bpath} failed")
+    return n_folded

@@ -198,3 +198,31 @@ def test_bloom_positions_properties_hypothesis():
         assert EI._test_bits(bits, pos).all()  # no false negatives
 
     check()
+
+
+def test_compact_exact_index(spark, exact_idx):
+    """Compaction folds hashes and ORs the bloom chunks into base:
+    search results identical, increments collapse, idempotent no-op."""
+    p, docs = exact_idx
+    inc = spark.createDataFrame(
+        [Row(doc_id=9400, text="compacted exact doc one"),
+         Row(doc_id=9401, text="compacted exact doc two")]
+    )
+    EI.append_exact_index(inc.where(F.col("doc_id") == 9400), p, increment_id="e1")
+    EI.append_exact_index(inc.where(F.col("doc_id") == 9401), p, increment_id="e2")
+    probe = inc.unionByName(
+        spark.createDataFrame([Row(doc_id=9402, text="never indexed fresh doc")])
+    )
+    before = {
+        r["doc_id"] for r in EI.dedup_exact_against_index(spark, probe, p).collect()
+    }
+    fill_before = EI.bloom_fill_fraction(spark, p)
+    assert EI.compact_exact_index(spark, p) == 2
+    assert EI.list_increments(spark, p) == ["base"]
+    after = {
+        r["doc_id"] for r in EI.dedup_exact_against_index(spark, probe, p).collect()
+    }
+    assert after == before == {9402}
+    # OR-fold preserves exactly the same bit set
+    assert abs(EI.bloom_fill_fraction(spark, p) - fill_before) < 1e-12
+    assert EI.compact_exact_index(spark, p) == 0
