@@ -533,16 +533,22 @@ def cosine_dup_pairs(
     )
     banded = _barrier(banded, storage)
     if max_bucket_size is not None:
-        w = Window.partitionBy("t", "b")
-        sized = banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        dropped = (
-            sized.where(F.col("__bsz") > max_bucket_size)
-            .agg(
-                F.countDistinct("t", "b").alias("buckets"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .first()
+        # bucket sizing via groupBy + anti join, never a window over the
+        # bucket key (the ``dedup.minhash_lsh_candidates`` shape): the
+        # oversized bucket is BY DEFINITION the hot key, and a
+        # count-over-window would shuffle the banded frame — WIDE vector
+        # rows included — by (t, b), funneling every row of the
+        # degenerate bucket into one unsplittable partition.  Partial
+        # aggregation absorbs the count; the few oversized keys feed an
+        # AQE-broadcastable anti join against the barriered frame.
+        big = (
+            banded.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket_size)
         )
+        dropped = big.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("__bsz").alias("rows")
+        ).first()
         if dropped["buckets"]:
             import logging
 
@@ -551,7 +557,7 @@ def cosine_dup_pairs(
                 "(%d banded rows) above max_bucket_size=%d",
                 dropped["buckets"], dropped["rows"], max_bucket_size,
             )
-        banded = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+            banded = banded.join(big.select("t", "b"), ["t", "b"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,

@@ -565,3 +565,43 @@ def test_embedding_health_report(spark):
     assert rep["n_dim_mismatch"] == 1
     assert rep["dim_mode"] == 2.0
     assert rep["norm_p50"] is not None and rep["norm_p50"] > 0
+
+
+def test_cosine_dup_pairs_bucket_cap_groupby_not_window(spark, caplog):
+    """Adversarial degenerate bucket: many near-identical vectors land in
+    one sign-LSH bucket in every table.  max_bucket_size must drop those
+    buckets via the groupBy+anti-join shape (logged, never silent), and a
+    cap larger than any bucket must be a no-op — mirroring
+    test_bucket_cap_bounds_adversarial_corpus on the embedding axis."""
+    import logging
+
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(8)
+    n = 40
+    vecs = [(base + rng.standard_normal(8) * 1e-3).tolist() for _ in range(n)]
+    vecs += [rng.standard_normal(8).tolist() for _ in range(4)]
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    sdf = spark.createDataFrame(pdf)
+    planes = [[[float(x) for x in rng.standard_normal(8)] for _ in range(2)]]
+
+    uncapped = sim.cosine_dup_pairs(sdf, planes, threshold=0.99).count()
+    assert uncapped == n * (n - 1) // 2
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="bigdataproject_formula1_telemetry_spark.operators.similarity",
+    ):
+        capped = sim.cosine_dup_pairs(
+            sdf, planes, threshold=0.99, max_bucket_size=10
+        ).count()
+    assert capped == 0
+    assert any("oversized LSH bucket" in r.message for r in caplog.records)
+
+    assert (
+        sim.cosine_dup_pairs(
+            sdf, planes, threshold=0.99, max_bucket_size=len(vecs)
+        ).count()
+        == uncapped
+    )
