@@ -1,0 +1,196 @@
+"""Semantic deduplication (SemDeDup): cluster-scoped embedding dedup.
+
+Public method — Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv:2303.09540): assign
+every embedding to its nearest k-means centroid, compute pairwise cosine
+similarities WITHIN each cluster only, and greedily drop any item whose
+similarity to an earlier-ordered cluster-mate clears the threshold.  The
+processing order decides which member of a duplicate group survives; the
+paper found keeping the member with the LOWEST cosine to its centroid
+(the least prototypical example) performed best, so that is the default
+``keep`` mode here.
+
+This complements the two other near-dedup axes in the repo:
+
+- ``dedup.near_dedup_minhash`` — lexical (shingle Jaccard): catches
+  verbatim/boilerplate overlap, blind to paraphrase.
+- ``similarity.near_dedup_cosine`` — sign-LSH cosine at HIGH thresholds
+  (≥ 0.95): catches near-identical vectors pair-by-pair; recall decays
+  as the threshold drops (hyperplane agreement probability falls).
+- ``semantic_dedup`` (this module) — cluster-scoped cosine: exact
+  within-cluster similarities, so it stays reliable at the moderate
+  thresholds (0.7–0.9) where semantic templates/paraphrases live, and
+  its candidate generation cost is Σ c_i² instead of corpus².
+
+Scale design (100 TB):
+
+- Candidate scope is the CLUSTER, never the corpus: one narrow
+  ``applyInPandas`` over ``groupBy(cluster)`` — a single shuffle of
+  (id, vector, cluster) rows.  Per-cluster work is one blocked numpy
+  matmul (O(B·c) memory for a c-vector cluster), and only LOSER ids
+  leave the executors.
+- Size ``n_clusters`` so the biggest cluster fits an executor (the
+  paper used 50k clusters for LAION-440M ⇒ ~9k vectors/cluster).
+  ``max_cluster_size`` is the guard: oversized clusters are SKIPPED
+  (all members kept) with a logged warning — never a straggler/OOM,
+  never silent; ``similarity.ivf_balance_report`` audits the layout.
+- Replica corpora are collapsed to min-id representatives BEFORE
+  clustering (``similarity._collapse_identical`` — the same hardening
+  as every other near-dedup entry point), so a million exact copies
+  contribute ONE row to the c² term, not 10¹² pairs.
+- Zero-norm and NULL vectors are exempt (kept): their cosine is
+  undefined, mirroring ``near_dedup_cosine``.
+- Determinism: group rows are sorted by id inside the kernel before
+  any float work, orderings tie-break on id, and the blocked matmul
+  has a fixed block schedule — results are partitioning- and
+  retry-invariant.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
+
+from .similarity import _collapse_identical, _expand_losers, _np_assigner, l2_norm
+
+logger = logging.getLogger(__name__)
+
+_KEEP_MODES = ("low_centroid_sim", "high_centroid_sim", "min_id")
+
+
+def _semdedup_kernel(centroids, threshold: float, keep: str,
+                     skip_clusters: frozenset[int], block: int = 1024):
+    """Per-cluster loser selection: given one cluster's (id, vec) rows,
+    emit the ids SemDeDup drops.  One blocked lower-triangular cosine
+    matmul per cluster; only loser ids are returned."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    Cn = C / cnorm[:, None]
+
+    def dedup_cluster(key, pdf):
+        cl = int(key[0])
+        out_empty = pd.DataFrame({"__lost": pd.Series([], dtype=pdf["__m_id"].dtype)})
+        if cl in skip_clusters or len(pdf) < 2:
+            return out_empty
+        # sort by id FIRST: pandas group order is partitioning-dependent,
+        # everything after this line is deterministic
+        pdf = pdf.sort_values("__m_id", kind="mergesort").reset_index(drop=True)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0  # zero-norm rows are filtered upstream
+        Xn = X / norms[:, None]
+        ids = pdf["__m_id"].to_numpy()
+        if keep == "min_id":
+            order = np.argsort(ids, kind="stable")
+        else:
+            csim = Xn @ Cn[cl]
+            sign = 1.0 if keep == "low_centroid_sim" else -1.0
+            # lexsort: last key is primary → centroid-sim, ties by id
+            order = np.lexsort((ids, sign * csim))
+        P = Xn[order]
+        n = len(P)
+        dropped = np.zeros(n, dtype=bool)
+        for a in range(1, n, block):
+            b = min(a + block, n)
+            # rows a:b against ALL earlier-ordered columns 0:b, then mask
+            # to the strictly-lower triangle (j < i)
+            S = P[a:b] @ P[:b].T
+            cols = np.arange(b)
+            rows = np.arange(a, b)
+            S[cols[None, :] >= rows[:, None]] = -np.inf
+            dropped[a:b] = S.max(axis=1) >= threshold
+        return pd.DataFrame({"__lost": ids[order][dropped]})
+
+    return dedup_cluster
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low_centroid_sim",
+    max_cluster_size: int = 1_000_000,
+    storage: str = "persist",
+) -> DataFrame:
+    """SemDeDup over ``df[vec_col]``: keep one member of every
+    within-cluster semantic-duplicate group, drop the rest; rows whose
+    vector is NULL or zero-norm always survive.
+
+    ``centroids`` is the trained coarse quantizer
+    (``similarity.ivf_centroids`` on a deterministic sample — the same
+    k×dim list the IVF/IVF-PQ serving paths broadcast).  ``keep``
+    selects the surviving member per duplicate group:
+
+    - ``"low_centroid_sim"`` (paper default): least-prototypical member
+      survives — retains cluster-edge diversity.
+    - ``"high_centroid_sim"``: most-prototypical member survives.
+    - ``"min_id"``: smallest id survives (the convention of the repo's
+      other dedup operators; fully order-independent).
+
+    Returns ``df`` minus the losers (same schema — a filter, not a
+    projection)."""
+    if keep not in _KEEP_MODES:
+        raise ValueError(f"keep must be one of {_KEEP_MODES}, got {keep!r}")
+    C = [list(map(float, c)) for c in centroids]
+    if not C:
+        raise ValueError("centroids must be non-empty")
+    # normalize once: assignment is spherical (max cosine), and
+    # ``_np_assigner`` scores against the centroid matrix as-given —
+    # ``ivf_centroids`` output is already unit-norm, but arbitrary
+    # caller-provided centroids must behave identically
+    import numpy as _np
+
+    _Cm = _np.asarray(C, dtype=_np.float64)
+    _n = _np.linalg.norm(_Cm, axis=1)
+    _n[_n == 0] = 1.0
+    C = (_Cm / _n[:, None]).tolist()
+
+    from .dedup import _barrier
+
+    reps, member_rep = _collapse_identical(df, id_col, vec_col, storage)
+    # zero-norm/NULL representatives are exempt from the cluster stage
+    active = reps.where(l2_norm(F.col(vec_col)) > 0)
+    # barrier: the assigned frame feeds the size-guard job AND the dedup
+    # kernel — without it the Arrow assigner would run twice
+    assigned = _barrier(
+        active.select(
+            F.col(id_col).alias("__m_id"),
+            F.col(vec_col).alias("__v"),
+            F.element_at(_np_assigner(C, nprobe=1)(F.col(vec_col)), 1).alias("__cl"),
+        ),
+        storage,
+    )
+
+    # oversized-cluster guard: sizes via groupBy (k rows — never a window
+    # over the cluster key), oversized clusters skipped with a warning
+    sizes = assigned.groupBy("__cl").agg(F.count(F.lit(1)).alias("__csz"))
+    big = [
+        (r["__cl"], r["__csz"])
+        for r in sizes.where(F.col("__csz") > max_cluster_size).collect()
+    ]
+    if big:
+        logger.warning(
+            "semantic_dedup: skipping %d oversized cluster(s) %s above "
+            "max_cluster_size=%d — their members are all KEPT; raise "
+            "n_clusters (see ivf_balance_report) to restore dedup there",
+            len(big), [c for c, _ in big], max_cluster_size,
+        )
+    skip = frozenset(c for c, _ in big)
+
+    # loser ids carry the input id type (schema-derived, never assumed)
+    out_schema = StructType([StructField("__lost", df.schema[id_col].dataType)])
+    losing_reps = assigned.groupBy("__cl").applyInPandas(
+        _semdedup_kernel(C, float(threshold), keep, skip),
+        schema=out_schema,
+    )
+    losers = _expand_losers(member_rep, losing_reps, id_col)
+    return df.join(losers, id_col, "left_anti")

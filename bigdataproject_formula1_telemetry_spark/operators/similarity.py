@@ -903,29 +903,18 @@ def knn_ivf_materialized(
     )
 
 
-def near_dedup_cosine(
-    df: DataFrame,
-    planes: list[list[float]] | list[list[list[float]]],
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
-    storage: str = "persist",
-) -> DataFrame:
-    """Embedding-cosine near-dedup (north-star): sign-LSH candidates →
-    exact cosine verify → greedy keep-lowest-id, mirroring
-    ``dedup.near_dedup_minhash`` on the embedding axis.
+def _collapse_identical(
+    df: DataFrame, id_col: str, vec_col: str, storage: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exactly-identical vectors to one min-id representative
+    before any pairwise stage (the replica-corpus hardening shared by
+    ``near_dedup_cosine`` and ``semdedup.semantic_dedup``).
 
-    Identical vectors are collapsed to one representative (min id per
-    content hash — ONE linear shuffle) before the LSH pair join, then
-    non-representative members and every member of a losing
-    representative's group are dropped.  This is semantics-preserving
-    (identical non-zero vectors have cosine 1.0 ≥ any threshold, and a
-    near-dup of a representative is a near-dup of its whole group) and it
-    removes the replica-corpus blowup a bucket cap can't: 10 exact copies
-    of every vector made the uncapped pair join OOM at 50k vectors, while
-    the grouped path's pair stage only ever sees distinct vectors.
-    Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup).
+    Returns ``(reps, member_rep)``: ``reps`` holds one (id_col, vec_col)
+    row per distinct non-zero vector (plus every zero-norm/NULL vector,
+    each its own representative — their cosine is NULL downstream, so
+    they can never be dups), and ``member_rep`` maps every input id
+    (``__m_id``) to its representative id (``__rep``).
 
     Representative selection is a ``groupBy(vector-key)`` aggregate —
     NOT a group-min window: a replica-heavy corpus (the case this
@@ -934,8 +923,7 @@ def near_dedup_cosine(
     tow.  The member→rep mapping joins only narrow (id, key) rows back
     on the key (AQE-splittable), and the representative rows come from
     a skew-free semi join on the uniform id key (the
-    ``dedup.exact_dedup`` shape).  ``storage`` barriers the keyed frame
-    and the mapping between their multiple consumers."""
+    ``dedup.exact_dedup`` shape)."""
     from .dedup import _barrier
 
     nrm = l2_norm(F.col("__m_v"))
@@ -960,6 +948,53 @@ def near_dedup_cosine(
     reps = tagged.join(
         reps_tbl.select(F.col("__rep").alias("__m_id")), "__m_id", "left_semi"
     ).select(F.col("__m_id").alias(id_col), F.col("__m_v").alias(vec_col))
+    return reps, member_rep
+
+
+def _expand_losers(member_rep: DataFrame, losing_reps: DataFrame, id_col: str) -> DataFrame:
+    """Losers of a representative-level dedup, expanded to member ids:
+    every non-representative member, plus all members (including the
+    representative itself) of a group whose representative lost.
+    ``losing_reps`` must have a single ``__lost`` column."""
+    lost_members = member_rep.join(
+        losing_reps, member_rep["__rep"] == losing_reps["__lost"], "left_semi"
+    ).select(F.col("__m_id").alias(id_col))
+    non_reps = member_rep.where(F.col("__m_id") != F.col("__rep")).select(
+        F.col("__m_id").alias(id_col)
+    )
+    return lost_members.unionByName(non_reps).distinct()
+
+
+def near_dedup_cosine(
+    df: DataFrame,
+    planes: list[list[float]] | list[list[list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    storage: str = "persist",
+) -> DataFrame:
+    """Embedding-cosine near-dedup (north-star): sign-LSH candidates →
+    exact cosine verify → greedy keep-lowest-id, mirroring
+    ``dedup.near_dedup_minhash`` on the embedding axis.
+
+    Identical vectors are collapsed to one representative (min id per
+    content hash — ONE linear shuffle) before the LSH pair join, then
+    non-representative members and every member of a losing
+    representative's group are dropped.  This is semantics-preserving
+    (identical non-zero vectors have cosine 1.0 ≥ any threshold, and a
+    near-dup of a representative is a near-dup of its whole group) and it
+    removes the replica-corpus blowup a bucket cap can't: 10 exact copies
+    of every vector made the uncapped pair join OOM at 50k vectors, while
+    the grouped path's pair stage only ever sees distinct vectors.
+    Zero-norm vectors are exempt (their cosine is NULL ⇒ never a dup).
+
+    Representative selection and loser expansion are the shared
+    ``_collapse_identical`` / ``_expand_losers`` helpers (skew-free
+    groupBy + semi-join shapes — see their docstrings); ``storage``
+    barriers the keyed frame and the mapping between their multiple
+    consumers."""
+    reps, member_rep = _collapse_identical(df, id_col, vec_col, storage)
     losing_reps = (
         cosine_dup_pairs(
             reps, planes, threshold, id_col, vec_col, max_bucket_size, storage
@@ -967,15 +1002,7 @@ def near_dedup_cosine(
         .select(F.col("id_b").alias("__lost"))
         .distinct()
     )
-    # losers: every non-representative member, plus all members (incl. the
-    # representative) of a group whose representative lost
-    lost_members = member_rep.join(
-        losing_reps, member_rep["__rep"] == losing_reps["__lost"], "left_semi"
-    ).select(F.col("__m_id").alias(id_col))
-    non_reps = member_rep.where(F.col("__m_id") != F.col("__rep")).select(
-        F.col("__m_id").alias(id_col)
-    )
-    losers = lost_members.unionByName(non_reps).distinct()
+    losers = _expand_losers(member_rep, losing_reps, id_col)
     return df.join(losers, id_col, "left_anti")
 
 

@@ -1,0 +1,265 @@
+"""SemDeDup tests: survivor-set equality against a from-scratch numpy
+oracle, keep-mode semantics, replica collapse, exempt vectors, and the
+oversized-cluster guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bigdataproject_formula1_telemetry_spark.operators import semdedup, similarity as sim
+
+
+def np_semdedup(ids, vecs, centroids, threshold, keep):
+    """Reference implementation, straight from the paper's description:
+    exact-collapse → assign → per-cluster ordered greedy drop."""
+    vecs = {i: (None if v is None else np.asarray(v, dtype=np.float64)) for i, v in zip(ids, vecs)}
+    # exact collapse: identical non-zero vectors → min-id representative
+    groups: dict[bytes, list[int]] = {}
+    exempt, rep_of = [], {}
+    for i in sorted(vecs):
+        v = vecs[i]
+        if v is None or np.linalg.norm(v) == 0:
+            exempt.append(i)
+            continue
+        groups.setdefault(v.tobytes(), []).append(i)
+    reps = {min(m): vecs[min(m)] for m in groups.values()}
+    for m in groups.values():
+        for i in m:
+            rep_of[i] = min(m)
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    # assign reps to nearest centroid by cosine
+    clusters: dict[int, list[int]] = {}
+    for i, v in reps.items():
+        vn = v / np.linalg.norm(v)
+        clusters.setdefault(int(np.argmax(Cn @ vn)), []).append(i)
+    kept_reps = set()
+    for cl, members in clusters.items():
+        vn = {i: reps[i] / np.linalg.norm(reps[i]) for i in members}
+        if keep == "min_id":
+            order = sorted(members)
+        else:
+            csim = {i: float(vn[i] @ Cn[cl]) for i in members}
+            rev = keep == "high_centroid_sim"
+            order = sorted(members, key=lambda i: (-csim[i] if rev else csim[i], i))
+        for pos, i in enumerate(order):
+            if not any(float(vn[i] @ vn[j]) >= threshold for j in order[:pos]):
+                kept_reps.add(i)
+    survivors = set(exempt)
+    for i, r in rep_of.items():
+        if i == r and r in kept_reps:
+            survivors.add(i)
+    return survivors
+
+
+def rand_centroids(rng, k, dim):
+    return [rng.standard_normal(dim).tolist() for _ in range(k)]
+
+
+@pytest.mark.parametrize("keep", ["low_centroid_sim", "high_centroid_sim", "min_id"])
+def test_matches_numpy_oracle(spark, keep):
+    rng = np.random.default_rng(42)
+    dim, n = 8, 80
+    vecs = [rng.standard_normal(dim).tolist() for _ in range(n)]
+    # plant near-duplicate groups (tight noise → cosine ≈ 1 > 0.9)
+    for base in (3, 11, 27):
+        for twin in (base + 40, base + 41):
+            vecs[twin] = (np.asarray(vecs[base]) + rng.standard_normal(dim) * 1e-2).tolist()
+    ids = list(range(n))
+    sdf = spark.createDataFrame(pd.DataFrame({"vec_id": ids, "embedding": vecs}))
+    C = rand_centroids(rng, 4, dim)
+
+    got = set(
+        r.vec_id
+        for r in semdedup.semantic_dedup(sdf, C, threshold=0.9, keep=keep).collect()
+    )
+    want = np_semdedup(ids, vecs, C, 0.9, keep)
+    assert got == want
+    # the planted groups genuinely deduplicated (sanity that the test bites)
+    assert len(want) < n
+
+
+def test_keep_mode_picks_expected_member(spark):
+    """One tight duplicate trio at known distances from the centroid:
+    low_centroid_sim must keep the farthest member, high_centroid_sim the
+    closest, min_id the smallest id."""
+    c = np.zeros(6)
+    c[0] = 1.0
+    rot = np.zeros(6)
+    rot[1] = 1.0
+
+    def at_angle(deg):
+        th = np.deg2rad(deg)
+        return (np.cos(th) * c + np.sin(th) * rot).tolist()
+
+    # trio within ~4° of each other (pairwise cos > 0.99), distinct
+    # centroid angles; plus one far-away singleton
+    rows = pd.DataFrame(
+        {
+            "vec_id": [10, 11, 12, 99],
+            "embedding": [at_angle(20), at_angle(22), at_angle(24), (-c).tolist()],
+        }
+    )
+    sdf = spark.createDataFrame(rows)
+    C = [c.tolist()]
+    for keep, expect in [
+        ("low_centroid_sim", 12),  # farthest from centroid survives
+        ("high_centroid_sim", 10),  # closest survives (also min id here)
+        ("min_id", 10),
+    ]:
+        got = sorted(
+            r.vec_id
+            for r in semdedup.semantic_dedup(
+                sdf, C, threshold=0.99, keep=keep
+            ).collect()
+        )
+        assert got == sorted([expect, 99]), keep
+
+
+def test_replica_corpus_collapses_before_pairing(spark):
+    """Exact copies collapse to the min-id representative regardless of
+    keep mode — the c² term only ever sees distinct vectors."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8).tolist()
+    other = rng.standard_normal(8).tolist()
+    rows = pd.DataFrame(
+        {
+            "vec_id": range(12),
+            "embedding": [base] * 10 + [other] * 2,
+        }
+    )
+    sdf = spark.createDataFrame(rows)
+    C = rand_centroids(rng, 2, 8)
+    got = sorted(
+        r.vec_id
+        for r in semdedup.semantic_dedup(
+            sdf, C, threshold=0.999, keep="low_centroid_sim"
+        ).collect()
+    )
+    assert got == [0, 10]
+
+
+def test_null_and_zero_vectors_survive(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (0, rng.standard_normal(4).tolist()),
+        (1, None),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, rng.standard_normal(4).tolist()),
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = rand_centroids(rng, 2, 4)
+    got = sorted(
+        r.vec_id for r in semdedup.semantic_dedup(sdf, C, threshold=0.5).collect()
+    )
+    assert 1 in got and 2 in got
+
+
+def test_oversized_cluster_guard_keeps_and_logs(spark, caplog):
+    """A cluster above max_cluster_size is skipped (members all kept) with
+    a logged warning — never a straggler, never silent."""
+    import logging
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    vecs = [(base + rng.standard_normal(8) * 1e-3).tolist() for _ in range(30)]
+    sdf = spark.createDataFrame(pd.DataFrame({"vec_id": range(30), "embedding": vecs}))
+    C = [base.tolist(), (-base).tolist()]
+    with caplog.at_level(
+        logging.WARNING,
+        logger="bigdataproject_formula1_telemetry_spark.operators.semdedup",
+    ):
+        got = semdedup.semantic_dedup(
+            sdf, C, threshold=0.9, max_cluster_size=10
+        ).count()
+    assert got == 30
+    assert any("oversized cluster" in r.message for r in caplog.records)
+    # with the guard lifted the cluster dedups down to one survivor
+    assert (
+        semdedup.semantic_dedup(sdf, C, threshold=0.9).count() == 1
+    )
+
+
+def test_dropped_rows_have_a_near_neighbor(spark):
+    """Soundness: every dropped id has SOME other input vector with
+    cosine ≥ threshold (the paper's drop condition is against
+    earlier-ordered items, which are in particular other items)."""
+    rng = np.random.default_rng(11)
+    dim, n = 8, 50
+    vecs = [rng.standard_normal(dim).tolist() for _ in range(n)]
+    for t in range(30, 40):
+        vecs[t] = (np.asarray(vecs[t - 30]) + rng.standard_normal(dim) * 5e-3).tolist()
+    sdf = spark.createDataFrame(pd.DataFrame({"vec_id": range(n), "embedding": vecs}))
+    C = rand_centroids(rng, 3, dim)
+    kept = set(
+        r.vec_id for r in semdedup.semantic_dedup(sdf, C, threshold=0.95).collect()
+    )
+    X = np.stack([np.asarray(v) for v in vecs])
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -1)
+    for i in set(range(n)) - kept:
+        assert S[i].max() >= 0.95 - 1e-9
+
+
+def test_partitioning_invariance(spark):
+    """Survivors must not depend on how rows are partitioned (the kernel
+    sorts by id before any float work)."""
+    rng = np.random.default_rng(13)
+    vecs = [rng.standard_normal(8).tolist() for _ in range(40)]
+    for t in range(25, 35):
+        vecs[t] = (np.asarray(vecs[t - 25]) + rng.standard_normal(8) * 1e-2).tolist()
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": vecs})
+    C = rand_centroids(rng, 3, 8)
+    a = spark.createDataFrame(pdf).repartition(1)
+    b = spark.createDataFrame(pdf.iloc[::-1]).repartition(16)
+    ga = sorted(r.vec_id for r in semdedup.semantic_dedup(a, C, threshold=0.9).collect())
+    gb = sorted(r.vec_id for r in semdedup.semantic_dedup(b, C, threshold=0.9).collect())
+    assert ga == gb
+
+
+def test_blocked_matmul_equals_unblocked(spark):
+    """The block schedule is an implementation detail: block=3 must give
+    byte-identical survivors to the default block size."""
+    rng = np.random.default_rng(19)
+    vecs = [rng.standard_normal(6).tolist() for _ in range(25)]
+    for t in range(18, 25):
+        vecs[t] = (np.asarray(vecs[t - 18]) + rng.standard_normal(6) * 1e-2).tolist()
+    ids = list(range(25))
+    C = rand_centroids(rng, 2, 6)
+    kern_small = semdedup._semdedup_kernel(C, 0.9, "low_centroid_sim", frozenset(), block=3)
+    kern_big = semdedup._semdedup_kernel(C, 0.9, "low_centroid_sim", frozenset())
+    pdf = pd.DataFrame({"__m_id": ids, "__v": vecs})
+    a = sorted(kern_small((0,), pdf)["__lost"])
+    b = sorted(kern_big((0,), pdf)["__lost"])
+    assert a == b and len(a) > 0
+
+
+def test_string_ids_preserved(spark):
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(6)
+    rows = pd.DataFrame(
+        {
+            "vec_id": ["doc-a", "doc-b", "doc-c"],
+            "embedding": [
+                base.tolist(),
+                (base + rng.standard_normal(6) * 1e-3).tolist(),
+                rng.standard_normal(6).tolist(),
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(rows)
+    C = rand_centroids(rng, 2, 6)
+    got = semdedup.semantic_dedup(sdf, C, threshold=0.95, keep="min_id").collect()
+    ids = sorted(r.vec_id for r in got)
+    assert ids == ["doc-a", "doc-c"]
+
+
+def test_bad_args_raise(spark):
+    sdf = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="keep"):
+        semdedup.semantic_dedup(sdf, [[1.0, 0.0]], keep="nope")
+    with pytest.raises(ValueError, match="centroids"):
+        semdedup.semantic_dedup(sdf, [])
