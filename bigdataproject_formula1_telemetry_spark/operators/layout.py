@@ -1,0 +1,201 @@
+"""Z-order (Morton-curve) data layout: multi-column clustering at write
+time so parquet min/max statistics prune scans on ANY of the clustered
+columns, not just the leading sort key.
+
+Public technique (Morton 1966; productized as Delta Lake's ``OPTIMIZE
+ZORDER BY`` and ClickHouse/DuckDB space-filling-curve orderings): map
+each clustered column to a ``bits``-wide unsigned bucket, interleave the
+bucket bits into one 64-bit key, and range-partition + sort the write by
+that key.  Rows close on the curve are close in EVERY clustered
+dimension, so each output file covers a small hyper-rectangle — a
+predicate on any single column intersects ~n_files^((d-1)/d) files
+instead of all of them (a linear sort prunes its leading column
+perfectly and the others not at all).
+
+Why this matters at 100 TB: file/row-group skipping happens BEFORE the
+scan — footer min/max checks are metadata-only.  A 100 TB table laid out
+on a z-curve over (tenant_id, ts) answers both per-tenant and per-time
+queries reading a sub-linear slice; sorted layout answers one of them.
+
+Everything is JVM-side Catalyst expressions (bit arithmetic stays in
+whole-stage codegen); the only driver-side work is ONE bounds/quantile
+aggregate per write (collected as a handful of scalars).
+
+Bucketing modes:
+
+- ``minmax`` (default): equi-width buckets from one (min, max) agg —
+  exact, cheap, right for roughly uniform columns.
+- ``quantile``: equi-depth buckets from one ``percentile_approx``
+  sketch — robust to skew (a hot key no longer collapses the curve into
+  few distinct codes).  Bucket lookup is ``size(filter(boundaries ≤ v))``
+  — O(2^bits) comparisons/row, so quantile mode defaults to coarser
+  ``bits`` (256 buckets resolve file-level pruning: files ≫ buckets is
+  pointless — pruning granularity is the file).
+
+Column types: any numeric, date, timestamp — plus strings, ordered by
+their first 7 UTF-8 bytes (big-endian proxy: preserves lexicographic
+order at the pruning granularity that matters).  NULLs map to bucket 0
+(they sort first, same as Spark's NULLS FIRST default).
+"""
+
+from __future__ import annotations
+
+import math
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampType,
+)
+
+
+def _numeric_proxy(df: DataFrame, col: str) -> Column:
+    """An order-preserving DOUBLE proxy for the column (strings via their
+    first-7-byte big-endian value — 56 bits, exact in a double's 53-bit
+    mantissa at file-pruning granularity)."""
+    t = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(t, NumericType):
+        return c.cast("double")
+    if isinstance(t, TimestampType):
+        return c.cast("double")  # seconds since epoch
+    if isinstance(t, DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(t, StringType):
+        first7 = F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14)
+        padded = F.rpad(first7, 14, "0")  # short strings sort before longer
+        return F.conv(padded, 16, 10).cast("double")
+    raise ValueError(f"zorder: unsupported column type {t} for {col!r}")
+
+
+def _bucket_minmax(proxy: Column, lo: float, hi: float, n: int) -> Column:
+    """Equi-width bucket in [0, n): one multiply per row."""
+    if hi <= lo:  # constant column — every row bucket 0
+        return F.lit(0).cast("long")
+    scaled = (proxy - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n))
+    return F.least(
+        F.greatest(scaled.cast("long"), F.lit(0)), F.lit(n - 1)
+    )
+
+
+def _bucket_quantile(proxy: Column, boundaries: list[float]) -> Column:
+    """Equi-depth bucket: count of boundaries ≤ v (codegen'd filter over
+    a broadcast literal array — O(len(boundaries)) comparisons/row)."""
+    if not boundaries:  # constant or all-NULL column
+        return F.lit(0).cast("long")
+    return F.size(F.filter(F.lit(boundaries), lambda b: b <= proxy)).cast("long")
+
+
+def zorder_interleave(bucket_cols: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` bits of each bucket column into one Morton
+    key: output bit ``i*m + j`` is bit ``i`` of column ``j``.  Pure
+    shift/and/or expression tree — whole-stage codegen, no UDF."""
+    m = len(bucket_cols)
+    if m * bits > 63:
+        raise ValueError(f"zorder: {m} cols × {bits} bits exceeds the 63-bit key")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * m + j)
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | None = None,
+    mode: str = "minmax",
+) -> Column:
+    """The Morton key column for ``df`` over ``cols`` (one stats
+    aggregate is collected here; the returned expression is pure
+    per-row bit arithmetic)."""
+    if not cols:
+        raise ValueError("zorder: need at least one column")
+    if mode not in ("minmax", "quantile"):
+        raise ValueError(f"zorder: unknown mode {mode!r}")
+    if bits is None:
+        bits = 12 if mode == "minmax" else 8
+    n = 1 << bits
+    proxies = {c: _numeric_proxy(df, c) for c in cols}
+    if mode == "minmax":
+        stats = df.agg(
+            *[F.min(p).alias(f"lo_{i}") for i, p in enumerate(proxies.values())],
+            *[F.max(p).alias(f"hi_{i}") for i, p in enumerate(proxies.values())],
+        ).first()
+        buckets = [
+            F.coalesce(
+                _bucket_minmax(
+                    p,
+                    float(stats[f"lo_{i}"] if stats[f"lo_{i}"] is not None else 0.0),
+                    float(stats[f"hi_{i}"] if stats[f"hi_{i}"] is not None else 0.0),
+                    n,
+                ),
+                F.lit(0),
+            )
+            for i, p in enumerate(proxies.values())
+        ]
+    else:
+        qs = [i / n for i in range(1, n)]
+        stats = df.agg(
+            *[
+                F.percentile_approx(p, qs, 65536).alias(f"b_{i}")
+                for i, p in enumerate(proxies.values())
+            ]
+        ).first()
+        buckets = [
+            F.coalesce(
+                _bucket_quantile(
+                    p,
+                    sorted(set(x for x in (stats[f"b_{i}"] or []) if x is not None)),
+                ),
+                F.lit(0),
+            )
+            for i, p in enumerate(proxies.values())
+        ]
+    return zorder_interleave(buckets, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int | None = None,
+    mode: str = "minmax",
+) -> None:
+    """Write ``df`` as parquet clustered on the z-curve over ``cols``:
+    range-partition by the Morton key into ``n_files`` tasks and sort
+    within each — every output file covers a compact curve segment, so
+    its footer min/max on EVERY clustered column is tight.
+
+    The key column is dropped before the write (layout is physical, the
+    schema is unchanged).  Readers need nothing special: parquet
+    row-group stats + Spark's file skipping do the pruning."""
+    z = zorder_key(df, cols, bits, mode)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_pruning_report(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max of ``cols`` for a parquet directory — the
+    pruning-quality audit (what the footer stats will let a scan skip).
+    One metadata-cheap aggregate over ``input_file_name()``."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("rows"))
+    )
