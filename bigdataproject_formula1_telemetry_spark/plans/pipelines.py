@@ -192,6 +192,7 @@ def curate_documents(
     blocklist: tuple | None = None,
     gopher: bool | dict = False,
     fineweb: bool | dict = False,
+    semdedup: tuple | None = None,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -257,7 +258,11 @@ def curate_documents(
     the post-repetition-gate corpus), ``minhash_index_path`` (the
     steady-state shape: after self-dedup, also drop docs the
     MATERIALIZED MinHash index already holds — one broadcast search,
-    admission left to the caller's ``inc=`` discipline).
+    admission left to the caller's ``inc=`` discipline),
+    ``semdedup=(n_clusters | centroids, threshold)`` (SemDeDup
+    cluster-scoped semantic dedup over hashed-BoW embeddings, right
+    after the lexical doc dedup — catches the paraphrase/template axis
+    MinHash shingles can't; see ``operators/semdedup.py``).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -416,6 +421,34 @@ def curate_documents(
             docs.sparkSession, kept, minhash_index_path,
             threshold=dedup_threshold, text_col=text_col, id_col=id_col,
         )
+    if semdedup is not None:
+        # SemDeDup (Abbas et al.) right after the lexical doc dedup —
+        # the paraphrase/template axis MinHash shingles can't see.
+        # semdedup=(n_clusters | centroids, threshold): pass trained
+        # centroids (similarity.ivf_centroids on a clean sample) for
+        # the production shape; an int self-trains here on the
+        # already-deduped corpus (small-scale convenience).  Embeddings
+        # are the deterministic hashed-BoW vectors — zero-norm
+        # (token-less) docs are exempt by semantic_dedup's contract.
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            embed as EM2,
+            semdedup as SD,
+            similarity as SIM,
+        )
+
+        sd_spec, sd_threshold = semdedup
+        semb = EM2.hashed_embedding(kept, text_col=text_col, out_col="__semb")
+        sd_centroids = (
+            SIM.ivf_centroids(
+                semb, n_clusters=sd_spec, id_col=id_col, vec_col="__semb"
+            )
+            if isinstance(sd_spec, int)
+            else sd_spec
+        )
+        kept = SD.semantic_dedup(
+            semb, sd_centroids, threshold=sd_threshold,
+            id_col=id_col, vec_col="__semb",
+        ).drop("__semb")
     if span_dedup_tokens is not None:
         # ExactSubstr (Lee et al.) AFTER doc-level dedup: whole-document
         # near-dups are already gone, so the span stage only pays for

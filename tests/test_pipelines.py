@@ -598,3 +598,64 @@ def test_web_curation_preset_end_to_end(spark):
     # the preset is provenance-serializable (json round trip)
     import json
     assert json.loads(json.dumps(kw, default=str))
+
+
+def test_curate_documents_semdedup_gate(spark):
+    """The SemDeDup gate drops paraphrase-class near-dups (shared
+    vocabulary, different enough shingles to survive MinHash at 0.99)
+    while distinct documents survive; int spec self-trains centroids."""
+    import pandas as pd
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while morning light settles on the tall green reeds"
+    )
+    para = (
+        "while morning light settles on the tall green reeds the quick "
+        "brown fox jumps over the lazy dog near the quiet river bank"
+    )
+    distinct = [
+        "completely different subject matter about spark query planning",
+        "unrelated cooking recipe with flour butter sugar and three eggs",
+        "telemetry packets decoded from the udp stream at sixty hertz",
+        "astronomy notes on the rings of saturn and icy moons tonight",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [base, para] + distinct,
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    # MinHash at a high threshold keeps both word-orderings...
+    no_gate = pipelines.curate_documents(
+        docs, dedup_threshold=0.99, chunk_tokens=64, token_budget=256,
+        n_pack_shards=2,
+    )
+    assert {0, 1} <= set(r.doc_id for r in no_gate.select("doc_id").collect())
+
+    # ...the semdedup gate (order-invariant hashed-BoW cosine) collapses
+    # them to one survivor and keeps the distinct docs
+    gated = pipelines.curate_documents(
+        docs, dedup_threshold=0.99, chunk_tokens=64, token_budget=256,
+        n_pack_shards=2, semdedup=(2, 0.95),
+    )
+    kept = set(r.doc_id for r in gated.select("doc_id").distinct().collect())
+    assert len(kept & {0, 1}) == 1
+    assert {2, 3, 4, 5} <= kept
+
+    # explicit pre-trained centroids are accepted verbatim
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        embed as EM, similarity as SIM,
+    )
+
+    semb = EM.hashed_embedding(docs, out_col="__semb")
+    C = SIM.ivf_centroids(semb, n_clusters=2, id_col="doc_id", vec_col="__semb")
+    gated2 = pipelines.curate_documents(
+        docs, dedup_threshold=0.99, chunk_tokens=64, token_budget=256,
+        n_pack_shards=2, semdedup=(C, 0.95),
+    )
+    kept2 = set(r.doc_id for r in gated2.select("doc_id").distinct().collect())
+    assert kept2 == kept
