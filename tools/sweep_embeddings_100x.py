@@ -88,6 +88,10 @@ def build_corpora() -> None:
         np.arange(10_000_000, 10_000_000 + N_PLANTED, dtype=np.int64),
         dup,
     )
+    # source index of each planted twin — the semdedup leg predicts its
+    # outcome exactly from (source, twin) cluster assignments
+    np.save(f"{OUT}/planted_src.npy", keep)
+    np.save(f"{OUT}/planted_dup.npy", dup)
 
     small = base[:N_DISTINCT_REPLICA]
     rep_ids = np.arange(N, dtype=np.int64)
@@ -187,6 +191,89 @@ def main() -> None:
     results["replica_vs_distinct_ratio"] = round(
         results["near_dedup_replica_s"] / results["near_dedup_distinct_s"], 2
     )
+
+    # --- SemDeDup at scale: cluster-scoped semantic dedup ---
+    # Centroids trained once on a 2% deterministic sample (the
+    # production shape).  Sharp predictions:
+    #   distinct  → ZERO drops (max pairwise cosine ≈ 0.9 < 0.95)
+    #   planted   → dropped == the EXACT number of (source, twin) pairs
+    #               whose two members assign to the same centroid,
+    #               computed independently in numpy (cluster-scoped
+    #               dedup misses cross-boundary pairs BY CONTRACT —
+    #               the prediction covers that, no loose recall bar);
+    #               every dropped id must be a member of such a pair
+    #   replica   → survivors == N/10 exactly (identical-vector
+    #               collapse, any threshold)
+    from bigdataproject_formula1_telemetry_spark.operators import semdedup as SD
+
+    print("semdedup (cluster-scoped semantic dedup) ...", flush=True)
+    sd_train = sampling.deterministic_sample(
+        distinct, ["vec_id"], 0.1 if QUICK else 0.02, salt="semdedup-train"
+    )
+    t0 = time.time()
+    C_sd = sim.ivf_centroids(sd_train, n_clusters=64, max_iter=2)
+    results["semdedup_train_s"] = round(time.time() - t0, 2)
+
+    timed(
+        "semdedup_distinct_s",
+        lambda: SD.semantic_dedup(distinct, C_sd, threshold=0.95),
+        results,
+    )
+    sd_surv = SD.semantic_dedup(distinct, C_sd, threshold=0.95).count()
+    release_barriers()
+    results["semdedup_distinct_survivors"] = sd_surv
+    results["semdedup_false_drops"] = N - sd_surv
+
+    # numpy-predicted planted outcome: same-cluster (source, twin) pairs
+    src_idx = np.load(f"{OUT}/planted_src.npy")
+    dup_vecs = np.load(f"{OUT}/planted_dup.npy").astype(np.float64)
+    base_tbl = pq.read_table(f"{OUT}/distinct.parquet", columns=["vec_id", "embedding"])
+    base_mat = np.asarray(
+        base_tbl.column("embedding").combine_chunks().flatten()
+    ).reshape(N, DIM).astype(np.float64)
+    Cn = np.asarray(C_sd, dtype=np.float64)
+
+    def _assign(M):
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        return np.argmax((M / nrm[:, None]) @ Cn.T, axis=1)
+
+    a_src = _assign(base_mat[src_idx])
+    a_dup = _assign(dup_vecs)
+    same = a_src == a_dup
+    predicted_drops = int(same.sum())
+    pair_members = set(int(s) for s in src_idx[same]) | set(
+        int(10_000_000 + i) for i in np.nonzero(same)[0]
+    )
+    kept_sd = SD.semantic_dedup(planted, C_sd, threshold=0.95)
+    dropped_ids = [
+        r.vec_id
+        for r in planted.select("vec_id")
+        .exceptAll(kept_sd.select("vec_id"))
+        .collect()
+    ]
+    release_barriers()
+    results["semdedup_planted_dropped"] = len(dropped_ids)
+    results["semdedup_planted_predicted"] = predicted_drops
+    results["semdedup_planted_ok"] = (
+        len(dropped_ids) == predicted_drops
+        and all(i in pair_members for i in dropped_ids)
+    )
+    print(
+        f"  planted: dropped {len(dropped_ids)} (predicted {predicted_drops}, "
+        f"cross-boundary misses {int((~same).sum())})",
+        flush=True,
+    )
+
+    timed(
+        "semdedup_replica_s",
+        lambda: SD.semantic_dedup(replica, C_sd, threshold=0.95),
+        results,
+    )
+    sd_rep = SD.semantic_dedup(replica, C_sd, threshold=0.95).count()
+    release_barriers()
+    results["semdedup_replica_survivors"] = sd_rep
+    results["semdedup_replica_ok"] = sd_rep == N_DISTINCT_REPLICA
 
     # --- IVF at scale: 64 clusters, nprobe 8, 100 queries, k=10 ---
     def ivf_leg(corpus, tag: str) -> None:
