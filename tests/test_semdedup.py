@@ -263,3 +263,58 @@ def test_bad_args_raise(spark):
         semdedup.semantic_dedup(sdf, [[1.0, 0.0]], keep="nope")
     with pytest.raises(ValueError, match="centroids"):
         semdedup.semantic_dedup(sdf, [])
+
+
+def test_min_id_mode_matches_duckdb_oracle(spark, duck):
+    """Cross-engine gate: the min_id keep mode's drop condition —
+    ∃ smaller-id same-cluster item with cosine ≥ θ — is plain SQL, so
+    the ENTIRE operator (collapse → assign → within-cluster drop) is
+    recomputed in DuckDB over the real embeddings table and the
+    survivor sets must be identical."""
+    from tests.conftest import SF_SMOKE, register_views
+    from bigdataproject_formula1_telemetry_spark import io
+
+    register_views(duck, SF_SMOKE)
+    emb = io.read_table(spark, SF_SMOKE, "embeddings")
+    rng = np.random.default_rng(31)
+    k, dim = 4, 64
+    C = (lambda M: (M / np.linalg.norm(M, axis=1)[:, None]).tolist())(
+        rng.standard_normal((k, dim))
+    )
+    threshold = 0.2  # low threshold so the within-cluster join really fires
+
+    got = sorted(
+        r.vec_id
+        for r in semdedup.semantic_dedup(
+            emb, C, threshold=threshold, keep="min_id"
+        ).collect()
+    )
+
+    cent_rows = ", ".join(
+        f"({i}, {[float(x) for x in c]}::DOUBLE[])" for i, c in enumerate(C)
+    )
+    sql = f"""
+    WITH cents(cid, cv) AS (VALUES {cent_rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nz AS (SELECT *, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+    reps AS (SELECT min(vec_id) AS id, v FROM nz WHERE nrm > 0 GROUP BY v),
+    asg AS (
+        SELECT r.id, r.v,
+               (SELECT cid FROM cents
+                ORDER BY list_cosine_similarity(r.v, cv) DESC, cid
+                LIMIT 1) AS cl
+        FROM reps r
+    ),
+    drops AS (
+        SELECT DISTINCT a.id FROM asg a JOIN asg b
+        ON a.cl = b.cl AND b.id < a.id
+           AND list_cosine_similarity(a.v, b.v) >= {threshold}
+    )
+    SELECT id AS vec_id FROM asg WHERE id NOT IN (SELECT id FROM drops)
+    UNION ALL
+    SELECT vec_id FROM nz WHERE nrm = 0 OR nrm IS NULL
+    ORDER BY vec_id
+    """
+    want = [r[0] for r in duck.execute(sql).fetchall()]
+    assert got == want
+    assert 0 < len(got) < emb.count()  # the join genuinely dropped rows
