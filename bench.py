@@ -253,6 +253,42 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["quality_clf_score"] = round(best, 3)
 
+    # SemDeDup over the documents table: hashed-BoW embed + cluster-
+    # scoped semantic dedup (the curate_documents semdedup= gate's
+    # exact shape).  Centroids are trained ONCE outside the timer on a
+    # deterministic sample (the production shape — reuse across corpus
+    # shards); each timed run pays embed → collapse → assign → per-
+    # cluster kernel end to end.
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        embed as _em,
+        semdedup as _sd,
+    )
+
+    docs_s = io.read_table(spark, sf_dir, "documents")
+    semb_train = _em.hashed_embedding(
+        _smp0.deterministic_sample(docs_s, ["doc_id"], 0.25, salt="sd-train"),
+        out_col="__semb",
+    )
+    sd_C = sim.ivf_centroids(
+        semb_train, n_clusters=16, max_iter=2, id_col="doc_id", vec_col="__semb"
+    )
+
+    def build_semdedup():
+        _dedup.release_barriers()
+        semb = _em.hashed_embedding(docs_s, out_col="__semb")
+        return _sd.semantic_dedup(
+            semb, sd_C, threshold=0.9, id_col="doc_id", vec_col="__semb"
+        ).select("doc_id")
+
+    build_semdedup().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_semdedup().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["semdedup_documents"] = round(best, 3)
+    _dedup.release_barriers()
+
     # Exact-dedup index serving: hashes + Bloom sidecar built ONCE
     # outside the timer; each timed run checks a 200-doc increment (100
     # exact copies + 100 fresh) — the steady-state exact-dedup path

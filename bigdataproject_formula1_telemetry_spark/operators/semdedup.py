@@ -51,6 +51,9 @@ from __future__ import annotations
 import logging
 from collections.abc import Iterable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -194,3 +197,98 @@ def semantic_dedup(
     )
     losers = _expand_losers(member_rep, losing_reps, id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def centroid_similarity(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_sim",
+) -> DataFrame:
+    """Append each row's cosine to its nearest centroid (the
+    "prototypicality" score of Sorscher et al., NeurIPS 2022).  One
+    narrow Arrow pass; NULL/zero-norm vectors score NULL."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    C = np.asarray([list(map(float, c)) for c in centroids], dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1)
+    nrm[nrm == 0] = 1.0
+    Cn = C / nrm[:, None]
+
+    @pandas_udf(DoubleType())
+    def _csim(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="float64")
+        dim = Cn.shape[1]
+        zero = np.zeros(dim)
+        X = np.stack(
+            [zero if v is None else np.asarray(v, dtype=np.float64) for v in vec]
+        )
+        norms = np.linalg.norm(X, axis=1)
+        bad = norms == 0
+        norms[bad] = 1.0
+        best = ((X / norms[:, None]) @ Cn.T).max(axis=1)
+        best[bad] = np.nan
+        return pd.Series(best)
+
+    return df.withColumn(out_col, F.nanvl(_csim(F.col(vec_col)), F.lit(None)))
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    keep_fraction: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cutoff: float | None = None,
+) -> DataFrame:
+    """SSL-prototypes diversification (Sorscher et al., "Beyond neural
+    scaling laws", NeurIPS 2022 — the second stage of D4): drop the
+    most PROTOTYPICAL rows (highest cosine to their nearest centroid),
+    keeping ``keep_fraction`` of the corpus — the easy, redundant
+    cluster cores go, the informative edges stay.
+
+    Scale shape: one ``percentile_approx`` sketch aggregate to find the
+    global prototypicality cutoff, then one narrow filter pass — never a
+    global sort.  The realized keep-rate therefore carries the sketch's
+    resolution error (±~1% at the default accuracy); pass an explicit
+    ``cutoff`` (score threshold, e.g. from a prior calibration run) to
+    skip the sizing aggregate entirely — then sizing costs ZERO scans.
+    NULL/zero-norm vectors have no prototype and always survive."""
+    if not 0 < keep_fraction <= 1:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    scored = centroid_similarity(df, centroids, vec_col, "__proto")
+    if cutoff is None:
+        if keep_fraction == 1.0:
+            return df
+        cutoff = scored.agg(
+            F.percentile_approx("__proto", keep_fraction, 65536)
+        ).first()[0]
+        if cutoff is None:  # all vectors NULL/zero-norm — nothing prunable
+            return df
+    return scored.where(
+        F.col("__proto").isNull() | (F.col("__proto") <= F.lit(float(cutoff)))
+    ).drop("__proto")
+
+
+def d4_prune(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    keep_fraction: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **semdedup_kwargs,
+) -> DataFrame:
+    """D4 (Tirumala et al., arXiv:2308.12284): SemDeDup then
+    SSL-prototypes pruning, the published composition — dedup removes
+    the duplicate mass, diversification removes the prototypical core,
+    both against the same coarse quantizer."""
+    deduped = semantic_dedup(
+        df, centroids, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, **semdedup_kwargs,
+    )
+    return prototype_prune(
+        deduped, centroids, keep_fraction, id_col=id_col, vec_col=vec_col
+    )

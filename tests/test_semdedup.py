@@ -318,3 +318,124 @@ def test_min_id_mode_matches_duckdb_oracle(spark, duck):
     want = [r[0] for r in duck.execute(sql).fetchall()]
     assert got == want
     assert 0 < len(got) < emb.count()  # the join genuinely dropped rows
+
+
+def test_centroid_similarity_matches_numpy(spark):
+    rng = np.random.default_rng(41)
+    vecs = [rng.standard_normal(6).tolist() for _ in range(40)] + [None, [0.0] * 6]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    C = [rng.standard_normal(6).tolist() for _ in range(3)]
+    got = {
+        r.vec_id: r.centroid_sim
+        for r in semdedup.centroid_similarity(sdf, C).collect()
+    }
+    Cn = np.asarray(C)
+    Cn = Cn / np.linalg.norm(Cn, axis=1)[:, None]
+    for i, v in enumerate(vecs):
+        if v is None or not np.linalg.norm(v):
+            assert got[i] is None
+        else:
+            vn = np.asarray(v) / np.linalg.norm(v)
+            assert got[i] == pytest.approx(float((Cn @ vn).max()), abs=1e-12)
+
+
+def test_prototype_prune_drops_cluster_cores(spark):
+    """Rows planted ON the centroid (prototypicality ≈ 1) are pruned
+    first; edge rows survive; NULL/zero vectors always survive; the
+    realized keep-rate lands near keep_fraction."""
+    rng = np.random.default_rng(43)
+    dim = 8
+    c0 = rng.standard_normal(dim)
+    c0 /= np.linalg.norm(c0)
+    # 50 core rows = centroid + tiny noise, 50 edge rows = far cone
+    core = [(c0 + rng.standard_normal(dim) * 0.01).tolist() for _ in range(50)]
+    edge = [(c0 + rng.standard_normal(dim) * 2.0).tolist() for _ in range(50)]
+    rows = [(i, v) for i, v in enumerate(core + edge)] + [(100, None)]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup.prototype_prune(sdf, [c0.tolist()], keep_fraction=0.5)
+    kept = set(r.vec_id for r in out.collect())
+    assert 100 in kept  # NULL exempt
+    core_kept = len(kept & set(range(50)))
+    edge_kept = len(kept & set(range(50, 100)))
+    assert edge_kept > 40 and core_kept < 10  # cores pruned, edges kept
+    # keep-rate within the sketch band
+    assert abs((len(kept) - 1) / 100 - 0.5) < 0.1
+
+    # keep_fraction=1 is the identity; explicit cutoff skips the sizing agg
+    assert semdedup.prototype_prune(sdf, [c0.tolist()], 1.0).count() == 101
+    explicit = semdedup.prototype_prune(
+        sdf, [c0.tolist()], cutoff=0.99
+    ).collect()
+    for r in explicit:
+        if r.embedding is not None and np.linalg.norm(r.embedding):
+            vn = np.asarray(r.embedding) / np.linalg.norm(r.embedding)
+            assert float(vn @ c0) <= 0.99 + 1e-12
+    with pytest.raises(ValueError, match="keep_fraction"):
+        semdedup.prototype_prune(sdf, [c0.tolist()], 0.0)
+
+
+def test_d4_composition(spark):
+    """D4 = semantic_dedup then prototype_prune: planted near-dup twins
+    collapse to one survivor AND the surviving corpus is thinner at the
+    prototypical core than semantic_dedup alone."""
+    rng = np.random.default_rng(47)
+    dim = 8
+    centers = [rng.standard_normal(dim) for _ in range(2)]
+    vecs = []
+    for i in range(100):
+        c = centers[i % 2]
+        vecs.append((c + rng.standard_normal(dim) * (0.05 + 0.5 * (i % 10) / 10)).tolist())
+    # twins of the first 10
+    for i in range(10):
+        vecs.append((np.asarray(vecs[i]) + rng.standard_normal(dim) * 1e-3).tolist())
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    C = [c.tolist() for c in centers]
+    dd = semdedup.semantic_dedup(sdf, C, threshold=0.99)
+    d4 = semdedup.d4_prune(sdf, C, threshold=0.99, keep_fraction=0.7)
+    n_dd, n_d4 = dd.count(), d4.count()
+    assert n_d4 < n_dd < 110  # dedup bit, then diversification bit
+    # d4 survivors are a subset of semantic_dedup survivors
+    assert d4.join(dd, "vec_id", "left_anti").count() == 0
+
+
+def test_prototype_prune_matches_duckdb_oracle(spark, duck):
+    """Cross-engine: with an explicit cutoff the prune is a pure filter —
+    recompute max-cosine-to-centroid and the filter in DuckDB over the
+    real embeddings table; survivor sets must be identical."""
+    from tests.conftest import SF_SMOKE, register_views
+    from bigdataproject_formula1_telemetry_spark import io
+
+    register_views(duck, SF_SMOKE)
+    emb = io.read_table(spark, SF_SMOKE, "embeddings")
+    rng = np.random.default_rng(53)
+    C = (lambda M: (M / np.linalg.norm(M, axis=1)[:, None]).tolist())(
+        rng.standard_normal((3, 64))
+    )
+    cutoff = 0.15
+    got = sorted(
+        r.vec_id
+        for r in semdedup.prototype_prune(emb, C, cutoff=cutoff).collect()
+    )
+    cent_rows = ", ".join(
+        f"({i}, {[float(x) for x in c]}::DOUBLE[])" for i, c in enumerate(C)
+    )
+    sql = f"""
+    WITH cents(cid, cv) AS (VALUES {cent_rows}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT vec_id,
+               (SELECT max(list_cosine_similarity(v, cv)) FROM cents) AS ps,
+               sqrt(list_inner_product(v, v)) AS nrm
+        FROM e
+    )
+    SELECT vec_id FROM scored
+    WHERE nrm = 0 OR nrm IS NULL OR ps <= {cutoff}
+    ORDER BY vec_id
+    """
+    want = [r[0] for r in duck.execute(sql).fetchall()]
+    assert got == want
+    assert 0 < len(got) < emb.count()
