@@ -199,6 +199,85 @@ def semantic_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup_against_index(
+    spark,
+    increment: DataFrame,
+    index_path: str,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Steady-state SemDeDup admission: drop increment rows whose
+    cosine to ANY vector already materialized in the
+    ``similarity.build_inverted_file`` table reaches ``threshold`` —
+    the semantic twin of ``minhash_index.dedup_against_index`` /
+    ``exact_index.dedup_exact_against_index``, completing the
+    batch/streaming-shared-state triangle on the embedding axis.
+
+    Scale shape: the increment assigns to its ``nprobe`` nearest
+    centroids in one Arrow pass; the UNION of probed cluster ids (≤ k
+    integers, collected from a groupBy-distinct — never the rows) is
+    pushed as a PARTITION filter on the index scan, and the increment
+    side of the join is broadcast — the index is never shuffled.  Only
+    the dropped ids' rows are materialized beyond the join.
+    ``nprobe > 1`` checks neighboring clusters too, catching
+    cluster-boundary near-dups the batch operator's single-cluster
+    scope misses by contract.
+
+    Survivors should then be admitted with
+    ``build_inverted_file(survivors, C, path, mode="append")`` — the
+    caller owns that write (same division of labor as the MinHash
+    index).  NULL/zero-norm increment vectors are exempt (kept): their
+    cosine is NULL."""
+    C = [list(map(float, c)) for c in centroids]
+    if not C:
+        raise ValueError("centroids must be non-empty")
+    from .similarity import _pairwise_cosine_udf
+
+    inc = increment.select(
+        F.col(id_col).alias("__i_id"),
+        F.col(vec_col).alias("__i_v"),
+        F.explode(
+            _np_assigner(C, nprobe=min(nprobe, len(C)))(F.col(vec_col))
+        ).alias("__c"),
+    ).where(l2_norm(F.col("__i_v")) > 0)
+    probed = sorted(
+        r["__c"] for r in inc.select("__c").distinct().collect()
+    )
+    if not probed:
+        return increment
+    idx = spark.read.parquet(index_path).where(
+        F.col(cluster_col).isin(probed)
+    ).select(
+        F.col(id_col).alias("__x_id"),
+        F.col(vec_col).alias("__x_v"),
+        F.col(cluster_col).alias("__x_c"),
+    )
+    cos_k = _pairwise_cosine_udf()
+    # NB: no id-inequality guard — an index row with the SAME id as an
+    # increment row is (by admission discipline) the increment's own
+    # previously-admitted copy, and dropping it is what makes a retried
+    # search-then-append converge: the retry drops everything already
+    # written and appends nothing, so at-least-once delivery needs no
+    # inc= partition machinery here.
+    dups = (
+        idx.join(F.broadcast(inc), F.col("__x_c") == F.col("__c"))
+        .select(
+            "__i_id",
+            F.nanvl(cos_k(F.col("__i_v"), F.col("__x_v")), F.lit(None)).alias(
+                "__cs"
+            ),
+        )
+        .where(F.col("__cs") >= F.lit(float(threshold)))
+        .select(F.col("__i_id").alias(id_col))
+        .distinct()
+    )
+    return increment.join(dups, id_col, "left_anti")
+
+
 def centroid_similarity(
     df: DataFrame,
     centroids: Iterable[Iterable[float]],

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from bigdataproject_formula1_telemetry_spark.operators import semdedup, similarity as sim
 
@@ -439,3 +440,78 @@ def test_prototype_prune_matches_duckdb_oracle(spark, duck):
     want = [r[0] for r in duck.execute(sql).fetchall()]
     assert got == want
     assert 0 < len(got) < emb.count()
+
+
+def test_admission_against_materialized_index(spark, tmp_path):
+    """Steady-state admission: increment rows with a stored near-dup in
+    their probed cluster(s) are dropped (numpy oracle), the index scan
+    is partition-pruned with the increment broadcast, survivors append
+    back, and a retried admission of already-admitted content drops
+    everything (idempotent convergence)."""
+    import re
+
+    rng = np.random.default_rng(71)
+    dim, n = 8, 120
+    base = rng.standard_normal((n, dim))
+    stored = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    C = sim.ivf_centroids(stored, n_clusters=4, max_iter=3)
+    root = str(tmp_path / "sem_ivf")
+    sim.build_inverted_file(stored, C, root)
+
+    # increment: 10 near-copies of stored vectors + 10 fresh + exempt rows
+    inc_rows = [
+        (1000 + i, (base[i] + rng.standard_normal(dim) * 1e-3).tolist())
+        for i in range(10)
+    ] + [
+        (2000 + i, rng.standard_normal(dim).tolist()) for i in range(10)
+    ] + [(3000, None), (3001, [0.0] * dim)]
+    inc = spark.createDataFrame(inc_rows, "vec_id long, embedding array<double>")
+
+    out = semdedup.semantic_dedup_against_index(
+        spark, inc, root, C, threshold=0.95, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cluster", plan), plan[:1500]
+    assert "BroadcastHashJoin" in plan
+
+    kept = set(r.vec_id for r in out.collect())
+    # numpy oracle: same probe math (top-nprobe centroids), max cosine
+    # vs stored members of the probed clusters
+    Cn = np.asarray(C)
+    Sn = base / np.linalg.norm(base, axis=1)[:, None]
+    stored_cl = np.argmax(Sn @ Cn.T, axis=1)
+    want = {3000, 3001}
+    for vid, v in inc_rows:
+        if v is None or not np.linalg.norm(v):
+            continue
+        x = np.asarray(v) / np.linalg.norm(v)
+        sims_c = x @ Cn.T
+        probes = set(np.argsort(-sims_c)[:2])
+        members = [j for j in range(n) if stored_cl[j] in probes]
+        mx = max((float(x @ Sn[j]) for j in members), default=-1)
+        if mx < 0.95:
+            want.add(vid)
+    assert kept == want
+    assert all(2000 <= i < 2010 or i >= 3000 for i in kept)
+
+    # admit survivors, then a RETRIED admission of the same increment
+    # drops every non-exempt row it admitted before (convergent)
+    surv = inc.join(
+        spark.createDataFrame([(i,) for i in sorted(kept)], "vec_id long"),
+        "vec_id", "semi",
+    ).where(F.col("embedding").isNotNull())
+    sim.build_inverted_file(surv, C, root, mode="append")
+    again = semdedup.semantic_dedup_against_index(
+        spark, inc, root, C, threshold=0.95, nprobe=2
+    )
+    kept2 = set(r.vec_id for r in again.collect())
+    assert kept2 == {3000, 3001}
+
+    # empty / all-exempt increment short-circuits
+    empty = inc.where("vec_id < 0")
+    assert (
+        semdedup.semantic_dedup_against_index(spark, empty, root, C).count() == 0
+    )
