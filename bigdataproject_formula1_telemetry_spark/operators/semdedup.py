@@ -209,6 +209,7 @@ def semantic_dedup_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "ivf_cluster",
+    exclude_inc: str | None = None,
 ) -> DataFrame:
     """Steady-state SemDeDup admission: drop increment rows whose
     cosine to ANY vector already materialized in the
@@ -249,9 +250,12 @@ def semantic_dedup_against_index(
     )
     if not probed:
         return increment
-    idx = spark.read.parquet(index_path).where(
-        F.col(cluster_col).isin(probed)
-    ).select(
+    idx = spark.read.parquet(index_path).where(F.col(cluster_col).isin(probed))
+    if exclude_inc is not None and "inc" in idx.columns:
+        # inc-partitioned index (build_semantic_index): a retried
+        # increment must not match its own half-admitted prior write
+        idx = idx.where(F.col("inc") != F.lit(exclude_inc))
+    idx = idx.select(
         F.col(id_col).alias("__x_id"),
         F.col(vec_col).alias("__x_v"),
         F.col(cluster_col).alias("__x_c"),
@@ -276,6 +280,88 @@ def semantic_dedup_against_index(
         .distinct()
     )
     return increment.join(dups, id_col, "left_anti")
+
+
+def build_semantic_index(
+    corpus: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    path: str,
+    increment_id: str = "base",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> None:
+    """Materialize the ADMISSION-grade semantic index: the corpus
+    hive-partitioned by ``(inc, nearest-centroid)``.  Same layout idea
+    as ``similarity.build_inverted_file`` plus the ``inc=`` level the
+    idempotent-retry discipline needs (``minhash_index`` convention:
+    clear-then-replace the increment's directory, exclude it from its
+    own search).  One assignment pass; NULL/zero-norm vectors are not
+    indexed (they can never be anyone's duplicate)."""
+    from .minhash_index import _INC_ID_RE, _clear_inc_partition
+
+    if not _INC_ID_RE.match(increment_id):
+        raise ValueError(
+            "increment_id must match [A-Za-z0-9._-]+ (it names a "
+            f"partition directory), got {increment_id!r}"
+        )
+    C = [list(map(float, c)) for c in centroids]
+    _clear_inc_partition(corpus.sparkSession, path, increment_id)
+    (
+        corpus.select(id_col, vec_col)
+        .where(l2_norm(F.col(vec_col)) > 0)
+        .select(
+            "*",
+            F.lit(increment_id).alias("inc"),
+            _np_assigner(C, nprobe=1)(F.col(vec_col))[0].alias(cluster_col),
+        )
+        .write.mode("append")
+        .partitionBy("inc", cluster_col)
+        .parquet(path)
+    )
+
+
+def incremental_semantic_dedup(
+    spark,
+    increment: DataFrame,
+    index_path: str,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low_centroid_sim",
+    append: bool = False,
+    increment_id: str | None = None,
+) -> DataFrame:
+    """One increment of steady-state SemDeDup: self-dedup the increment
+    (``semantic_dedup`` — within-batch duplicate groups collapse to one
+    member), drop what the ``build_semantic_index`` table already holds
+    (``semantic_dedup_against_index``, EXCLUDING the increment's own
+    ``inc=`` partition so a half-admitted prior attempt can't match the
+    batch against itself), and optionally admit the survivors under
+    ``inc=<increment_id>`` (clear-then-replace — replays converge
+    byte-for-byte).  The ``minhash_index.incremental_near_dedup``
+    protocol, on the embedding axis."""
+    if append and increment_id is None:
+        raise ValueError("append=True requires increment_id")
+    kept = semantic_dedup(
+        increment, centroids, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, keep=keep,
+    )
+    kept = semantic_dedup_against_index(
+        spark, kept, index_path, centroids, threshold, nprobe,
+        id_col=id_col, vec_col=vec_col, exclude_inc=increment_id,
+    )
+    if append:
+        survivors = kept.localCheckpoint(eager=True)
+        build_semantic_index(
+            survivors.select(id_col, vec_col),
+            centroids, index_path, increment_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+        return survivors
+    return kept
 
 
 def centroid_similarity(

@@ -504,3 +504,47 @@ def admit_stream_exact_against_index(
     return _admission_writer(
         stream, checkpoint_dir, out_path, stats_path, _admit_one
     )
+
+
+def admit_stream_semantic_against_index(
+    stream: DataFrame,
+    index_path: str,
+    centroids,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "low_centroid_sim",
+    stats_path: str | None = None,
+):
+    """SEMANTIC twin of ``admit_stream_against_index``, completing the
+    admission triangle (exact / MinHash / embedding): micro-batches are
+    SemDeDup-filtered against the materialized
+    ``semdedup.build_semantic_index`` table in ``foreachBatch`` —
+    per-batch self-dedup (``semantic_dedup``), then the
+    partition-pruned broadcast search against every OTHER increment's
+    vectors, then clear-then-replace admission under ``inc=b<batch_id>``
+    — so a batch backfill and the live stream share ONE semantic-dedup
+    state, with the same replay-convergent idempotency discipline as
+    the other two axes (own-partition-excluded search; replays converge
+    byte-for-byte).
+
+    ``centroids`` is the trained coarse quantizer shared by every
+    producer of this index (train once, ship with the index —
+    re-clustering would re-shard the whole table).  Returns the
+    configured ``DataStreamWriter``; ``stats_path`` as on
+    ``admit_stream_against_index``."""
+    from ..operators.semdedup import incremental_semantic_dedup
+
+    def _admit_one(spark, batch_df: DataFrame, inc_id: str) -> DataFrame:
+        return incremental_semantic_dedup(
+            spark, batch_df, index_path, centroids, threshold, nprobe,
+            id_col=id_col, vec_col=vec_col, keep=keep,
+            append=True, increment_id=inc_id,
+        )
+
+    return _admission_writer(
+        stream, checkpoint_dir, out_path, stats_path, _admit_one
+    )

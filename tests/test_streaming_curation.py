@@ -583,3 +583,107 @@ def test_admission_stats_rows_and_replay_idempotence(spark, tmp_path, corpus_pdf
     stats2 = spark.read.parquet(stats_path).toPandas().sort_values("inc")
     assert len(stats2) == 3
     assert stats2["n_admitted"].tolist() == stats["n_admitted"].tolist()
+
+
+def test_admit_stream_semantic_shares_state_and_replays(spark, tmp_path):
+    """SEMANTIC streaming admission (the third axis of the admission
+    triangle): equals the sequential incremental_semantic_dedup batch
+    API on the same increments, and a full from-scratch replay
+    converges byte-identically."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        semdedup as SD,
+        similarity as sim,
+    )
+
+    VEC_SCHEMA = "vec_id long, embedding array<double>"
+    rng = np.random.default_rng(83)
+    dim = 8
+    base = rng.standard_normal((40, dim))
+    base_sdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)], VEC_SCHEMA
+    )
+    C = sim.ivf_centroids(base_sdf, n_clusters=4, max_iter=3)
+    sidx = str(tmp_path / "semidx_stream")
+    bidx = str(tmp_path / "semidx_batch")
+    SD.build_semantic_index(base_sdf, C, sidx, "base")
+    SD.build_semantic_index(base_sdf, C, bidx, "base")
+
+    fresh1 = rng.standard_normal((10, dim))
+    parts = [
+        # batch 0: 10 fresh + 3 near-copies of base (must drop vs index)
+        [(100 + i, v.tolist()) for i, v in enumerate(fresh1)]
+        + [
+            (150 + i, (base[i] + rng.standard_normal(dim) * 1e-3).tolist())
+            for i in range(3)
+        ],
+        # batch 1: near-copies of batch-0 fresh rows (cross-batch dedup
+        # through the shared index) + 4 genuinely fresh
+        [
+            (200 + i, (fresh1[i] + rng.standard_normal(dim) * 1e-3).tolist())
+            for i in range(5)
+        ]
+        + [(250 + i, rng.standard_normal(dim).tolist()) for i in range(4)],
+        # batch 2: exact replica pair within the batch (self-dedup) + fresh
+        [(300, fresh1[9].tolist()), (301, rng.standard_normal(dim).tolist()),
+         (302, rng.standard_normal(dim).tolist())],
+    ]
+    src = str(tmp_path / "vsrc")
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, VEC_SCHEMA).coalesce(1).write.parquet(
+            src, mode="overwrite" if i == 0 else "append"
+        )
+
+    out_path = str(tmp_path / "sem_admitted")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            curation.admit_stream_semantic_against_index(
+                stream, sidx, C, out_path, str(tmp_path / ckpt),
+                threshold=0.95, nprobe=2,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("sck1")
+
+    # batch reference: same increments through the batch API
+    batch_survivors = set()
+    for i, part in enumerate(parts):
+        kept = SD.incremental_semantic_dedup(
+            spark, spark.createDataFrame(part, VEC_SCHEMA), bidx, C,
+            threshold=0.95, nprobe=2, append=True,
+            increment_id=f"b{i:012d}",
+        )
+        batch_survivors |= {r["vec_id"] for r in kept.select("vec_id").collect()}
+
+    got = spark.read.parquet(out_path)
+    stream_survivors = {r["vec_id"] for r in got.select("vec_id").collect()}
+    assert stream_survivors == batch_survivors
+    # the planted verdicts: base near-copies and cross-batch copies die,
+    # fresh rows live
+    assert not any(150 <= v < 160 for v in stream_survivors)
+    assert not any(200 <= v < 205 for v in stream_survivors)
+    assert not any(v == 300 for v in stream_survivors)
+    assert {250, 251, 252, 253, 301, 302} <= stream_survivors
+    assert all(100 <= v < 110 for v in stream_survivors if v < 150)
+
+    first_out = sorted(map(str, got.select("inc", "vec_id").collect()))
+    first_idx = sorted(
+        map(str, spark.read.parquet(sidx).select("inc", "vec_id").collect())
+    )
+    # full replay (lost checkpoint) converges to identical content
+    run("sck2")
+    assert sorted(
+        map(str, spark.read.parquet(out_path).select("inc", "vec_id").collect())
+    ) == first_out
+    assert sorted(
+        map(str, spark.read.parquet(sidx).select("inc", "vec_id").collect())
+    ) == first_idx
