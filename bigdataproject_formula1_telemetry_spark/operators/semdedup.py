@@ -321,6 +321,46 @@ def build_semantic_index(
     )
 
 
+def list_semantic_increments(spark, path: str) -> list[str]:
+    """Increment ids present in a ``build_semantic_index`` table (root
+    ``inc=`` directory names — metadata only, no data scan)."""
+    import os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            out.append(name[len("inc="):])
+    return sorted(out)
+
+
+def expire_semantic_increments(spark, path: str, keep) -> list[str]:
+    """Retention for the semantic index — the ``minhash_index``
+    dedup-horizon policy on the embedding axis: delete every ``inc=``
+    partition whose id is NOT kept (``keep`` = predicate or explicit
+    list; ``base`` always survives — rebuild to rotate it).
+    Metadata-only directory deletes; expired vectors simply become
+    semantically admissible again."""
+    from .minhash_index import _clear_inc_partition
+
+    kept = (
+        (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
+        else keep
+    )
+    expired = [
+        i for i in list_semantic_increments(spark, path)
+        if i != "base" and not kept(i)
+    ]
+    for inc in expired:
+        _clear_inc_partition(spark, path, inc)
+    return expired
+
+
 def incremental_semantic_dedup(
     spark,
     increment: DataFrame,

@@ -515,3 +515,66 @@ def test_admission_against_materialized_index(spark, tmp_path):
     assert (
         semdedup.semantic_dedup_against_index(spark, empty, root, C).count() == 0
     )
+
+
+def test_semantic_index_retention(spark, tmp_path):
+    """Dedup-horizon policy on the embedding axis: expiring an increment
+    makes its vectors semantically admissible again; base always
+    survives; metadata-only (no scan)."""
+    rng = np.random.default_rng(89)
+    dim = 8
+    base = rng.standard_normal((20, dim))
+    base_sdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    C = sim.ivf_centroids(base_sdf, n_clusters=2, max_iter=3)
+    root = str(tmp_path / "sem_ret")
+    semdedup.build_semantic_index(base_sdf, C, root, "base")
+
+    day1 = rng.standard_normal((5, dim))
+    day1_sdf = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(day1)],
+        "vec_id long, embedding array<double>",
+    )
+    semdedup.incremental_semantic_dedup(
+        spark, day1_sdf, root, C, threshold=0.95, append=True,
+        increment_id="day-001",
+    )
+    assert semdedup.list_semantic_increments(spark, root) == ["base", "day-001"]
+
+    # near-copies of day-1 vectors are dropped while day-001 is live...
+    probe = spark.createDataFrame(
+        [(500 + i, (day1[i] + rng.standard_normal(dim) * 1e-3).tolist())
+         for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        semdedup.semantic_dedup_against_index(
+            spark, probe, root, C, threshold=0.95, nprobe=2
+        ).count()
+        == 0
+    )
+
+    gone = semdedup.expire_semantic_increments(
+        spark, root, keep=lambda i: False
+    )
+    assert gone == ["day-001"]
+    assert semdedup.list_semantic_increments(spark, root) == ["base"]
+    # ...and admissible again once expired; base content still dedups
+    assert (
+        semdedup.semantic_dedup_against_index(
+            spark, probe, root, C, threshold=0.95, nprobe=2
+        ).count()
+        == 5
+    )
+    base_probe = spark.createDataFrame(
+        [(600, (base[0] + rng.standard_normal(dim) * 1e-3).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        semdedup.semantic_dedup_against_index(
+            spark, base_probe, root, C, threshold=0.95, nprobe=2
+        ).count()
+        == 0
+    )
