@@ -55,6 +55,9 @@ from bigdataproject_formula1_telemetry_spark.operators import sampling, similari
 from bigdataproject_formula1_telemetry_spark.operators.dedup import release_barriers
 
 QUICK = "--quick" in sys.argv
+SEMINDEX_ONLY = "--semindex" in sys.argv  # run ONLY the semantic-index
+# admission leg (added after the round's recorded full run — lets the
+# new leg be measured clean without re-timing the whole suite)
 N = 50_000 if QUICK else 500_000
 N_DISTINCT_REPLICA = N // 10
 N_PLANTED = 100 if QUICK else 1_000
@@ -147,6 +150,97 @@ def main() -> None:
         for _ in range(4)
     ]
     results: dict[str, float | int | bool] = {"n": N}
+
+    # --- semantic-index admission at scale (--semindex runs only this) ---
+    # Build the (inc, cluster)-partitioned index over the full corpus
+    # (ingest cost, timed once), then admit a 5k increment: 2,500
+    # near-copies of stored vectors + 2,500 fresh.  Sharp predictions:
+    # dropped == the EXACT numpy count of copies whose source cluster is
+    # inside their nprobe=2 probe set (boundary misses predicted, not
+    # excused); fresh rows NEVER drop (max cosine of an i.i.d. 64-dim
+    # vector vs 500k others ≈ 0.64 ≪ 0.95).
+    if SEMINDEX_ONLY:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            semdedup as SDX,
+        )
+
+        sd_train0 = sampling.deterministic_sample(
+            distinct, ["vec_id"], 0.1 if QUICK else 0.02, salt="semdedup-train"
+        )
+        C_si = sim.ivf_centroids(sd_train0, n_clusters=64, max_iter=2)
+        si_path = f"{OUT}/sem_index"
+        t0 = time.time()
+        SDX.build_semantic_index(distinct, C_si, si_path, "base")
+        results["semindex_build_s"] = round(time.time() - t0, 2)
+
+        src_idx2 = np.load(f"{OUT}/planted_src.npy")
+        n_inc = min(250 if QUICK else 2_500, len(src_idx2))
+        src_idx2 = src_idx2[:n_inc]
+        base_tbl2 = pq.read_table(
+            f"{OUT}/distinct.parquet", columns=["vec_id", "embedding"]
+        )
+        base_mat2 = np.asarray(
+            base_tbl2.column("embedding").combine_chunks().flatten()
+        ).reshape(N, DIM).astype(np.float64)
+        rng_si = np.random.default_rng(99)
+        copies = base_mat2[src_idx2] + 0.01 * rng_si.standard_normal(
+            (n_inc, DIM)
+        )
+        fresh = rng_si.standard_normal((n_inc, DIM))
+        inc_rows = [
+            (int(20_000_000 + i), v.tolist()) for i, v in enumerate(copies)
+        ] + [
+            (int(30_000_000 + i), v.tolist()) for i, v in enumerate(fresh)
+        ]
+        inc_df = spark.createDataFrame(
+            inc_rows, schema="vec_id long, embedding array<double>"
+        ).localCheckpoint(eager=True)
+
+        def build_admission():
+            return SDX.semantic_dedup_against_index(
+                spark, inc_df, si_path, C_si, threshold=0.95, nprobe=2
+            )
+
+        timed("semindex_search_s", build_admission, results)
+
+        # numpy prediction: copy i drops iff argmax-cluster(source) is in
+        # its own top-2 probes (the index stores sources at THEIR argmax)
+        Cn2 = np.asarray(C_si, dtype=np.float64)
+
+        def _nrm(M):
+            nn = np.linalg.norm(M, axis=1)
+            nn[nn == 0] = 1.0
+            return M / nn[:, None]
+
+        src_cl = np.argmax(_nrm(base_mat2[src_idx2]) @ Cn2.T, axis=1)
+        probe_sims = _nrm(copies) @ Cn2.T
+        top2 = np.argpartition(-probe_sims, 1, axis=1)[:, :2]
+        predicted = int(sum(src_cl[i] in top2[i] for i in range(n_inc)))
+
+        kept_ids = {
+            r.vec_id for r in build_admission().select("vec_id").collect()
+        }
+        dropped_copies = sum(
+            1 for i in range(n_inc) if (20_000_000 + i) not in kept_ids
+        )
+        dropped_fresh = sum(
+            1 for i in range(n_inc) if (30_000_000 + i) not in kept_ids
+        )
+        results["semindex_inc_rows"] = 2 * n_inc
+        results["semindex_dropped_copies"] = dropped_copies
+        results["semindex_predicted_drops"] = predicted
+        results["semindex_dropped_fresh"] = dropped_fresh
+        results["semindex_ok"] = (
+            dropped_copies == predicted and dropped_fresh == 0
+        )
+        print(
+            f"  admission: dropped {dropped_copies} copies (predicted "
+            f"{predicted}), {dropped_fresh} fresh",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
 
     print("near_dedup_cosine, distinct corpus ...", flush=True)
     timed(
