@@ -218,12 +218,14 @@ def semantic_dedup_against_index(
     ``exact_index.dedup_exact_against_index``, completing the
     batch/streaming-shared-state triangle on the embedding axis.
 
-    Scale shape: the increment assigns to its ``nprobe`` nearest
-    centroids in one Arrow pass; the UNION of probed cluster ids (≤ k
-    integers, collected from a groupBy-distinct — never the rows) is
-    pushed as a PARTITION filter on the index scan, and the increment
-    side of the join is broadcast — the index is never shuffled.  Only
-    the dropped ids' rows are materialized beyond the join.
+    Scale shape: the increment (driver-small by the same contract as
+    kNN query sets and MinHash increments) assigns to its ``nprobe``
+    nearest centroids driver-side; the UNION of probed cluster ids is
+    pushed as a PARTITION filter on the index scan, and the per-cluster
+    query matrices ride the kernel closure — the index is never
+    shuffled, never joined: each Arrow batch of the pruned scan is ONE
+    (batch × dim) @ (dim × n_inc_c) matmul, and only duplicate
+    increment ids leave the executors.
     ``nprobe > 1`` checks neighboring clusters too, catching
     cluster-boundary near-dups the batch operator's single-cluster
     scope misses by contract.
@@ -236,47 +238,93 @@ def semantic_dedup_against_index(
     C = [list(map(float, c)) for c in centroids]
     if not C:
         raise ValueError("centroids must be non-empty")
-    from .similarity import _pairwise_cosine_udf
 
-    inc = increment.select(
-        F.col(id_col).alias("__i_id"),
-        F.col(vec_col).alias("__i_v"),
-        F.explode(
-            _np_assigner(C, nprobe=min(nprobe, len(C)))(F.col(vec_col))
-        ).alias("__c"),
-    ).where(l2_norm(F.col("__i_v")) > 0)
-    probed = sorted(
-        r["__c"] for r in inc.select("__c").distinct().collect()
-    )
-    if not probed:
+    # the increment is driver-small BY CONTRACT (the kNN-query-set /
+    # minhash-increment contract: a broadcast join would collect it to
+    # the driver anyway) — collect it once, probe clusters driver-side,
+    # and ship per-cluster query matrices in the kernel closure
+    Cn = np.asarray(C, dtype=np.float64)
+    cn = np.linalg.norm(Cn, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = Cn / cn[:, None]
+    n_probe = min(nprobe, Cn.shape[0])
+
+    per_cluster: dict[int, list] = {}
+    for r in increment.select(id_col, vec_col).collect():
+        v = r[1]
+        if v is None:
+            continue
+        x = np.asarray(v, dtype=np.float64)
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            continue  # exempt: zero-norm cosine is undefined
+        sims = (x / nrm) @ Cn.T
+        top = (
+            np.argpartition(-sims, n_probe - 1)[:n_probe]
+            if n_probe > 1
+            else [int(np.argmax(sims))]
+        )
+        for c in top:
+            per_cluster.setdefault(int(c), []).append((r[0], x / nrm))
+    if not per_cluster:
         return increment
+    qmats = {
+        c: (
+            [i for i, _ in rows],
+            np.stack([q for _, q in rows]),
+        )
+        for c, rows in per_cluster.items()
+    }
+    probed = sorted(qmats)
+
     idx = spark.read.parquet(index_path).where(F.col(cluster_col).isin(probed))
     if exclude_inc is not None and "inc" in idx.columns:
         # inc-partitioned index (build_semantic_index): a retried
         # increment must not match its own half-admitted prior write
         idx = idx.where(F.col("inc") != F.lit(exclude_inc))
-    idx = idx.select(
-        F.col(id_col).alias("__x_id"),
-        F.col(vec_col).alias("__x_v"),
-        F.col(cluster_col).alias("__x_c"),
-    )
-    cos_k = _pairwise_cosine_udf()
+
+    # ONE matmul per (Arrow batch × cluster) instead of a per-pair
+    # kernel over the joined rows: the join form materialized
+    # |increment| × |cluster| candidate pairs (~31M rows / 15 GB at the
+    # 500k-index 2k-increment sweep leg); this form streams the pruned
+    # index scan through (batch × dim) @ (dim × n_inc_c) products and
+    # emits only the duplicate increment ids.
     # NB: no id-inequality guard — an index row with the SAME id as an
     # increment row is (by admission discipline) the increment's own
     # previously-admitted copy, and dropping it is what makes a retried
     # search-then-append converge: the retry drops everything already
     # written and appends nothing, so at-least-once delivery needs no
-    # inc= partition machinery here.
+    # inc= partition machinery here (build_semantic_index adds it for
+    # the half-admitted-retry case).
+    out_schema = StructType(
+        [StructField("__dup", increment.schema[id_col].dataType)]
+    )
+    thr = float(threshold)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hits: set = set()
+            for c, grp in pdf.groupby(cluster_col):
+                ids_q, Q = qmats.get(int(c), (None, None))
+                if ids_q is None:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                norms = np.linalg.norm(X, axis=1)
+                norms[norms == 0] = 1.0  # zero-norm stored: cos 0, no dup
+                S = Q @ (X / norms[:, None]).T
+                for pos in np.nonzero(S.max(axis=1) >= thr)[0]:
+                    hits.add(ids_q[pos])
+            if hits:
+                yield pd.DataFrame({"__dup": sorted(hits)})
+
     dups = (
-        idx.join(F.broadcast(inc), F.col("__x_c") == F.col("__c"))
-        .select(
-            "__i_id",
-            F.nanvl(cos_k(F.col("__i_v"), F.col("__x_v")), F.lit(None)).alias(
-                "__cs"
-            ),
-        )
-        .where(F.col("__cs") >= F.lit(float(threshold)))
-        .select(F.col("__i_id").alias(id_col))
+        idx.select(cluster_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .select(F.col("__dup").alias(id_col))
         .distinct()
     )
     return increment.join(dups, id_col, "left_anti")
