@@ -55,7 +55,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from .similarity import _collapse_identical, _expand_losers, _np_assigner, l2_norm
 
@@ -328,6 +328,151 @@ def semantic_dedup_against_index(
         .distinct()
     )
     return increment.join(dups, id_col, "left_anti")
+
+
+def _pairs_kernel(centroids, threshold: float, skip_clusters: frozenset[int],
+                  block: int = 1024):
+    """Per-cluster duplicate-PAIR emission: (id_a, id_b, cos_sim) for
+    every within-cluster pair at/above threshold, id_a < id_b.  Same
+    blocked lower-triangular matmul as ``_semdedup_kernel``; output is
+    bounded by the real duplicate mass (and the oversized-cluster skip
+    guard bounds the degenerate case)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def pairs_cluster(key, pdf):
+        cl = int(key[0])
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=pdf["__m_id"].dtype),
+                "id_b": pd.Series([], dtype=pdf["__m_id"].dtype),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if cl in skip_clusters or len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__m_id", kind="mergesort").reset_index(drop=True)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        ids = pdf["__m_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        P = Xn[order]
+        oid = ids[order]
+        n = len(P)
+        out_a, out_b, out_s = [], [], []
+        for a in range(1, n, block):
+            b = min(a + block, n)
+            S = P[a:b] @ P[:b].T
+            cols = np.arange(b)
+            rows = np.arange(a, b)
+            S[cols[None, :] >= rows[:, None]] = -np.inf
+            hit_r, hit_c = np.nonzero(S >= threshold)
+            out_a.extend(oid[hit_c])  # earlier in id order → id_a
+            out_b.extend(oid[hit_r + a])
+            out_s.extend(S[hit_r, hit_c])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return pairs_cluster
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 1_000_000,
+    storage: str = "persist",
+) -> DataFrame:
+    """Within-cluster semantic duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and cos_sim ≥ threshold — the SemDeDup family's
+    edge-list artifact, feeding ``dedup.connected_components`` /
+    ``semantic_duplicate_clusters`` exactly as ``cosine_dup_pairs``
+    and ``jaccard_pairs`` feed the lexical families.
+
+    Identical vectors collapse first (one rep per distinct vector);
+    member→rep identity edges (cos_sim 1.0) are emitted so connected
+    components see complete families.  Same cluster scope, guards and
+    determinism as ``semantic_dedup``."""
+    C = [list(map(float, c)) for c in centroids]
+    if not C:
+        raise ValueError("centroids must be non-empty")
+    _Cm = np.asarray(C, dtype=np.float64)
+    _n = np.linalg.norm(_Cm, axis=1)
+    _n[_n == 0] = 1.0
+    C = (_Cm / _n[:, None]).tolist()
+
+    from .dedup import _barrier
+
+    reps, member_rep = _collapse_identical(df, id_col, vec_col, storage)
+    active = reps.where(l2_norm(F.col(vec_col)) > 0)
+    assigned = _barrier(
+        active.select(
+            F.col(id_col).alias("__m_id"),
+            F.col(vec_col).alias("__v"),
+            F.element_at(_np_assigner(C, nprobe=1)(F.col(vec_col)), 1).alias("__cl"),
+        ),
+        storage,
+    )
+    sizes = assigned.groupBy("__cl").agg(F.count(F.lit(1)).alias("__csz"))
+    big = [
+        (r["__cl"], r["__csz"])
+        for r in sizes.where(F.col("__csz") > max_cluster_size).collect()
+    ]
+    if big:
+        logger.warning(
+            "semantic_dup_pairs: skipping %d oversized cluster(s) %s above "
+            "max_cluster_size=%d — no pairs emitted there",
+            len(big), [c for c, _ in big], max_cluster_size,
+        )
+    skip = frozenset(c for c, _ in big)
+
+    id_t = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_t),
+            StructField("id_b", id_t),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    rep_pairs = assigned.groupBy("__cl").applyInPandas(
+        _pairs_kernel(C, float(threshold), skip), schema=out_schema
+    )
+    identity_edges = member_rep.where(F.col("__m_id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"),
+        F.col("__m_id").alias("id_b"),
+        F.lit(1.0).alias("cos_sim"),
+    )
+    return rep_pairs.unionByName(identity_edges)
+
+
+def semantic_duplicate_clusters(
+    df: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pair_kwargs,
+) -> DataFrame:
+    """(id, cluster) for EVERY row: ``cluster`` = min id of the row's
+    SEMANTIC duplicate family (its own id when it has none) — the
+    ``dedup.duplicate_clusters`` artifact on the embedding axis.  Feeds
+    family audits and leakage-free splitting
+    (``sampling.assign_split(df, [cluster], ...)`` — a paraphrase of a
+    training doc can no longer land in validation)."""
+    from .dedup import connected_components
+
+    pairs = semantic_dup_pairs(
+        df, centroids, threshold, id_col, vec_col, **pair_kwargs
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cid"), F.col("component").alias("cluster")
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(comp, base["id"] == F.col("__cid"), "left").select(
+        "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+    )
 
 
 def build_semantic_index(

@@ -578,3 +578,77 @@ def test_semantic_index_retention(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_semantic_dup_pairs_matches_numpy(spark):
+    """Every emitted pair is a genuine within-cluster pair at/above
+    threshold (id_a < id_b), exact copies contribute identity edges,
+    and the pair set equals the numpy within-cluster enumeration."""
+    rng = np.random.default_rng(97)
+    dim, n = 8, 60
+    vecs = [rng.standard_normal(dim).tolist() for _ in range(n)]
+    for t in range(40, 50):
+        vecs[t] = (np.asarray(vecs[t - 40]) + rng.standard_normal(dim) * 5e-3).tolist()
+    vecs.append(vecs[0])  # exact copy → identity edge (0, 60)
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    C = rand_centroids(rng, 3, dim)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semdedup.semantic_dup_pairs(sdf, C, threshold=0.95).collect()
+    }
+    # numpy oracle: collapse → assign → within-cluster pairs
+    Cn = np.asarray(C, dtype=np.float64)
+    Cn = Cn / np.linalg.norm(Cn, axis=1)[:, None]
+    reps = list(range(61))
+    reps.remove(60)  # 60 collapses onto 0
+    X = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in reps])
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    cl = np.argmax(Xn @ Cn.T, axis=1)
+    want = {(0, 60): 1.0}
+    for a in range(len(reps)):
+        for b in range(a + 1, len(reps)):
+            if cl[a] == cl[b] and float(Xn[a] @ Xn[b]) >= 0.95:
+                want[(reps[a], reps[b])] = float(Xn[a] @ Xn[b])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert len(got) >= 11  # 10 planted + identity edge
+
+
+def test_semantic_duplicate_clusters_and_leakage_free_split(spark):
+    """Family labels: min-id connected component over the semantic
+    pairs; a whole paraphrase family lands in ONE split when gating on
+    the cluster label."""
+    from bigdataproject_formula1_telemetry_spark.operators import sampling
+
+    rng = np.random.default_rng(101)
+    dim = 8
+    vecs = [rng.standard_normal(dim).tolist() for _ in range(30)]
+    # family {2, 30, 31}: 30 near 2, 31 near 30 (chain)
+    vecs.append((np.asarray(vecs[2]) + rng.standard_normal(dim) * 1e-3).tolist())
+    vecs.append((np.asarray(vecs[30]) + rng.standard_normal(dim) * 1e-3).tolist())
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    C = rand_centroids(rng, 2, dim)
+    labels = {
+        r.id: r.cluster
+        for r in semdedup.semantic_duplicate_clusters(
+            sdf, C, threshold=0.99
+        ).collect()
+    }
+    assert len(labels) == 32
+    assert labels[2] == labels[30] == labels[31] == 2
+    singles = [i for i in range(30) if i != 2]
+    assert all(labels[i] == i for i in singles)
+
+    split = sampling.assign_split(
+        semdedup.semantic_duplicate_clusters(sdf, C, threshold=0.99),
+        [F.col("cluster")],
+        {"train": 0.5, "val": 0.5},
+        salt="semsplit",
+    )
+    fam = {r.id: r.split for r in split.collect() if r.id in (2, 30, 31)}
+    assert len(set(fam.values())) == 1  # whole family in one split
