@@ -40,7 +40,8 @@ order at the pruning granularity that matters).  NULLs map to bucket 0
 
 from __future__ import annotations
 
-import math
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     DateType,
@@ -103,19 +104,95 @@ def zorder_interleave(bucket_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def _hilbert_index_np(X, bits: int):
+    """Vectorized Hilbert index (public method: Skilling, "Programming
+    the Hilbert curve", AIP Conf. Proc. 707, 2004 — AxesToTranspose +
+    bit interleave).  ``X`` is n×m integer coordinates in [0, 2^bits);
+    returns int64 curve positions.  Verified in tests by the curve's two
+    DEFINING properties: bijection over the full grid and unit L1 steps
+    between consecutive positions (Morton fails the second — its jumps
+    are what Hilbert buys)."""
+    import numpy as np
+
+    X = X.astype(np.uint64).copy()
+    n = X.shape[1]
+    one = np.uint64(1)
+    M = one << np.uint64(bits - 1)
+    # inverse undo excess work
+    Q = M
+    while Q > one:
+        P = Q - one
+        for i in range(n):
+            mask = (X[:, i] & Q) != 0
+            X[mask, 0] ^= P  # invert
+            t = (X[:, 0] ^ X[:, i]) & P  # exchange low bits
+            nm = ~mask
+            X[nm, 0] ^= t[nm]
+            X[nm, i] ^= t[nm]
+        Q >>= one
+    # Gray encode
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint64)
+    Q = M
+    while Q > one:
+        mask = (X[:, n - 1] & Q) != 0
+        t[mask] ^= Q - one
+        Q >>= one
+    X ^= t[:, None]
+    # interleave the transpose: bit b of axis i → output bit b*n + (n-1-i)
+    h = np.zeros(len(X), dtype=np.uint64)
+    for b in range(bits):
+        for i in range(n):
+            h |= ((X[:, i] >> np.uint64(b)) & one) << np.uint64(
+                b * n + (n - 1 - i)
+            )
+    return h.astype(np.int64)
+
+
+def hilbert_interleave(bucket_cols: list, bits: int):
+    """Hilbert-curve key over bucketed columns — drop-in alternative to
+    ``zorder_interleave`` with strictly better locality (every curve
+    step moves one cell in one dimension; Morton's quadrant seams jump).
+    One Arrow pandas_udf batch pass (numpy bit ops) — acceptable on the
+    WRITE path where it runs once per layout job, unlike scan
+    expressions."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    m = len(bucket_cols)
+    if m * bits > 63:
+        raise ValueError(f"hilbert: {m} cols × {bits} bits exceeds the 63-bit key")
+
+    @pandas_udf(LongType())
+    def _h(arr: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if len(arr) == 0:
+            return pd.Series([], dtype="int64")
+        X = _np.stack([_np.asarray(a, dtype=_np.int64) for a in arr])
+        return pd.Series(_hilbert_index_np(X, bits))
+
+    return _h(F.array(*[b.cast("long") for b in bucket_cols]))
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],
     bits: int | None = None,
     mode: str = "minmax",
+    curve: str = "morton",
 ) -> Column:
-    """The Morton key column for ``df`` over ``cols`` (one stats
-    aggregate is collected here; the returned expression is pure
-    per-row bit arithmetic)."""
+    """The space-filling-curve key column for ``df`` over ``cols`` (one
+    stats aggregate is collected here; the returned Morton expression is
+    pure per-row bit arithmetic, the Hilbert variant one Arrow batch
+    pass)."""
     if not cols:
         raise ValueError("zorder: need at least one column")
     if mode not in ("minmax", "quantile"):
         raise ValueError(f"zorder: unknown mode {mode!r}")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"zorder: unknown curve {curve!r}")
     if bits is None:
         bits = 12 if mode == "minmax" else 8
     n = 1 << bits
@@ -155,6 +232,8 @@ def zorder_key(
             )
             for i, p in enumerate(proxies.values())
         ]
+    if curve == "hilbert":
+        return hilbert_interleave(buckets, bits)
     return zorder_interleave(buckets, bits)
 
 
@@ -165,6 +244,7 @@ def zorder_write(
     n_files: int = 32,
     bits: int | None = None,
     mode: str = "minmax",
+    curve: str = "morton",
 ) -> None:
     """Write ``df`` as parquet clustered on the z-curve over ``cols``:
     range-partition by the Morton key into ``n_files`` tasks and sort
@@ -174,7 +254,7 @@ def zorder_write(
     The key column is dropped before the write (layout is physical, the
     schema is unchanged).  Readers need nothing special: parquet
     row-group stats + Spark's file skipping do the pruning."""
-    z = zorder_key(df, cols, bits, mode)
+    z = zorder_key(df, cols, bits, mode, curve)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

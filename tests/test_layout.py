@@ -156,3 +156,51 @@ def test_null_and_constant_columns_safe(spark, tmp_path):
         layout.zorder_key(
             spark.createDataFrame([([1],)], "a array<int>"), ["a"]
         )
+
+
+def test_hilbert_bijection_and_unit_steps():
+    """The two DEFINING Hilbert-curve properties, checked exhaustively on
+    full grids: (a) the index is a bijection onto [0, 2^(m*bits)), and
+    (b) consecutive indices are exactly ONE grid step apart (L1 == 1) —
+    which Morton provably fails (quadrant-seam jumps)."""
+    for m, bits in [(2, 4), (3, 3)]:
+        side = 1 << bits
+        grid = np.stack(
+            np.meshgrid(*([np.arange(side)] * m), indexing="ij"), axis=-1
+        ).reshape(-1, m)
+        h = layout._hilbert_index_np(grid, bits)
+        n_cells = side**m
+        assert sorted(h) == list(range(n_cells)), (m, bits)
+        order = np.argsort(h)
+        steps = np.abs(np.diff(grid[order], axis=0)).sum(axis=1)
+        assert (steps == 1).all(), (m, bits)
+
+    # Morton on the same 2D grid has >1 jumps (what Hilbert buys)
+    grid2 = np.stack(
+        np.meshgrid(np.arange(16), np.arange(16), indexing="ij"), axis=-1
+    ).reshape(-1, 2)
+    mz = np.array([py_morton(list(r), 4) for r in grid2])
+    morder = np.argsort(mz)
+    msteps = np.abs(np.diff(grid2[morder], axis=0)).sum(axis=1)
+    assert (msteps > 1).any()
+
+
+def test_hilbert_write_prunes_both_dimensions(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    n, n_files = 20_000, 16
+    pdf = pd.DataFrame(
+        {
+            "x": rng.integers(0, 1_000_000, n),
+            "y": rng.integers(0, 1_000_000, n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    p = str(tmp_path / "hilbert")
+    layout.zorder_write(sdf, p, ["x", "y"], n_files=n_files, curve="hilbert")
+    assert spark.read.parquet(p).count() == n
+    rep = layout.file_pruning_report(spark, p, ["x", "y"]).toPandas()
+    lo, hi = 500_000, 510_000
+    assert files_touched(rep, "x", lo, hi) <= len(rep) // 2
+    assert files_touched(rep, "y", lo, hi) <= len(rep) // 2
+    with pytest.raises(ValueError, match="curve"):
+        layout.zorder_key(sdf, ["x"], curve="peano")
