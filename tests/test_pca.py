@@ -148,3 +148,47 @@ def test_bad_args(spark):
         pca.pca_train(sdf, k=5)
     with pytest.raises(ValueError, match="empty"):
         pca.pca_train(sdf.where("vec_id < 0"), k=1)
+
+
+def test_pca_then_pq_retrieval_composition(spark):
+    """Compression stacking: PCA (4×) then PQ on the reduced vectors
+    (16×) — a 1%-perturbed probe still retrieves its source in the
+    top-10 via ADC, demonstrating the 64×-at-rest serving stack."""
+    from bigdataproject_formula1_telemetry_spark.operators import pq as PQ
+
+    rng = np.random.default_rng(71)
+    d, n = 64, 500
+    basis = np.linalg.qr(rng.standard_normal((d, d)))[0]
+    scales = np.concatenate([np.linspace(8, 1, 16), np.full(d - 16, 0.05)])
+    X = (rng.standard_normal((n, d)) * scales) @ basis.T
+    emb = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    m = pca.pca_train(emb, k=16)
+    red = pca.pca_transform(emb, m).select(
+        "vec_id", F.col("embedding_pca").cast("array<double>").alias("embedding")
+    )
+    books = PQ.pq_train(red, m=8, n_codes=64, max_iter=3)
+    codes = PQ.pq_encode(red, books)
+
+    probes_np = X[:20] + 0.01 * rng.standard_normal((20, d))
+    probes = pca.pca_transform(
+        spark.createDataFrame(
+            [(1_000 + i, v.tolist()) for i, v in enumerate(probes_np)],
+            "vec_id long, embedding array<double>",
+        ),
+        m,
+    ).select(
+        "vec_id", F.col("embedding_pca").cast("array<double>").alias("embedding")
+    )
+    got = PQ.knn_pq_adc(codes, probes, books, k=10).collect()
+    tops: dict[int, list] = {}
+    for r in got:
+        tops.setdefault(r.query_id, []).append((r.adc_dist, r.neighbor_id))
+    hits = sum(
+        1
+        for qid, lst in tops.items()
+        if (qid - 1_000) in [nid for _, nid in sorted(lst)]
+    )
+    assert hits >= 18  # ≥90% source-in-top10 through the 64× stack
