@@ -33,6 +33,7 @@ from bigdataproject_formula1_telemetry_spark.operators import (
     lm as LM,
     relational as R,
     resample,
+    semdedup as SD,
     similarity as sim,
     text as T,
     windows as W,
@@ -1561,10 +1562,51 @@ def q30_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def _q54_centroids() -> list[list[float]]:
+    """Fixed spherical centroids for q54's SemDeDup column — generated
+    once (seeded), embedded verbatim as DOUBLE literals in the oracle
+    SQL (Python float repr round-trips exactly, so both engines score
+    the identical matrix)."""
+    import numpy as np
+
+    g = np.random.default_rng(11)
+    M = g.standard_normal((4, 64))
+    M = M / np.linalg.norm(M, axis=1)[:, None]
+    return [[float(x) for x in row] for row in M]
+
+
+_Q54_CENTS = _q54_centroids()
+_Q54_CENT_ROWS = ", ".join(
+    f"({i}, {c}::DOUBLE[])" for i, c in enumerate(_Q54_CENTS)
+)
+
+
 @_q(
     "q54_embedding_near_dedup",
-    """
-    SELECT vec_id FROM embeddings
+    f"""
+    WITH cents(cid, cv) AS (VALUES {_Q54_CENT_ROWS}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nz AS (SELECT *, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+    reps AS (SELECT min(vec_id) AS id, v FROM nz WHERE nrm > 0 GROUP BY v),
+    asg AS (
+        SELECT r.id, r.v,
+               (SELECT cid FROM cents
+                ORDER BY list_cosine_similarity(r.v, cv) DESC, cid
+                LIMIT 1) AS cl
+        FROM reps r
+    ),
+    drops AS (
+        SELECT DISTINCT a.id FROM asg a JOIN asg b
+        ON a.cl = b.cl AND b.id < a.id
+           AND list_cosine_similarity(a.v, b.v) >= 0.2
+    ),
+    sem AS (
+        SELECT id FROM asg WHERE id NOT IN (SELECT id FROM drops)
+        UNION ALL
+        SELECT vec_id FROM nz WHERE nrm = 0 OR nrm IS NULL
+    )
+    SELECT vec_id, (vec_id IN (SELECT id FROM sem)) AS sem_kept
+    FROM embeddings
     WHERE vec_id NOT IN (
       SELECT b.vec_id
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1580,7 +1622,14 @@ def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side under test is the sub-quadratic LSH path).  Safe because the
     threshold region is empty on this corpus (max off-diagonal cosine
     ≈ 0.5), so survivor equality checks exactly for false drops; real
-    drop behavior is pytest-verified on planted near-duplicates."""
+    drop behavior is pytest-verified on planted near-duplicates.
+
+    ``sem_kept`` adds the SemDeDup axis (``semdedup.semantic_dedup``,
+    ``keep="min_id"`` — the SQL-expressible mode: drop iff a smaller-id
+    same-cluster row clears the threshold) at a LOW threshold (0.2) so
+    the within-cluster join genuinely fires on this corpus; the oracle
+    recomputes the whole operator — collapse, argmax assignment,
+    within-cluster drop — in DuckDB over the shared centroid literals."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1590,7 +1639,17 @@ def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(4)
     ]
     kept = sim.near_dedup_cosine(emb, planes, threshold=0.95)
-    return kept.select("vec_id").orderBy("vec_id")
+    sem = SD.semantic_dedup(
+        emb, _Q54_CENTS, threshold=0.2, keep="min_id"
+    ).select("vec_id").withColumn("__sk", F.lit(True))
+    return (
+        kept.select("vec_id")
+        .join(sem, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce(F.col("__sk"), F.lit(False)).alias("sem_kept")
+        )
+        .orderBy("vec_id")
+    )
 
 
 @_q(
