@@ -203,6 +203,26 @@ def ann_method_report(
         )
     )
 
+    # PCA tier: halve the dimension, brute-force on the projection —
+    # the compression axis orthogonal to int8/PQ code budgets
+    from bigdataproject_formula1_telemetry_spark.operators import pca as PCA
+
+    probe = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    pca_rows = []
+    if probe is not None and len(probe[0]) >= 4:
+        pk = max(2, len(probe[0]) // 2)
+        pm = PCA.pca_train(train, k=pk, vec_col=vec_col)
+        red = PCA.pca_transform(corpus, pm, vec_col=vec_col).select(
+            id_col, F.col("embedding_pca").alias(vec_col)
+        )
+        redq = PCA.pca_transform(queries, pm, vec_col=vec_col).select(
+            id_col, F.col("embedding_pca").alias(vec_col)
+        )
+        pca_half = topk_sets(
+            sim.knn_bruteforce_arrow(red, redq, k=k, id_col=id_col, vec_col=vec_col)
+        )
+        pca_rows = [(f"pca_k{pk}_bruteforce", pca_half)]
+
     def recall(cand: dict) -> float:
         if not exact:
             return 0.0
@@ -216,7 +236,7 @@ def ann_method_report(
         ("ivf", recall(ivf), None),
         ("int8_bruteforce", recall(int8), None),
         ("pq_adc", recall(pq), None),
-    ]
+    ] + [(name, recall(cand), None) for name, cand in pca_rows]
     return spark.createDataFrame(
         rows, schema="method string, recall_at_k double, mean_top1_sim double"
     )

@@ -192,12 +192,18 @@ def test_ann_method_report(spark, tmp_path):
     queries = emb.where(F.col("vec_id") < 8)
     rep = apps.ann_method_report(emb, queries, k=10)
     rows = {r["method"]: r for r in rep.collect()}
-    assert set(rows) == {"exact_bruteforce", "ivf", "int8_bruteforce", "pq_adc"}
+    assert set(rows) == {
+        "exact_bruteforce", "ivf", "int8_bruteforce", "pq_adc",
+        "pca_k32_bruteforce",
+    }
     assert rows["exact_bruteforce"]["recall_at_k"] == 1.0
     # int8 is near-exact; the lossy methods stay above chance (10/500)
     assert rows["int8_bruteforce"]["recall_at_k"] >= 0.9
     assert rows["ivf"]["recall_at_k"] > 0.1
     assert rows["pq_adc"]["recall_at_k"] > 0.1
+    # PCA halves the dim; on this ISOTROPIC corpus that costs real
+    # recall (documented floor) but stays far above chance
+    assert rows["pca_k32_bruteforce"]["recall_at_k"] > 0.1
     # feeds the report sink
     out = str(tmp_path / "ann.html")
-    assert sinks.write_html_report(rep, out, "ann report") == 4
+    assert sinks.write_html_report(rep, out, "ann report") == 5
