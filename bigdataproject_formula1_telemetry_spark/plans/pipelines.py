@@ -540,6 +540,7 @@ def corpus_card(
     benchmark: DataFrame | None = None,
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    semantic: tuple | None = None,
 ) -> DataFrame:
     """Dataset datasheet for a (curated) document corpus — the summary
     artifact a training-data release ships with (public practice:
@@ -550,7 +551,11 @@ def corpus_card(
     - ``quality``: p10/p50/p90 of the heuristic quality score and of
       perplexity under a self-trained unigram LM (vocab-capped);
     - ``dup``: exact-duplicate fraction via ``approx_count_distinct``
-      of the content hash (never a text shuffle);
+      of the content hash (never a text shuffle); plus, when
+      ``semantic=(centroids, threshold)`` is given, SEMANTIC family
+      counts over hashed-BoW embeddings (the paraphrase-axis twin —
+      word-shuffled copies are invisible to the exact row, counted
+      here);
     - ``pii``: total email/ipv4/phone pattern hits;
     - ``lang``: per-language doc counts (when ``lang_col`` exists).
 
@@ -655,6 +660,33 @@ def corpus_card(
         card = card.unionByName(_rows(csec, ngram_docs)).unionByName(
             _rows(csec, sem_docs)
         )
+    if semantic is not None:
+        # semantic-duplicate accounting (``semantic=(centroids,
+        # threshold)``): family counts over hashed-BoW embeddings via
+        # ``semdedup.semantic_duplicate_clusters`` — the paraphrase-axis
+        # twin of the exact_dup row (exact_dup sees verbatim copies
+        # only; this sees bag-level near-copies and templates)
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            embed as EM2,
+            semdedup as SD2,
+        )
+
+        sd_cents, sd_thr = semantic
+        semb = EM2.hashed_embedding(docs, text_col=text_col, out_col="__semb")
+        fam = SD2.semantic_duplicate_clusters(
+            semb, sd_cents, threshold=sd_thr, id_col=id_col, vec_col="__semb"
+        )
+        srow = fam.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.countDistinct("cluster").cast("double").alias("sem_dup_families"),
+        ).select(
+            "sem_dup_families",
+            (1.0 - F.col("sem_dup_families") / F.col("__n")).alias(
+                "sem_dup_frac"
+            ),
+        )
+        ssec = {"sem_dup_families": "dup", "sem_dup_frac": "dup"}
+        card = card.unionByName(_rows(ssec, srow))
     return card
 
 

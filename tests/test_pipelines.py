@@ -659,3 +659,43 @@ def test_curate_documents_semdedup_gate(spark):
     )
     kept2 = set(r.doc_id for r in gated2.select("doc_id").distinct().collect())
     assert kept2 == kept
+
+
+def test_corpus_card_semantic_dup_section(spark):
+    """The dup section's paraphrase-axis twin: word-shuffled copies are
+    INVISIBLE to the exact-dup row (different md5) but counted by the
+    semantic families row."""
+    import numpy as np
+    import pandas as pd
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        embed as EM, similarity as SIM,
+    )
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    rng = np.random.default_rng(103)
+    base_docs = [
+        " ".join(rng.choice(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"], size=30))
+        for _ in range(10)
+    ]
+    shuffled = []
+    for d in base_docs[:5]:
+        w = d.split()
+        rng.shuffle(w)
+        shuffled.append(" ".join(w))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(15), "text": base_docs + shuffled}
+        )
+    )
+    semb = EM.hashed_embedding(docs, out_col="__semb")
+    C = SIM.ivf_centroids(semb, n_clusters=2, id_col="doc_id", vec_col="__semb")
+    card = pipelines.corpus_card(
+        docs, lang_col=None, semantic=(C, 0.999)
+    ).toPandas()
+    rows = card.set_index("key")["value"].to_dict()
+    # exact row blind to the shuffles; semantic row sees the 5 families
+    assert rows["exact_dup_frac_approx"] < 0.05
+    assert rows["sem_dup_families"] <= 10
+    assert rows["sem_dup_frac"] >= 5 / 15 - 1e-9
