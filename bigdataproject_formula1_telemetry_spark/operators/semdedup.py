@@ -554,6 +554,45 @@ def expire_semantic_increments(spark, path: str, keep) -> list[str]:
     return expired
 
 
+def compact_semantic_index(spark, path: str, cluster_col: str = "ivf_cluster") -> int:
+    """LSM-style maintenance for the semantic index, completing the
+    lifecycle symmetry with ``minhash_index.compact_index`` /
+    ``exact_index.compact_index``: fold every ``inc=`` partition into a
+    fresh ``base`` — after months of daily increments the table holds
+    incs × clusters small files, and the admission scan is
+    file-count-bound long before it is byte-bound.  Vectors are
+    REWRITTEN, never re-assigned (the cluster column is already stored —
+    a metadata-scale job relative to a build).  Staged-then-rename swap:
+    a reader mid-swap sees the old or new layout, and a crashed
+    compaction leaves the original intact.  Returns the number of
+    increments folded.  Run after ``expire_semantic_increments`` when
+    ``list_semantic_increments`` grows past a few hundred."""
+    import os
+
+    incs = list_semantic_increments(spark, path)
+    n_folded = len([i for i in incs if i != "base"])
+    if n_folded == 0:
+        return 0
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    staged = path.rstrip("/") + ".compact"
+    (
+        spark.read.parquet(path)
+        .drop("inc")
+        .withColumn("inc", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("inc", cluster_col)
+        .parquet(staged)
+    )
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"compact_semantic_index: rename {staged} -> {path} failed")
+    return n_folded
+
+
 def incremental_semantic_dedup(
     spark,
     increment: DataFrame,

@@ -652,3 +652,56 @@ def test_semantic_duplicate_clusters_and_leakage_free_split(spark):
     )
     fam = {r.id: r.split for r in split.collect() if r.id in (2, 30, 31)}
     assert len(set(fam.values())) == 1  # whole family in one split
+
+
+def test_semantic_index_compaction(spark, tmp_path):
+    """Folding incs into base preserves admission verdicts exactly and
+    leaves one inc= partition; a no-op compaction returns 0."""
+    rng = np.random.default_rng(107)
+    dim = 8
+    base = rng.standard_normal((15, dim))
+    base_sdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    C = sim.ivf_centroids(base_sdf, n_clusters=2, max_iter=3)
+    root = str(tmp_path / "sem_cmp")
+    semdedup.build_semantic_index(base_sdf, C, root, "base")
+    for day in range(3):
+        inc = spark.createDataFrame(
+            [(100 * (day + 1) + i, v.tolist())
+             for i, v in enumerate(rng.standard_normal((4, dim)))],
+            "vec_id long, embedding array<double>",
+        )
+        semdedup.incremental_semantic_dedup(
+            spark, inc, root, C, threshold=0.95, append=True,
+            increment_id=f"day-{day:03d}",
+        )
+    assert len(semdedup.list_semantic_increments(spark, root)) == 4
+
+    probe_rows = [
+        (900 + i, (v + rng.standard_normal(dim) * 1e-3).tolist())
+        for i, v in enumerate(
+            np.vstack([base[:3], rng.standard_normal((3, dim))])
+        )
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "vec_id long, embedding array<double>"
+    )
+    before = sorted(
+        r.vec_id
+        for r in semdedup.semantic_dedup_against_index(
+            spark, probe, root, C, threshold=0.95, nprobe=2
+        ).collect()
+    )
+    folded = semdedup.compact_semantic_index(spark, root)
+    assert folded == 3
+    assert semdedup.list_semantic_increments(spark, root) == ["base"]
+    after = sorted(
+        r.vec_id
+        for r in semdedup.semantic_dedup_against_index(
+            spark, probe, root, C, threshold=0.95, nprobe=2
+        ).collect()
+    )
+    assert after == before
+    assert semdedup.compact_semantic_index(spark, root) == 0
