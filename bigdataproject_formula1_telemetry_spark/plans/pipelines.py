@@ -259,10 +259,11 @@ def curate_documents(
     steady-state shape: after self-dedup, also drop docs the
     MATERIALIZED MinHash index already holds — one broadcast search,
     admission left to the caller's ``inc=`` discipline),
-    ``semdedup=(n_clusters | centroids, threshold)`` (SemDeDup
-    cluster-scoped semantic dedup over hashed-BoW embeddings, right
-    after the lexical doc dedup — catches the paraphrase/template axis
-    MinHash shingles can't; see ``operators/semdedup.py``).
+    ``semdedup=(n_clusters | centroids, threshold[, keep_fraction])``
+    (SemDeDup cluster-scoped semantic dedup over hashed-BoW embeddings,
+    right after the lexical doc dedup — catches the paraphrase/template
+    axis MinHash shingles can't; a third element appends SSL-prototypes
+    pruning = the full D4 composition; see ``operators/semdedup.py``).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -424,19 +425,22 @@ def curate_documents(
     if semdedup is not None:
         # SemDeDup (Abbas et al.) right after the lexical doc dedup —
         # the paraphrase/template axis MinHash shingles can't see.
-        # semdedup=(n_clusters | centroids, threshold): pass trained
-        # centroids (similarity.ivf_centroids on a clean sample) for
-        # the production shape; an int self-trains here on the
-        # already-deduped corpus (small-scale convenience).  Embeddings
-        # are the deterministic hashed-BoW vectors — zero-norm
-        # (token-less) docs are exempt by semantic_dedup's contract.
+        # semdedup=(n_clusters | centroids, threshold[, keep_fraction]):
+        # pass trained centroids (similarity.ivf_centroids on a clean
+        # sample) for the production shape; an int self-trains here on
+        # the already-deduped corpus (small-scale convenience).  A third
+        # element turns the gate into full D4 (Tirumala et al.):
+        # SSL-prototypes pruning to ``keep_fraction`` after the dedup,
+        # against the same centroids.  Embeddings are the deterministic
+        # hashed-BoW vectors — zero-norm (token-less) docs are exempt by
+        # semantic_dedup's contract.
         from bigdataproject_formula1_telemetry_spark.operators import (
             embed as EM2,
             semdedup as SD,
             similarity as SIM,
         )
 
-        sd_spec, sd_threshold = semdedup
+        sd_spec, sd_threshold, *sd_rest = semdedup
         semb = EM2.hashed_embedding(kept, text_col=text_col, out_col="__semb")
         sd_centroids = (
             SIM.ivf_centroids(
@@ -445,10 +449,16 @@ def curate_documents(
             if isinstance(sd_spec, int)
             else sd_spec
         )
-        kept = SD.semantic_dedup(
+        deduped = SD.semantic_dedup(
             semb, sd_centroids, threshold=sd_threshold,
             id_col=id_col, vec_col="__semb",
-        ).drop("__semb")
+        )
+        if sd_rest:
+            deduped = SD.prototype_prune(
+                deduped, sd_centroids, sd_rest[0],
+                id_col=id_col, vec_col="__semb",
+            )
+        kept = deduped.drop("__semb")
     if span_dedup_tokens is not None:
         # ExactSubstr (Lee et al.) AFTER doc-level dedup: whole-document
         # near-dups are already gone, so the span stage only pays for

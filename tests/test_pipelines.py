@@ -699,3 +699,27 @@ def test_corpus_card_semantic_dup_section(spark):
     assert rows["exact_dup_frac_approx"] < 0.05
     assert rows["sem_dup_families"] <= 10
     assert rows["sem_dup_frac"] >= 5 / 15 - 1e-9
+
+
+def test_curate_documents_d4_gate(spark):
+    """semdedup=(spec, threshold, keep_fraction) = full D4: the
+    diversification stage thins the survivors beyond the dedup-only
+    gate, and the result is a subset of it."""
+    from tests.conftest import SF_SMOKE
+    from bigdataproject_formula1_telemetry_spark import io
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines
+
+    docs = io.read_table(spark, SF_SMOKE, "documents")
+    dd = pipelines.curate_documents(
+        docs, chunk_tokens=64, token_budget=256, n_pack_shards=2,
+        semdedup=(4, 0.95),
+    ).select("doc_id").distinct()
+    d4 = pipelines.curate_documents(
+        docs, chunk_tokens=64, token_budget=256, n_pack_shards=2,
+        semdedup=(4, 0.95, 0.6),
+    ).select("doc_id").distinct()
+    n_dd, n_d4 = dd.count(), d4.count()
+    assert 0 < n_d4 < n_dd
+    assert d4.join(dd, "doc_id", "left_anti").count() == 0
+    # realized keep near the requested fraction (sketch band)
+    assert abs(n_d4 / n_dd - 0.6) < 0.15
