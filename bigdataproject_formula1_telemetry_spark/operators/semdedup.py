@@ -475,6 +475,71 @@ def semantic_duplicate_clusters(
     )
 
 
+def combined_duplicate_clusters(
+    docs: DataFrame,
+    centroids: Iterable[Iterable[float]],
+    lexical_threshold: float = 0.8,
+    semantic_threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    embed_dim: int = 256,
+    **lexical_kwargs,
+) -> DataFrame:
+    """(id, cluster) families over BOTH duplicate axes at once: the
+    union of the lexical MinHash/Jaccard edge list
+    (``dedup.duplicate_clusters``'s pair stage) and the semantic
+    within-cluster cosine edge list (``semantic_dup_pairs`` over
+    hashed-BoW embeddings), closed under ONE connected-components pass —
+    so a verbatim copy of a paraphrase of a training document still
+    lands in the same family.  This is the strictest leakage-free-split
+    gate the repo offers: feed the labels to
+    ``sampling.assign_split(df, [cluster], ...)``.
+
+    Cost = the two pair stages (each already bucketed/cluster-scoped,
+    never all-pairs) + one CC over the union edge list (edges ~ real
+    duplicate mass)."""
+    from .dedup import (
+        _maybe_collapse,
+        connected_components,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        shingle_sets,
+    )
+    from .embed import hashed_embedding
+
+    # lexical edges at representative level + member→rep identity edges
+    tagged, reps = _maybe_collapse(docs, text_col, id_col, None)
+    sh = shingle_sets(reps, text_col, id_col)
+    cand = minhash_lsh_candidates(
+        reps, text_col, id_col, sh=sh, **lexical_kwargs
+    )
+    lex = (
+        jaccard_pairs(reps, cand, text_col, id_col, sh=sh)
+        .where(F.col("jaccard") >= lexical_threshold)
+        .select("id_a", "id_b")
+    )
+    if tagged is not None:
+        lex = lex.unionByName(
+            tagged.where(F.col(id_col) != F.col("__rep")).select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+
+    semb = hashed_embedding(docs, text_col=text_col, out_col="__semb",
+                            dim=embed_dim)
+    sem = semantic_dup_pairs(
+        semb, centroids, semantic_threshold, id_col=id_col, vec_col="__semb"
+    ).select("id_a", "id_b")
+
+    comp = connected_components(lex.unionByName(sem)).select(
+        F.col("id").alias("__cid"), F.col("component").alias("cluster")
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(comp, base["id"] == F.col("__cid"), "left").select(
+        "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+    )
+
+
 def build_semantic_index(
     corpus: DataFrame,
     centroids: Iterable[Iterable[float]],

@@ -705,3 +705,58 @@ def test_semantic_index_compaction(spark, tmp_path):
     )
     assert after == before
     assert semdedup.compact_semantic_index(spark, root) == 0
+
+
+def test_combined_duplicate_clusters_closes_both_axes(spark):
+    """A verbatim-ish copy (lexical edge, semantically sub-threshold)
+    and a word-shuffle paraphrase (semantic edge, lexically invisible)
+    of the same document land in ONE combined family — while each
+    single-axis clustering only sees its own edge."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        dedup as DD,
+        embed as EM,
+    )
+
+    rng = np.random.default_rng(109)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi"]
+    base = " ".join(rng.choice(words, size=60))
+    appended = base + " zulu"                       # lexical near-dup
+    shuf = base.split(); rng.shuffle(shuf)
+    paraphrase = " ".join(shuf)                     # bag-identical
+    organics = [
+        " ".join(rng.choice(
+            ["one", "two", "three", "four", "five", "six", "seven",
+             "eight", "nine", "ten", "eleven", "twelve"], size=60))
+        for _ in range(6)
+    ]
+    docs = spark.createDataFrame(
+        [(0, base), (1, appended), (2, paraphrase)]
+        + [(10 + i, t) for i, t in enumerate(organics)],
+        "doc_id long, text string",
+    )
+    semb = EM.hashed_embedding(docs, out_col="__semb")
+    C = sim.ivf_centroids(semb, n_clusters=2, id_col="doc_id", vec_col="__semb")
+
+    combined = {
+        r.id: r.cluster
+        for r in semdedup.combined_duplicate_clusters(
+            docs, C, lexical_threshold=0.8, semantic_threshold=0.9999
+        ).collect()
+    }
+    assert combined[0] == combined[1] == combined[2] == 0
+    assert all(combined[10 + i] == 10 + i for i in range(6))
+
+    lex_only = {
+        r.id: r.cluster
+        for r in DD.duplicate_clusters(docs, threshold=0.8).collect()
+    }
+    assert lex_only[0] == lex_only[1] and lex_only[2] != lex_only[0]
+
+    sem_only = {
+        r.id: r.cluster
+        for r in semdedup.semantic_duplicate_clusters(
+            semb, C, threshold=0.9999, id_col="doc_id", vec_col="__semb"
+        ).collect()
+    }
+    assert sem_only[0] == sem_only[2] and sem_only[1] != sem_only[0]
