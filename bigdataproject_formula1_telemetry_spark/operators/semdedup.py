@@ -331,12 +331,24 @@ def semantic_dedup_against_index(
 
 
 def _pairs_kernel(centroids, threshold: float, skip_clusters: frozenset[int],
-                  block: int = 1024):
+                  block: int = 1024, max_pairs: int = 10_000_000):
     """Per-cluster duplicate-PAIR emission: (id_a, id_b, cos_sim) for
     every within-cluster pair at/above threshold, id_a < id_b.  Same
-    blocked lower-triangular matmul as ``_semdedup_kernel``; output is
-    bounded by the real duplicate mass (and the oversized-cluster skip
-    guard bounds the degenerate case)."""
+    blocked lower-triangular matmul as ``_semdedup_kernel``.
+
+    Output is bounded by the real duplicate mass — EXCEPT on a dense
+    NEAR-identical family (exact copies collapse upstream, but a
+    boilerplate template with per-page noise does not): a
+    mutually-similar family of f rows is f²/2 edges, quadratic output
+    from one kernel call.  ``max_pairs`` is the guard: when a cluster's
+    pair mass exceeds it, the kernel degrades to HUB edges — every
+    dup-involved row links once to the cluster's minimum dup-involved
+    id, with ``cos_sim = NULL`` marking the degraded edges.  The
+    degradation direction is OVER-merge (the whole dense mass becomes
+    one family): safe for leakage-free splits (a too-big family still
+    lands in one split — fragmenting would leak) and conservative for
+    survivor counting; callers can detect it structurally
+    (``cos_sim IS NULL``), no log-scraping needed."""
     C = np.asarray(centroids, dtype=np.float64)
 
     def pairs_cluster(key, pdf):
@@ -361,16 +373,38 @@ def _pairs_kernel(centroids, threshold: float, skip_clusters: frozenset[int],
         oid = ids[order]
         n = len(P)
         out_a, out_b, out_s = [], [], []
+        involved = np.zeros(n, dtype=bool)
+        emitted = 0
+        capped = False
         for a in range(1, n, block):
             b = min(a + block, n)
             S = P[a:b] @ P[:b].T
             cols = np.arange(b)
             rows = np.arange(a, b)
             S[cols[None, :] >= rows[:, None]] = -np.inf
-            hit_r, hit_c = np.nonzero(S >= threshold)
-            out_a.extend(oid[hit_c])  # earlier in id order → id_a
-            out_b.extend(oid[hit_r + a])
-            out_s.extend(S[hit_r, hit_c])
+            hits = S >= threshold
+            hit_r, hit_c = np.nonzero(hits)
+            involved[hit_c] = True
+            involved[np.unique(hit_r) + a] = True
+            if not capped:
+                emitted += len(hit_r)
+                if emitted > max_pairs:
+                    capped = True
+                    out_a, out_b, out_s = [], [], []  # replaced by hub edges
+                else:
+                    out_a.extend(oid[hit_c])  # earlier in id order → id_a
+                    out_b.extend(oid[hit_r + a])
+                    out_s.extend(S[hit_r, hit_c])
+        if capped:
+            dup_ids = oid[involved]
+            hub = dup_ids[0]  # oid ascends: minimum dup-involved id
+            return pd.DataFrame(
+                {
+                    "id_a": np.full(len(dup_ids) - 1, hub),
+                    "id_b": dup_ids[1:],
+                    "cos_sim": np.full(len(dup_ids) - 1, np.nan),
+                }
+            ).astype({"cos_sim": "float64"})
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
     return pairs_cluster
@@ -384,6 +418,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     max_cluster_size: int = 1_000_000,
     storage: str = "persist",
+    max_pairs_per_cluster: int = 10_000_000,
 ) -> DataFrame:
     """Within-cluster semantic duplicate pairs: (id_a, id_b, cos_sim)
     with id_a < id_b and cos_sim ≥ threshold — the SemDeDup family's
@@ -394,7 +429,11 @@ def semantic_dup_pairs(
     Identical vectors collapse first (one rep per distinct vector);
     member→rep identity edges (cos_sim 1.0) are emitted so connected
     components see complete families.  Same cluster scope, guards and
-    determinism as ``semantic_dedup``."""
+    determinism as ``semantic_dedup`` — plus ``max_pairs_per_cluster``:
+    a dense NEAR-identical family (collapse only folds exact copies) is
+    quadratic edge mass, and past the cap the cluster degrades to hub
+    edges with ``cos_sim`` NULL (over-merge direction — see
+    ``_pairs_kernel``; detect with ``cos_sim IS NULL``)."""
     C = [list(map(float, c)) for c in centroids]
     if not C:
         raise ValueError("centroids must be non-empty")
@@ -437,7 +476,12 @@ def semantic_dup_pairs(
         ]
     )
     rep_pairs = assigned.groupBy("__cl").applyInPandas(
-        _pairs_kernel(C, float(threshold), skip), schema=out_schema
+        _pairs_kernel(C, float(threshold), skip, max_pairs=max_pairs_per_cluster),
+        schema=out_schema,
+    ).withColumn(
+        # degraded hub edges arrive as NaN from the Arrow kernel; surface
+        # them as NULL (queryable: `cos_sim IS NULL` = capped cluster)
+        "cos_sim", F.nanvl(F.col("cos_sim"), F.lit(None))
     )
     identity_edges = member_rep.where(F.col("__m_id") != F.col("__rep")).select(
         F.col("__rep").alias("id_a"),

@@ -760,3 +760,50 @@ def test_combined_duplicate_clusters_closes_both_axes(spark):
         ).collect()
     }
     assert sem_only[0] == sem_only[2] and sem_only[1] != sem_only[0]
+
+
+def test_semantic_dup_pairs_dense_family_cap(spark):
+    """A dense NEAR-identical family (exact-collapse can't fold it) is
+    quadratic edge mass; past max_pairs_per_cluster the cluster degrades
+    to hub edges marked cos_sim NULL — bounded output, over-merge
+    direction, and CC still puts every involved row in ONE family."""
+    rng = np.random.default_rng(113)
+    dim = 8
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    # 40 near-copies (distinct vectors) + 5 unrelated
+    vecs = [(base + rng.standard_normal(dim) * 1e-3).tolist() for _ in range(40)]
+    vecs += [rng.standard_normal(dim).tolist() for _ in range(5)]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    C = [base.tolist(), (-base).tolist()]
+
+    full = semdedup.semantic_dup_pairs(sdf, C, threshold=0.95)
+    n_full = full.count()
+    assert n_full >= 40 * 39 // 2  # quadratic without the cap
+
+    capped = semdedup.semantic_dup_pairs(
+        sdf, C, threshold=0.95, max_pairs_per_cluster=100
+    )
+    rows = capped.collect()
+    assert len(rows) == 39  # hub edges only: bounded by family size
+    assert all(r.cos_sim is None for r in rows)  # degraded marker
+    assert all(r.id_a == 0 for r in rows)  # hub = min involved id
+
+    # CC over the capped edges: one family covering all 40, organics solo
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = {
+        r.id: r.component for r in connected_components(capped).collect()
+    }
+    assert all(comp[i] == 0 for i in range(40))
+    assert not any(i in comp for i in range(40, 45))
+
+    # sub-cap clusters are bit-identical to the uncapped output
+    same = semdedup.semantic_dup_pairs(
+        sdf, C, threshold=0.95, max_pairs_per_cluster=10_000
+    )
+    assert sorted(map(str, same.collect())) == sorted(map(str, full.collect()))
