@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
     _INC_ID_RE,
     _clear_inc_partition,
+    _swap_staged,
 )
 
 __all__ = [
@@ -371,8 +372,6 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
     n_folded = len([i for i in incs if i != "base"])
     if n_folded == 0:
         return 0
-    jvm = spark._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     # hashes: rewrite under base
     tpath = os.path.join(path, "hashes")
     staged = tpath + ".compact"
@@ -384,12 +383,7 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
         .partitionBy("inc")
         .parquet(staged)
     )
-    src = jvm.org.apache.hadoop.fs.Path(staged)
-    dst = jvm.org.apache.hadoop.fs.Path(tpath)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise IOError(f"compact_exact_index: rename {staged} -> {tpath} failed")
+    _swap_staged(spark, staged, tpath)
     # bloom: OR all chunks into one base chunk set
     bits, m_bits, k = _load_bloom(spark, path)
     bpath = os.path.join(path, "bloom")
@@ -410,10 +404,5 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
         pd.DataFrame(rows, columns=[f.name for f in _BLOOM_SCHEMA.fields]),
         _BLOOM_SCHEMA,
     ).write.mode("overwrite").partitionBy("inc").parquet(bstaged)
-    bsrc = jvm.org.apache.hadoop.fs.Path(bstaged)
-    bdst = jvm.org.apache.hadoop.fs.Path(bpath)
-    bfs = bdst.getFileSystem(conf)
-    bfs.delete(bdst, True)
-    if not bfs.rename(bsrc, bdst):
-        raise IOError(f"compact_exact_index: rename {bstaged} -> {bpath} failed")
+    _swap_staged(spark, bstaged, bpath)
     return n_folded

@@ -272,16 +272,15 @@ def bigram_lm(
     big = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
     ctx = big.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
     if max_bigrams is not None:
-        from pyspark.sql import Window
-
-        rn = F.row_number().over(
-            Window.orderBy(
-                F.col("c_vw").desc(), F.col("v").asc(), F.col("w").asc()
-            )
-        )
-        big = big.withColumn("_rn", rn).where(F.col("_rn") <= max_bigrams).drop(
-            "_rn"
-        )
+        # distributed TakeOrdered, NOT row_number over a global Window:
+        # the windowed form funnels the ENTIRE distinct-bigram table
+        # into one unsplittable sort task — exactly the web-scale input
+        # this recipe targets.  orderBy().limit() plans as per-partition
+        # top-k + a driver merge of k-sized heads, same deterministic
+        # result (count desc, pair asc tiebreak).
+        big = big.orderBy(
+            F.col("c_vw").desc(), F.col("v").asc(), F.col("w").asc()
+        ).limit(max_bigrams)
     # join direction: ctx is vocab-sized (unbounded at corpus scale);
     # the CAPPED bigram side is the broadcast-small one
     joined = (

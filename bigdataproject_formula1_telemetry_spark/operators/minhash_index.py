@@ -159,6 +159,31 @@ def _clear_inc_partition(spark, table_path: str, increment_id: str) -> None:
     fs.delete(p, True)
 
 
+def _swap_staged(spark, staged: str, table: str) -> None:
+    """Crash-safe staged→live swap shared by every ``compact_*``: the
+    live table is renamed ASIDE (``<table>.old``) before the staged dir
+    is renamed into place, so a COMPLETE copy exists under some name at
+    every instant — delete-then-rename had a window (after the
+    recursive delete, before the rename) with NO live directory at all.
+    The exposure here is two metadata renames, and a crash between them
+    leaves ``<table>.old`` intact: recover by renaming it back (the
+    next swap also clears any stale ``.old`` first, so a lost final
+    delete is residual garbage, never data loss)."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dst = jvm.org.apache.hadoop.fs.Path(table)
+    old = jvm.org.apache.hadoop.fs.Path(table + ".old")
+    fs = dst.getFileSystem(conf)
+    fs.delete(old, True)  # stale .old from a prior crashed swap
+    if fs.exists(dst) and not fs.rename(dst, old):
+        raise IOError(f"swap: rename {table} -> {table}.old failed")
+    if not fs.rename(src, dst):
+        fs.rename(old, dst)  # put the live table back before raising
+        raise IOError(f"swap: rename {staged} -> {table} failed")
+    fs.delete(old, True)
+
+
 def append_minhash_index(
     new_docs: DataFrame,
     path: str,
@@ -364,19 +389,17 @@ def compact_index(spark: SparkSession, path: str) -> int:
 
     Signatures are REWRITTEN, never recomputed (no text, no shingling —
     a metadata-scale job relative to a build).  The swap is
-    staged-then-rename per table: the new ``base`` is written under
-    ``<table>.compact``, then the old table directory is replaced in
-    one rename each — a reader mid-swap sees the old or the new layout,
-    and a crashed compaction leaves the original intact (the stale
-    ``.compact`` staging dir is overwritten by the next attempt).
-    Run it when ``list_increments`` grows past a few hundred, after
-    ``expire_increments``."""
+    staged-then-rename per table (``_swap_staged``): the new ``base``
+    is written under ``<table>.compact``, the live table is renamed
+    aside to ``<table>.old``, the staged dir renamed into place, and
+    ``.old`` deleted last — a COMPLETE copy exists under some name at
+    every instant, and a crash between the renames is recovered by
+    renaming ``.old`` back.  Run it when ``list_increments`` grows past
+    a few hundred, after ``expire_increments``."""
     incs = list_increments(spark, path)
     n_folded = len([i for i in incs if i != "base"])
     if n_folded == 0:
         return 0
-    jvm = spark._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     for table, parts in (("sigs", ["inc"]), ("banded", ["inc", "band"])):
         tpath = os.path.join(path, table)
         staged = tpath + ".compact"
@@ -388,10 +411,5 @@ def compact_index(spark: SparkSession, path: str) -> int:
             .partitionBy(*parts)
             .parquet(staged)
         )
-        src = jvm.org.apache.hadoop.fs.Path(staged)
-        dst = jvm.org.apache.hadoop.fs.Path(tpath)
-        fs = dst.getFileSystem(conf)
-        fs.delete(dst, True)
-        if not fs.rename(src, dst):
-            raise IOError(f"compact_index: rename {staged} -> {tpath} failed")
+        _swap_staged(spark, staged, tpath)
     return n_folded

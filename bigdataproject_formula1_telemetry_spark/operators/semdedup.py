@@ -599,7 +599,15 @@ def build_semantic_index(
     idempotent-retry discipline needs (``minhash_index`` convention:
     clear-then-replace the increment's directory, exclude it from its
     own search).  One assignment pass; NULL/zero-norm vectors are not
-    indexed (they can never be anyone's duplicate)."""
+    indexed (they can never be anyone's duplicate).
+
+    Centroids are L2-normalized before assignment — EXACTLY as
+    ``semantic_dedup`` / ``semantic_dedup_against_index`` normalize
+    their probes — so index partitioning and admission search share one
+    spherical geometry.  With raw (non-unit) centroids, e.g. plain
+    k-means means, argmax dot-product and argmax cosine disagree, and a
+    vector stored under one cluster would be probed in another: the
+    admission path would silently miss stored duplicates."""
     from .minhash_index import _INC_ID_RE, _clear_inc_partition
 
     if not _INC_ID_RE.match(increment_id):
@@ -607,7 +615,12 @@ def build_semantic_index(
             "increment_id must match [A-Za-z0-9._-]+ (it names a "
             f"partition directory), got {increment_id!r}"
         )
-    C = [list(map(float, c)) for c in centroids]
+    _Cm = np.asarray([list(map(float, c)) for c in centroids], dtype=np.float64)
+    if _Cm.size == 0:
+        raise ValueError("centroids must be non-empty")
+    _n = np.linalg.norm(_Cm, axis=1)
+    _n[_n == 0] = 1.0
+    C = (_Cm / _n[:, None]).tolist()
     _clear_inc_partition(corpus.sparkSession, path, increment_id)
     (
         corpus.select(id_col, vec_col)
@@ -671,19 +684,18 @@ def compact_semantic_index(spark, path: str, cluster_col: str = "ivf_cluster") -
     incs × clusters small files, and the admission scan is
     file-count-bound long before it is byte-bound.  Vectors are
     REWRITTEN, never re-assigned (the cluster column is already stored —
-    a metadata-scale job relative to a build).  Staged-then-rename swap:
-    a reader mid-swap sees the old or new layout, and a crashed
-    compaction leaves the original intact.  Returns the number of
-    increments folded.  Run after ``expire_semantic_increments`` when
+    a metadata-scale job relative to a build).  Crash-safe swap via
+    ``minhash_index._swap_staged`` (live table renamed aside before the
+    staged one renames into place — a complete copy exists under some
+    name at every instant).  Returns the number of increments folded.
+    Run after ``expire_semantic_increments`` when
     ``list_semantic_increments`` grows past a few hundred."""
-    import os
+    from .minhash_index import _swap_staged
 
     incs = list_semantic_increments(spark, path)
     n_folded = len([i for i in incs if i != "base"])
     if n_folded == 0:
         return 0
-    jvm = spark._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     staged = path.rstrip("/") + ".compact"
     (
         spark.read.parquet(path)
@@ -693,12 +705,7 @@ def compact_semantic_index(spark, path: str, cluster_col: str = "ivf_cluster") -
         .partitionBy("inc", cluster_col)
         .parquet(staged)
     )
-    src = jvm.org.apache.hadoop.fs.Path(staged)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    if not fs.rename(src, dst):
-        raise IOError(f"compact_semantic_index: rename {staged} -> {path} failed")
+    _swap_staged(spark, staged, path.rstrip("/"))
     return n_folded
 
 

@@ -799,16 +799,20 @@ def blocklist_filter(
             F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
         )
 
+    # OCCURRENCES, not distinct blocked words: a page repeating one
+    # blocked word ``min_hits`` times must trip the gate, which
+    # array_intersect (set semantics) would never count past 1.
+    def _hits(col):
+        return F.size(
+            F.filter(_words(col), lambda t: F.array_contains(blocked, t))
+        )
+
     if mode == "page":
-        hits = F.size(F.array_intersect(_words(F.col(text_col)), blocked))
         return docs.where(
-            F.col(text_col).isNull() | (hits < F.lit(min_hits))
+            F.col(text_col).isNull() | (_hits(F.col(text_col)) < F.lit(min_hits))
         )
     lines = F.split(F.col(text_col), r"\n")
-    kept = F.filter(
-        lines,
-        lambda l: F.size(F.array_intersect(_words(l), blocked)) < F.lit(min_hits),
-    )
+    kept = F.filter(lines, lambda l: _hits(l) < F.lit(min_hits))
     return docs.withColumn(
         text_col,
         F.when(F.col(text_col).isNull(), F.col(text_col)).otherwise(

@@ -334,3 +334,28 @@ def test_compact_index_folds_increments(spark, old_docs, index_path):
     assert files_after < files_before
     # idempotent no-op on an already-compact index
     assert MI.compact_index(spark, index_path) == 0
+
+
+def test_swap_staged_is_crash_safe_shape(spark, tmp_path):
+    """``_swap_staged`` renames the live table ASIDE before renaming the
+    staged dir into place (a complete copy exists under some name at
+    every instant), and clears any stale ``.old`` left by a prior
+    crashed swap instead of tripping over it."""
+    from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+        _swap_staged,
+    )
+
+    live = tmp_path / "t"
+    staged = tmp_path / "t.compact"
+    live.mkdir()
+    (live / "a.txt").write_text("old")
+    staged.mkdir()
+    (staged / "b.txt").write_text("new")
+    stale = tmp_path / "t.old"
+    stale.mkdir()
+    (stale / "stale.txt").write_text("x")
+
+    _swap_staged(spark, str(staged), str(live))
+    assert (live / "b.txt").read_text() == "new"
+    assert not (live / "a.txt").exists()
+    assert not staged.exists() and not stale.exists()

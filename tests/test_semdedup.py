@@ -807,3 +807,31 @@ def test_semantic_dup_pairs_dense_family_cap(spark):
         sdf, C, threshold=0.95, max_pairs_per_cluster=10_000
     )
     assert sorted(map(str, same.collect())) == sorted(map(str, full.collect()))
+
+
+def test_build_semantic_index_normalizes_raw_centroids(spark, tmp_path):
+    """r6 ADVICE: index assignment must share the admission probes'
+    SPHERICAL geometry even for raw (non-unit) centroids, e.g. plain
+    k-means means.  On c0=(10,0) vs c1=(0,1), x≈(0.5,0.86) argmaxes
+    dot-product to c0 but cosine to c1 — a raw-matrix assigner would
+    store x in a partition nprobe=1 never probes, and the admission
+    path would silently re-admit x's duplicates forever."""
+    C = [[10.0, 0.0], [0.0, 1.0]]
+    x = [0.5, 0.86]
+    stored = spark.createDataFrame(
+        [(1, x)], "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "semidx_raw")
+    semdedup.build_semantic_index(stored, C, root, "base")
+    # stored under the cluster the NORMALIZED assigner picks
+    assert spark.read.parquet(root).first()["ivf_cluster"] == 1
+
+    inc = spark.createDataFrame(
+        [(100, x), (101, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = semdedup.semantic_dedup_against_index(
+        spark, inc, root, C, threshold=0.99, nprobe=1
+    )
+    # the exact copy IS found (pre-fix it survived); the fresh vector
+    # in the other cluster is kept
+    assert {r.vec_id for r in out.collect()} == {101}

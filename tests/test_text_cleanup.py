@@ -407,3 +407,32 @@ def test_fineweb_line_stats_and_filter(spark):
     dup_mass = 2 * len("dup line here")
     total = dup_mass + len("A long properly terminated closing sentence.")
     assert abs(s["dup_line_char_frac"] - dup_mass / total) < 1e-9
+
+
+def test_blocklist_filter_counts_occurrences_not_distinct(spark):
+    """``min_hits`` counts OCCURRENCES (r6 ADVICE): one blocked word
+    repeated ``min_hits`` times trips the gate — the earlier
+    array_intersect form used set semantics and could never count a
+    single blocked word past 1."""
+    from bigdataproject_formula1_telemetry_spark.operators.text import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "badword again and badword"),
+            (2, "badword appears once only"),
+            (3, "clean text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = blocklist_filter(docs, ["badword"], mode="page", min_hits=2)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+
+    # line mode: only the >=2-occurrence line is removed
+    docs2 = spark.createDataFrame(
+        [(1, "badword badword spam\nbadword just once")],
+        "doc_id long, text string",
+    )
+    line = blocklist_filter(docs2, ["badword"], mode="line", min_hits=2).first()
+    assert line["text"] == "badword just once"
