@@ -187,6 +187,91 @@ def _bloom_rows(
     return pd.DataFrame(chunks, columns=[f.name for f in _BLOOM_SCHEMA.fields])
 
 
+def _write_bloom_distributed(
+    hashes: DataFrame, m_bits: int, k: int, inc: str, out_path: str
+) -> None:
+    """Build the Bloom sidecar WITHOUT collecting a single hash to the
+    driver — the 100 TB-safe base-build path (the old form pulled the
+    whole corpus hash column through ``toPandas``: ~800 GB of driver
+    traffic at 10¹¹ docs).  Three distributed steps, bit-identical to
+    ``_bloom_rows`` by the commutativity of OR:
+
+    1. each Arrow batch emits (word_idx, or-mask) rows for its set
+       bits, pre-ORed within the batch (``np.unique`` + ``bitwise_or.at``
+       — duplicate-heavy corpora collapse early),
+    2. ``groupBy(word_idx).agg(bit_or)`` folds batches (OR on int64
+       two's-complement bit patterns IS OR on the uint64 words),
+    3. ``groupBy(chunk_idx).applyInPandas`` assembles each 1 MiB chunk,
+       a skeleton union keeping all-zero chunks present so the sidecar
+       layout matches ``_bloom_rows`` exactly.
+
+    Only chunk rows (≤ m_bits/2²³ of them) ever leave the executors."""
+    spark = hashes.sparkSession
+    words_per_chunk = _CHUNK_BITS // 64
+    n_words = m_bits // 64
+    n_chunks = (n_words + words_per_chunk - 1) // words_per_chunk
+
+    mask_schema = StructType(
+        [StructField("w", LongType()), StructField("mask", LongType())]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            hb = pdf["hb"].to_numpy(dtype=np.int64)
+            if not len(hb):
+                continue
+            pos = _positions(hb, m_bits, k)
+            word = (pos >> np.uint64(6)).ravel()
+            msk = (np.uint64(1) << (pos & np.uint64(63))).ravel()
+            uw, inv = np.unique(word, return_inverse=True)
+            acc = np.zeros(len(uw), dtype=np.uint64)
+            np.bitwise_or.at(acc, inv, msk)
+            yield pd.DataFrame(
+                {"w": uw.astype(np.int64), "mask": acc.view(np.int64)}
+            )
+
+    partials = hashes.select("hb").mapInPandas(emit, mask_schema)
+    folded = partials.groupBy("w").agg(F.bit_or("mask").alias("mask"))
+    # skeleton rows use a w = -1 SENTINEL, not NULL: a nullable long
+    # column arrives in pandas as float64, whose 53-bit mantissa would
+    # silently drop low bits of the 64-bit masks
+    skeleton = spark.range(n_chunks).select(
+        F.col("id").cast("int").alias("chunk_idx"),
+        F.lit(-1).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("mask"),
+    )
+    keyed = folded.select(
+        (F.col("w") / F.lit(words_per_chunk)).cast("int").alias("chunk_idx"),
+        "w",
+        "mask",
+    ).unionByName(skeleton)
+
+    def assemble(key, pdf):
+        ci = int(key[0])
+        start = ci * words_per_chunk
+        arr = np.zeros(min(words_per_chunk, n_words - start), dtype=np.uint64)
+        valid = pdf["w"].to_numpy(dtype=np.int64) >= 0
+        w_rel = pdf.loc[valid, "w"].to_numpy(dtype=np.int64) - start
+        m = pdf.loc[valid, "mask"].to_numpy(dtype=np.int64).view(np.uint64)
+        arr[w_rel] |= m
+        return pd.DataFrame(
+            [
+                {
+                    "inc": inc,
+                    "m_bits": m_bits,
+                    "k": k,
+                    "chunk_idx": ci,
+                    "bits": arr.tobytes(),
+                }
+            ],
+            columns=[f.name for f in _BLOOM_SCHEMA.fields],
+        )
+
+    keyed.groupBy("chunk_idx").applyInPandas(assemble, _BLOOM_SCHEMA).write.mode(
+        "overwrite"
+    ).partitionBy("inc").parquet(out_path)
+
+
 def _load_bloom(spark: SparkSession, path: str) -> tuple[np.ndarray, int, int]:
     """OR every increment's chunks into one bit array (m, k are fixed at
     build time and shared by all increments)."""
@@ -229,17 +314,18 @@ def build_exact_index(
     hf.write.mode("overwrite").partitionBy("inc").parquet(
         os.path.join(path, "hashes")
     )
-    spark = docs.sparkSession
-    hb = (
-        spark.read.parquet(os.path.join(path, "hashes"))
-        .select("hb")
-        .toPandas()["hb"]
-        .to_numpy()
-    )
-    spark.createDataFrame(
-        _bloom_rows(hb, m_bits, k, "base"), _BLOOM_SCHEMA
-    ).write.mode("overwrite").partitionBy("inc").parquet(
-        os.path.join(path, "bloom")
+    # sidecar from the WRITTEN hashes (never drifts), built distributed:
+    # no hash ever reaches the driver — only the final chunk rows do,
+    # and those go straight to the parquet write.  Explicit schema: an
+    # EMPTY corpus writes a fileless directory that schema inference
+    # cannot read (the sidecar must still exist, all-zero, so appends
+    # against a fresh index have their (m, k) to read back).
+    _write_bloom_distributed(
+        spark0.read.schema("hb long").parquet(os.path.join(path, "hashes")),
+        m_bits,
+        k,
+        "base",
+        os.path.join(path, "bloom"),
     )
 
 

@@ -226,3 +226,66 @@ def test_compact_exact_index(spark, exact_idx):
     # OR-fold preserves exactly the same bit set
     assert abs(EI.bloom_fill_fraction(spark, p) - fill_before) < 1e-12
     assert EI.compact_exact_index(spark, p) == 0
+
+
+def test_build_bloom_is_distributed_and_bit_identical(spark, tmp_path):
+    """r6 VERDICT item 1: the BASE Bloom build must never collect a hash
+    to the driver (the old form pulled the whole corpus hash column
+    through toPandas — ~800 GB at 10^11 docs).  DataFrame.toPandas and
+    DataFrame.collect are patched to raise for the whole build; the
+    distributed result is then checked BIT-identical to the driver-side
+    ``_bloom_rows`` constructor, chunk layout included."""
+    from unittest import mock
+
+    import pyspark.sql as psql
+
+    docs = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    p = str(tmp_path / "eidx_dist")
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collection during build_exact_index")
+
+    with mock.patch.object(psql.DataFrame, "toPandas", boom), mock.patch.object(
+        psql.DataFrame, "collect", boom
+    ):
+        EI.build_exact_index(docs, p, expected_items=5_000)
+
+    bits, m_bits, k = EI._load_bloom(spark, p)
+    hb = (
+        spark.read.parquet(p + "/hashes").select("hb").toPandas()["hb"].to_numpy()
+    )
+    ref = np.zeros(m_bits // 64, dtype=np.uint64)
+    assert len(hb)
+    EI._set_bits(ref, EI._positions(np.asarray(hb, np.int64), m_bits, k))
+    assert np.array_equal(bits, ref)
+
+    got = spark.read.parquet(p + "/bloom").orderBy("chunk_idx").collect()
+    want = EI._bloom_rows(hb, m_bits, k, "base")
+    assert [r["chunk_idx"] for r in got] == list(want["chunk_idx"])
+    assert [bytes(r["bits"]) for r in got] == [bytes(b) for b in want["bits"]]
+    assert all(int(r["m_bits"]) == m_bits and int(r["k"]) == k for r in got)
+
+
+def test_build_bloom_multi_chunk_keeps_zero_chunks(spark, tmp_path):
+    """Multi-chunk sidecars keep their ALL-ZERO chunks (the skeleton
+    union), so the layout matches ``_bloom_rows`` exactly even when no
+    hash happens to land in a chunk — here the degenerate extreme: an
+    EMPTY corpus sized for 3M items (4 chunks, all zero)."""
+    docs = (
+        io.read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 0)
+    )
+    p = str(tmp_path / "eidx_empty")
+    EI.build_exact_index(docs, p, expected_items=3_000_000)
+    got = spark.read.parquet(p + "/bloom").orderBy("chunk_idx").collect()
+    m_bits, k = EI._bloom_params(3_000_000, 0.01)
+    want = EI._bloom_rows(np.zeros(0, dtype=np.int64), m_bits, k, "base")
+    assert len(got) == len(want) >= 4
+    assert [r["chunk_idx"] for r in got] == list(want["chunk_idx"])
+    assert [bytes(r["bits"]) for r in got] == [bytes(b) for b in want["bits"]]
+    assert EI.bloom_fill_fraction(spark, p) == 0.0
