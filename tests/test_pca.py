@@ -64,6 +64,15 @@ def test_partitioning_invariance(spark, anis):
     mb = pca.pca_train(b, k=3)
     assert np.allclose(ma["components"], mb["components"], atol=1e-9)
     assert np.allclose(ma["mean"], mb["mean"], atol=1e-12)
+    # MORE partitions than fold buckets: in-bucket folds genuinely
+    # multi-row, and the driver still sees exactly fold_buckets rows
+    c = spark.createDataFrame(
+        rows[::3] + rows[1::3] + rows[2::3],
+        "vec_id long, embedding array<double>",
+    ).repartition(97)
+    mc = pca.pca_train(c, k=3, fold_buckets=8)
+    assert np.allclose(ma["components"], mc["components"], atol=1e-9)
+    assert np.allclose(ma["mean"], mc["mean"], atol=1e-12)
 
 
 def test_transform_and_inverse_roundtrip(spark, anis):
