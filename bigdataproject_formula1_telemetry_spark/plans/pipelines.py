@@ -774,7 +774,12 @@ def write_training_shards(
         _os.path.join(path, "data")
     )
     spark = packed.sparkSession
-    written = spark.read.parquet(_os.path.join(path, "data"))
+    # explicit schema: a zero-row release writes a fileless directory
+    # that schema inference cannot read; the manifest must still come
+    # back (empty) so corpus_release can refuse from it
+    written = spark.read.schema(packed.schema).parquet(
+        _os.path.join(path, "data")
+    )
     manifest = (
         written.groupBy(shard_col)
         .agg(
@@ -820,24 +825,34 @@ def corpus_release(
     ``corpus_release`` entry."""
     import os as _os
 
+    # write-then-verify, NO full-release checkpoint (r6 verdict): the
+    # shard write itself is the one materialization of the curated
+    # corpus (curation's lineage runs exactly once, inside the write),
+    # where localCheckpoint(eager) used to materialize a SECOND copy on
+    # executor local storage and pin the job to those executors —
+    # non-replicated, so losing one executor during the multi-minute
+    # shard write killed the job.  Emptiness is derived from the
+    # manifest afterwards: zero shards → delete the root and refuse, so
+    # a consumer can never be pointed at an unreadable empty release.
     packed = curate_documents(
         docs,
         text_col=text_col,
         id_col=id_col,
         benchmark=benchmark,
         **curate_kwargs,
-    ).localCheckpoint(eager=True)
-    if packed.isEmpty():
-        # refuse loudly: a partitioned write of zero rows produces an
-        # unreadable data directory, and a consumer pointed at the path
-        # would fail far from the cause.  An all-gates-drop release is
-        # an upstream configuration problem, not a deliverable.
+    )
+    manifest = write_training_shards(packed, path)
+    spark = docs.sparkSession
+    if manifest.isEmpty():
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        root.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ).delete(root, True)
         raise ValueError(
             "corpus_release: nothing survived curation — refusing to "
             "write an empty release (check gate thresholds)"
         )
-    manifest = write_training_shards(packed, path)
-    spark = docs.sparkSession
     released = spark.read.parquet(_os.path.join(path, "data"))
     card = corpus_card(
         released,

@@ -511,6 +511,9 @@ def test_curate_documents_blocklist_gate_and_empty_release_guard(spark, tmp_path
             blocklist=(["badword", "clean", "document"], "page"),
             # 'clean'/'document' also block doc 1 -> nothing survives
         )
+    # write-then-verify: the refused release leaves NO root behind (a
+    # consumer pointed at the path fails at the path, not mid-read)
+    assert not (tmp_path / "empty_rel").exists()
 
 
 def test_curate_documents_html_main_mode(spark):
