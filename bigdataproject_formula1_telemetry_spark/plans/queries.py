@@ -704,6 +704,43 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         x -> x <> '')) AS ntok
       FROM documents
+    ), gtok AS (
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x <> '') AS toks,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS ltoks,
+        list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                   x -> trim(x)), x -> x <> '') AS lns
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        len(toks) AS nw,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) ELSE 0 END AS mwl,
+        CASE WHEN len(toks) > 0 THEN
+          (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+           + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+             / 3.0) / len(toks) ELSE 0 END AS symr,
+        CASE WHEN len(lns) > 0 THEN
+          CAST(len(list_filter(lns, x -> regexp_matches(x, '^[•‣▪*\\-]')))
+               AS DOUBLE) / len(lns) ELSE 0 END AS bullf,
+        CASE WHEN len(lns) > 0 THEN
+          CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+               AS DOUBLE) / len(lns) ELSE 0 END AS ellf,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS DOUBLE) / len(toks) ELSE 0 END AS alphaf,
+        (CASE WHEN list_contains(ltoks, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(ltoks, 'with') THEN 1 ELSE 0 END) AS stw
+      FROM gtok
     ), lt AS (
       SELECT doc_id,
         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -731,8 +768,15 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 0 END) * 1000000 + 0.5) / 1000000.0 AS punct_ratio,
       floor(CAST(length(t.text) AS DOUBLE) / t.ntok * 1000000 + 0.5) / 1000000.0
         AS avg_tok_len,
-      floor(exp(-sc.lp / sc.nt) * 10000 + 0.5) / 10000.0 AS ppl
-    FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      floor(exp(-sc.lp / sc.nt) * 10000 + 0.5) / 10000.0 AS ppl,
+      COALESCE(
+        g.nw >= 40 AND g.nw <= 100000
+        AND g.mwl >= 3.0 AND g.mwl <= 4.8
+        AND g.symr <= 0.1 AND g.bullf <= 0.9 AND g.ellf <= 0.3
+        AND g.alphaf >= 0.8 AND g.stw >= 1, FALSE) AS gopher_kept
+    FROM t
+    LEFT JOIN sc ON t.doc_id = sc.doc_id
+    LEFT JOIN g ON t.doc_id = g.doc_id
     """,
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,19 +786,43 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/lm.py`: word-count train, broadcast-join score;
     north-star quality-filtering op).  Every doc_id is emitted: the
     perplexity frame only covers docs with ≥1 token, so it is LEFT
-    joined (token-less/empty docs get NULL ppl, not silently dropped)."""
+    joined (token-less/empty docs get NULL ppl, not silently dropped).
+
+    ``gopher_kept`` exercises the published text-quality rule family
+    end-to-end: the REAL ``text.gopher_filter`` operator (all nine
+    Gopher A1.1 rules) runs with thresholds tuned so three rules bite
+    on this corpus (min_words=40 → 331/500 at sf0.01, mean-word-len
+    ≤ 4.8 → 466/500, ≥1 of the 8 required stopwords → 382/500; 282
+    kept overall), and the oracle recomputes every rule in DuckDB —
+    the q54 ``sem_kept`` pattern on the text-quality axis."""
     docs = _t(spark, sf_dir, "documents")
     model = LM.unigram_lm(docs)
     ppl = LM.doc_perplexity(docs, model).select(
         "doc_id", _pround(F.col("ppl"), 4).alias("ppl")
     )
+    gf = (
+        T.gopher_filter(
+            docs.select("doc_id", "text"),
+            min_words=40,
+            max_mean_word_len=4.8,
+            min_stopword_hits=1,
+        )
+        .select("doc_id")
+        .withColumn("__gk", F.lit(True))
+    )
     ntok = T.token_count(F.col("text"))
-    return docs.select(
-        "doc_id",
-        ntok.cast("long").alias("n_tokens"),
-        _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
-    ).join(ppl, "doc_id", "left")
+    return (
+        docs.select(
+            "doc_id",
+            ntok.cast("long").alias("n_tokens"),
+            _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+            _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
+        )
+        .join(ppl, "doc_id", "left")
+        .join(gf, "doc_id", "left")
+        .withColumn("gopher_kept", F.coalesce(F.col("__gk"), F.lit(False)))
+        .drop("__gk")
+    )
 
 
 @_q(
