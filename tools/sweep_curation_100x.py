@@ -203,6 +203,72 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- packing strategy A/B at ~750k chunks (--packing runs only this)
+    # First-fit (doc-contiguous) vs best-fit-decreasing: occupancy and
+    # wall for both, over REAL chunk sizes (64-token windows over the
+    # 500k corpus leave varied remainders), so the default strategy
+    # choice is evidence-backed.  Budget invariant asserted exactly:
+    # zero bins over budget (no chunk here exceeds it, so zero oversize
+    # rows too).
+    if "--packing" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import text as TX
+
+        budget = 256
+        chunks = (
+            TX.chunk_documents(distinct, chunk_tokens=64, overlap=0)
+            .withColumn("shard", F.col("doc_id") % 32)
+            .localCheckpoint(eager=True)
+        )
+        n_chunks = chunks.count()
+        results["pack_n_chunks"] = n_chunks
+        print(f"  packing {n_chunks:,} chunks, budget {budget} ...", flush=True)
+        for strat, key in (("first_fit", "ff"), ("best_fit_decreasing", "bfd")):
+            release_barriers()
+            t0 = time.time()
+            agg = (
+                TX.pack_sequences(
+                    chunks,
+                    token_budget=budget,
+                    partition_by="shard",
+                    strategy=strat,
+                )
+                .groupBy("shard", "seq_id")
+                .agg(
+                    F.sum("n_tokens").alias("fill"),
+                    F.max(F.col("oversize").cast("int")).alias("over"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("bins"),
+                    F.sum("fill").alias("tokens"),
+                    F.sum(
+                        ((F.col("fill") > budget) & (F.col("over") == 0)).cast(
+                            "long"
+                        )
+                    ).alias("bad"),
+                    F.sum("over").alias("oversize"),
+                )
+                .first()
+            )
+            wall = time.time() - t0
+            occ = float(agg["tokens"]) / (int(agg["bins"]) * budget)
+            results[f"pack_{key}_s"] = round(wall, 2)
+            results[f"pack_{key}_bins"] = int(agg["bins"])
+            results[f"pack_{key}_occupancy"] = round(occ, 4)
+            results[f"pack_{key}_ok"] = (
+                int(agg["bad"] or 0) == 0 and int(agg["oversize"] or 0) == 0
+            )
+            print(
+                f"  {strat}: {wall:.2f} s, bins {agg['bins']:,}, occupancy "
+                f"{occ:.2%}, budget violations {int(agg['bad'] or 0)}",
+                flush=True,
+            )
+        results["pack_bfd_fewer_bins"] = (
+            results["pack_bfd_bins"] <= results["pack_ff_bins"]
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     def build():
         release_barriers()
         return pipelines.curate_documents(distinct)

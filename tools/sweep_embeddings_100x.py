@@ -55,6 +55,7 @@ from bigdataproject_formula1_telemetry_spark.operators import sampling, similari
 from bigdataproject_formula1_telemetry_spark.operators.dedup import release_barriers
 
 QUICK = "--quick" in sys.argv
+PCA_ONLY = "--pca" in sys.argv  # run ONLY the PCA→IVF-PQ compression leg
 SEMINDEX_ONLY = "--semindex" in sys.argv  # run ONLY the semantic-index
 # admission leg (added after the round's recorded full run — lets the
 # new leg be measured clean without re-timing the whole suite)
@@ -236,6 +237,155 @@ def main() -> None:
         print(
             f"  admission: dropped {dropped_copies} copies (predicted "
             f"{predicted}), {dropped_fresh} fresh",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
+    # --- PCA → IVF-PQ end-to-end compression at 500k (--pca runs only
+    # this).  ANISOTROPIC corpus (the shape PCA exists for — the main
+    # sweep corpora are isotropic, where kNN-overlap claims are
+    # meaningless, see operators/pca.py docstring): a 64-center mixture
+    # whose variance concentrates in 16 rotated directions.  Pipeline:
+    # PCA 64→16 float32, PQ m=4 over the compressed column → 4-byte
+    # codes, a 64× design-point reduction of the 256-byte float32
+    # vectors.  Sharp planted prediction: 1%-perturbed copies of corpus
+    # vectors must retrieve their SOURCE in the routed ADC top-10
+    # whenever the source's IVF cell is probed, and the probe-set hit
+    # count is itself predicted exactly in numpy (boundary misses
+    # predicted, not excused). ---
+    if PCA_ONLY:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            pca as PCAx,
+            pq as PQx,
+        )
+
+        rngp = np.random.default_rng(202)
+        scales = np.array(
+            [10, 8, 6, 5, 4, 4, 3, 3, 2.5, 2.5, 2, 2, 1.5, 1.5, 1.2, 1.2]
+            + [0.25] * (DIM - 16)
+        )
+        basis = np.linalg.qr(rngp.standard_normal((DIM, DIM)))[0]
+        centers_a = (rngp.standard_normal((64, DIM)) * scales) @ basis.T
+        assign_a = rngp.integers(0, 64, size=N)
+        pts = centers_a[assign_a] + 0.2 * rngp.standard_normal((N, DIM))
+        write_corpus(
+            f"{OUT}/aniso.parquet",
+            np.arange(N, dtype=np.int64),
+            pts.astype(np.float32),
+        )
+        aniso = spark.read.parquet(f"{OUT}/aniso.parquet")
+
+        K_PCA = 16
+        ptrain0 = sampling.deterministic_sample(
+            aniso, ["vec_id"], 0.1, salt="pca-train"
+        )
+        t0 = time.time()
+        model = PCAx.pca_train(ptrain0, k=K_PCA)
+        results["pca_train_s"] = round(time.time() - t0, 2)
+        results["pca_explained_frac"] = round(
+            sum(model["explained_variance"]) / model["total_variance"], 4
+        )
+        t0 = time.time()
+        PCAx.pca_transform(aniso, model).select(
+            "vec_id", F.col("embedding_pca").alias("embedding")
+        ).write.mode("overwrite").parquet(f"{OUT}/aniso_pca.parquet")
+        results["pca_transform_s"] = round(time.time() - t0, 2)
+        comp = spark.read.parquet(f"{OUT}/aniso_pca.parquet")
+
+        ptrain = sampling.deterministic_sample(
+            comp, ["vec_id"], 0.1, salt="pca-pq-train"
+        )
+        t0 = time.time()
+        books = PQx.pq_train(ptrain, m=4, n_codes=256, max_iter=2)
+        C_pq = sim.ivf_centroids(ptrain, n_clusters=64, max_iter=2)
+        results["pca_pq_train_s"] = round(time.time() - t0, 2)
+        ivfpq_path = f"{OUT}/aniso_ivfpq"
+        t0 = time.time()
+        PQx.build_inverted_file_pq(comp, C_pq, books, ivfpq_path)
+        results["pca_ivfpq_build_s"] = round(time.time() - t0, 2)
+
+        def du(p):
+            if os.path.isfile(p):
+                return os.path.getsize(p)
+            total = 0
+            for root, _, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+            return total
+
+        results["pca_float_bytes"] = du(f"{OUT}/aniso.parquet")
+        results["pca_ivfpq_bytes"] = du(ivfpq_path)
+        results["pca_at_rest_design_x"] = DIM * 4 // 4  # 256 B → 4 B codes
+        results["pca_at_rest_measured_x"] = round(
+            results["pca_float_bytes"] / results["pca_ivfpq_bytes"], 1
+        )
+
+        n_probes_q = 50
+        src = pts[:n_probes_q]
+        pert = src + 0.01 * (
+            np.linalg.norm(src, axis=1, keepdims=True) / np.sqrt(DIM)
+        ) * rngp.standard_normal((n_probes_q, DIM))
+        probes_raw = spark.createDataFrame(
+            [(1_000_000_000 + i, v.tolist()) for i, v in enumerate(pert)],
+            "vec_id long, embedding array<double>",
+        )
+        probes = PCAx.pca_transform(probes_raw, model).select(
+            "vec_id", F.col("embedding_pca").alias("embedding")
+        ).localCheckpoint(eager=True)
+
+        # numpy prediction of the probe-set outcome: the source is
+        # findable iff its stored IVF cell is among the probe's
+        # nprobe-nearest centroids (all geometry in the compressed space)
+        mean_np = np.asarray(model["mean"])
+        W_np = np.asarray(model["components"])
+        comp_src = ((src - mean_np) @ W_np.T).astype(np.float32)
+        comp_probe = ((pert - mean_np) @ W_np.T).astype(np.float32)
+        C_np = np.asarray(C_pq, dtype=np.float32)
+        src_cell = np.argmax(
+            (comp_src / np.linalg.norm(comp_src, axis=1, keepdims=True))
+            @ (C_np / np.linalg.norm(C_np, axis=1, keepdims=True)).T,
+            axis=1,
+        )
+        pn = comp_probe / np.linalg.norm(comp_probe, axis=1, keepdims=True)
+        cn = (C_np / np.linalg.norm(C_np, axis=1, keepdims=True)).T
+        probe_sets = np.argsort(-(pn @ cn), axis=1)[:, :8]
+        predicted_hits = int(
+            sum(src_cell[i] in probe_sets[i] for i in range(n_probes_q))
+        )
+
+        timed(
+            "pca_knn_ivfpq_s",
+            lambda: PQx.knn_ivfpq_materialized(
+                spark, ivfpq_path, probes, C_pq, books, k=10, nprobe=8
+            ),
+            results,
+        )
+        got = PQx.knn_ivfpq_materialized(
+            spark, ivfpq_path, probes, C_pq, books, k=10, nprobe=8
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append((r.adc_dist, r.neighbor_id))
+        hits = sum(
+            1
+            for q, v in by_q.items()
+            if (q - 1_000_000_000) in [nid for _, nid in sorted(v)]
+        )
+        results["pca_source_in_top10"] = hits
+        results["pca_predicted_probe_hits"] = predicted_hits
+        results["pca_ok"] = hits == predicted_hits
+        print(
+            f"  pca train {results['pca_train_s']} s (expl "
+            f"{results['pca_explained_frac']:.1%}), transform "
+            f"{results['pca_transform_s']} s, ivfpq build "
+            f"{results['pca_ivfpq_build_s']} s, search "
+            f"{results['pca_knn_ivfpq_s']} s — at-rest "
+            f"{results['pca_at_rest_measured_x']}× (design "
+            f"{results['pca_at_rest_design_x']}×), source-in-top10 "
+            f"{hits}/{n_probes_q} == predicted {predicted_hits}",
             flush=True,
         )
         print(json.dumps(results))
