@@ -51,6 +51,7 @@ __all__ = [
     "bigram_lm",
     "collect_bigram_lm",
     "doc_order_perplexity_arrow",
+    "ppl_buckets",
 ]
 
 
@@ -96,14 +97,12 @@ def unigram_lm(
     """
     counts = token_counts(docs, text_col)
     if vocab_size is not None:
-        from pyspark.sql import Window
-
-        rn = F.row_number().over(
-            Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-        )
-        counts = (
-            counts.withColumn("_rn", rn).where(F.col("_rn") <= vocab_size).drop("_rn")
-        )
+        # distributed TakeOrdered (same fix as bigram_lm's cap): a
+        # row_number over a global Window funnels the whole distinct
+        # vocabulary through one sort task
+        counts = counts.orderBy(
+            F.col("c").desc(), F.col("tok").asc()
+        ).limit(vocab_size)
     tot = counts.agg(
         F.sum("c").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),
@@ -362,3 +361,61 @@ def doc_order_perplexity_arrow(
 
     cols = list(dict.fromkeys([*id_list, text_col]))
     return docs.select(*cols).mapInPandas(score, schema=out_schema)
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    lang_col: str | None = "lang",
+    out_col: str = "ppl_bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.4 —
+    public recipe): split each language's documents into ``head`` /
+    ``middle`` / ``tail`` thirds by LM perplexity, head = LOWEST ppl
+    (closest to the reference model).  CCNet releases these buckets
+    instead of hard-dropping — downstream consumers pick their own
+    quality/recall trade-off, which is why this is a COLUMN, not a
+    filter (compose ``where(ppl_bucket != 'tail')`` for the common
+    gate).
+
+    Scale shape: per-language tercile thresholds come from ONE
+    ``percentile_approx`` sketch aggregate (k language rows out — never
+    a sort, never a window over the corpus), broadcast-joined back, and
+    the bucket label is a pure CASE expression.  ``lang_col=None``
+    buckets the whole corpus as one population.  NULL perplexities
+    (token-less docs) and languages with no threshold row get a NULL
+    bucket — absent, not misfiled."""
+    spark_cols = scored.columns
+    if out_col in spark_cols:
+        raise ValueError(f"output column {out_col!r} already exists")
+    group = [lang_col] if lang_col else []
+    th = (
+        scored.where(F.col(ppl_col).isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.percentile_approx(
+                ppl_col, [1.0 / 3.0, 2.0 / 3.0], accuracy
+            ).alias("__th")
+        )
+    )
+    if lang_col:
+        # null-safe on the language key: a NULL-lang population is still
+        # a population (plain equi-join would orphan it)
+        joined = scored.join(
+            F.broadcast(th.withColumnRenamed(lang_col, "__lang")),
+            F.col(lang_col).eqNullSafe(F.col("__lang")),
+            "left",
+        ).drop("__lang")
+    else:
+        joined = scored.crossJoin(F.broadcast(th))
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col(ppl_col).isNull() | F.col("__th").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col(ppl_col) <= F.col("__th")[0], F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("__th")[1], F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("__th")

@@ -282,3 +282,73 @@ def leakage_free_split(
     ).drop("__split_id")
     out = assign_split(joined, [F.col("cluster")], fractions, salt, out_col)
     return out.drop("cluster")
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    token_budget: float,
+    n_tokens_col: str = "n_tokens",
+    id_cols: Sequence[str] = ("doc_id",),
+    salt: str = "mixture",
+) -> tuple[DataFrame, DataFrame]:
+    """Compose a training mixture to a token budget: sample each domain
+    at the rate that makes its EXPECTED token mass equal
+    ``token_budget × weight`` (the Pile/GPT-3-style fixed-weight domain
+    mixing — Gao et al. 2020, Brown et al. 2020; weight SEARCH à la
+    DoReMi is out of scope, this executes a given mixture).
+
+    Returns ``(sampled_df, report_df)``.  The report — one row per
+    requested domain: ``(domain, weight, target_tokens,
+    available_tokens, fraction, shortfall_tokens)`` — is the honest
+    ledger: a domain with less data than its target samples at 1.0 and
+    shows the shortfall (silently re-normalizing onto other domains
+    would change the mixture the caller asked for).  Domains absent from
+    ``weights`` are dropped (fraction 0).
+
+    Scale shape: ONE ``groupBy(domain).sum(tokens)`` aggregate (k rows
+    to the driver), then a pure stratified hash-gate filter — no second
+    scan, no shuffle of the corpus, same determinism contract as every
+    sampler here.  Expected-mass sampling (not exact-mass): exact
+    token-budget packing needs a per-domain running sum — a global sort
+    funnel this module's whole design avoids; realized mass
+    concentrates tightly for any corpus where no single document
+    dominates its domain."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for domain {d!r}: {w}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    avail = {
+        r["d"]: float(r["t"] or 0.0)
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(n_tokens_col).alias("t"))
+        .collect()
+    }
+    report_rows = []
+    fractions: dict[str, float] = {}
+    for d, w in sorted(weights.items()):
+        target = token_budget * (w / total_w)
+        a = avail.get(d, 0.0)
+        frac = 0.0 if a <= 0 else min(1.0, target / a)
+        fractions[d] = frac
+        report_rows.append(
+            (d, w / total_w, target, a, frac, max(0.0, target - a))
+        )
+    report = df.sparkSession.createDataFrame(
+        report_rows,
+        "domain string, weight double, target_tokens double, "
+        "available_tokens double, fraction double, shortfall_tokens double",
+    )
+    sampled = stratified_sample(
+        df, domain_col, fractions, list(id_cols), default_fraction=0.0,
+        salt=salt,
+    )
+    return sampled, report
