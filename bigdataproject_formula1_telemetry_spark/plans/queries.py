@@ -1421,27 +1421,81 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q56_stratified_sample",
     """
-    SELECT lang, count(*) AS n_kept
-    FROM documents
-    WHERE substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8)
-          < (CASE WHEN lang = 'en' THEN '40000000' ELSE 'g' END)
-    GROUP BY lang ORDER BY lang
+    WITH tok AS (
+      SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '') AS toks
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5('dsir56|' || g), 1, 8)) AS UBIGINT)
+          % 1024 AS b
+      FROM tok, unnest(list_concat(toks,
+            list_transform(list_zip(toks[1:len(toks)-1], toks[2:]),
+                           p -> p[1] || ' ' || p[2]))) AS u(g)
+    ), tc AS (
+      SELECT b, CAST(count(*) AS DOUBLE) AS c FROM ng
+      WHERE lang = 'en' GROUP BY b
+    ), rc AS (
+      SELECT b, CAST(count(*) AS DOUBLE) AS c FROM ng GROUP BY b
+    ), buckets AS (
+      SELECT range AS b FROM range(1024)
+    ), model AS (
+      SELECT k.b,
+        ln((coalesce(tc.c, 0) + 1.0)
+           / ((SELECT sum(c) FROM tc) + 1.0 * 1024))
+        - ln((coalesce(rc.c, 0) + 1.0)
+             / ((SELECT sum(c) FROM rc) + 1.0 * 1024)) AS lam
+      FROM buckets k LEFT JOIN tc ON k.b = tc.b LEFT JOIN rc ON k.b = rc.b
+    ), w AS (
+      SELECT ng.doc_id, sum(m.lam) AS log_w
+      FROM ng JOIN model m ON ng.b = m.b
+      GROUP BY ng.doc_id
+    ), kept AS (
+      SELECT d.doc_id, d.lang, coalesce(w.log_w, 0.0) AS log_w
+      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+      WHERE substr(md5('strat|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < (CASE WHEN d.lang = 'en' THEN '40000000' ELSE 'g' END)
+    )
+    SELECT lang, count(*) AS n_kept,
+      floor(sum(log_w) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_logw
+    FROM kept GROUP BY lang ORDER BY lang
     """,
 )
 def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling — the canonical language-rebalance
     step of a training-data pipeline: downsample the dominant language
     (en → 25%) while keeping the rare ones whole.  Same portable md5 gate
-    as q51, so the kept *set* (not just the counts) is engine-exact."""
-    from bigdataproject_formula1_telemetry_spark.operators import sampling
+    as q51, so the kept *set* (not just the counts) is engine-exact.
+
+    r7 scope-deepening (the q54 ``sem_kept`` / q26 ``gopher_kept``
+    pattern): each language's row also carries ``avg_logw`` — the mean
+    DSIR importance logit (Xie et al. 2023, ``operators/dsir.py``) of
+    the KEPT docs, target = the English subset, raw = the whole corpus.
+    The oracle recomputes the ENTIRE selection pipeline in DuckDB SQL:
+    hashed unigram+bigram bucketing (md5 first-8-hex mod 1024), both
+    Laplace-smoothed multinomials, per-doc Σ c_b·(log p_b − log q_b),
+    and the rebalance gate — so model fit, featurization, and weighting
+    are all oracle-checked end-to-end (prototype: max |Δ| vs numpy
+    2.4e-14 at sf0.01, rounded at 1e-6)."""
+    from bigdataproject_formula1_telemetry_spark.operators import dsir, sampling
 
     docs = _t(spark, sf_dir, "documents")
+    p = dsir.fit_hashed_ngram_model(
+        docs.where(F.col("lang") == "en"), dim=1024, salt="dsir56"
+    )
+    q = dsir.fit_hashed_ngram_model(docs, dim=1024, salt="dsir56")
+    w = dsir.dsir_log_weights(docs, p, q, salt="dsir56")
     s = sampling.stratified_sample(
         docs, "lang", {"en": 0.25}, ["doc_id"], default_fraction=1.0, salt="strat"
     )
     return (
-        s.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
+        s.join(w, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            _pround(F.avg("log_w"), 6).alias("avg_logw"),
+        )
         .orderBy("lang")
     )
 
