@@ -40,6 +40,8 @@ __all__ = [
     "temperature_fractions",
     "mixture_sample",
     "cluster_mixture_sample",
+    "unimax_budgets",
+    "unimax_sample",
 ]
 
 
@@ -144,3 +146,138 @@ def cluster_mixture_sample(
         target_rows=target_rows,
         salt=salt,
     )
+
+
+def unimax_budgets(
+    df: DataFrame,
+    strata_col: str,
+    token_budget: float,
+    max_epochs: float = 4.0,
+    n_tokens_col: str = "n_tokens",
+) -> dict[object, float]:
+    """UniMax allocation (Chung et al. 2023, ICLR — public method):
+    spread a total token budget as UNIFORMLY as possible across
+    languages/domains, capping each domain at ``max_epochs`` passes over
+    its data.  Temperature sampling picks one exponent for head and
+    tail at once; UniMax instead gives every domain the same byte
+    budget unless its epoch cap binds — the paper's fairness argument
+    for multilingual pretraining.
+
+    Exact waterfill (the paper's Algorithm 1 shape): visit domains in
+    ascending capacity ``cap_c = max_epochs * n_c``; each takes
+    ``min(cap_c, remaining / domains_left)``.  A domain below the
+    current fair share binds at its cap and the slack re-spreads over
+    the rest — the unique allocation that is uniform wherever no cap
+    binds.  Ties on capacity are visited in key order: deterministic.
+
+    Sizing is ONE ``groupBy(domain).sum(tokens)`` aggregate (#domains
+    rows to the driver — bounded by contract, domains are languages or
+    sources, never ids); the waterfill itself is O(L log L) driver
+    arithmetic.  Returns {domain: allocated_tokens} — realized
+    downstream by ``unimax_sample``.  When ``token_budget`` exceeds
+    Σ cap_c every domain saturates at its cap and the realized total
+    honestly undershoots (the report column of ``unimax_sample`` shows
+    it) — silently raising epochs would repeat tail data past the
+    cap the caller chose."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    counts = {
+        r["k"]: float(r["t"] or 0.0)
+        for r in df.groupBy(F.col(strata_col).alias("k"))
+        .agg(F.sum(n_tokens_col).alias("t"))
+        .collect()
+    }
+    order = sorted(counts.items(), key=lambda kv: (max_epochs * kv[1], str(kv[0])))
+    out: dict[object, float] = {}
+    remaining = float(token_budget)
+    left = len(order)
+    for k, n in order:
+        share = remaining / left if left else 0.0
+        alloc = min(max_epochs * n, share)
+        out[k] = alloc
+        remaining -= alloc
+        left -= 1
+    return out
+
+
+def unimax_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_cols: Sequence[str],
+    token_budget: float,
+    max_epochs: float = 4.0,
+    n_tokens_col: str = "n_tokens",
+    salt: str = "unimax",
+) -> tuple[DataFrame, DataFrame]:
+    """Realize a UniMax allocation: returns ``(sampled_df, report_df)``.
+
+    A domain whose allocation exceeds one pass is EXPLICITLY repeated:
+    ``floor(b_c / n_c)`` full epochs (every row, tagged ``epoch``
+    0..e-1) plus the fractional remainder as one deterministic
+    hash-gated subset (tagged with the final epoch id) — repetition is
+    a visible, audited decision (the ``epoch`` column), never an
+    implicit weight.  Expected realized tokens per domain = its
+    allocation; the report (domain, n_tokens, allocated_tokens,
+    epochs, fraction_last_epoch) is the mixture ledger.
+
+    Scale shape: sizing reuses ``unimax_budgets``'s single aggregate;
+    realization is a pure column pipeline — an ``explode(sequence(...))``
+    over the per-domain epoch count (row multiplication on executors,
+    no shuffle) and the same md5 gate as every sampler here, salted per
+    domain so fractional subsets are independent across domains."""
+    budgets = unimax_budgets(
+        df, strata_col, token_budget, max_epochs, n_tokens_col
+    )
+    counts = {
+        r["k"]: float(r["t"] or 0.0)
+        for r in df.groupBy(F.col(strata_col).alias("k"))
+        .agg(F.sum(n_tokens_col).alias("t"))
+        .collect()
+    }
+    report_rows = []
+    full_map: dict[object, int] = {}
+    frac_map: dict[object, float] = {}
+    for k, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        n = counts.get(k, 0.0)
+        rate = 0.0 if n <= 0 else b / n
+        full = int(rate)
+        frac = rate - full
+        full_map[k] = full
+        frac_map[k] = frac
+        report_rows.append((str(k), n, b, full, frac))
+    report = df.sparkSession.createDataFrame(
+        report_rows,
+        "domain string, n_tokens double, allocated_tokens double, "
+        "epochs int, fraction_last_epoch double",
+    )
+    dom = F.col(strata_col).cast("string")
+    full_expr = F.lit(0)
+    frac_expr = F.lit(0.0)
+    for k in full_map:
+        full_expr = F.when(dom == F.lit(str(k)), F.lit(full_map[k])).otherwise(
+            full_expr
+        )
+        frac_expr = F.when(dom == F.lit(str(k)), F.lit(frac_map[k])).otherwise(
+            frac_expr
+        )
+    tagged = df.withColumn("__full", full_expr).withColumn("__frac", frac_expr)
+    # epoch ids 0..__full-1 are whole passes; epoch __full is the
+    # fractional one, present only where the per-domain gate admits the
+    # row.  sequence(0, __full) is empty-safe: __full = 0 and __frac = 0
+    # yields only the (rejected) fractional epoch.
+    gate = sampling._gate([*id_cols, strata_col], salt)
+    exploded = tagged.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.col("__full")))
+    )
+    frac_hex = F.lit(None).cast("string")
+    for k, fr in frac_map.items():
+        frac_hex = F.when(
+            dom == F.lit(str(k)), F.lit(sampling._threshold_hex(fr))
+        ).otherwise(frac_hex)
+    kept = exploded.where(
+        (F.col("epoch") < F.col("__full"))
+        | ((F.col("__frac") > 0) & (gate < frac_hex))
+    ).drop("__full", "__frac")
+    return kept, report
