@@ -760,6 +760,7 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lt JOIN lmt USING (tok)
       GROUP BY lt.doc_id
     )
+    , base AS (
     SELECT t.doc_id,
       CAST(t.ntok AS BIGINT) AS n_tokens,
       floor((CASE WHEN length(t.text) > 0
@@ -777,6 +778,23 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     LEFT JOIN sc ON t.doc_id = sc.doc_id
     LEFT JOIN g ON t.doc_id = g.doc_id
+    ), th AS (
+      SELECT d.lang,
+        quantile_disc(b.ppl, 1.0/3.0) AS t1,
+        quantile_disc(b.ppl, 2.0/3.0) AS t2
+      FROM base b JOIN documents d USING (doc_id)
+      WHERE b.ppl IS NOT NULL
+      GROUP BY d.lang
+    )
+    SELECT b.doc_id, b.n_tokens, b.punct_ratio, b.avg_tok_len, b.ppl,
+      b.gopher_kept,
+      CASE WHEN b.ppl IS NULL OR th.t1 IS NULL THEN NULL
+           WHEN b.ppl <= th.t1 THEN 'head'
+           WHEN b.ppl <= th.t2 THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket
+    FROM base b
+    JOIN documents d USING (doc_id)
+    LEFT JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
     """,
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +812,15 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this corpus (min_words=40 → 331/500 at sf0.01, mean-word-len
     ≤ 4.8 → 466/500, ≥1 of the 8 required stopwords → 382/500; 282
     kept overall), and the oracle recomputes every rule in DuckDB —
-    the q54 ``sem_kept`` pattern on the text-quality axis."""
+    the q54 ``sem_kept`` pattern on the text-quality axis.
+
+    ``ppl_bucket`` (r7) completes the CCNet release shape: per-language
+    head/middle/tail terciles from the REAL ``lm.ppl_buckets`` operator
+    over the rounded ppl column.  At full sketch accuracy Spark's
+    ``percentile_approx`` returns the EXACT ceil(p·n)-rank order
+    statistic — probed identical to DuckDB's ``quantile_disc`` across
+    sizes and heavy-tie corpora — so the oracle recomputes the cut
+    points and labels engine-exactly."""
     docs = _t(spark, sf_dir, "documents")
     model = LM.unigram_lm(docs)
     ppl = LM.doc_perplexity(docs, model).select(
@@ -811,9 +837,10 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__gk", F.lit(True))
     )
     ntok = T.token_count(F.col("text"))
-    return (
+    base = (
         docs.select(
             "doc_id",
+            "lang",
             ntok.cast("long").alias("n_tokens"),
             _pround(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
             _pround(F.length("text").cast("double") / ntok, 6).alias("avg_tok_len"),
@@ -823,6 +850,9 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gopher_kept", F.coalesce(F.col("__gk"), F.lit(False)))
         .drop("__gk")
     )
+    return LM.ppl_buckets(
+        base, ppl_col="ppl", lang_col="lang", accuracy=1_000_000
+    ).drop("lang")
 
 
 @_q(
