@@ -1,0 +1,152 @@
+"""URL-level curation (operators/urls.py): part extraction, blocklist
+suffix semantics, keyword gate, expected-count domain capping."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import urls as U
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (1, "https://www.example.com/a/b?q=1"),
+        (2, "http://sub.example.com/x"),
+        (3, "https://news.site.org/article"),
+        (4, "https://shop.example.co.uk/item"),
+        (5, "example.com/bare-no-scheme"),
+        (6, None),
+        (7, "https://casino-fun.net/spin"),
+        (8, "https://blog.okdomain.io/post?ref=CASINO"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_url_parts(spark, pages):
+    got = {r["doc_id"]: r for r in U.url_parts(pages).collect()}
+    assert got[1]["host"] == "example.com"          # www. stripped
+    assert got[1]["domain"] == "example.com"
+    assert got[1]["path"] == "/a/b"
+    assert got[2]["host"] == "sub.example.com"
+    assert got[2]["domain"] == "example.com"        # registered domain
+    assert got[4]["host"] == "shop.example.co.uk"
+    assert got[4]["domain"] == "example.co.uk"      # 2-level TLD aware
+    assert got[5]["host"] == "example.com"          # scheme-less fallback
+    assert got[6]["host"] is None and got[6]["domain"] is None
+
+
+def test_url_filter_domain_suffix_semantics(spark, pages):
+    kept = U.url_filter(pages, blocked_domains=["example.com"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1 (www.example.com), 2 (sub.example.com), 5 (bare) all blocked;
+    # example.co.uk is a DIFFERENT registered domain and survives
+    assert ids == [3, 4, 6, 7, 8]
+    # blocking the subdomain only must NOT block the apex
+    kept2 = U.url_filter(pages, blocked_domains=["sub.example.com"])
+    ids2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert 1 in ids2 and 5 in ids2 and 2 not in ids2
+
+
+def test_url_filter_keywords_case_insensitive(spark, pages):
+    kept = U.url_filter(pages, blocked_keywords=["casino"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 7 not in ids and 8 not in ids            # path AND query hit
+    assert set(ids) == {1, 2, 3, 4, 5, 6}
+
+
+def test_url_filter_null_urls_kept_and_row_count_stable(spark, pages):
+    kept = U.url_filter(
+        pages, blocked_domains=["nomatch.example.zz"], blocked_keywords=["zzz"]
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(1, 9))
+    # multiple blocklist entries of ONE registered domain never
+    # duplicate surviving rows (array-per-domain join)
+    kept2 = U.url_filter(
+        pages, blocked_domains=["a.example.com", "b.example.com"]
+    )
+    got = [r["doc_id"] for r in kept2.collect()]
+    assert sorted(got) == sorted(set(got)) == list(range(1, 9))
+
+
+def test_cap_per_domain_expected_count_and_determinism(spark):
+    rows = [(i, f"https://farm.example.com/p{i}") for i in range(4000)] + [
+        (10_000 + i, f"https://small.org/p{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = U.cap_per_domain(df, max_docs=400)
+    by_dom = {
+        r["d"]: r["n"]
+        for r in U.url_parts(capped)
+        .groupBy(F.col("domain").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # small domain passes whole; farm lands near 400 (3 sigma ~ 59)
+    assert by_dom["small.org"] == 5
+    assert abs(by_dom["example.com"] - 400) < 60
+    # deterministic + partitioning-invariant kept set
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in U.cap_per_domain(df.repartition(13), max_docs=400).collect()
+    )
+    assert a == b
+    # engine-independent gate: the kept set is exactly the md5 rule
+    frac = 400 / 4000
+    thresh = format(int(frac * 16**8), "08x")
+    expect = sorted(
+        i
+        for i, _ in rows
+        if i >= 10_000
+        or hashlib.md5(f"domcap|{i}".encode()).hexdigest()[:8] < thresh
+    )
+    assert a == expect
+
+
+def test_cap_per_domain_null_domain_rows_kept(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "https://x.com/a")], "doc_id long, url string"
+    )
+    out = U.cap_per_domain(df, max_docs=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_cap_bad_args(spark, pages):
+    with pytest.raises(ValueError):
+        U.cap_per_domain(pages, max_docs=0)
+
+
+def test_warc_bridge_composes_with_url_filter(spark, tmp_path):
+    # end-to-end: WARC -> documents(url) -> url_filter
+    from tests.test_warc import _record, _http
+    from bigdataproject_formula1_telemetry_spark.sources import warc as W
+
+    data = b"".join(
+        [
+            _record(
+                "response",
+                _http(b"<html><p>good page content here</p></html>"),
+                uri="https://good.example.org/a",
+                rec_id="<urn:uuid:1111>",
+                content_type="application/http;msgtype=response",
+            ),
+            _record(
+                "response",
+                _http(b"<html><p>spam page</p></html>"),
+                uri="https://bad.spamfarm.biz/b",
+                rec_id="<urn:uuid:2222>",
+                content_type="application/http;msgtype=response",
+            ),
+        ]
+    )
+    p = tmp_path / "mix.warc"
+    p.write_bytes(data)
+    docs = W.warc_to_documents(W.read_warc(spark, str(p)))
+    kept = U.url_filter(docs, blocked_domains=["spamfarm.biz"])
+    urls = [r["url"] for r in kept.collect()]
+    assert urls == ["https://good.example.org/a"]

@@ -1,0 +1,226 @@
+"""WARC source (sources/warc.py): spec-compliant fixtures built by
+hand, raw and per-member-gzip parses compared, dead-letter + resync,
+and the bridge into the curation pipeline's documents shape."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.sources import warc as W
+
+
+def _record(
+    rtype: str,
+    content: bytes,
+    uri: str | None = None,
+    rec_id: str = "<urn:uuid:0000>",
+    content_type: str | None = None,
+    extra: dict | None = None,
+) -> bytes:
+    heads = [
+        b"WARC/1.0",
+        f"WARC-Type: {rtype}".encode(),
+        f"WARC-Record-ID: {rec_id}".encode(),
+        b"WARC-Date: 2026-08-15T00:00:00Z",
+        f"Content-Length: {len(content)}".encode(),
+    ]
+    if uri:
+        heads.append(f"WARC-Target-URI: {uri}".encode())
+    if content_type:
+        heads.append(f"Content-Type: {content_type}".encode())
+    for k, v in (extra or {}).items():
+        heads.append(f"{k}: {v}".encode())
+    return b"\r\n".join(heads) + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+def _http(
+    body: bytes, status: int = 200, ctype: str = "text/html; charset=utf-8"
+) -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+HTML = "<html><body><p>Hello wörld — unicode ok.</p></body></html>".encode()
+PNG = b"\x89PNG\r\n\x1a\n" + bytes(range(32))
+
+
+def _corpus() -> bytes:
+    return b"".join(
+        [
+            _record("warcinfo", b"software: test\r\n", content_type="application/warc-fields"),
+            _record(
+                "response",
+                _http(HTML),
+                uri="https://example.com/a",
+                rec_id="<urn:uuid:aaaa>",
+                content_type='application/http;msgtype=response',
+            ),
+            _record(
+                "request",
+                b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                uri="https://example.com/a",
+                content_type='application/http;msgtype=request',
+            ),
+            _record(
+                "response",
+                _http(PNG, ctype="image/png"),
+                uri="https://example.com/logo.png",
+                rec_id="<urn:uuid:bbbb>",
+                content_type='application/http;msgtype=response',
+            ),
+            _record(
+                "response",
+                _http("café".encode("latin-1"), ctype="text/plain; charset=latin-1"),
+                uri="https://example.com/c",
+                rec_id="<urn:uuid:cccc>",
+                content_type='application/http;msgtype=response',
+            ),
+        ]
+    )
+
+
+def _write(tmp_path, name: str, data: bytes) -> str:
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_iter_warc_records_walks_all(tmp_path):
+    recs = list(W.iter_warc_records(_corpus()))
+    assert len(recs) == 5
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "response", "request", "response", "response",
+    ]
+    assert recs[1]["headers"]["warc-target-uri"] == "https://example.com/a"
+    assert recs[1]["content"] == _http(HTML)
+
+
+def test_read_warc_rows_and_http_split(spark, tmp_path):
+    path = _write(tmp_path, "a.warc", _corpus())
+    df = W.read_warc(spark, path).orderBy("record_idx")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert [r["record_type"] for r in rows] == [
+        "warcinfo", "response", "request", "response", "response",
+    ]
+    html = rows[1]
+    assert html["http_status"] == 200
+    assert html["mime"].startswith("text/html")
+    assert bytes(html["payload"]) == HTML
+    assert "Hello wörld" in html["text"]
+    png = rows[3]
+    assert png["mime"] == "image/png"
+    assert bytes(png["payload"]) == PNG
+    assert png["text"] is None  # binary mime never decoded
+    latin = rows[4]
+    assert latin["text"] == "café"  # charset honored
+    assert all(r["error"] is None for r in rows)
+
+
+def test_gzip_members_parse_identically(spark, tmp_path):
+    raw = _corpus()
+    # per-record gzip members — the .warc.gz convention
+    corpus_parts = [
+        _record("warcinfo", b"software: test\r\n", content_type="application/warc-fields"),
+        _record("response", _http(HTML), uri="https://example.com/a",
+                rec_id="<urn:uuid:aaaa>", content_type='application/http;msgtype=response'),
+        _record("request", b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                uri="https://example.com/a", content_type='application/http;msgtype=request'),
+        _record("response", _http(PNG, ctype="image/png"), uri="https://example.com/logo.png",
+                rec_id="<urn:uuid:bbbb>", content_type='application/http;msgtype=response'),
+        _record("response", _http("café".encode("latin-1"), ctype="text/plain; charset=latin-1"),
+                uri="https://example.com/c", rec_id="<urn:uuid:cccc>",
+                content_type='application/http;msgtype=response'),
+    ]
+    gz = b"".join(gzip.compress(p) for p in corpus_parts)
+    p_raw = _write(tmp_path, "r.warc", raw)
+    p_gz = _write(tmp_path, "r.warc.gz", gz)
+    a = W.read_warc(spark, p_raw).drop("warc_path").orderBy("record_idx").collect()
+    b = W.read_warc(spark, p_gz).drop("warc_path").orderBy("record_idx").collect()
+    assert a == b
+
+
+def test_malformed_record_dead_letters_and_resyncs(spark, tmp_path):
+    good = _record(
+        "response", _http(HTML), uri="https://example.com/a",
+        rec_id="<urn:uuid:aaaa>", content_type='application/http;msgtype=response',
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: notanumber\r\n"
+        b"\r\njunk\r\n\r\n"
+    )
+    path = _write(tmp_path, "m.warc", bad + good)
+    rows = W.read_warc(spark, path).orderBy("record_idx").collect()
+    assert len(rows) == 2
+    assert rows[0]["error"] is not None and "Content-Length" in rows[0]["error"]
+    # the resync salvaged the good record after the dead letter
+    assert rows[1]["error"] is None
+    assert rows[1]["target_uri"] == "https://example.com/a"
+    assert "Hello wörld" in rows[1]["text"]
+
+
+def test_truncated_record_dead_letters(spark, tmp_path):
+    full = _record(
+        "response", _http(HTML), uri="https://example.com/a",
+        content_type='application/http;msgtype=response',
+    )
+    path = _write(tmp_path, "t.warc", full[: len(full) // 2])
+    rows = W.read_warc(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] is not None
+
+
+def test_warc_to_documents_bridge(spark, tmp_path):
+    corpus = _corpus() + _record(
+        "response",
+        _http(b"gone", status=404, ctype="text/html"),
+        uri="https://example.com/404",
+        rec_id="<urn:uuid:dddd>",
+        content_type='application/http;msgtype=response',
+    )
+    path = _write(tmp_path, "d.warc", corpus)
+    docs = W.warc_to_documents(W.read_warc(spark, path))
+    rows = {r["url"]: r for r in docs.collect()}
+    # textual 200s only: the html page and the latin-1 page; never the
+    # png (no text), the 404, warcinfo or request records
+    assert set(rows) == {"https://example.com/a", "https://example.com/c"}
+    assert rows["https://example.com/a"]["doc_id"] is not None
+    # deterministic doc_id: re-parse gives the same ids
+    again = {
+        r["url"]: r["doc_id"]
+        for r in W.warc_to_documents(W.read_warc(spark, path)).collect()
+    }
+    assert {u: r["doc_id"] for u, r in rows.items()} == again
+
+
+def test_bridge_composes_with_main_content_extraction(spark, tmp_path):
+    page = (
+        "<html><head><title>t</title></head><body>"
+        "<nav>Home | About | Contact</nav>"
+        "<p>" + "Genuinely long article text with many words. " * 30 + "</p>"
+        "<footer>© 2026 example.com</footer></body></html>"
+    ).encode()
+    path = _write(
+        tmp_path,
+        "w.warc",
+        _record(
+            "response", _http(page), uri="https://example.com/art",
+            rec_id="<urn:uuid:eeee>",
+            content_type='application/http;msgtype=response',
+        ),
+    )
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    docs = W.warc_to_documents(W.read_warc(spark, path))
+    cleaned = docs.withColumn("text", T.extract_main_content(F.col("text")))
+    out = cleaned.collect()
+    assert len(out) == 1
+    body = out[0]["text"]
+    assert "Genuinely long article text" in body
+    assert "Home | About" not in body

@@ -336,25 +336,49 @@ def main() -> None:
             "vec_id", F.col("embedding_pca").alias("embedding")
         ).localCheckpoint(eager=True)
 
-        # numpy prediction of the probe-set outcome: the source is
-        # findable iff its stored IVF cell is among the probe's
-        # nprobe-nearest centroids (all geometry in the compressed space)
-        mean_np = np.asarray(model["mean"])
-        W_np = np.asarray(model["components"])
-        comp_src = ((src - mean_np) @ W_np.T).astype(np.float32)
-        comp_probe = ((pert - mean_np) @ W_np.T).astype(np.float32)
-        C_np = np.asarray(C_pq, dtype=np.float32)
-        src_cell = np.argmax(
-            (comp_src / np.linalg.norm(comp_src, axis=1, keepdims=True))
-            @ (C_np / np.linalg.norm(C_np, axis=1, keepdims=True)).T,
-            axis=1,
+        # COMPLETE numpy twin of the stored index + ADC search (the r7
+        # rewrite: the old prediction was routing-only — necessary but
+        # not sufficient, since at 500k each of the 64 cells holds ~8k
+        # codes and the 4-byte ADC ranking must ALSO place the source in
+        # the top-10; it passed at --quick scale only because cells were
+        # near-empty).  Twin inputs are the ARTIFACTS (stored compressed
+        # vectors, stored codes/clusters, the collected probe vectors),
+        # so every float decision is replayed bit-for-bit:
+        #   1. re-encode + re-assign the whole corpus flat in numpy and
+        #      assert equality with the stored inverted file, then
+        #   2. replay the kernel's routing/LUT/tie-break arithmetic for
+        #      the exact predicted top-10 per probe.
+        import duckdb as _dk
+
+        comp_tbl = _dk.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{OUT}/aniso_pca.parquet/*.parquet') ORDER BY vec_id"
+        ).fetchnumpy()
+        comp_ids = comp_tbl["vec_id"].astype(np.int64)
+        comp_X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in comp_tbl["embedding"]]
         )
-        pn = comp_probe / np.linalg.norm(comp_probe, axis=1, keepdims=True)
-        cn = (C_np / np.linalg.norm(C_np, axis=1, keepdims=True)).T
-        probe_sets = np.argsort(-(pn @ cn), axis=1)[:, :8]
-        predicted_hits = int(
-            sum(src_cell[i] in probe_sets[i] for i in range(n_probes_q))
+        idx_tbl = _dk.sql(
+            f"SELECT vec_id, pq_codes, ivf_cluster FROM read_parquet('{ivfpq_path}/*/*.parquet', hive_partitioning=1) ORDER BY vec_id"
+        ).fetchnumpy()
+        assert np.array_equal(
+            idx_tbl["vec_id"].astype(np.int64), comp_ids
+        ), "inverted file lost rows"
+        stored_codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in idx_tbl["pq_codes"]]
         )
+        stored_cells = idx_tbl["ivf_cluster"].astype(np.int64)
+
+        books_np = [np.asarray(b, dtype=np.float64) for b in books]
+        bounds = PQx._split(K_PCA, len(books_np))
+        codes_np = PQx._assign_codes(comp_X, books_np, bounds)
+        C_np = np.asarray(C_pq, dtype=np.float64)
+        norms = np.linalg.norm(comp_X, axis=1)
+        norms[norms == 0] = 1.0
+        cells_np = np.argmax((comp_X / norms[:, None]) @ C_np.T, axis=1)
+        code_mism = int((codes_np != stored_codes).any(axis=1).sum())
+        cell_mism = int((cells_np != stored_cells).sum())
+        results["pca_twin_code_mismatches"] = code_mism
+        results["pca_twin_cell_mismatches"] = cell_mism
 
         timed(
             "pca_knn_ivfpq_s",
@@ -374,9 +398,37 @@ def main() -> None:
             for q, v in by_q.items()
             if (q - 1_000_000_000) in [nid for _, nid in sorted(v)]
         )
+
+        # 2. kernel-exact search replay from the STORED codes
+        probe_rows = sorted(probes.collect(), key=lambda r: r["vec_id"])
+        predicted_hits = 0
+        for r in probe_rows:
+            x = np.asarray(r["embedding"], dtype=np.float64)
+            nrm = np.linalg.norm(x)
+            sims = (x / (nrm if nrm else 1.0)) @ C_np.T
+            top = np.argpartition(-sims, 7)[:8]
+            routed = np.isin(stored_cells, top)
+            lut = np.empty((len(books_np), books_np[0].shape[0]))
+            for mi, (s0, e0) in enumerate(bounds):
+                diff = books_np[mi] - x[s0:e0][None, :]
+                lut[mi, : books_np[mi].shape[0]] = (diff * diff).sum(axis=1)
+            acc = np.zeros(len(comp_ids))
+            for mi in range(len(books_np)):
+                acc += lut[mi, stored_codes[:, mi]]
+            cand = np.nonzero(routed)[0]
+            order = sorted(
+                ((acc[i], int(comp_ids[i])) for i in cand),
+                key=lambda t: (t[0], t[1]),
+            )[:10]
+            src_id = int(r["vec_id"]) - 1_000_000_000
+            if src_id in {nid for _, nid in order}:
+                predicted_hits += 1
+
         results["pca_source_in_top10"] = hits
         results["pca_predicted_probe_hits"] = predicted_hits
-        results["pca_ok"] = hits == predicted_hits
+        results["pca_ok"] = (
+            hits == predicted_hits and code_mism == 0 and cell_mism == 0
+        )
         print(
             f"  pca train {results['pca_train_s']} s (expl "
             f"{results['pca_explained_frac']:.1%}), transform "
