@@ -314,7 +314,14 @@ def knn_pq_adc(
                 if not finite.any():
                     continue
                 idx = np.nonzero(finite)[0]
-                sel = idx[np.argsort(d[idx], kind="stable")[:top]]
+                # per-batch pre-truncation MUST use the same total
+                # order as the final window — (dist, neighbor_id) —
+                # or heavy ADC ties (PQ collapses near-identical
+                # vectors to identical codes) let batch ROW order
+                # decide which tied candidates survive to the
+                # global top-k (r7 bug, caught by the 500k sweep's
+                # exact search twin)
+                sel = idx[np.lexsort((ids[idx], d[idx]))[:top]]
                 frames.append(
                     pd.DataFrame(
                         {
@@ -485,7 +492,14 @@ def knn_ivfpq_materialized(
                 if not finite.any():
                     continue
                 idx = np.nonzero(finite)[0]
-                sel = idx[np.argsort(d[idx], kind="stable")[:top]]
+                # per-batch pre-truncation MUST use the same total
+                # order as the final window — (dist, neighbor_id) —
+                # or heavy ADC ties (PQ collapses near-identical
+                # vectors to identical codes) let batch ROW order
+                # decide which tied candidates survive to the
+                # global top-k (r7 bug, caught by the 500k sweep's
+                # exact search twin)
+                sel = idx[np.lexsort((ids[idx], d[idx]))[:top]]
                 frames.append(
                     pd.DataFrame(
                         {

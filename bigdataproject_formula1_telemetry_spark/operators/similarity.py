@@ -205,7 +205,11 @@ def knn_bruteforce_arrow(
                 cand = np.where(mask & ~np.isnan(col))[0]
                 if len(cand) == 0:
                     continue
-                top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[: kk]]
+                # tie-safe pre-truncation: same (sim desc, id asc) total
+                # order as the final window (identical vectors tie
+                # exactly; argpartition alone let batch row order
+                # pick the survivors — r7 fix)
+                top = cand[np.lexsort((cids[cand], -col[cand]))[:kk]]
                 for i in top:
                     rows.append((ids_b[j], cids[i], float(col[i])))
             if rows:
@@ -312,7 +316,11 @@ def knn_ivf_arrow(
                 cand = np.where(mask & ~np.isnan(col))[0]
                 if len(cand) == 0:
                     continue
-                top = cand[np.argpartition(-col[cand], min(kk, len(cand)) - 1)[:kk]]
+                # tie-safe pre-truncation: same (sim desc, id asc) total
+                # order as the final window (identical vectors tie
+                # exactly; argpartition alone let batch row order
+                # pick the survivors — r7 fix)
+                top = cand[np.lexsort((cids[cand], -col[cand]))[:kk]]
                 for i in top:
                     rows.append((ids_b[j], cids[i], float(col[i])))
             if rows:

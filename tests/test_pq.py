@@ -362,3 +362,88 @@ def test_knn_pq_adc_rerank_improves_and_converges(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="rerank_factor"):
         PQ.knn_pq_adc_rerank(codes, corpus, queries, books, rerank_factor=0)
+
+
+def test_heavy_ties_respect_global_id_tiebreak(spark):
+    """r7 regression: when many candidates share one exact ADC distance
+    (PQ collapses near-identical vectors to identical codes), the
+    returned top-k must be the GLOBAL (adc_dist asc, neighbor_id asc)
+    head — per-batch pre-truncation once let partition row order decide
+    which tied candidates survived, so the winner set depended on the
+    physical layout."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(8)
+    # 120 near-copies of one point (identical codes => identical ADC
+    # distance) + scattered background, shuffled across partitions so
+    # ties straddle Arrow batches
+    rows = [
+        (int(i), (base + 1e-7 * rng.standard_normal(8)).tolist())
+        for i in range(120)
+    ] + [(1000 + int(i), rng.standard_normal(8).tolist()) for i in range(200)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7)
+    books = PQ.pq_train(corpus, m=2, n_codes=16, max_iter=3)
+    codes = PQ.pq_encode(corpus, books)
+    q = spark.createDataFrame(
+        [(99_999, base.tolist())], "vec_id long, embedding array<double>"
+    )
+    got = PQ.knn_pq_adc(codes, q, books, k=10).collect()
+
+    # exact numpy oracle: ADC distance for EVERY corpus id, then the
+    # (dist, id) head — engine-independent
+    bounds = PQ._split(8, 2)
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    code_map = {
+        r["vec_id"]: np.asarray(r["pq_codes"], dtype=np.int64)
+        for r in codes.collect()
+    }
+    lut = []
+    for mi, (s0, e0) in enumerate(bounds):
+        diff = books_np[mi] - base[s0:e0][None, :]
+        lut.append((diff * diff).sum(axis=1))
+    dist = {
+        i: float(sum(lut[mi][c[mi]] for mi in range(2)))
+        for i, c in code_map.items()
+    }
+    want = sorted(dist.items(), key=lambda t: (t[1], t[0]))[:10]
+    assert [(r["neighbor_id"], round(r["adc_dist"], 12)) for r in got] == [
+        (i, round(d, 12)) for i, d in want
+    ]
+    # layout invariance: a different partitioning returns the same set
+    codes2 = PQ.pq_encode(corpus.repartition(3), books)
+    got2 = PQ.knn_pq_adc(codes2, q, books, k=10).collect()
+    assert [r["neighbor_id"] for r in got2] == [r["neighbor_id"] for r in got]
+
+
+def test_ivfpq_heavy_ties_layout_invariant(spark):
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal(8)
+    rows = [
+        (int(i), (base + 1e-7 * rng.standard_normal(8)).tolist())
+        for i in range(80)
+    ] + [(1000 + int(i), rng.standard_normal(8).tolist()) for i in range(200)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    books = PQ.pq_train(corpus, m=2, n_codes=16, max_iter=3)
+    from bigdataproject_formula1_telemetry_spark.operators import similarity as sim
+
+    C = sim.ivf_centroids(corpus, n_clusters=4, max_iter=2)
+    q = spark.createDataFrame(
+        [(99_999, base.tolist())], "vec_id long, embedding array<double>"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p1, p2 = f"{tmp}/a", f"{tmp}/b"
+        PQ.build_inverted_file_pq(corpus, C, books, p1)
+        PQ.build_inverted_file_pq(corpus.repartition(11), C, books, p2)
+        a = PQ.knn_ivfpq_materialized(spark, p1, q, C, books, k=10, nprobe=4).collect()
+        b = PQ.knn_ivfpq_materialized(spark, p2, q, C, books, k=10, nprobe=4).collect()
+    assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
+    assert len(a) == 10
+    # deterministic winners: the (dist, id) order means the tied
+    # near-copy family contributes its LOWEST ids
+    fam = [r["neighbor_id"] for r in a if r["neighbor_id"] < 1000]
+    assert fam == sorted(fam)

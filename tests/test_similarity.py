@@ -605,3 +605,32 @@ def test_cosine_dup_pairs_bucket_cap_groupby_not_window(spark, caplog):
         ).count()
         == uncapped
     )
+
+
+def test_arrow_knn_heavy_ties_layout_invariant(spark):
+    """r7 regression twin of test_pq heavy-ties: EXACT duplicate vectors
+    tie at cos_sim 1.0 — the Arrow kernels' per-batch pre-truncation
+    must use the global (sim desc, id asc) order, not batch row order."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal(16)
+    dup = base.tolist()
+    rows = [(int(i), dup) for i in range(40)] + [
+        (1000 + int(i), rng.standard_normal(16).tolist()) for i in range(100)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(9)
+    q = spark.createDataFrame(
+        [(99_999, dup)], "vec_id long, embedding array<double>"
+    )
+    got = sim.knn_bruteforce_arrow(corpus, q, k=10).collect()
+    # the 40 exact duplicates all tie at 1.0: winners must be ids 0..9
+    assert [r["neighbor_id"] for r in got] == list(range(10))
+    got2 = sim.knn_bruteforce_arrow(corpus.repartition(3), q, k=10).collect()
+    assert [r["neighbor_id"] for r in got2] == list(range(10))
+
+    C = sim.ivf_centroids(corpus, n_clusters=3, max_iter=2)
+    ivf = sim.knn_ivf_arrow(corpus, q, C, k=10, nprobe=3).collect()
+    assert [r["neighbor_id"] for r in ivf] == list(range(10))
