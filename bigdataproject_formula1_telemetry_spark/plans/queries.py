@@ -36,6 +36,7 @@ from bigdataproject_formula1_telemetry_spark.operators import (
     semdedup as SD,
     similarity as sim,
     text as T,
+    urls as U,
     windows as W,
 )
 
@@ -871,6 +872,7 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(toks, x -> x IN ('le','la','les','des','est')))  AS h_fr
       FROM t
     )
+    , lang AS (
     SELECT doc_id,
       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
@@ -878,12 +880,92 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN h_es >= h_fr THEN 'es'
            ELSE 'fr' END AS lang_pred
     FROM h
+    ), u AS (
+      SELECT doc_id,
+        'https://www.' ||
+        (CASE doc_id % 4 WHEN 0 THEN 'news-site' WHEN 1 THEN 'spamfarm'
+                         WHEN 2 THEN 'blogs' ELSE 'casino-hub' END) ||
+        (CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                         ELSE '.org' END) ||
+        '/page/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        regexp_replace(lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#:]+)', 1)),
+          '^www\\.', '') AS host
+      FROM u
+    ), dom AS (
+      SELECT doc_id, url, host,
+        CASE
+          WHEN len(string_split(host, '.')) <= 2 THEN host
+          WHEN array_to_string(string_split(host, '.')[-2:], '.') IN
+               ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                'com.mx','com.tr','com.ar','co.in','co.kr','co.za',
+                'co.nz')
+               AND len(string_split(host, '.')) >= 3
+          THEN array_to_string(string_split(host, '.')[-3:], '.')
+          ELSE array_to_string(string_split(host, '.')[-2:], '.')
+        END AS domain
+      FROM parts
+    )
+    SELECT l.doc_id, l.lang_pred, d.host, d.domain,
+      NOT (
+        d.host = 'spamfarm.com' OR d.host LIKE '%.spamfarm.com'
+        OR regexp_matches(d.url, '(?i)(casino)')
+      ) AS url_kept
+    FROM lang l JOIN dom d ON l.doc_id = d.doc_id
     """,
 )
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID heuristic (north-star text op)."""
+    """Stopword-marker language ID heuristic (north-star text op).
+
+    r7 scope-deepening (the q54/q26/q56 pattern): the row also carries
+    ``host`` / ``domain`` / ``url_kept`` from the REAL URL-curation
+    operators (`operators/urls.py`) over a deterministic synthesized
+    URL per doc (documents carry no url column; the synthesis is the
+    same expression in both engines, so the CHECK is on the operators:
+    host extraction with www-stripping, 2-level-ccTLD registered
+    domains, UT1-style suffix blocklist + C4 keyword gate).  A quarter
+    of the corpus hits the domain rule and a quarter the keyword rule,
+    so the boolean genuinely bites."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+    base = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.concat(
+            F.lit("https://www."),
+            F.element_at(
+                F.array(
+                    F.lit("news-site"), F.lit("spamfarm"),
+                    F.lit("blogs"), F.lit("casino-hub"),
+                ),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+            F.element_at(
+                F.array(F.lit(".co.uk"), F.lit(".com"), F.lit(".org")),
+                (F.col("doc_id") % 3).cast("int") + 1,
+            ),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    kept = (
+        U.url_filter(
+            base,
+            blocked_domains=["spamfarm.com"],
+            blocked_keywords=["casino"],
+        )
+        .select("doc_id")
+        .withColumn("__uk", F.lit(True))
+    )
+    return (
+        U.url_parts(base)
+        .join(kept, "doc_id", "left")
+        .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
+        .select("doc_id", "lang_pred", "host", "domain", "url_kept")
+    )
 
 
 @_q(
