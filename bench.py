@@ -253,6 +253,34 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["quality_clf_score"] = round(best, 3)
 
+    # DSIR importance resampling over the documents table: fit both
+    # hashed-ngram multinomials (target = the English subset), weight
+    # every doc JVM-side, Gumbel-top-k select 20% — the full published
+    # selection pipeline (operators/dsir.py; oracle-twinned in q56)
+    from bigdataproject_formula1_telemetry_spark.operators import dsir as _dsir
+
+    docs_d = io.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n_docs_d = docs_d.count()
+
+    def build_dsir():
+        return _dsir.dsir_select(
+            docs_d,
+            docs_d.where(_Fq.col("lang") == "en"),
+            k=max(1, n_docs_d // 5),
+            dim=4096,
+            salt="bench-dsir",
+        )
+
+    build_dsir().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_dsir().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["dsir_select"] = round(best, 3)
+
     # SemDeDup over the documents table: hashed-BoW embed + cluster-
     # scoped semantic dedup (the curate_documents semdedup= gate's
     # exact shape).  Centroids are trained ONCE outside the timer on a

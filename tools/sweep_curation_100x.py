@@ -203,6 +203,95 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- WARC ingestion throughput (--warc runs only this) ---
+    # A real-shaped crawl segment: every corpus doc wrapped in an HTML
+    # response record, one .warc.gz with per-record gzip members (the
+    # CommonCrawl convention), one malformed record planted mid-file.
+    # Asserted: record count, exactly ONE dead-letter row, resync
+    # salvages everything after it, and the documents bridge yields
+    # every textual 200.  Wall → records/s and MB/s for SCALING.
+    if "--warc" in sys.argv:
+        import gzip as _gz
+
+        from bigdataproject_formula1_telemetry_spark.sources import warc as WW
+
+        n_warc = 25_000
+        n_seg = 8  # file-level parallelism IS the partitioning
+        texts = [
+            r["text"]
+            for r in distinct.orderBy("doc_id").limit(n_warc).collect()
+        ]
+        wdir = f"{OUT}/crawl_warc"
+        shutil.rmtree(wdir, ignore_errors=True)
+        os.makedirs(wdir)
+        print(
+            f"  building {n_warc:,} records across {n_seg} .warc.gz "
+            "segments ...",
+            flush=True,
+        )
+        handles = [
+            open(f"{wdir}/crawl-{s:03d}.warc.gz", "wb") for s in range(n_seg)
+        ]
+        for i, t in enumerate(texts):
+            fh = handles[i % n_seg]
+            if i == n_warc // 2:
+                fh.write(
+                    _gz.compress(
+                        b"WARC/1.0\r\nWARC-Type: response\r\n"
+                        b"Content-Length: nope\r\n\r\nbroken\r\n\r\n"
+                    )
+                )
+            body = f"<html><body><p>{t}</p></body></html>".encode()
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                f"charset=utf-8\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n".encode()
+                + f"WARC-Target-URI: https://ex.org/{i}\r\n".encode()
+                + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                + b"Content-Type: application/http;msgtype=response\r\n"
+                + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                + http
+                + b"\r\n\r\n"
+            )
+            fh.write(_gz.compress(rec))
+        for fh in handles:
+            fh.close()
+        sz_mb = sum(
+            os.path.getsize(os.path.join(wdir, f)) for f in os.listdir(wdir)
+        ) / 1e6
+        t0 = time.time()
+        recs = WW.read_warc(spark, wdir).localCheckpoint(eager=True)
+        n_rows = recs.count()
+        results["warc_parse_s"] = round(time.time() - t0, 2)
+        n_err = recs.where(F.col("error").isNotNull()).count()
+        t0 = time.time()
+        n_docs_out = WW.warc_to_documents(recs).count()
+        results["warc_bridge_s"] = round(time.time() - t0, 2)
+        results["warc_records"] = n_rows
+        results["warc_dead_letters"] = n_err
+        results["warc_docs"] = n_docs_out
+        results["warc_mb"] = round(sz_mb, 1)
+        results["warc_rec_per_s"] = round(n_rows / results["warc_parse_s"])
+        results["warc_mb_per_s"] = round(sz_mb / results["warc_parse_s"], 1)
+        results["warc_ok"] = (
+            n_rows == n_warc + 1 and n_err == 1 and n_docs_out == n_warc
+        )
+        print(
+            f"  parse {results['warc_parse_s']} s ({results['warc_rec_per_s']:,}"
+            f" rec/s, {results['warc_mb_per_s']} MB/s of {sz_mb:.0f} MB gz), "
+            f"bridge {results['warc_bridge_s']} s — rows {n_rows} "
+            f"(want {n_warc + 1}), dead letters {n_err} (want 1), docs "
+            f"{n_docs_out}/{n_warc}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- packing strategy A/B at ~750k chunks (--packing runs only this)
     # First-fit (doc-contiguous) vs best-fit-decreasing: occupancy and
     # wall for both, over REAL chunk sizes (64-token windows over the
