@@ -193,6 +193,9 @@ def curate_documents(
     gopher: bool | dict = False,
     fineweb: bool | dict = False,
     semdedup: tuple | None = None,
+    url_blocklist: tuple | None = None,
+    max_docs_per_domain: int | None = None,
+    url_col: str = "url",
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -263,7 +266,12 @@ def curate_documents(
     (SemDeDup cluster-scoped semantic dedup over hashed-BoW embeddings,
     right after the lexical doc dedup — catches the paraphrase/template
     axis MinHash shingles can't; a third element appends SSL-prototypes
-    pruning = the full D4 composition; see ``operators/semdedup.py``).
+    pruning = the full D4 composition; see ``operators/semdedup.py``),
+    ``url_blocklist=(domains, keywords)`` + ``max_docs_per_domain``
+    (r7: the RefinedWeb FIRST stage — UT1-style suffix domain
+    blocklist, C4 keyword gate, and expected-count domain capping via
+    ``operators/urls.py``, applied before any content parsing; needs a
+    ``url_col`` column, e.g. from ``sources.warc.warc_to_documents``).
 
     One measured artifact for the whole tail: see bench.py's
     ``curation_pipeline`` entry and the SCALING.md 10× row."""
@@ -273,6 +281,33 @@ def curate_documents(
         text as T,
     )
 
+    if url_blocklist is not None or max_docs_per_domain is not None:
+        # URL-level gates come FIRST (RefinedWeb's order: cheap URL
+        # rules run before any byte of content is even parsed) —
+        # requires a url column on the corpus (e.g. from
+        # sources.warc.warc_to_documents)
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            urls as UR,
+        )
+
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"url gates need a {url_col!r} column; the corpus has "
+                f"{docs.columns}"
+            )
+        if url_blocklist is not None:
+            bl_domains, bl_keywords = url_blocklist
+            docs = UR.url_filter(
+                docs,
+                blocked_domains=bl_domains,
+                blocked_keywords=bl_keywords,
+                url_col=url_col,
+            )
+        if max_docs_per_domain is not None:
+            docs = UR.cap_per_domain(
+                docs, max_docs_per_domain, url_col=url_col,
+                id_cols=(id_col,),
+            )
     if html:
         # html=True → tag-strip (keeps all text nodes); html="main" →
         # jusText/Readability-class link-density block classification

@@ -224,3 +224,61 @@ def test_bridge_composes_with_main_content_extraction(spark, tmp_path):
     body = out[0]["text"]
     assert "Genuinely long article text" in body
     assert "Home | About" not in body
+
+
+def test_crawl_to_release_end_to_end(spark, tmp_path):
+    """The full web path in one artifact: WARC segments → documents
+    bridge → URL gates → main-content extraction → dedup/chunk/pack →
+    corpus_release shards+manifest+card.  The blocked page never
+    reaches the release; the article text does; the release invariant
+    (card docs == Σ n_chunks == data rows) holds on crawl input."""
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    art = (
+        "<html><body><nav>Home | About | Contact</nav>"
+        "<p>{}</p><footer>© 2026</footer></body></html>"
+    )
+    pages = [
+        (f"https://news-{i}.example.org/a",
+         art.format(f"Article number {i}. " + "Solid long-form body text with many words here. " * 25))
+        for i in range(4)
+    ] + [
+        ("https://bad.spamfarm.biz/x", art.format("spam " * 200)),
+        ("https://fine.example.org/casino-bonus", art.format("gambling " * 200)),
+    ]
+    data = b"".join(
+        _record(
+            "response",
+            _http(html.encode()),
+            uri=url,
+            rec_id=f"<urn:uuid:{j:04d}>",
+            content_type="application/http;msgtype=response",
+        )
+        for j, (url, html) in enumerate(pages)
+    )
+    p = tmp_path / "seg.warc"
+    p.write_bytes(data)
+    from bigdataproject_formula1_telemetry_spark.sources import warc as W2
+
+    docs = W2.warc_to_documents(W2.read_warc(spark, str(p)))
+    root = str(tmp_path / "release")
+    out = P.corpus_release(
+        docs,
+        root,
+        url_blocklist=(["spamfarm.biz"], ["casino"]),
+        max_docs_per_domain=100,
+        html="main",
+        chunk_tokens=64,
+        overlap=0,
+        token_budget=256,
+        n_pack_shards=2,
+    )
+    man = out["manifest"].collect()
+    card = {r["section"] + "/" + r["key"]: r["value"] for r in out["card"].collect()}
+    assert card  # datasheet written and re-readable
+    data_rows = spark.read.parquet(root + "/data").collect()
+    assert sum(int(r["n_chunks"]) for r in man) == len(data_rows) > 0
+    texts = " ".join(r["chunk_text"] for r in data_rows)
+    assert "Solid long-form body text" in texts
+    assert "spam spam" not in texts and "gambling" not in texts
+    assert "Home | About" not in texts  # nav boilerplate extracted away
