@@ -914,7 +914,12 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       NOT (
         d.host = 'spamfarm.com' OR d.host LIKE '%.spamfarm.com'
         OR regexp_matches(d.url, '(?i)(casino)')
-      ) AS url_kept
+      ) AS url_kept,
+      (SELECT len(list_filter(
+          list_filter(string_split_regex(lower(doc.text), '[^a-z0-9]+'),
+                      x -> x <> ''),
+          t -> list_contains(['batch','spark'], t)))
+       FROM documents doc WHERE doc.doc_id = l.doc_id) < 4 AS c4_kept
     FROM lang l JOIN dom d ON l.doc_id = d.doc_id
     """,
 )
@@ -929,7 +934,13 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     host extraction with www-stripping, 2-level-ccTLD registered
     domains, UT1-style suffix blocklist + C4 keyword gate).  A quarter
     of the corpus hits the domain rule and a quarter the keyword rule,
-    so the boolean genuinely bites."""
+    so the boolean genuinely bites.
+
+    ``c4_kept`` oracle-checks the C4 banned-WORDS gate
+    (``text.blocklist_filter``): word-boundary tokenization + blocked
+    OCCURRENCE counting (the r6-ADVICE semantics — a page repeating a
+    blocked word must eventually trip ``min_hits``), thresholds tuned
+    to split this corpus 273/227 at sf0.01."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -960,11 +971,22 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__uk", F.lit(True))
     )
+    kept_c4 = (
+        T.blocklist_filter(
+            docs.select("doc_id", "text"), ["batch", "spark"], min_hits=4
+        )
+        .select("doc_id")
+        .withColumn("__c4", F.lit(True))
+    )
     return (
         U.url_parts(base)
         .join(kept, "doc_id", "left")
+        .join(kept_c4, "doc_id", "left")
         .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
-        .select("doc_id", "lang_pred", "host", "domain", "url_kept")
+        .withColumn("c4_kept", F.coalesce(F.col("__c4"), F.lit(False)))
+        .select(
+            "doc_id", "lang_pred", "host", "domain", "url_kept", "c4_kept"
+        )
     )
 
 
