@@ -244,3 +244,78 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed catalog table (bucket metadata intact, so joins and
     aggregations on the bucket keys skip their exchange)."""
     return spark.table(table)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-PINNED JSONL corpus reader with a dead-letter contract —
+    the interchange format LLM corpora actually ship in (Dolma,
+    RedPajama, FineWeb releases are all JSONL shards).
+
+    - The schema is REQUIRED: inference is a whole extra pass at corpus
+      scale and drifts nondeterministically across shards (a field null
+      in one shard types differently in another).
+    - Malformed lines become ROWS with ``corrupt_col`` carrying the raw
+      line and every schema field null (PERMISSIVE +
+      columnNameOfCorruptRecord) — never a crash, never a silent drop;
+      ``where(col(corrupt_col).isNotNull())`` is the dead-letter audit.
+    - ``.gz`` shards decompress transparently but are NOT splittable —
+      parallelism is shard-count, like the WARC reader; release
+      many-shard corpora (the JSONL convention anyway).
+
+    Implementation note: parsed via ``text scan → from_json`` (same
+    Jackson parser, same PERMISSIVE semantics) instead of
+    ``spark.read.json``, because the native reader's internal corrupt
+    column refuses corrupt-only queries
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    dead-letter audit is precisely such a query.  This form keeps every
+    column, including the dead-letter one, freely queryable."""
+    if corrupt_col in schema.names:
+        raise ValueError(
+            f"corrupt_col {corrupt_col!r} collides with a schema field"
+        )
+    from pyspark.sql.types import StringType as _Str
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, _Str(), True)]
+    )
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__j"),
+        "value",
+    )
+    cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    # from_json yields a NULL struct for hopeless lines (vs the native
+    # reader's corrupt-field row) — coalesce both shapes onto the raw
+    # line so every malformed input surfaces one dead-letter row
+    return parsed.select(
+        *cols,
+        F.when(F.col("__j").isNull(), F.col("value"))
+        .otherwise(F.col(f"__j.{corrupt_col}"))
+        .alias(corrupt_col),
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    compress: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """JSONL shard writer: optional exact shard count (a release wants
+    a predictable layout), gzip per shard by default (the distribution
+    convention — parallelism across shards, not within)."""
+    out = df.repartition(n_shards) if n_shards else df
+    w = out.write.mode(mode)
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
