@@ -732,6 +732,40 @@ def corpus_card(
         )
         ssec = {"sem_dup_families": "dup", "sem_dup_frac": "dup"}
         card = card.unionByName(_rows(ssec, srow))
+    if "url" in docs.columns:
+        # provenance section for web corpora (r7): registered-domain
+        # concentration — distinct domains, top-domain share, and the
+        # top-10 domains by doc count (the over-representation signal
+        # ``urls.cap_per_domain`` exists to bound).  One groupBy(domain)
+        # + one sorted limit; the domain key never carries text.
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            urls as UR2,
+        )
+
+        dom = (
+            UR2.url_parts(docs.select(id_col, "url"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+        total = docs.count()
+        dsum = dom.agg(
+            F.count(F.lit(1)).cast("double").alias("distinct_domains"),
+            (F.max("value") / F.lit(float(total))).alias("top_domain_frac"),
+        )
+        card = card.unionByName(
+            _rows(
+                {"distinct_domains": "domains", "top_domain_frac": "domains"},
+                dsum,
+            )
+        ).unionByName(
+            dom.orderBy(F.col("value").desc(), F.col("domain").asc())
+            .limit(10)
+            .select(
+                F.lit("domains").alias("section"),
+                F.coalesce(F.col("domain"), F.lit("<no-host>")).alias("key"),
+                "value",
+            )
+        )
     return card
 
 

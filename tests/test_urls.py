@@ -150,3 +150,25 @@ def test_warc_bridge_composes_with_url_filter(spark, tmp_path):
     kept = U.url_filter(docs, blocked_domains=["spamfarm.biz"])
     urls = [r["url"] for r in kept.collect()]
     assert urls == ["https://good.example.org/a"]
+
+
+def test_corpus_card_domains_section(spark):
+    rows = [
+        (i, f"doc text {i} with enough words to score", f"https://{'big' if i < 7 else 'small'}.example.org/p{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    card = P.corpus_card(docs, lang_col=None)
+    dom = {
+        r["key"]: r["value"]
+        for r in card.where(F.col("section") == "domains").collect()
+    }
+    assert dom["distinct_domains"] == 1.0  # one registered domain
+    assert dom["top_domain_frac"] == 1.0
+    assert dom["example.org"] == 10.0
+    # without a url column the section is absent (non-web corpora keep
+    # their card shape unchanged)
+    card2 = P.corpus_card(docs.drop("url"), lang_col=None)
+    assert card2.where(F.col("section") == "domains").count() == 0
