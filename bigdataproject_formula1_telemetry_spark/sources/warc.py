@@ -51,6 +51,7 @@ __all__ = [
     "iter_warc_records",
     "parse_http_response",
     "read_warc",
+    "read_warc_stream",
     "warc_to_documents",
     "WARC_RECORD_SCHEMA",
 ]
@@ -208,18 +209,9 @@ def _decode_text(body: bytes, mime: str | None) -> str | None:
         return body.decode("utf-8", errors="replace")
 
 
-def read_warc(
-    spark: SparkSession, path: str, decode_text: bool = True
-) -> DataFrame:
-    """WARC records as a DataFrame — one row per record, response
-    records split into status/mime/body, textual bodies decoded
-    (charset from Content-Type, utf-8-replace fallback), malformed
-    stretches as dead-letter rows with ``error`` set.
-
-    One ``binaryFile`` scan → one ``mapInPandas`` — file-level
-    parallelism, no shuffle; use a path glob to prune segments the way
-    a parquet reader prunes partitions."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+def _parse_files(files: DataFrame, decode_text: bool) -> DataFrame:
+    """The shared (path, content) → record-rows stage behind both the
+    batch and streaming readers."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
@@ -289,6 +281,47 @@ def read_warc(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, WARC_RECORD_SCHEMA)
+
+
+def read_warc(
+    spark: SparkSession, path: str, decode_text: bool = True
+) -> DataFrame:
+    """WARC records as a DataFrame — one row per record, response
+    records split into status/mime/body, textual bodies decoded
+    (charset from Content-Type, utf-8-replace fallback), malformed
+    stretches as dead-letter rows with ``error`` set.
+
+    One ``binaryFile`` scan → one ``mapInPandas`` — file-level
+    parallelism, no shuffle; use a path glob to prune segments the way
+    a parquet reader prunes partitions."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _parse_files(files, decode_text)
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, decode_text: bool = True
+) -> DataFrame:
+    """STREAMING WARC ingestion: segments landing in ``path`` become
+    record rows incrementally — the live-crawl shape (a fetcher drops
+    finished ``.warc.gz`` segments; this side parses, bridges and
+    admits them without re-reading history).  Same parser, dead-letter
+    and resync semantics as ``read_warc``; each segment is processed
+    exactly once per the file-source's checkpoint contract.  Compose
+    ``warc_to_documents`` (pure column ops, streaming-safe) and a
+    ``foreachBatch`` admission step (``streaming/curation.py``) for
+    crawl → steady-state-corpus ingest."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return _parse_files(files, decode_text)
 
 
 def warc_to_documents(records: DataFrame) -> DataFrame:
