@@ -341,3 +341,79 @@ def test_read_warc_stream_matches_batch_and_arrives_incrementally(spark, tmp_pat
     # the same memory-sink rows
     docs = W.warc_to_documents(got).collect()
     assert len(docs) == 12
+
+
+def test_streaming_crawl_admission_against_exact_index(spark, tmp_path):
+    """The live-crawl → steady-state-corpus path end to end: WARC
+    segments land → stream-parse → documents bridge → foreachBatch
+    admission against the SAME materialized exact-dedup index a batch
+    backfill built.  Verbatim re-crawls of backfilled or
+    earlier-segment pages are rejected; fresh pages are admitted and
+    extend the index."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        exact_index as EI,
+    )
+    from bigdataproject_formula1_telemetry_spark.streaming import (
+        curation as SC,
+    )
+
+    backfill_text = "backfilled article body " * 20
+    seg_a_text = "segment a fresh article " * 20
+    seg_b_text = "segment b fresh article " * 20
+
+    idx = str(tmp_path / "eidx")
+    backfill = spark.createDataFrame(
+        [(1000, backfill_text)], "doc_id long, text string"
+    )
+    EI.build_exact_index(backfill, idx, expected_items=10_000)
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+
+    def page(s, i, body):
+        # text/plain so the bridge text IS the body byte-for-byte —
+        # content identity must survive into the index
+        return _record(
+            "response",
+            _http(body.encode(), ctype="text/plain; charset=utf-8"),
+            uri=f"https://ex.org/{s}/{i}",
+            rec_id=f"<urn:uuid:{s}{i:03d}>",
+            content_type="application/http;msgtype=response",
+        )
+
+    # A: one fresh page + a verbatim re-crawl of the backfilled page
+    (seg_dir / "crawl-000.warc").write_bytes(
+        page("a", 0, seg_a_text) + page("a", 1, backfill_text)
+    )
+    # B: one fresh page + a verbatim copy of A's fresh page
+    (seg_dir / "crawl-001.warc").write_bytes(
+        page("b", 0, seg_b_text) + page("b", 1, seg_a_text)
+    )
+
+    docs = W.warc_to_documents(W.read_warc_stream(spark, str(seg_dir)))
+
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        SC.admit_stream_exact_against_index(
+            docs.select("doc_id", "text"), idx, out, ckpt
+        )
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    admitted = [
+        r["text"] for r in spark.read.parquet(out).select("text").collect()
+    ]
+    assert sorted(admitted) == sorted(
+        [seg_a_text, seg_b_text]
+    ), "exactly the two fresh pages are admitted"
+    # and the index now rejects everything already seen
+    probe = spark.createDataFrame(
+        [(1, backfill_text), (2, seg_a_text), (3, "genuinely new text")],
+        "doc_id long, text string",
+    )
+    kept = EI.dedup_exact_against_index(spark, probe, idx).collect()
+    assert [r["doc_id"] for r in kept] == [3]
