@@ -732,6 +732,36 @@ def corpus_card(
         )
         ssec = {"sem_dup_families": "dup", "sem_dup_frac": "dup"}
         card = card.unionByName(_rows(ssec, srow))
+    # diversity / memorization-risk telemetry (r7): the corpus-distinct
+    # fraction of per-doc-distinct 13-grams (Lee et al. 2022's dedup
+    # analyses report long-n-gram duplication as the memorization
+    # driver) — one explode + approx_count_distinct over xxhash64
+    # shingles, never a text shuffle.  1.0 = no 13-gram appears in two
+    # docs; low values mean documents share long spans verbatim
+    # (within-doc repetition is the `dup`/repetition rows' job).
+    from bigdataproject_formula1_telemetry_spark.operators import text as TD
+
+    ng = docs.select(
+        F.explode(TD.shingles_ngrams(t, 13)).alias("__g")
+    ).select(F.xxhash64("__g").alias("__h"))
+    drow = ng.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.approx_count_distinct("__h", 0.02).cast("double").alias("__d"),
+    ).select(
+        F.col("__n").alias("ngrams_13"),
+        F.when(F.col("__n") > 0, F.col("__d") / F.col("__n"))
+        .otherwise(F.lit(None))
+        .alias("distinct_13gram_frac_approx"),
+    )
+    card = card.unionByName(
+        _rows(
+            {
+                "ngrams_13": "diversity",
+                "distinct_13gram_frac_approx": "diversity",
+            },
+            drow,
+        )
+    )
     if "url" in docs.columns:
         # provenance section for web corpora (r7): registered-domain
         # concentration — distinct domains, top-domain share, and the

@@ -172,3 +172,24 @@ def test_corpus_card_domains_section(spark):
     # their card shape unchanged)
     card2 = P.corpus_card(docs.drop("url"), lang_col=None)
     assert card2.where(F.col("section") == "domains").count() == 0
+
+
+def test_corpus_card_diversity_section(spark):
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    base = " ".join(f"w{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(30))
+    # two docs sharing one long span verbatim + one fully unique doc
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], "doc_id long, text string"
+    )
+    card = {
+        r["key"]: r["value"]
+        for r in P.corpus_card(docs, lang_col=None)
+        .where(F.col("section") == "diversity")
+        .collect()
+    }
+    # 18 per-doc 13-grams each: docs 1+2 duplicate all theirs, doc 3
+    # unique -> distinct fraction ~ 36/54 = 2/3 (approx sketch, 2% rel)
+    assert card["ngrams_13"] == 54.0
+    assert abs(card["distinct_13gram_frac_approx"] - 2 / 3) < 0.05

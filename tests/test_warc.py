@@ -417,3 +417,59 @@ def test_streaming_crawl_admission_against_exact_index(spark, tmp_path):
     )
     kept = EI.dedup_exact_against_index(spark, probe, idx).collect()
     assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_parser_never_crashes_on_arbitrary_bytes():
+    """Fuzz property: iter_warc_records must TERMINATE and never raise
+    on any byte garbage — corrupt crawl segments are a certainty at
+    100 TB, and the dead-letter contract says rows, not exceptions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=4096))
+    def run(data):
+        out = list(W.iter_warc_records(data))
+        for rec in out:
+            assert ("error" in rec) or ("headers" in rec)
+
+    run()
+
+
+def test_parser_fuzz_valid_records_with_injected_corruption():
+    """Stronger property: a valid record stream with random bytes
+    spliced in still yields every record strictly AFTER the corruption
+    point (resync finds the next intact record) and never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    recs = [
+        _record(
+            "response",
+            _http(f"body {i} text".encode(), ctype="text/plain"),
+            uri=f"https://ex.org/{i}",
+            rec_id=f"<urn:uuid:{i:04d}>",
+            content_type="application/http;msgtype=response",
+        )
+        for i in range(5)
+    ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=4),
+        st.binary(min_size=1, max_size=64),
+    )
+    def run(pos, junk):
+        data = b"".join(recs[:pos]) + junk + b"\r\n" + b"".join(recs[pos:])
+        out = list(W.iter_warc_records(data))
+        uris = [
+            r["headers"].get("warc-target-uri")
+            for r in out
+            if "headers" in r
+        ]
+        # every record after the splice point survives: resync can cost
+        # at most the record the junk bled into, never the tail
+        tail = [f"https://ex.org/{i}" for i in range(pos, 5)]
+        assert uris[-len(tail):] == tail if tail else True
+
+    run()
