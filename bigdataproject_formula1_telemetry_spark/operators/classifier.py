@@ -52,6 +52,8 @@ __all__ = [
     "train_text_classifier",
     "score_text_classifier",
     "with_quality_probability",
+    "train_text_multiclass",
+    "score_text_multiclass",
 ]
 
 _GRAD_SCHEMA = StructType(
@@ -192,3 +194,159 @@ def with_quality_probability(
     if min_prob is not None:
         scored = scored.where(F.col(out_col) >= F.lit(float(min_prob)))
     return scored
+
+
+# --------------------------------------------------------------- multiclass
+
+
+def _softmax(Z: np.ndarray) -> np.ndarray:
+    Z = Z - Z.max(axis=1, keepdims=True)
+    E = np.exp(Z)
+    return E / E.sum(axis=1, keepdims=True)
+
+
+def _gradient_multi(
+    labeled: DataFrame,
+    W: np.ndarray,
+    classes: list[str],
+    text_col: str,
+    label_col: str,
+    dim: int,
+    salt: str,
+) -> tuple[np.ndarray, float, int]:
+    """One exact full-batch softmax-CE pass.  ``W`` is (K, dim+1), bias
+    last per class.  Emitted index layout: k·(dim+1)+j for ∂W[k, j],
+    then K·(dim+1) = loss, +1 = row count — the same
+    partials → ``groupBy(i).sum`` → driver shape as the binary path,
+    just K× the (still tiny) reduced row count."""
+    K = len(classes)
+    Wv, b = W[:, :-1].copy(), W[:, -1].copy()
+    cls_idx = {c: k for k, c in enumerate(classes)}
+
+    def kernel(batches):
+        memo: dict = {}
+        for pdf in batches:
+            y = np.array(
+                [cls_idx[v] for v in pdf[label_col]], dtype=np.int64
+            )
+            X = _embed_matrix(pdf[text_col].fillna("").tolist(), dim, salt, memo)
+            P = _softmax(X @ Wv.T + b[None, :])
+            Y = np.zeros_like(P)
+            Y[np.arange(len(y)), y] = 1.0
+            R = P - Y  # (n, K)
+            G = R.T @ X  # (K, dim)
+            eps = 1e-12
+            loss = -float(np.log(P[np.arange(len(y)), y] + eps).sum())
+            flat = np.concatenate(
+                [np.concatenate([G, R.sum(axis=0)[:, None]], axis=1).ravel(),
+                 [loss, float(len(y))]]
+            )
+            idx = np.arange(K * (dim + 1) + 2, dtype=np.int32)
+            yield pd.DataFrame({"i": idx, "g": flat})
+
+    rows = (
+        labeled.select(text_col, label_col)
+        .mapInPandas(kernel, _GRAD_SCHEMA)
+        .groupBy("i")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    acc = np.zeros(K * (dim + 1) + 2, dtype=np.float64)
+    for r in rows:
+        acc[r["i"]] = r["g"]
+    G = acc[: K * (dim + 1)].reshape(K, dim + 1)
+    return G, float(acc[-2]), int(acc[-1])
+
+
+def train_text_multiclass(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    dim: int = 1024,
+    epochs: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    salt: str = "domain-clf",
+) -> tuple[list[str], np.ndarray]:
+    """Multiclass softmax regression over hashed bag-of-words — the
+    trained language-ID / domain-tagger stage (fastText's supervised
+    mode, Joulin et al. 2016, is exactly linear-softmax over hashed
+    features; `text.lang_id` is the zero-shot heuristic, this learns
+    from labels).  Returns ``(classes, W)`` with ``classes`` sorted
+    (the deterministic class-index contract) and ``W`` of shape
+    (K, dim+1), bias last.
+
+    Scale shape: identical to the binary trainer — each epoch is ONE
+    distributed pass emitting exact partial gradients, reduced by a
+    map-side-combinable ``groupBy(i).sum``; K·(dim+1)+2 floats reach
+    the driver per epoch, never a feature row.  Label discovery is one
+    #classes-row distinct aggregate."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    src = labeled.where(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(text_col).alias(text_col),
+        F.col(label_col).cast("string").alias(label_col),
+    )
+    classes = sorted(
+        r["c"] for r in src.select(F.col(label_col).alias("c")).distinct().collect()
+    )
+    if len(classes) < 2:
+        raise ValueError(f"need >= 2 classes, got {classes}")
+    K = len(classes)
+    W = np.zeros((K, dim + 1), dtype=np.float64)
+    for _ in range(epochs):
+        G, _loss, n = _gradient_multi(
+            src, W, classes, text_col, label_col, dim, salt
+        )
+        if n == 0:
+            raise ValueError("no labeled rows to train on")
+        step = G / n
+        step[:, :-1] += l2 * W[:, :-1]
+        W -= lr * step
+    return classes, W
+
+
+def score_text_multiclass(
+    df: DataFrame,
+    model: tuple[list[str], np.ndarray],
+    text_col: str = "text",
+    pred_col: str = "label_pred",
+    prob_col: str = "label_prob",
+    salt: str = "domain-clf",
+) -> DataFrame:
+    """All input columns + argmax class and its softmax probability —
+    one narrow Arrow pass, model in the closure, zero shuffle (the
+    corpus-tagging serving path).  Ties break to the lowest class
+    index = lexicographically smallest class (``classes`` is sorted by
+    the training contract).  NULL docs get the empty-text prediction
+    (the model's learned prior direction), never a crash."""
+    classes, W = model
+    W = np.asarray(W, dtype=np.float64)
+    dim = W.shape[1] - 1
+    Wv, b = W[:, :-1], W[:, -1]
+    cls_arr = np.asarray(classes, dtype=object)
+    fields = [
+        f for f in df.schema.fields if f.name not in (pred_col, prob_col)
+    ]
+    from pyspark.sql.types import StringType as _S
+
+    schema = StructType(
+        fields
+        + [StructField(pred_col, _S()), StructField(prob_col, DoubleType())]
+    )
+    names = [f.name for f in fields]
+
+    def kernel(batches):
+        memo: dict = {}
+        for pdf in batches:
+            X = _embed_matrix(pdf[text_col].fillna("").tolist(), dim, salt, memo)
+            P = _softmax(X @ Wv.T + b[None, :])
+            k = P.argmax(axis=1)
+            out = pdf[names].copy()
+            out[pred_col] = cls_arr[k]
+            out[prob_col] = P[np.arange(len(k)), k]
+            yield out
+
+    return df.select(names).mapInPandas(kernel, schema)

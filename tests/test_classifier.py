@@ -119,3 +119,115 @@ def test_curate_documents_quality_classifier_gate(spark):
     # even-index rows were good, odd spam (by _corpus construction)
     assert kept and all((d - 1000) % 2 == 0 for d in kept)
     assert len(kept) == 10
+
+
+# ------------------------------------------------------------ multiclass
+
+
+def _multi_corpus(spark, n_per=40):
+    vocab = {
+        "en": "the quick brown fox jumps over the lazy dog",
+        "de": "der schnelle braune fuchs springt über den faulen hund",
+        "fr": "le rapide renard brun saute par dessus le chien",
+    }
+    rows = []
+    i = 0
+    for lang, base in vocab.items():
+        words = base.split()
+        for k in range(n_per):
+            rows.append((i, " ".join(words[k % 3 :] + words[: k % 3]), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, label string")
+
+
+def test_multiclass_gradient_matches_numpy(spark):
+    docs = _multi_corpus(spark, n_per=10)
+    dim = 64
+    classes = ["de", "en", "fr"]
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((3, dim + 1))
+    G, loss, n = CL._gradient_multi(
+        docs, W, classes, "text", "label", dim, "domain-clf"
+    )
+    pdf = docs.orderBy("doc_id").toPandas()
+    X = _embed_matrix(pdf["text"].tolist(), dim, "domain-clf", {})
+    y = np.array([classes.index(v) for v in pdf["label"]])
+    Z = X @ W[:, :-1].T + W[:, -1][None, :]
+    Z -= Z.max(axis=1, keepdims=True)
+    P = np.exp(Z) / np.exp(Z).sum(axis=1, keepdims=True)
+    Y = np.zeros_like(P)
+    Y[np.arange(len(y)), y] = 1.0
+    R = P - Y
+    G_ref = np.concatenate([R.T @ X, R.sum(axis=0)[:, None]], axis=1)
+    loss_ref = -float(np.log(P[np.arange(len(y)), y] + 1e-12).sum())
+    assert n == len(y)
+    assert np.allclose(G, G_ref, atol=1e-9)
+    assert abs(loss - loss_ref) < 1e-6
+
+
+def test_multiclass_trains_separates_and_is_layout_invariant(spark):
+    docs = _multi_corpus(spark)
+    model = CL.train_text_multiclass(docs, dim=256, epochs=25)
+    classes, W = model
+    assert classes == ["de", "en", "fr"] and W.shape == (3, 257)
+    scored = CL.score_text_multiclass(docs, model)
+    rows = scored.collect()
+    acc = sum(1 for r in rows if r["label_pred"] == r["label"]) / len(rows)
+    assert acc == 1.0  # fully separable vocabularies
+    assert all(0 < r["label_prob"] <= 1.0 for r in rows)
+    # layout invariance of predictions
+    scored2 = CL.score_text_multiclass(docs.repartition(13), model)
+    a = {r["doc_id"]: r["label_pred"] for r in scored.collect()}
+    b = {r["doc_id"]: r["label_pred"] for r in scored2.collect()}
+    assert a == b
+
+
+def test_multiclass_recovers_weak_domain_signal_on_real_text(spark):
+    """Realistic setting: real corpus text (shared vocabulary) with a
+    FAINT domain marker appended — 3 marker tokens on ~40-token docs.
+    The classifier must recover the domain on a held-out split.  (The
+    testdata's ``lang`` column itself is an arbitrary label — the text
+    is the same word distribution for every language, verified
+    unlearnable — so domain recovery is planted, not pretended.)"""
+    from tests.conftest import SF_CORRECT
+    from bigdataproject_formula1_telemetry_spark import io as _io
+    from bigdataproject_formula1_telemetry_spark.operators import sampling
+
+    markers = {0: "forum thread reply", 1: "shop cart checkout", 2: "paper abstract citation"}
+    # 15 real tokens of shared-vocabulary noise + a 3-token marker: a
+    # learnable but non-trivial signal (numpy-probed: full-batch GD at
+    # lr 4 converges to 100% held-out by ~30 epochs; the full 40-token
+    # noise floor needs ~150 — too many driver rounds for a unit test)
+    docs = (
+        _io.read_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .withColumn("label", (F.col("doc_id") % 3).cast("string"))
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.array_join(
+                    F.slice(F.split(F.col("text"), r"\s+"), 1, 15), " "
+                ),
+                F.element_at(
+                    F.array(*[F.lit(markers[k]) for k in range(3)]),
+                    (F.col("doc_id") % 3).cast("int") + 1,
+                ),
+            ),
+        )
+    )
+    train = sampling.deterministic_sample(docs, ["doc_id"], 0.5, salt="mc")
+    test = docs.join(train.select("doc_id"), "doc_id", "left_anti")
+    model = CL.train_text_multiclass(train, dim=2048, epochs=30, lr=4.0)
+    rows = CL.score_text_multiclass(test, model).collect()
+    acc = sum(1 for r in rows if r["label_pred"] == r["label"]) / len(rows)
+    assert acc >= 0.95, acc
+
+
+def test_multiclass_bad_args(spark):
+    docs = _multi_corpus(spark, n_per=2)
+    with pytest.raises(ValueError):
+        CL.train_text_multiclass(docs, epochs=0)
+    one = docs.where(F.col("label") == "en")
+    with pytest.raises(ValueError):
+        CL.train_text_multiclass(one)
