@@ -436,3 +436,76 @@ def test_blocklist_filter_counts_occurrences_not_distinct(spark):
     )
     line = blocklist_filter(docs2, ["badword"], mode="line", min_hits=2).first()
     assert line["text"] == "badword just once"
+
+
+# --------------------------------------------------------- sentence chunks
+
+
+def test_sentence_chunks_never_split_mid_sentence(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as TX
+
+    text = (
+        "First sentence has five words. Second one is short! "
+        "Third sentence question mark? Fourth closes it all."
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = TX.sentence_chunks(docs, chunk_tokens=10).orderBy("chunk_idx").collect()
+    # every chunk ends at a sentence boundary
+    assert all(r["chunk_text"][-1] in ".!?" for r in out)
+    # reconstruction: chunks concatenated == original
+    assert " ".join(r["chunk_text"] for r in out) == text
+    # budget respected (no sentence here exceeds it)
+    assert all(r["n_tokens"] <= 10 for r in out)
+    # greedy: first two sentences (5 + 5 = 10 tokens) share a chunk
+    assert out[0]["chunk_text"] == "First sentence has five words. Second one is short!"
+
+
+def test_sentence_chunks_oversized_sentence_is_own_chunk(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as TX
+
+    long_s = " ".join(f"w{i}" for i in range(30)) + "."
+    text = f"Short one. {long_s} Tail sentence here."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = TX.sentence_chunks(docs, chunk_tokens=8).orderBy("chunk_idx").collect()
+    texts = [r["chunk_text"] for r in out]
+    assert long_s in texts  # never split, surfaced whole
+    over = [r for r in out if r["chunk_text"] == long_s]
+    assert over[0]["n_tokens"] == 30  # visible over-budget marker
+    assert " ".join(texts) == text
+
+
+def test_sentence_chunks_empty_null_and_no_punct(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "no terminal punctuation at all")],
+        "doc_id long, text string",
+    )
+    out = TX.sentence_chunks(docs, chunk_tokens=50).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    assert 1 not in by and 2 not in by  # empty/NULL -> zero chunks
+    assert by[3] == ["no terminal punctuation at all"]
+
+
+def test_sentence_chunks_compose_with_packing(spark):
+    from bigdataproject_formula1_telemetry_spark.operators import text as TX
+
+    rows = [
+        (i, " ".join(f"Sent number {i} word {j} end." for j in range(6)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = TX.sentence_chunks(docs, chunk_tokens=12).withColumn(
+        "shard", F.col("doc_id") % 4
+    )
+    packed = TX.pack_sequences(
+        chunks, token_budget=24, partition_by="shard"
+    )
+    assert packed.count() > 0
+    # budget invariant carries through
+    agg = packed.groupBy("seq_id", "shard").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    assert agg.where(F.col("t") > 24).count() == 0
