@@ -196,6 +196,7 @@ def curate_documents(
     url_blocklist: tuple | None = None,
     max_docs_per_domain: int | None = None,
     url_col: str = "url",
+    sentence_chunking: bool = False,
 ) -> DataFrame:
     """The LLM training-data curation tail, composed end to end:
 
@@ -514,10 +515,21 @@ def curate_documents(
             kept, strata_col, [id_col], temperature=tau,
             target_rows=target_rows, salt=f"{epoch_salt}-mix",
         )
-    chunks = T.chunk_documents(
-        kept, text_col=text_col, id_col=id_col,
-        chunk_tokens=chunk_tokens, overlap=overlap,
-    ).withColumn(
+    if sentence_chunking:
+        # sentence-aligned boundaries (r7): whole-sentence greedy
+        # packing — no mid-sentence cuts at chunk seams.  ``overlap``
+        # is a token-window concept and is ignored here (sentence
+        # chunks don't window).
+        chunks = T.sentence_chunks(
+            kept, text_col=text_col, id_col=id_col,
+            chunk_tokens=chunk_tokens,
+        )
+    else:
+        chunks = T.chunk_documents(
+            kept, text_col=text_col, id_col=id_col,
+            chunk_tokens=chunk_tokens, overlap=overlap,
+        )
+    chunks = chunks.withColumn(
         "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_pack_shards))
     )
     if bpe_merges is not None:

@@ -509,3 +509,21 @@ def test_sentence_chunks_compose_with_packing(spark):
         F.sum("n_tokens").alias("t")
     )
     assert agg.where(F.col("t") > 24).count() == 0
+
+
+def test_curate_documents_sentence_chunking(spark):
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    rows = [
+        (i, " ".join(f"Doc {i} sentence {j} content words end." for j in range(8)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = P.curate_documents(
+        docs, sentence_chunking=True, chunk_tokens=14, token_budget=28,
+        n_pack_shards=2,
+    )
+    out = packed.collect()
+    assert len(out) > 0
+    # every chunk in the release ends at a sentence boundary
+    assert all(r["chunk_text"].rstrip()[-1] in ".!?" for r in out)
