@@ -183,12 +183,26 @@ def unimax_budgets(
         raise ValueError(f"token_budget must be > 0, got {token_budget}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
-    counts = {
+    counts = _domain_token_counts(df, strata_col, n_tokens_col)
+    return _waterfill(counts, token_budget, max_epochs)
+
+
+def _domain_token_counts(
+    df: DataFrame, strata_col: str, n_tokens_col: str
+) -> dict[object, float]:
+    """ONE map-side-combinable sum aggregate; #domains rows collected
+    (bounded by contract: domains are languages/sources, never ids)."""
+    return {
         r["k"]: float(r["t"] or 0.0)
         for r in df.groupBy(F.col(strata_col).alias("k"))
         .agg(F.sum(n_tokens_col).alias("t"))
         .collect()
     }
+
+
+def _waterfill(
+    counts: dict[object, float], token_budget: float, max_epochs: float
+) -> dict[object, float]:
     order = sorted(counts.items(), key=lambda kv: (max_epochs * kv[1], str(kv[0])))
     out: dict[object, float] = {}
     remaining = float(token_budget)
@@ -227,42 +241,41 @@ def unimax_sample(
     over the per-domain epoch count (row multiplication on executors,
     no shuffle) and the same md5 gate as every sampler here, salted per
     domain so fractional subsets are independent across domains."""
-    budgets = unimax_budgets(
-        df, strata_col, token_budget, max_epochs, n_tokens_col
-    )
-    counts = {
-        r["k"]: float(r["t"] or 0.0)
-        for r in df.groupBy(F.col(strata_col).alias("k"))
-        .agg(F.sum(n_tokens_col).alias("t"))
-        .collect()
-    }
+    # ONE sizing aggregate feeds both the waterfill and the report
+    counts = _domain_token_counts(df, strata_col, n_tokens_col)
+    budgets = _waterfill(counts, token_budget, max_epochs)
     report_rows = []
-    full_map: dict[object, int] = {}
-    frac_map: dict[object, float] = {}
     for k, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
         n = counts.get(k, 0.0)
         rate = 0.0 if n <= 0 else b / n
         full = int(rate)
         frac = rate - full
-        full_map[k] = full
-        frac_map[k] = frac
-        report_rows.append((str(k), n, b, full, frac))
-    report = df.sparkSession.createDataFrame(
+        report_rows.append(
+            (str(k), n, b, full, frac, sampling._threshold_hex(frac))
+        )
+    spark = df.sparkSession
+    report_full = spark.createDataFrame(
         report_rows,
         "domain string, n_tokens double, allocated_tokens double, "
-        "epochs int, fraction_last_epoch double",
+        "epochs int, fraction_last_epoch double, __hex string",
     )
-    dom = F.col(strata_col).cast("string")
-    full_expr = F.lit(0)
-    frac_expr = F.lit(0.0)
-    for k in full_map:
-        full_expr = F.when(dom == F.lit(str(k)), F.lit(full_map[k])).otherwise(
-            full_expr
-        )
-        frac_expr = F.when(dom == F.lit(str(k)), F.lit(frac_map[k])).otherwise(
-            frac_expr
-        )
-    tagged = df.withColumn("__full", full_expr).withColumn("__frac", frac_expr)
+    report = report_full.drop("__hex")
+    # per-domain plan constants ride as a BROADCAST relation, not a
+    # chained CASE WHEN — a 10k-domain mixture would otherwise build a
+    # 10k-deep expression tree (plan-size blowup); the join key is the
+    # domain, the broadcast is #domains rows by contract
+    tagged = df.withColumn("__dom", F.col(strata_col).cast("string")).join(
+        F.broadcast(
+            report_full.select(
+                F.col("domain").alias("__dom"),
+                F.col("epochs").alias("__full"),
+                F.col("fraction_last_epoch").alias("__frac"),
+                "__hex",
+            )
+        ),
+        "__dom",
+        "inner",
+    )
     # epoch ids 0..__full-1 are whole passes; epoch __full is the
     # fractional one, present only where the per-domain gate admits the
     # row.  sequence(0, __full) is empty-safe: __full = 0 and __frac = 0
@@ -271,13 +284,8 @@ def unimax_sample(
     exploded = tagged.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.col("__full")))
     )
-    frac_hex = F.lit(None).cast("string")
-    for k, fr in frac_map.items():
-        frac_hex = F.when(
-            dom == F.lit(str(k)), F.lit(sampling._threshold_hex(fr))
-        ).otherwise(frac_hex)
     kept = exploded.where(
         (F.col("epoch") < F.col("__full"))
-        | ((F.col("__frac") > 0) & (gate < frac_hex))
-    ).drop("__full", "__frac")
+        | ((F.col("__frac") > 0) & (gate < F.col("__hex")))
+    ).drop("__dom", "__full", "__frac", "__hex")
     return kept, report
