@@ -1042,3 +1042,174 @@ def corpus_release(
         "manifest": manifest,
         "card": spark.read.parquet(_os.path.join(path, "card")),
     }
+
+
+def read_release(spark, path: str) -> DataFrame:
+    """Every released chunk row: the base shards plus each increment's
+    (``corpus_release_append``) shards — schema-identical unions, each
+    side a partition-pruned parquet scan.  The one reader consumers
+    need after the release starts taking increments."""
+    import os as _os
+
+    out = spark.read.parquet(_os.path.join(path, "data"))
+    inc_root = _os.path.join(path, "increments")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(inc_root)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            d = _os.path.join(inc_root, st.getPath().getName(), "data")
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+                out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def corpus_release_append(
+    new_docs: DataFrame,
+    path: str,
+    increment_id: str,
+    minhash_index_path: str | None = None,
+    exact_index_path: str | None = None,
+    minhash_kwargs: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_kwargs,
+) -> dict:
+    """The release TRAIN: extend an existing ``corpus_release`` with an
+    increment WITHOUT re-curating history — the steady-state shape at
+    100 TB, where a full re-release per crawl is the thing you can't
+    afford.  Composition of the standing parts:
+
+    1. gate the increment against the materialized admission indexes
+       (exact md5 + MinHash — ``exclude_inc=increment_id`` so a retried
+       half-completed run never matches itself),
+    2. curate the survivors with the SAME ``curate_documents`` gates as
+       the base release,
+    3. write their shards under ``path/increments/<id>/`` (a
+       self-contained mini-release: data + manifest), cleared first so
+       a retry replaces rather than duplicates,
+    4. admit the surviving DOCS to the indexes (clear-then-write
+       ``inc=`` discipline — an empty retry rolls back),
+    5. refresh ``path/manifest_full`` (base + every increment, with an
+       ``inc`` column) and ``path/card`` over ALL released rows — the
+       datasheet always describes what a consumer will actually read
+       via ``read_release``.
+
+    An all-duplicates increment (a re-crawl) is NORMAL: nothing is
+    written, the indexes roll back any prior partial state for this
+    id, and the manifest is left as-is.  Returns ``{"manifest":
+    manifest_full, "card": card, "admitted_docs": n}``."""
+    import os as _os
+
+    spark = new_docs.sparkSession
+    # the base release must exist (its manifest is the contract)
+    base_manifest = spark.read.parquet(_os.path.join(path, "manifest"))
+
+    gated = new_docs
+    if exact_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.exact_index import (
+            dedup_exact_against_index,
+        )
+
+        gated = dedup_exact_against_index(
+            spark, gated, exact_index_path, text_col, id_col,
+            exclude_inc=increment_id,
+        )
+    if minhash_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+            dedup_against_index,
+        )
+
+        gated = dedup_against_index(
+            spark, gated, minhash_index_path,
+            text_col=text_col, id_col=id_col,
+            exclude_inc=increment_id,
+            **(minhash_kwargs or {}),
+        )
+
+    packed = curate_documents(
+        gated, text_col=text_col, id_col=id_col, **curate_kwargs
+    ).localCheckpoint(eager=True)  # increment-sized by contract
+
+    inc_dir = _os.path.join(path, "increments", increment_id)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(inc_dir).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    # retry replaces: clear this increment's directory before writing
+    fs.delete(jvm.org.apache.hadoop.fs.Path(inc_dir), True)
+
+    survivors = (
+        new_docs.join(packed.select(id_col).distinct(), id_col, "semi")
+        .localCheckpoint(eager=True)
+    )
+    n_admitted = survivors.count()
+
+    if n_admitted > 0:
+        write_training_shards(packed, inc_dir)
+    # admission AFTER the data write (a crash in between leaves data
+    # without admission; the retry re-gates — exclude_inc guarantees the
+    # half-admitted state never matches — and rewrites both).  With an
+    # EMPTY survivor set the appends still run: clear-then-write is the
+    # rollback of any previous partial admission under this id.
+    if exact_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.exact_index import (
+            append_exact_index,
+        )
+
+        append_exact_index(
+            survivors, exact_index_path, increment_id=increment_id,
+            text_col=text_col, id_col=id_col,
+        )
+    if minhash_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+            append_minhash_index,
+        )
+
+        append_minhash_index(
+            survivors, minhash_index_path, text_col, id_col,
+            increment_id=increment_id, **(minhash_kwargs or {}),
+        )
+
+    # manifest_full: base + every increment, inc-tagged, staged swap
+    mf = base_manifest.withColumn("inc", F.lit("base"))
+    inc_root = _os.path.join(path, "increments")
+    p_root = jvm.org.apache.hadoop.fs.Path(inc_root)
+    if fs.exists(p_root):
+        for st in fs.listStatus(p_root):
+            mdir = _os.path.join(
+                inc_root, st.getPath().getName(), "manifest"
+            )
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(mdir)):
+                mf = mf.unionByName(
+                    spark.read.parquet(mdir).withColumn(
+                        "inc", F.lit(st.getPath().getName())
+                    )
+                )
+    staged = _os.path.join(path, "manifest_full.staged")
+    final = _os.path.join(path, "manifest_full")
+    mf.write.mode("overwrite").parquet(staged)
+    old = _os.path.join(path, "manifest_full.old")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(final)):
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(final),
+            jvm.org.apache.hadoop.fs.Path(old),
+        )
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staged),
+        jvm.org.apache.hadoop.fs.Path(final),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
+    # card over EVERYTHING a consumer reads
+    released = read_release(spark, path)
+    card = corpus_card(
+        released, text_col="chunk_text", lang_col=None, id_col=id_col
+    )
+    card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
+    return {
+        "manifest": spark.read.parquet(final),
+        "card": spark.read.parquet(_os.path.join(path, "card")),
+        "admitted_docs": n_admitted,
+    }

@@ -1,0 +1,133 @@
+"""Incremental corpus releases (pipelines.corpus_release_append /
+read_release): index-gated admission, idempotent retries, all-duplicate
+increments, manifest_full and card coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import (
+    exact_index as EI,
+    minhash_index as MI,
+)
+from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+
+def _doc(i: int, words: str) -> tuple[int, str]:
+    return (i, " ".join([words] * 30))
+
+
+@pytest.fixture(scope="module")
+def release(spark, tmp_path_factory):
+    """A base release + its admission indexes over the released docs."""
+    tmp = tmp_path_factory.mktemp("rel")
+    base_docs = spark.createDataFrame(
+        [
+            _doc(1, "alpha base article text"),
+            _doc(2, "beta base article text"),
+            _doc(3, "gamma base article text"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp / "release")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    eidx = str(tmp / "eidx")
+    midx = str(tmp / "midx")
+    EI.build_exact_index(base_docs, eidx, expected_items=10_000)
+    MI.build_minhash_index(base_docs, midx)
+    return {"root": root, "eidx": eidx, "midx": midx, "spark": spark}
+
+
+def _append(spark, release, docs, inc):
+    return P.corpus_release_append(
+        docs,
+        release["root"],
+        inc,
+        minhash_index_path=release["midx"],
+        exact_index_path=release["eidx"],
+        chunk_tokens=16,
+        overlap=0,
+        token_budget=64,
+        n_pack_shards=2,
+    )
+
+
+def test_append_admits_fresh_and_rejects_known(spark, release):
+    inc_docs = spark.createDataFrame(
+        [
+            _doc(10, "delta fresh increment text"),
+            # verbatim copy of base doc 1 -> exact index rejects
+            _doc(11, "alpha base article text"),
+            # near-dup of base doc 2 (one extra token) -> minhash rejects
+            (12, " ".join(["beta base article text"] * 30) + " extra"),
+        ],
+        "doc_id long, text string",
+    )
+    before = P.read_release(spark, release["root"]).count()
+    out = _append(spark, release, inc_docs, "inc1")
+    assert out["admitted_docs"] == 1
+    after = P.read_release(spark, release["root"])
+    assert after.count() > before
+    texts = " ".join(r["chunk_text"] for r in after.collect())
+    assert "delta fresh" in texts
+    assert texts.count("alpha base") == texts.count("gamma base")  # no dup
+    # manifest_full covers base + inc1 and matches the data exactly
+    mf = out["manifest"]
+    assert set(r["inc"] for r in mf.collect()) == {"base", "inc1"}
+    assert sum(int(r["n_chunks"]) for r in mf.collect()) == after.count()
+    # the card describes EVERYTHING read_release returns
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    assert card[("size", "docs")] == float(after.count())
+
+
+def test_append_retry_is_idempotent(spark, release):
+    inc_docs = spark.createDataFrame(
+        [_doc(20, "epsilon fresh retry text")], "doc_id long, text string"
+    )
+    a = _append(spark, release, inc_docs, "inc2")
+    rows_a = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in P.read_release(spark, release["root"]).collect()
+    )
+    b = _append(spark, release, inc_docs, "inc2")
+    rows_b = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in P.read_release(spark, release["root"]).collect()
+    )
+    assert a["admitted_docs"] == b["admitted_docs"] == 1
+    assert rows_a == rows_b  # replaced, never duplicated
+    assert any(r["inc"] == "inc2" for r in b["manifest"].collect())
+
+
+def test_all_duplicate_increment_writes_nothing(spark, release):
+    dup_docs = spark.createDataFrame(
+        [_doc(30, "gamma base article text")], "doc_id long, text string"
+    )
+    before = sorted(
+        (r["doc_id"], r["chunk_idx"])
+        for r in P.read_release(spark, release["root"]).collect()
+    )
+    out = _append(spark, release, dup_docs, "inc3")
+    assert out["admitted_docs"] == 0
+    after = sorted(
+        (r["doc_id"], r["chunk_idx"])
+        for r in P.read_release(spark, release["root"]).collect()
+    )
+    assert before == after
+    assert not any(r["inc"] == "inc3" for r in out["manifest"].collect())
+    # and the index holds nothing under inc3 (rollback semantics)
+    sigs = spark.read.parquet(release["midx"] + "/sigs")
+    assert sigs.where(F.col("inc") == "inc3").count() == 0
+
+
+def test_append_requires_base_release(spark, tmp_path):
+    docs = spark.createDataFrame([_doc(1, "x")], "doc_id long, text string")
+    with pytest.raises(Exception):
+        P.corpus_release_append(docs, str(tmp_path / "nope"), "inc0")
