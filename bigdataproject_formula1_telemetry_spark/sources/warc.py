@@ -304,7 +304,10 @@ _BINARY_FILE_SCHEMA = (
 
 
 def read_warc_stream(
-    spark: SparkSession, path: str, decode_text: bool = True
+    spark: SparkSession,
+    path: str,
+    decode_text: bool = True,
+    **options: str,
 ) -> DataFrame:
     """STREAMING WARC ingestion: segments landing in ``path`` become
     record rows incrementally — the live-crawl shape (a fetcher drops
@@ -315,12 +318,12 @@ def read_warc_stream(
     ``warc_to_documents`` (pure column ops, streaming-safe) and a
     ``foreachBatch`` admission step (``streaming/curation.py``) for
     crawl → steady-state-corpus ingest."""
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARY_FILE_SCHEMA)
-        .load(path)
-        .select("path", "content")
-    )
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    for k, v in options.items():
+        # file-SOURCE options (maxFilesPerTrigger etc.) belong here, not
+        # on the sink — a writeStream.option of the same name is ignored
+        reader = reader.option(k, v)
+    files = reader.load(path).select("path", "content")
     return _parse_files(files, decode_text)
 
 

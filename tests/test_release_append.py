@@ -131,3 +131,88 @@ def test_append_requires_base_release(spark, tmp_path):
     docs = spark.createDataFrame([_doc(1, "x")], "doc_id long, text string")
     with pytest.raises(Exception):
         P.corpus_release_append(docs, str(tmp_path / "nope"), "inc0")
+
+
+def test_streaming_crawl_drives_the_release_train(spark, tmp_path):
+    """The whole engine in one flow: WARC segments land → stream-parse
+    → documents bridge → foreachBatch corpus_release_append — each
+    micro-batch becomes a gated, admitted, manifested increment of the
+    SAME release the batch path built.  A page re-crawled in a later
+    segment is rejected by the index the earlier segment extended."""
+    from tests.test_warc import _record, _http
+    from bigdataproject_formula1_telemetry_spark.sources import warc as W
+
+    base_docs = spark.createDataFrame(
+        [_doc(1, "seed corpus article text")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "release")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    eidx = str(tmp_path / "eidx")
+    EI.build_exact_index(base_docs, eidx, expected_items=10_000)
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    fresh0 = " ".join(["segment zero article text"] * 30)
+    fresh1 = " ".join(["segment one article text"] * 30)
+    seed = " ".join(["seed corpus article text"] * 30)
+
+    def page(s, i, body):
+        return _record(
+            "response",
+            _http(body.encode(), ctype="text/plain; charset=utf-8"),
+            uri=f"https://ex.org/{s}/{i}",
+            rec_id=f"<urn:uuid:{s}{i:03d}>",
+            content_type="application/http;msgtype=response",
+        )
+
+    # segment 0: fresh page + re-crawl of the seed doc (reject)
+    (seg_dir / "crawl-000.warc").write_bytes(
+        page("a", 0, fresh0) + page("a", 1, seed)
+    )
+    # segment 1: fresh page + re-crawl of segment 0's page (reject —
+    # proves the stream extends the index batchwise)
+    (seg_dir / "crawl-001.warc").write_bytes(
+        page("b", 0, fresh1) + page("b", 1, fresh0)
+    )
+
+    docs = W.warc_to_documents(
+        W.read_warc_stream(spark, str(seg_dir), maxFilesPerTrigger="1")
+    )
+
+    def admit(batch_df, batch_id):
+        P.corpus_release_append(
+            batch_df.select("doc_id", "text"),
+            root,
+            f"b{batch_id}",
+            exact_index_path=eidx,
+            chunk_tokens=16,
+            overlap=0,
+            token_budget=64,
+            n_pack_shards=2,
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    released = P.read_release(spark, root)
+    texts = " ".join(r["chunk_text"] for r in released.collect())
+    assert "segment zero article" in texts and "segment one article" in texts
+    # each body appears exactly as often as every other admitted body
+    assert texts.count("segment zero article") == texts.count(
+        "segment one article"
+    )
+    assert texts.count("seed corpus article") == texts.count(
+        "segment one article"
+    )
+    mf = spark.read.parquet(root + "/manifest_full")
+    incs = set(r["inc"] for r in mf.collect())
+    assert "base" in incs and len(incs) == 3  # base + two micro-batches
+    assert sum(int(r["n_chunks"]) for r in mf.collect()) == released.count()
