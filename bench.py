@@ -145,6 +145,65 @@ def main() -> None:
         timings["corpus_release"] = round(best, 3)
         _dedup.release_barriers()
 
+        # the steady-state RELEASE TRAIN step (r7): one increment —
+        # half verbatim re-crawls (the exact index must reject), half
+        # fresh-prefixed — gated, curated, shard-appended, admitted,
+        # manifest_full + card refreshed.  Uses the release written
+        # above as base; timed per-append with a fresh inc id each run
+        # (retries of ONE id measure the clear-then-write path instead).
+        from pyspark.sql import functions as _Fq
+
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            exact_index as _eidx0,
+        )
+        from bigdataproject_formula1_telemetry_spark.plans.pipelines import (
+            corpus_release_append as _append,
+        )
+
+        docs_r = io.read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        epath0 = os.path.join(rtmp, "eidx")
+        _eidx0.build_exact_index(docs_r, epath0, expected_items=1_000_000)
+        head_r = docs_r.orderBy("doc_id").limit(250)
+
+        def inc_for(i: int):
+            # fresh content must be UNIQUE per run: run i-1's admitted
+            # docs live in the index, so re-sending the same "fresh"
+            # text would time the all-duplicate path instead
+            return (
+                head_r.select(
+                    (_Fq.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+                )
+                .unionByName(
+                    head_r.select(
+                        (_Fq.col("doc_id") + 60_000_000 + i * 1_000).alias(
+                            "doc_id"
+                        ),
+                        _Fq.concat_ws(
+                            " ", _Fq.lit(f"fresh release increment {i}"),
+                            _Fq.col("doc_id").cast("string"), _Fq.col("text"),
+                        ).alias("text"),
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        incs = [inc_for(i) for i in range(N_RUNS)]
+        best = float("inf")
+        for i in range(N_RUNS):
+            _dedup.release_barriers()
+            t0 = time.perf_counter()
+            _append(
+                incs[i],
+                os.path.join(rtmp, "release"),
+                f"bench{i}",
+                exact_index_path=epath0,
+            )
+            best = min(best, time.perf_counter() - t0)
+        timings["corpus_release_append"] = round(best, 3)
+        _dedup.release_barriers()
+
     # int8 serving delta: the same brute-force Arrow kNN (20 queries,
     # k=10) over the float embeddings vs over at-rest int8 codes —
     # each side reads its own stored parquet form, which is the point

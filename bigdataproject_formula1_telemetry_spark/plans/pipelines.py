@@ -1073,6 +1073,7 @@ def corpus_release_append(
     minhash_kwargs: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    refresh_card: bool = True,
     **curate_kwargs,
 ) -> dict:
     """The release TRAIN: extend an existing ``corpus_release`` with an
@@ -1202,12 +1203,17 @@ def corpus_release_append(
     )
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
 
-    # card over EVERYTHING a consumer reads
-    released = read_release(spark, path)
-    card = corpus_card(
-        released, text_col="chunk_text", lang_col=None, id_col=id_col
-    )
-    card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
+    # card over EVERYTHING a consumer reads — the expensive half of an
+    # append (LM train+score + the diversity explode over ALL released
+    # rows).  ``refresh_card=False`` defers it for high-frequency
+    # trains (refresh on a schedule instead); the manifest is always
+    # refreshed — it is the consumer contract, and it is cheap.
+    if refresh_card:
+        released = read_release(spark, path)
+        card = corpus_card(
+            released, text_col="chunk_text", lang_col=None, id_col=id_col
+        )
+        card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
     return {
         "manifest": spark.read.parquet(final),
         "card": spark.read.parquet(_os.path.join(path, "card")),
