@@ -789,10 +789,11 @@ def corpus_card(
             .groupBy("domain")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
-        total = docs.count()
+        # total docs = Σ domain counts (NULL-host rows group under the
+        # NULL domain) — no second corpus scan for the denominator
         dsum = dom.agg(
             F.count(F.lit(1)).cast("double").alias("distinct_domains"),
-            (F.max("value") / F.lit(float(total))).alias("top_domain_frac"),
+            (F.max("value") / F.sum("value")).alias("top_domain_frac"),
         )
         card = card.unionByName(
             _rows(
