@@ -1174,35 +1174,8 @@ def corpus_release_append(
         )
 
     # manifest_full: base + every increment, inc-tagged, staged swap
-    mf = base_manifest.withColumn("inc", F.lit("base"))
-    inc_root = _os.path.join(path, "increments")
-    p_root = jvm.org.apache.hadoop.fs.Path(inc_root)
-    if fs.exists(p_root):
-        for st in fs.listStatus(p_root):
-            mdir = _os.path.join(
-                inc_root, st.getPath().getName(), "manifest"
-            )
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(mdir)):
-                mf = mf.unionByName(
-                    spark.read.parquet(mdir).withColumn(
-                        "inc", F.lit(st.getPath().getName())
-                    )
-                )
-    staged = _os.path.join(path, "manifest_full.staged")
+    _refresh_manifest_full(spark, path)
     final = _os.path.join(path, "manifest_full")
-    mf.write.mode("overwrite").parquet(staged)
-    old = _os.path.join(path, "manifest_full.old")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(final)):
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(final),
-            jvm.org.apache.hadoop.fs.Path(old),
-        )
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(staged),
-        jvm.org.apache.hadoop.fs.Path(final),
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
 
     # card over EVERYTHING a consumer reads — the expensive half of an
     # append (LM train+score + the diversity explode over ALL released
@@ -1220,3 +1193,137 @@ def corpus_release_append(
         "card": spark.read.parquet(_os.path.join(path, "card")),
         "admitted_docs": n_admitted,
     }
+
+
+def list_release_increments(spark, path: str) -> list[str]:
+    """Increment ids present under ``path/increments`` (directory
+    listing — metadata only)."""
+    import os as _os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_os.path.join(path, "increments"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def _refresh_manifest_full(spark, path: str) -> None:
+    """Rebuild ``manifest_full`` from the base manifest + every present
+    increment's manifest, via the staged-rename swap (a readable
+    manifest exists at every instant)."""
+    import os as _os
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    mf = spark.read.parquet(_os.path.join(path, "manifest")).withColumn(
+        "inc", F.lit("base")
+    )
+    for inc in list_release_increments(spark, path):
+        mdir = _os.path.join(path, "increments", inc, "manifest")
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(mdir)):
+            mf = mf.unionByName(
+                spark.read.parquet(mdir).withColumn("inc", F.lit(inc))
+            )
+    staged = _os.path.join(path, "manifest_full.staged")
+    final = _os.path.join(path, "manifest_full")
+    old = _os.path.join(path, "manifest_full.old")
+    mf.write.mode("overwrite").parquet(staged)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(final)):
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(final),
+            jvm.org.apache.hadoop.fs.Path(old),
+        )
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staged),
+        jvm.org.apache.hadoop.fs.Path(final),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
+
+def expire_release_increment(spark, path: str, increment_id: str) -> None:
+    """Retention: drop one increment from the release (its directory)
+    and refresh ``manifest_full`` — the data-side twin of
+    ``minhash_index.expire_increments``.  NOTE: expiring the DATA does
+    not expire the ADMISSION (the indexes still reject re-sends of the
+    expired docs); expire the matching index increments too if the
+    policy is "admissible again"."""
+    import os as _os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(path, "increments", increment_id)
+    )
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+    _refresh_manifest_full(spark, path)
+
+
+def compact_release(spark, path: str) -> int:
+    """LSM-style release maintenance: fold every increment's shards into
+    the base data (one partitioned rewrite of the UNION through a
+    staged-rename swap — a readable base exists at every instant),
+    delete the increment directories, and refresh both manifests.
+    Returns the number of increments folded.  Why: ``read_release``
+    unions one parquet scan per increment — fine for tens, plan-bloat
+    for thousands; compaction restores the single-scan base the way
+    ``minhash_index.compact_index`` folds ``inc=`` partitions.  Chunk
+    rows are self-contained, so the fold is a pure move — bit-identical
+    ``read_release`` output (pinned in tests)."""
+    import os as _os
+
+    incs = list_release_increments(spark, path)
+    if not incs:
+        return 0
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    all_rows = read_release(spark, path)
+    data = _os.path.join(path, "data")
+    staged = data + ".staged"
+    old = data + ".old"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+    all_rows.write.mode("overwrite").partitionBy("pack_shard").parquet(staged)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(data), jvm.org.apache.hadoop.fs.Path(old)
+    )
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staged),
+        jvm.org.apache.hadoop.fs.Path(data),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    # the folded base's manifest = aggregate over the new data
+    spark_df = spark.read.parquet(data)
+    manifest = (
+        spark_df.groupBy("pack_shard")
+        .agg(
+            F.countDistinct("seq_id").alias("n_sequences"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("pack_shard")
+    )
+    mstaged = _os.path.join(path, "manifest.staged")
+    mfinal = _os.path.join(path, "manifest")
+    mold = _os.path.join(path, "manifest.old")
+    manifest.write.mode("overwrite").parquet(mstaged)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(mold), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(mfinal),
+        jvm.org.apache.hadoop.fs.Path(mold),
+    )
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(mstaged),
+        jvm.org.apache.hadoop.fs.Path(mfinal),
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(mold), True)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_os.path.join(path, "increments")), True
+    )
+    _refresh_manifest_full(spark, path)
+    return len(incs)

@@ -216,3 +216,65 @@ def test_streaming_crawl_drives_the_release_train(spark, tmp_path):
     incs = set(r["inc"] for r in mf.collect())
     assert "base" in incs and len(incs) == 3  # base + two micro-batches
     assert sum(int(r["n_chunks"]) for r in mf.collect()) == released.count()
+
+
+def test_compact_release_folds_increments_bit_identically(spark, tmp_path):
+    base_docs = spark.createDataFrame(
+        [_doc(1, "compacting base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    for i, w in enumerate(["first extra article words", "second extra article words"]):
+        P.corpus_release_append(
+            spark.createDataFrame([_doc(10 + i, w)], "doc_id long, text string"),
+            root, f"inc{i}", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+    before = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["seq_id"], r["pack_shard"])
+        for r in P.read_release(spark, root).collect()
+    )
+    folded = P.compact_release(spark, root)
+    assert folded == 2
+    after = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["seq_id"], r["pack_shard"])
+        for r in P.read_release(spark, root).collect()
+    )
+    assert before == after  # the fold is a pure move
+    assert P.list_release_increments(spark, root) == []
+    # manifest_full collapses to base rows that exactly cover the data
+    mf = spark.read.parquet(root + "/manifest_full")
+    assert set(r["inc"] for r in mf.collect()) == {"base"}
+    assert sum(int(r["n_chunks"]) for r in mf.collect()) == len(after)
+    # idempotent no-op when nothing to fold
+    assert P.compact_release(spark, root) == 0
+
+
+def test_expire_release_increment(spark, tmp_path):
+    base_docs = spark.createDataFrame(
+        [_doc(1, "expiring base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(10, "short lived article words")], "doc_id long, text string"
+        ),
+        root, "ttl0", chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2, refresh_card=False,
+    )
+    assert "ttl0" in P.list_release_increments(spark, root)
+    P.expire_release_increment(spark, root, "ttl0")
+    assert P.list_release_increments(spark, root) == []
+    texts = " ".join(
+        r["chunk_text"] for r in P.read_release(spark, root).collect()
+    )
+    assert "short lived" not in texts and "expiring base" in texts
+    mf = spark.read.parquet(root + "/manifest_full")
+    assert set(r["inc"] for r in mf.collect()) == {"base"}
