@@ -91,6 +91,23 @@ def np_bucket(ng: str, dim: int, salt: str) -> int:
     return int(hashlib.md5(f"{salt}|{ng}".encode()).hexdigest()[:8], 16) % dim
 
 
+def _gumbel_u(hash_col):
+    """Uniform in (0, 1) exclusive from a 64-bit hash column, for the
+    Gumbel-top-k key ``log_w − log(−log(u))``.  The 64-bit long is
+    shifted into [0, 1) then clamped on BOTH sides:
+
+    - lower: the single hash value −2⁶³ would land exactly on 0 and
+      ``log(0)`` the inner log to −inf;
+    - upper: hashes within 1024 of +2⁶³ round to 2⁶³ when cast to
+      double, making ``u`` exactly 1.0, so ``−log(u)`` = 0 and the
+      OUTER ``log(0)`` NULLs the row's sort key — the row silently
+      sorts last regardless of weight.  ``1 − 2⁻⁵³`` is the largest
+      double below 1.0.
+    """
+    u = hash_col.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    return F.least(F.greatest(u, F.lit(2.0**-64)), F.lit(1.0 - 2.0**-53))
+
+
 def fit_hashed_ngram_model(
     docs: DataFrame,
     text_col: str = "text",
@@ -191,14 +208,8 @@ def dsir_select(
         raw, p, q, text_col=text_col, id_col=id_col, salt=salt,
         use_bigrams=use_bigrams,
     )
-    # Gumbel(0,1) from the id hash: the 64-bit hash shifted into [0, 1)
-    # then clamped away from 0 (the single hash value −2⁶³ would land
-    # exactly on 0 and log(0) it to −inf)
-    u = F.greatest(
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).cast("double")
-        / F.lit(float(2**64))
-        + F.lit(0.5),
-        F.lit(2.0**-64),
+    u = _gumbel_u(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     )
     keyed = w.withColumn("__key", F.col("log_w") - F.log(-F.log(u)))
     picked = keyed.orderBy(

@@ -119,9 +119,19 @@ def url_filter(
         # ONE row per registered domain, its blocklist entries as an
         # array (a domain's entries are few even in UT1-class lists) —
         # the left join then never multiplies corpus rows, so no
-        # post-join dedup pass is needed
+        # post-join dedup pass is needed.  Entries are normalized the
+        # same way ``_host`` normalizes corpus hosts (lowercase, strip a
+        # leading ``www.``): real UT1 lists carry thousands of
+        # ``www.example.com`` entries, and without the strip such an
+        # entry matches NOTHING (the corpus side never keeps ``www.``).
         bl = spark.createDataFrame(
-            [(d.lower().lstrip("."),) for d in set(blocked_domains)],
+            [
+                (e,)
+                for e in {
+                    re.sub(r"^www\.", "", d.lower().lstrip("."))
+                    for d in blocked_domains
+                }
+            ],
             "bad string",
         )
         blk = (

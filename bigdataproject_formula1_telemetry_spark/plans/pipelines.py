@@ -789,9 +789,12 @@ def corpus_card(
             .groupBy("domain")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
-        # total docs = Σ domain counts (NULL-host rows group under the
-        # NULL domain) — no second corpus scan for the denominator
-        dsum = dom.agg(
+        # scalars over REAL domains only — the NULL-host group is not a
+        # domain: counting it inflates ``distinct_domains`` by one, and
+        # on URL-less-heavy corpora it could even win ``max(value)``.
+        # It stays in the top-10 listing below as ``<no-host>``.  Still
+        # no second corpus scan: the filter runs on the tiny aggregate.
+        dsum = dom.where(F.col("domain").isNotNull()).agg(
             F.count(F.lit(1)).cast("double").alias("distinct_domains"),
             (F.max("value") / F.sum("value")).alias("top_domain_frac"),
         )
@@ -1049,17 +1052,27 @@ def read_release(spark, path: str) -> DataFrame:
     """Every released chunk row: the base shards plus each increment's
     (``corpus_release_append``) shards — schema-identical unions, each
     side a partition-pruned parquet scan.  The one reader consumers
-    need after the release starts taking increments."""
+    need after the release starts taking increments.
+
+    Increments named in the base's compaction marker (see
+    ``compact_release``) are SKIPPED: their rows already live in the
+    base, and the directory only still exists because a compaction
+    crashed between its data swap and its increment cleanup — reading
+    both sides would double-count every folded row."""
     import os as _os
 
     out = spark.read.parquet(_os.path.join(path, "data"))
+    folded = _read_folded_marker(spark, path)
     inc_root = _os.path.join(path, "increments")
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(inc_root)
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(p):
         for st in fs.listStatus(p):
-            d = _os.path.join(inc_root, st.getPath().getName(), "data")
+            inc = st.getPath().getName()
+            if inc in folded:
+                continue
+            d = _os.path.join(inc_root, inc, "data")
             if fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
                 out = out.unionByName(spark.read.parquet(d))
     return out
@@ -1106,6 +1119,14 @@ def corpus_release_append(
     spark = new_docs.sparkSession
     # the base release must exist (its manifest is the contract)
     base_manifest = spark.read.parquet(_os.path.join(path, "manifest"))
+    if increment_id in _read_folded_marker(spark, path):
+        # the compaction marker makes readers SKIP this name forever —
+        # reusing it would silently hide the new increment's rows
+        raise ValueError(
+            f"increment id {increment_id!r} was already folded into the "
+            "base by compact_release; increment ids are unique for a "
+            "release's lifetime — pick a fresh id"
+        )
 
     gated = new_docs
     if exact_index_path is not None:
@@ -1208,11 +1229,84 @@ def list_release_increments(spark, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
+# Compaction marker: a ``_``-prefixed file at the base data root (ignored
+# by parquet listing exactly like ``_SUCCESS``) naming every increment id
+# whose rows the CURRENT base already contains.  It is written into the
+# STAGED directory before the swap, so it becomes visible atomically WITH
+# the folded data — at no instant can a reader see folded rows in the
+# base while still unioning the increment that produced them.
+_FOLDED_MARKER = "_folded_incs.json"
+
+
+def _read_folded_marker(spark, path: str) -> set:
+    """Increment ids already folded into ``path/data`` — empty set for a
+    base that has never been compacted."""
+    import json as _json
+    import os as _os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(path, "data", _FOLDED_MARKER)
+    )
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    try:
+        payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return set(_json.loads(payload))
+
+
+def _write_folded_marker(spark, staged_data_dir: str, incs: list) -> None:
+    """Write the compaction marker INTO the staged data directory (it
+    rides the ``_swap_staged`` rename into place with the data)."""
+    import json as _json
+    import os as _os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _os.path.join(staged_data_dir, _FOLDED_MARKER)
+    )
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(_json.dumps(sorted(incs)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _delete_increment_dirs(spark, path: str, incs: list) -> None:
+    """Checked recursive delete of each ``path/increments/<id>`` (and the
+    now-empty ``increments`` root when nothing is left).  Separate helper
+    so fault-injection tests can interrupt compaction between its data
+    swap and this cleanup."""
+    import os as _os
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    for inc in incs:
+        p = jvm.org.apache.hadoop.fs.Path(_os.path.join(path, "increments", inc))
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(f"compact: delete of folded increment {inc!r} failed")
+    root = jvm.org.apache.hadoop.fs.Path(_os.path.join(path, "increments"))
+    if fs.exists(root) and len(fs.listStatus(root)) == 0:
+        fs.delete(root, True)
+
+
 def _refresh_manifest_full(spark, path: str) -> None:
     """Rebuild ``manifest_full`` from the base manifest + every present
-    increment's manifest, via the staged-rename swap (a readable
-    manifest exists at every instant)."""
+    (not-yet-folded) increment's manifest, via the checked staged-rename
+    swap (a readable manifest exists at every instant, and a failed
+    rename raises instead of silently leaving a stale manifest)."""
     import os as _os
+
+    from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+        _swap_staged,
+    )
 
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -1221,7 +1315,10 @@ def _refresh_manifest_full(spark, path: str) -> None:
     mf = spark.read.parquet(_os.path.join(path, "manifest")).withColumn(
         "inc", F.lit("base")
     )
+    folded = _read_folded_marker(spark, path)
     for inc in list_release_increments(spark, path):
+        if inc in folded:  # rows already in the base (crashed compaction)
+            continue
         mdir = _os.path.join(path, "increments", inc, "manifest")
         if fs.exists(jvm.org.apache.hadoop.fs.Path(mdir)):
             mf = mf.unionByName(
@@ -1229,19 +1326,8 @@ def _refresh_manifest_full(spark, path: str) -> None:
             )
     staged = _os.path.join(path, "manifest_full.staged")
     final = _os.path.join(path, "manifest_full")
-    old = _os.path.join(path, "manifest_full.old")
     mf.write.mode("overwrite").parquet(staged)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(final)):
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(final),
-            jvm.org.apache.hadoop.fs.Path(old),
-        )
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(staged),
-        jvm.org.apache.hadoop.fs.Path(final),
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    _swap_staged(spark, staged, final)
 
 
 def expire_release_increment(spark, path: str, increment_id: str) -> None:
@@ -1264,66 +1350,68 @@ def expire_release_increment(spark, path: str, increment_id: str) -> None:
 
 def compact_release(spark, path: str) -> int:
     """LSM-style release maintenance: fold every increment's shards into
-    the base data (one partitioned rewrite of the UNION through a
-    staged-rename swap — a readable base exists at every instant),
-    delete the increment directories, and refresh both manifests.
-    Returns the number of increments folded.  Why: ``read_release``
-    unions one parquet scan per increment — fine for tens, plan-bloat
-    for thousands; compaction restores the single-scan base the way
-    ``minhash_index.compact_index`` folds ``inc=`` partitions.  Chunk
-    rows are self-contained, so the fold is a pure move — bit-identical
-    ``read_release`` output (pinned in tests)."""
+    the base data (one partitioned rewrite of the UNION through the
+    checked staged-rename swap — a readable base exists at every
+    instant), delete the increment directories, and refresh both
+    manifests.  Returns the number of increments newly folded.  Why:
+    ``read_release`` unions one parquet scan per increment — fine for
+    tens, plan-bloat for thousands; compaction restores the single-scan
+    base the way ``minhash_index.compact_index`` folds ``inc=``
+    partitions.  Chunk rows are self-contained, so the fold is a pure
+    move — bit-identical ``read_release`` output (pinned in tests).
+
+    Crash-safety: the ``_folded_incs.json`` marker is written INTO the
+    staged base and swaps into place atomically with the folded data, so
+    the window between the data swap and the increment cleanup is
+    harmless — ``read_release`` / ``_refresh_manifest_full`` skip any
+    increment named in the live base's marker, and a RETRIED compaction
+    folds nothing twice (already-marked increments are stale garbage to
+    delete, not rows to merge).  All renames go through ``_swap_staged``
+    (raises on failure) instead of unchecked ``fs.rename``."""
     import os as _os
 
-    incs = list_release_increments(spark, path)
-    if not incs:
+    from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+        _swap_staged,
+    )
+
+    existing = list_release_increments(spark, path)
+    if not existing:
         return 0
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    all_rows = read_release(spark, path)
-    data = _os.path.join(path, "data")
-    staged = data + ".staged"
-    old = data + ".old"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
-    all_rows.write.mode("overwrite").partitionBy("pack_shard").parquet(staged)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(data), jvm.org.apache.hadoop.fs.Path(old)
-    )
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(staged),
-        jvm.org.apache.hadoop.fs.Path(data),
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
-    # the folded base's manifest = aggregate over the new data
-    spark_df = spark.read.parquet(data)
-    manifest = (
-        spark_df.groupBy("pack_shard")
-        .agg(
-            F.countDistinct("seq_id").alias("n_sequences"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
+    already = _read_folded_marker(spark, path)
+    to_fold = [i for i in existing if i not in already]
+    if to_fold:
+        # read_release skips already-folded dirs, so a retry after a
+        # crashed cleanup unions base + ONLY the genuinely-new increments
+        all_rows = read_release(spark, path)
+        data = _os.path.join(path, "data")
+        staged = data + ".staged"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+        all_rows.write.mode("overwrite").partitionBy("pack_shard").parquet(
+            staged
         )
-        .orderBy("pack_shard")
-    )
-    mstaged = _os.path.join(path, "manifest.staged")
-    mfinal = _os.path.join(path, "manifest")
-    mold = _os.path.join(path, "manifest.old")
-    manifest.write.mode("overwrite").parquet(mstaged)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(mold), True)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(mfinal),
-        jvm.org.apache.hadoop.fs.Path(mold),
-    )
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(mstaged),
-        jvm.org.apache.hadoop.fs.Path(mfinal),
-    )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(mold), True)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(_os.path.join(path, "increments")), True
-    )
+        # every increment dir present at swap time is now IN this base
+        _write_folded_marker(spark, staged, existing)
+        _swap_staged(spark, staged, data)
+        # the folded base's manifest = aggregate over the new data
+        manifest = (
+            spark.read.parquet(data)
+            .groupBy("pack_shard")
+            .agg(
+                F.countDistinct("seq_id").alias("n_sequences"),
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .orderBy("pack_shard")
+        )
+        mstaged = _os.path.join(path, "manifest.staged")
+        manifest.write.mode("overwrite").parquet(mstaged)
+        _swap_staged(spark, mstaged, _os.path.join(path, "manifest"))
+    # cleanup AFTER the swap: folded dirs are garbage the marker already
+    # hides from readers — a crash anywhere past the swap loses nothing
+    _delete_increment_dirs(spark, path, existing)
     _refresh_manifest_full(spark, path)
-    return len(incs)
+    return len(to_fold)

@@ -161,3 +161,26 @@ def test_weights_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in sel_plan
+
+
+def test_gumbel_key_non_null_at_hash_extremes(spark):
+    """Hashes within 1024 of +2⁶³ round to 2⁶³ as doubles, driving the
+    unclamped uniform to exactly 1.0 where ``log(-log(u))`` NULLs the
+    Gumbel sort key (the row would silently sort last regardless of
+    weight); −2⁶³ drives it to exactly 0.0 where the inner log is −inf.
+    Both extremes must yield finite, non-NULL keys."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_formula1_telemetry_spark.operators.dsir import _gumbel_u
+
+    df = spark.createDataFrame(
+        [(2**63 - 1,), (2**63 - 1024,), (-(2**63),), (0,)], "h long"
+    )
+    got = df.select(
+        _gumbel_u(F.col("h")).alias("u"),
+        F.log(-F.log(_gumbel_u(F.col("h")))).alias("log_neg_log_u"),
+    ).collect()
+    for r in got:
+        assert r["u"] is not None and 0.0 < r["u"] < 1.0
+        assert r["log_neg_log_u"] is not None
+        assert r["log_neg_log_u"] == r["log_neg_log_u"]  # not NaN

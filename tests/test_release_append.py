@@ -278,3 +278,93 @@ def test_expire_release_increment(spark, tmp_path):
     assert "short lived" not in texts and "expiring base" in texts
     mf = spark.read.parquet(root + "/manifest_full")
     assert set(r["inc"] for r in mf.collect()) == {"base"}
+
+
+def _release_with_two_increments(spark, tmp_path):
+    base_docs = spark.createDataFrame(
+        [_doc(1, "crashy base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    for i, w in enumerate(
+        ["first crash article words", "second crash article words"]
+    ):
+        P.corpus_release_append(
+            spark.createDataFrame([_doc(10 + i, w)], "doc_id long, text string"),
+            root, f"inc{i}", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+    return root
+
+
+def _release_rows(spark, root):
+    return sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["seq_id"], r["pack_shard"])
+        for r in P.read_release(spark, root).collect()
+    )
+
+
+def test_compact_crash_window_never_double_counts(spark, tmp_path, monkeypatch):
+    """Fault injection for the compaction crash window: kill the job
+    AFTER the base data swap but BEFORE the folded increment dirs are
+    deleted, then retry.  At every point — including inside the window —
+    ``read_release`` must return exactly the pre-compaction rows, and the
+    retry must fold nothing twice."""
+    root = _release_with_two_increments(spark, tmp_path)
+    expected = _release_rows(spark, root)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between data swap and cleanup")
+
+    monkeypatch.setattr(P, "_delete_increment_dirs", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        P.compact_release(spark, root)
+    monkeypatch.undo()
+
+    # inside the window: the folded rows live in the base AND the
+    # increment directories still physically exist...
+    assert P.list_release_increments(spark, root) == ["inc0", "inc1"]
+    # ...but the marker hides them from every reader — no double count
+    assert P._read_folded_marker(spark, root) == {"inc0", "inc1"}
+    assert _release_rows(spark, root) == expected
+
+    # the retried compaction folds NOTHING twice: it only garbage-collects
+    # the stale dirs and refreshes manifest_full
+    assert P.compact_release(spark, root) == 0
+    assert _release_rows(spark, root) == expected
+    assert P.list_release_increments(spark, root) == []
+    mf = spark.read.parquet(root + "/manifest_full")
+    assert set(r["inc"] for r in mf.collect()) == {"base"}
+    assert sum(int(r["n_chunks"]) for r in mf.collect()) == len(expected)
+
+
+def test_append_rejects_reuse_of_folded_increment_id(spark, tmp_path):
+    """After compaction the marker makes readers skip the folded ids
+    forever — reusing one for NEW content would silently hide its rows,
+    so the append must refuse it."""
+    root = _release_with_two_increments(spark, tmp_path)
+    assert P.compact_release(spark, root) == 2
+    with pytest.raises(ValueError, match="already folded"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(99, "fresh content reused id words")],
+                "doc_id long, text string",
+            ),
+            root, "inc0", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+    # a FRESH id still appends normally
+    P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(99, "fresh content new id words")], "doc_id long, text string"
+        ),
+        root, "inc2", chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2, refresh_card=False,
+    )
+    texts = " ".join(
+        r["chunk_text"] for r in P.read_release(spark, root).collect()
+    )
+    assert "fresh content new id" in texts

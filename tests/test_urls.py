@@ -193,3 +193,44 @@ def test_corpus_card_diversity_section(spark):
     # unique -> distinct fraction ~ 36/54 = 2/3 (approx sketch, 2% rel)
     assert card["ngrams_13"] == 54.0
     assert abs(card["distinct_13gram_frac_approx"] - 2 / 3) < 0.05
+
+
+def test_url_filter_www_prefixed_blocklist_entries(spark, pages):
+    """UT1-class lists carry thousands of ``www.example.com`` entries;
+    the corpus side strips ``www.`` (``_host``), so the blocklist side
+    must normalize identically or such entries silently block nothing."""
+    kept = U.url_filter(pages, blocked_domains=["www.example.com"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # identical outcome to blocking "example.com": the www page (1), the
+    # subdomain (2) and the bare host (5) are all gone
+    assert ids == [3, 4, 6, 7, 8]
+    # both spellings in one list: no duplicate-row blowup, same outcome
+    kept2 = U.url_filter(
+        pages, blocked_domains=["www.example.com", "example.com"]
+    )
+    got = sorted(r["doc_id"] for r in kept2.collect())
+    assert got == [3, 4, 6, 7, 8]
+
+
+def test_corpus_card_null_domain_not_counted_as_domain(spark):
+    """URL-less rows group under the NULL domain: they must appear in
+    the top-10 listing as ``<no-host>`` but never inflate
+    ``distinct_domains`` or the ``top_domain_frac`` denominator."""
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    rows = [
+        (i, f"doc text {i} with enough words to score",
+         f"https://one.example.org/p{i}" if i < 6 else None)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    dom = {
+        r["key"]: r["value"]
+        for r in P.corpus_card(docs, lang_col=None)
+        .where(F.col("section") == "domains")
+        .collect()
+    }
+    assert dom["distinct_domains"] == 1.0   # <no-host> is not a domain
+    assert dom["top_domain_frac"] == 1.0    # 6/6 URL-bearing, not 6/10
+    assert dom["example.org"] == 6.0
+    assert dom["<no-host>"] == 4.0          # still listed for visibility
