@@ -104,6 +104,15 @@ def pq_train(
 
     part_schema = StructType(
         [
+            StructField("pid", IntegerType()),
+            StructField("m", IntegerType()),
+            StructField("c", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    fold_schema = StructType(
+        [
             StructField("m", IntegerType()),
             StructField("c", IntegerType()),
             StructField("cnt", LongType()),
@@ -112,41 +121,79 @@ def pq_train(
     )
     vecs_only = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
 
+    def fold_code(key, pdf):
+        # executor-side pre-reduce: fold each (subspace, code)'s
+        # per-partition rows in pid order, so the driver receives at
+        # most m·n_codes rows regardless of task count (the pca.py
+        # pid-fold discipline), deterministically
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        s = np.zeros(len(pdf["s"].iloc[0]), dtype=np.float64)
+        for sv in pdf["s"]:
+            s += np.asarray(sv, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "m": [int(key[0])],
+                "c": [int(key[1])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "s": [s],
+            }
+        )
+
     for _ in range(max_iter):
         books_round = [b.copy() for b in books]
 
         def partial_sums(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            sums = [np.zeros_like(b) for b in books_round]
+            cnts = [
+                np.zeros(b.shape[0], dtype=np.int64) for b in books_round
+            ]
+            any_rows = False
             for pdf in batches:
                 if not len(pdf):
                     continue
+                any_rows = True
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
-                out_m, out_c, out_cnt, out_s = [], [], [], []
                 for mi, (s0, e0) in enumerate(bounds):
                     Xm = X[:, s0:e0]
                     B = books_round[mi]
                     # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
                     d = -2.0 * (Xm @ B.T) + (B * B).sum(axis=1)[None, :]
                     a = np.argmin(d, axis=1)
-                    sums = np.zeros_like(B)
-                    np.add.at(sums, a, Xm)
-                    cnt = np.bincount(a, minlength=B.shape[0])
-                    live = np.nonzero(cnt > 0)[0]
-                    out_m.extend([mi] * len(live))
-                    out_c.extend(live.tolist())
-                    out_cnt.extend(cnt[live].tolist())
-                    out_s.extend(list(sums[live]))
-                yield pd.DataFrame(
-                    {
-                        "m": np.asarray(out_m, dtype="int32"),
-                        "c": np.asarray(out_c, dtype="int32"),
-                        "cnt": np.asarray(out_cnt, dtype="int64"),
-                        "s": out_s,
-                    }
-                )
+                    np.add.at(sums[mi], a, Xm)
+                    cnts[mi] += np.bincount(a, minlength=B.shape[0])
+            if not any_rows:
+                return
+            # ONE row per live (subspace, code) per partition — the
+            # (pid, m, c) key is unique, so the grouped fold's pid sort
+            # totally orders every code's contributions
+            out_m, out_c, out_cnt, out_s = [], [], [], []
+            for mi in range(len(books_round)):
+                live = np.nonzero(cnts[mi] > 0)[0]
+                out_m.extend([mi] * len(live))
+                out_c.extend(live.tolist())
+                out_cnt.extend(cnts[mi][live].tolist())
+                out_s.extend(list(sums[mi][live]))
+            yield pd.DataFrame(
+                {
+                    "pid": np.full(len(out_m), pid, dtype="int32"),
+                    "m": np.asarray(out_m, dtype="int32"),
+                    "c": np.asarray(out_c, dtype="int32"),
+                    "cnt": np.asarray(out_cnt, dtype="int64"),
+                    "s": out_s,
+                }
+            )
 
-        parts = vecs_only.mapInPandas(partial_sums, part_schema).collect()
+        parts = (
+            vecs_only.mapInPandas(partial_sums, part_schema)
+            .groupBy("m", "c")
+            .applyInPandas(fold_code, fold_schema)
+            .collect()
+        )
         new_books = [b.copy() for b in books]
         sums = [np.zeros_like(b) for b in books]
         cnts = [np.zeros(b.shape[0], dtype=np.int64) for b in books]
@@ -586,9 +633,11 @@ def opq_train(
          G = U S Vᵀ → R = V·Uᵀ.
 
     Spark shapes: step 1 is the fused-subspace Lloyd job; step 2 is ONE
-    ``mapInPandas`` pass whose batches emit d×d partial cross-covariance
-    matrices (d=64 → 4 KB rows, a driver-side fold), then a d×d SVD on
-    the driver.  Nothing but d×d matrices ever leaves the executors.
+    ``mapInPandas`` pass emitting one d×d partial cross-covariance per
+    partition, pre-reduced executor-side into ``fold_buckets`` pid-bucket
+    rows (the ``pca.py`` discipline — the driver receives B·d² doubles
+    whether the scan ran 10 tasks or 10⁶), then a d×d SVD on the driver.
+    Nothing but d×d matrices ever leaves the executors.
     Returns ``(rotation, codebooks)`` for ``opq_encode`` /
     ``knn_pq_adc(..., rotation=)``.  On isotropic data R converges near
     a permutation (no gain to find — asserted in tests the other way:
@@ -601,7 +650,31 @@ def opq_train(
     books: list[list[list[float]]] = []
     vecs_only = corpus.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
 
-    gschema = StructType([StructField("g", ArrayType(DoubleType()))])
+    gschema = StructType(
+        [
+            StructField("pid", IntegerType()),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+    gfold_schema = StructType(
+        [
+            StructField("b", IntegerType()),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+    fold_buckets = 64
+
+    def fold_g(key, pdf):
+        # executor-side pre-reduce of the d×d cross-covariance partials
+        # (pca.py pid-bucket discipline): the driver receives exactly
+        # ``fold_buckets`` rows of d² doubles regardless of task count,
+        # and both fold levels are ordered (pid within bucket, bucket id
+        # on the driver) so retries reproduce the rotation exactly
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        g = np.zeros(len(pdf["g"].iloc[0]), dtype=np.float64)
+        for gv in pdf["g"]:
+            g += np.asarray(gv, dtype=np.float64)
+        return pd.DataFrame({"b": [int(key[0])], "g": [g]})
 
     for _ in range(n_rot_iters):
         rotated = rotate_embeddings(vecs_only, R.tolist(), vec_col)
@@ -614,6 +687,8 @@ def opq_train(
         R_round = R.copy()
 
         def cross_cov(batches):
+            from pyspark import TaskContext
+
             G = np.zeros((dim, dim), dtype=np.float64)
             any_rows = False
             for pdf in batches:
@@ -630,9 +705,18 @@ def opq_train(
                 )
                 G += X.T @ Xhat
             if any_rows:
-                yield pd.DataFrame({"g": [G.ravel()]})
+                pid = TaskContext.get().partitionId()
+                yield pd.DataFrame({"pid": [pid], "g": [G.ravel()]})
 
-        parts = vecs_only.select(vec_col).mapInPandas(cross_cov, gschema).collect()
+        parts = sorted(
+            vecs_only.select(vec_col)
+            .mapInPandas(cross_cov, gschema)
+            .withColumn("b", (F.col("pid") % F.lit(fold_buckets)).cast("int"))
+            .groupBy("b")
+            .applyInPandas(fold_g, gfold_schema)
+            .collect(),
+            key=lambda r: r["b"],
+        )
         G = np.zeros((dim, dim), dtype=np.float64)
         for r in parts:
             G += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)

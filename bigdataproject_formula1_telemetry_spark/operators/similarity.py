@@ -654,9 +654,14 @@ def ivf_centroids(
     - per Lloyd round: ONE fused ``mapInPandas`` pass that assigns each
       Arrow batch to its nearest centroid AND accumulates the per-cluster
       sums of the normalized vectors in the same numpy kernel, emitting
-      ≤ k partial-sum rows per batch (the map-side combine, done in the
-      kernel).  Only k·n_partitions tiny rows — never vectors — leave
-      the executors; the driver folds them into the k×dim matrix.
+      ≤ k partial-sum rows per PARTITION (the map-side combine, done in
+      the kernel), then a ``groupBy(c)`` pid-ordered fold pre-reduces
+      executor-side (the ``pca.py`` discipline) so the DRIVER receives
+      ≤ k rows of (dim+2) doubles regardless of task count — at
+      k=1024/dim=768 a 10⁶-task corpus ships ~6 MB to the driver, not
+      ~6 TB.  Both fold levels are ordered (pid within cluster), so a
+      retry of the same partitioning reproduces the centroids
+      bit-for-bit.
       (The previous formulation aggregated ``dim`` separate JVM
       ``sum(vec[i]/norm)`` columns, which forced Catalyst to compile a
       dim-wide aggregate plan per round — pure codegen overhead at small
@@ -664,10 +669,10 @@ def ivf_centroids(
     - empty clusters keep their previous centroid; early-stops when
       centroids converge.
 
-    At 100 TB the per-round cost is one scan + one k·n_partitions-row
-    collect, and ``max_iter`` bounds the rounds; train on a
-    deterministic sample (``sampling.deterministic_sample``) when even
-    that is too much.
+    At 100 TB the per-round cost is one scan + one k-row collect (the
+    k·n_partitions partial rows fold on the executors), and ``max_iter``
+    bounds the rounds; train on a deterministic sample
+    (``sampling.deterministic_sample``) when even that is too much.
     """
     import numpy as np
 
@@ -693,6 +698,14 @@ def ivf_centroids(
 
     part_schema = StructType(
         [
+            StructField("pid", IntegerType()),
+            StructField("c", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    fold_schema = StructType(
+        [
             StructField("c", IntegerType()),
             StructField("cnt", LongType()),
             StructField("s", ArrayType(DoubleType())),
@@ -700,15 +713,36 @@ def ivf_centroids(
     )
     vecs_only = corpus.select(vec_col)
 
+    def fold_cluster(key, pdf):
+        # executor-side pre-reduce (the pca.py pid-bucket discipline):
+        # fold each cluster's per-partition rows in pid order, so the
+        # driver receives ≤ k rows total regardless of task count AND
+        # the float summation order matches the old driver fold
+        # (partition order) bit-for-bit
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        s = np.zeros(dim, dtype=np.float64)
+        for sv in pdf["s"]:
+            s += np.asarray(sv, dtype=np.float64)
+        return pd.DataFrame(
+            {"c": [int(key[0])], "cnt": [int(pdf["cnt"].sum())], "s": [s]}
+        )
+
     for _ in range(max_iter):
         C_round = C.copy()
 
         def partial_sums(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             k = C_round.shape[0]
             zero = np.zeros(dim, dtype=np.float64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnt = np.zeros(k, dtype=np.int64)
+            any_rows = False
             for pdf in batches:
                 if not len(pdf):
                     continue
+                any_rows = True
                 X = np.stack(
                     [
                         zero if v is None else np.asarray(v, dtype=np.float64)
@@ -724,19 +758,28 @@ def ivf_centroids(
                 isnull = np.fromiter(
                     (v is None for v in pdf[vec_col]), bool, len(pdf)
                 )
-                sums = np.zeros((k, dim), dtype=np.float64)
                 np.add.at(sums, a[~isnull], Xn[~isnull])
-                cnt = np.bincount(a, minlength=k)
+                cnt += np.bincount(a, minlength=k)
+            if any_rows:
+                # ONE row per live cluster per partition: (pid, c) is
+                # unique, so the grouped fold's pid sort totally orders
+                # every cluster's contributions
                 live = cnt > 0
                 yield pd.DataFrame(
                     {
+                        "pid": np.full(int(live.sum()), pid, dtype="int32"),
                         "c": np.nonzero(live)[0].astype("int32"),
-                        "cnt": cnt[live].astype("int64"),
+                        "cnt": cnt[live],
                         "s": list(sums[live]),
                     }
                 )
 
-        parts = vecs_only.mapInPandas(partial_sums, part_schema).collect()
+        parts = (
+            vecs_only.mapInPandas(partial_sums, part_schema)
+            .groupBy("c")
+            .applyInPandas(fold_cluster, fold_schema)
+            .collect()
+        )
         newC = C.copy()
         total = np.zeros((C.shape[0], dim), dtype=np.float64)
         seen = np.zeros(C.shape[0], dtype=bool)

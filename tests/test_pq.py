@@ -447,3 +447,28 @@ def test_ivfpq_heavy_ties_layout_invariant(spark):
     # near-copy family contributes its LOWEST ids
     fam = [r["neighbor_id"] for r in a if r["neighbor_id"] < 1000]
     assert fam == sorted(fam)
+
+
+def test_pq_train_many_partitions_invariance(spark, emb):
+    """The executor-side groupBy(m, c) pre-reduce must be invariant to
+    the corpus partitioning and exactly deterministic on an identical
+    frame (ordered pid fold)."""
+    b1 = PQ.pq_train(emb, m=4, n_codes=32, max_iter=2)
+    b17 = PQ.pq_train(emb.repartition(17), m=4, n_codes=32, max_iter=2)
+    for a, b in zip(b1, b17):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    again = PQ.pq_train(emb.repartition(17), m=4, n_codes=32, max_iter=2)
+    assert [np.asarray(x).tolist() for x in b17] == [
+        np.asarray(x).tolist() for x in again
+    ]
+
+
+def test_opq_train_many_partitions_invariance(spark, emb):
+    """The pid-bucket pre-reduce of the OPQ cross-covariance partials
+    must be invariant to the corpus partitioning (rotation R compared
+    loosely — SVD sign conventions are fixed by the shared code path)."""
+    R1, _ = PQ.opq_train(emb, m=4, n_codes=32, n_rot_iters=2, pq_max_iter=2)
+    R17, _ = PQ.opq_train(
+        emb.repartition(17), m=4, n_codes=32, n_rot_iters=2, pq_max_iter=2
+    )
+    assert np.allclose(np.asarray(R1), np.asarray(R17), atol=1e-6)

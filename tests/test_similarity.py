@@ -634,3 +634,18 @@ def test_arrow_knn_heavy_ties_layout_invariant(spark):
     C = sim.ivf_centroids(corpus, n_clusters=3, max_iter=2)
     ivf = sim.knn_ivf_arrow(corpus, q, C, k=10, nprobe=3).collect()
     assert [r["neighbor_id"] for r in ivf] == list(range(10))
+
+
+def test_ivf_centroids_many_partitions_invariance(spark, emb):
+    """The executor-side groupBy(c) pre-reduce must not change the
+    result vs other partitionings of the same rows (the pca.py
+    invariance contract): repartitioned corpora train to the same
+    centroids, and re-running on the SAME frame is exactly equal."""
+    C1 = sim.ivf_centroids(emb, n_clusters=4, max_iter=3)
+    C17 = sim.ivf_centroids(emb.repartition(17), n_clusters=4, max_iter=3)
+    C1b = sim.ivf_centroids(emb.coalesce(1), n_clusters=4, max_iter=3)
+    assert np.allclose(np.asarray(C1), np.asarray(C17), atol=1e-9)
+    assert np.allclose(np.asarray(C1), np.asarray(C1b), atol=1e-9)
+    # exact determinism on an identical frame (ordered fold)
+    again = sim.ivf_centroids(emb.repartition(17), n_clusters=4, max_iter=3)
+    assert np.asarray(C17).tolist() == np.asarray(again).tolist()
