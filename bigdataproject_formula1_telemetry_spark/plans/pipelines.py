@@ -1054,6 +1054,17 @@ def read_release(spark, path: str) -> DataFrame:
     side a partition-pruned parquet scan.  The one reader consumers
     need after the release starts taking increments.
 
+    Why a union-per-increment and not one multi-root scan: Spark's
+    partition discovery REFUSES multiple hive-partitioned roots
+    (CONFLICTING_DIRECTORY_STRUCTURES — probed directly, even with all
+    roots at equal depth), and flattening via recursiveFileLookup would
+    forfeit ``pack_shard`` partition pruning.  The union's cost is a
+    plan that grows linearly with increment count — measured at the
+    500k sweep scale (``--relread``): 0.32 s / 852 plan chars at 1
+    increment → 9.29 s / 42,531 chars at 100, back to 0.63 s / 419
+    after compaction.  Fine for tens; run ``compact_release`` every
+    ~25-50 increments (SCALING.md pins the cadence).
+
     Increments named in the base's compaction marker (see
     ``compact_release``) are SKIPPED: their rows already live in the
     base, and the directory only still exists because a compaction
@@ -1339,6 +1350,17 @@ def expire_release_increment(spark, path: str, increment_id: str) -> None:
     policy is "admissible again"."""
     import os as _os
 
+    if increment_id in _read_folded_marker(spark, path):
+        # the increment's rows live in the BASE now (compaction folded
+        # them; the dir, if present, is crash-window garbage readers
+        # already skip) — deleting the dir would silently retain the
+        # data, the opposite of what expire promises
+        raise ValueError(
+            f"increment {increment_id!r} was folded into the base by "
+            "compact_release; expiring it now requires rewriting the "
+            "base (filter read_release and re-release) — deleting the "
+            "increment directory would not remove its rows"
+        )
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(
         _os.path.join(path, "increments", increment_id)

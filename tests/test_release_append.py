@@ -368,3 +368,13 @@ def test_append_rejects_reuse_of_folded_increment_id(spark, tmp_path):
         r["chunk_text"] for r in P.read_release(spark, root).collect()
     )
     assert "fresh content new id" in texts
+
+
+def test_expire_refuses_folded_increment(spark, tmp_path):
+    """Expiring a folded increment must refuse loudly: its rows live in
+    the base after compaction, so deleting the (possibly still present)
+    increment directory would silently RETAIN the data."""
+    root = _release_with_two_increments(spark, tmp_path)
+    P.compact_release(spark, root)
+    with pytest.raises(ValueError, match="folded into the base"):
+        P.expire_release_increment(spark, root, "inc0")

@@ -358,6 +358,90 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- read_release plan bloat vs increment count (--relread only) ---
+    # ``read_release`` unions ONE parquet scan per increment; this leg
+    # pins the measured cost of that design at many increments (read
+    # wall + physical-plan size at 1/10/25/50/100 increments), then
+    # compacts and re-measures — the evidence behind the recommended
+    # compaction cadence.  Increments are written in the exact
+    # ``corpus_release_append`` on-disk layout (write_training_shards
+    # under increments/<id>/) from slices of ONE curated corpus, so the
+    # leg measures the READER, not 100 append pipelines.  Row-count
+    # invariance across compaction is asserted exactly.
+    if "--relread" in sys.argv:
+        n_inc = 10 if QUICK else 100
+        checkpoints = [1, 5, 10] if QUICK else [1, 10, 25, 50, 100]
+        base_docs = 20_000
+        inc_docs = 200
+        docs = distinct.orderBy("doc_id").limit(
+            base_docs + n_inc * inc_docs
+        ).localCheckpoint(eager=True)
+        print(
+            f"  curating {base_docs:,} base + {n_inc} × {inc_docs} "
+            "increment docs once ...",
+            flush=True,
+        )
+        packed = pipelines.curate_documents(
+            docs, chunk_tokens=64, overlap=0, token_budget=256,
+            n_pack_shards=2,
+        ).localCheckpoint(eager=True)
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        # slices are contiguous id ranges — a 2-literal range predicate,
+        # never a 20k-literal isin
+        root = f"{OUT}/relread"
+        shutil.rmtree(root, ignore_errors=True)
+        pipelines.write_training_shards(
+            packed.where(F.col("doc_id") <= ids[base_docs - 1]), root
+        )
+
+        def read_wall_and_plan():
+            t0 = time.time()
+            df = pipelines.read_release(spark, root)
+            cnt = df.count()
+            wall = round(time.time() - t0, 2)
+            plan_chars = len(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+            return cnt, wall, plan_chars
+
+        expected_rows = None
+        for i in range(n_inc):
+            lo = base_docs + i * inc_docs
+            pipelines.write_training_shards(
+                packed.where(
+                    (F.col("doc_id") > ids[lo - 1])
+                    & (F.col("doc_id") <= ids[lo + inc_docs - 1])
+                ),
+                f"{root}/increments/inc{i:03d}",
+            )
+            if (i + 1) in checkpoints:
+                cnt, wall, plan_chars = read_wall_and_plan()
+                expected_rows = cnt
+                results[f"relread_{i + 1}_s"] = wall
+                results[f"relread_{i + 1}_plan_chars"] = plan_chars
+                print(
+                    f"  {i + 1:>3} increments: read {wall} s, "
+                    f"{cnt:,} rows, plan {plan_chars:,} chars",
+                    flush=True,
+                )
+        t0 = time.time()
+        folded = pipelines.compact_release(spark, root)
+        results["relread_compact_s"] = round(time.time() - t0, 2)
+        cnt, wall, plan_chars = read_wall_and_plan()
+        results["relread_compacted_s"] = wall
+        results["relread_compacted_plan_chars"] = plan_chars
+        results["relread_folded"] = folded
+        results["relread_ok"] = folded == n_inc and cnt == expected_rows
+        print(
+            f"  compact {results['relread_compact_s']} s ({folded} folded); "
+            f"post-compaction read {wall} s, {cnt:,} rows "
+            f"(invariant: {cnt == expected_rows}), plan {plan_chars:,} chars",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     def build():
         release_barriers()
         return pipelines.curate_documents(distinct)
@@ -700,6 +784,101 @@ def main() -> None:
         f"  train {results['clf_train_s']} s (2k sample), score "
         f"{results['clf_score_s']} s ({results['clf_docs_per_sec']:,} docs/s) — "
         f"misclassified {agg['wrong']}/{n} (must be 0)",
+        flush=True,
+    )
+
+    # Multiclass tagger at scale, same planted-outcome protocol as the
+    # binary leg: three thirds of the corpus (doc_id % 3) get three
+    # DISTINCT marker tokens appended ×8, a 3k-doc sample labeled by
+    # the marker trains the softmax tagger, and scoring ALL 500k docs
+    # must predict the planted class for ≥95% of rows (the fastText-
+    # class separability bar; the markers are strong but ride on 100
+    # word-shuffle variants of real text, so 100% is not guaranteed
+    # the way the binary 8×-marker construction was verified to be).
+    print("multiclass tagger: 3k-sample train + full-corpus score ...", flush=True)
+    mc_classes = ["newsy", "lawly", "codey"]
+    mc_marked = distinct.withColumn(
+        "label",
+        F.element_at(
+            F.array(*[F.lit(c) for c in mc_classes]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    ).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat_ws(
+                " ", *[F.concat(F.lit("mk"), F.col("label"))] * 8
+            ),
+        ),
+    )
+    mc_seed = SA2.deterministic_sample(
+        mc_marked, ["doc_id"], 3000 / n, salt="mclf-sweep"
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    mc_model = CL.train_text_multiclass(mc_seed, dim=1024, epochs=15)
+    results["mclf_train_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    mc_agg = (
+        CL.score_text_multiclass(mc_marked, mc_model)
+        .agg(
+            F.sum((F.col("label_pred") == F.col("label")).cast("long")).alias(
+                "right"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    results["mclf_score_s"] = round(time.time() - t0, 2)
+    results["mclf_docs_per_sec"] = round(n / max(results["mclf_score_s"], 1e-9))
+    mc_acc = int(mc_agg["right"]) / int(mc_agg["n"])
+    results["mclf_accuracy"] = round(mc_acc, 4)
+    results["mclf_ok"] = mc_acc >= 0.95 and int(mc_agg["n"]) == n
+    print(
+        f"  train {results['mclf_train_s']} s (3k sample, 3 classes), score "
+        f"{results['mclf_score_s']} s ({results['mclf_docs_per_sec']:,} docs/s)"
+        f" — planted-class accuracy {mc_acc:.2%} (must be ≥95%)",
+        flush=True,
+    )
+
+    # Sentence-aligned chunking throughput (the r7 operator's missing
+    # scale figure): one JVM aggregate fold per doc over the 500k
+    # corpus.  The synthetic docs carry NO terminal punctuation (one
+    # giant "sentence" each — the fold's trivial path), so the leg
+    # injects a period after every 8th word JVM-side first: ~6-7
+    # sentences per ~50-token doc against a 16-token budget exercises
+    # the real greedy split/pack path.  Invariants here are cheap
+    # sanity (every doc yields chunks; multiple chunks per doc on
+    # average); the packing semantics are pinned by the pytest suite.
+    print("sentence_chunks over the full corpus ...", flush=True)
+    from bigdataproject_formula1_telemetry_spark.operators import text as TX2
+
+    sentenced = distinct.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1. ")
+    )
+    release_barriers()
+    t0 = time.time()
+    sc_agg = (
+        TX2.sentence_chunks(sentenced, chunk_tokens=16)
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .first()
+    )
+    results["sentence_chunks_s"] = round(time.time() - t0, 2)
+    results["sentence_chunks_rows"] = int(sc_agg["chunks"])
+    results["sentence_chunks_docs_per_sec"] = round(
+        n / max(results["sentence_chunks_s"], 1e-9)
+    )
+    results["sentence_chunks_ok"] = (
+        int(sc_agg["docs"]) == n and int(sc_agg["chunks"]) > 2 * n
+    )
+    print(
+        f"  {results['sentence_chunks_s']} s — {sc_agg['chunks']:,} chunks "
+        f"from {sc_agg['docs']:,}/{n:,} docs "
+        f"({results['sentence_chunks_docs_per_sec']:,} docs/s)",
         flush=True,
     )
 
