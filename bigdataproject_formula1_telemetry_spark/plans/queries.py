@@ -932,9 +932,10 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL per doc (documents carry no url column; the synthesis is the
     same expression in both engines, so the CHECK is on the operators:
     host extraction with www-stripping, 2-level-ccTLD registered
-    domains, UT1-style suffix blocklist + C4 keyword gate).  A quarter
-    of the corpus hits the domain rule and a quarter the keyword rule,
-    so the boolean genuinely bites.
+    domains, UT1-style suffix blocklist — spelled WITH a ``www.``
+    prefix, so entry normalization is oracle-checked (r9) — + C4
+    keyword gate).  A quarter of the corpus hits the domain rule and a
+    quarter the keyword rule, so the boolean genuinely bites.
 
     ``c4_kept`` oracle-checks the C4 banned-WORDS gate
     (``text.blocklist_filter``): word-boundary tokenization + blocked
@@ -965,7 +966,13 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         U.url_filter(
             base,
-            blocked_domains=["spamfarm.com"],
+            # the UT1-style spelling WITH the www. prefix (real UT1
+            # lists carry thousands): the operator must normalize it
+            # like corpus hosts or it blocks nothing — the oracle
+            # expresses the normalized rule (host = spamfarm.com or a
+            # subdomain), so the driver compare is the regression
+            # tripwire for the r9 www-normalization fix
+            blocked_domains=["www.spamfarm.com"],
             blocked_keywords=["casino"],
         )
         .select("doc_id")
