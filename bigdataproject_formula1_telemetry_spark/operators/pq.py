@@ -75,13 +75,21 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_salt: str = "pq",
+    fold_partials: bool | None = None,
 ) -> list[list[list[float]]]:
     """Train the m sub-quantizer codebooks (plain L2 k-means per
     subspace, all subspaces in one fused kernel pass per Lloyd round).
     Returns ``m`` codebooks of ``<= n_codes`` centroids each (fewer when
     the init sample is smaller than ``n_codes``).  Train on a
     deterministic sample at corpus scale (``sampling.deterministic_sample``)
-    — the same recipe the IVF quantizer practices."""
+    — the same recipe the IVF quantizer practices.
+
+    ``fold_partials`` (None = auto, on past 64 partitions): pre-reduce
+    the per-partition (subspace, code) gradient rows executor-side with
+    a ``groupBy(m, c)`` pid-ordered fold, bounding driver traffic at
+    m·n_codes rows for any task count; on narrow scans the driver folds
+    the rows itself in the identical (pid within key) order — the two
+    paths are bit-equal (pinned in tests)."""
     init_rows = (
         corpus.select(id_col, vec_col)
         .where(F.col(vec_col).isNotNull())
@@ -120,6 +128,8 @@ def pq_train(
         ]
     )
     vecs_only = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    if fold_partials is None:
+        fold_partials = vecs_only.rdd.getNumPartitions() > 64
 
     def fold_code(key, pdf):
         # executor-side pre-reduce: fold each (subspace, code)'s
@@ -188,12 +198,20 @@ def pq_train(
                 }
             )
 
-        parts = (
-            vecs_only.mapInPandas(partial_sums, part_schema)
-            .groupBy("m", "c")
-            .applyInPandas(fold_code, fold_schema)
-            .collect()
-        )
+        partials_df = vecs_only.mapInPandas(partial_sums, part_schema)
+        if fold_partials:
+            parts = (
+                partials_df.groupBy("m", "c")
+                .applyInPandas(fold_code, fold_schema)
+                .collect()
+            )
+        else:
+            # narrow scan: fold on the driver in the same (pid within
+            # (m, c)) order the grouped fold uses — bit-equal paths
+            parts = sorted(
+                partials_df.collect(),
+                key=lambda r: (r["m"], r["c"], r["pid"]),
+            )
         new_books = [b.copy() for b in books]
         sums = [np.zeros_like(b) for b in books]
         cnts = [np.zeros(b.shape[0], dtype=np.int64) for b in books]

@@ -645,6 +645,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_salt: str = "ivf",
+    fold_partials: bool | None = None,
 ) -> list[list[float]]:
     """Spherical-k-means coarse quantizer, Spark-first:
 
@@ -655,13 +656,17 @@ def ivf_centroids(
       Arrow batch to its nearest centroid AND accumulates the per-cluster
       sums of the normalized vectors in the same numpy kernel, emitting
       ≤ k partial-sum rows per PARTITION (the map-side combine, done in
-      the kernel), then a ``groupBy(c)`` pid-ordered fold pre-reduces
-      executor-side (the ``pca.py`` discipline) so the DRIVER receives
-      ≤ k rows of (dim+2) doubles regardless of task count — at
-      k=1024/dim=768 a 10⁶-task corpus ships ~6 MB to the driver, not
-      ~6 TB.  Both fold levels are ordered (pid within cluster), so a
-      retry of the same partitioning reproduces the centroids
-      bit-for-bit.
+      the kernel).  When the scan is wide (``fold_partials``; None =
+      auto, on past 64 partitions) a ``groupBy(c)`` pid-ordered fold
+      pre-reduces executor-side (the ``pca.py`` discipline) so the
+      DRIVER receives ≤ k rows of (dim+2) doubles regardless of task
+      count — at k=1024/dim=768 a 10⁶-task corpus ships ~6 MB to the
+      driver, not ~6 TB.  On narrow scans the fold's extra shuffle +
+      Python stage per round is pure overhead (measured +0.4 s on the
+      sf0.1 q55 bench entry), so the driver folds the ≤ 64·k rows
+      itself — BOTH paths add each cluster's partition rows in pid
+      order, so they are bit-equal (pinned in tests) and a retry of the
+      same partitioning reproduces the centroids exactly.
       (The previous formulation aggregated ``dim`` separate JVM
       ``sum(vec[i]/norm)`` columns, which forced Catalyst to compile a
       dim-wide aggregate plan per round — pure codegen overhead at small
@@ -712,13 +717,15 @@ def ivf_centroids(
         ]
     )
     vecs_only = corpus.select(vec_col)
+    if fold_partials is None:
+        fold_partials = vecs_only.rdd.getNumPartitions() > 64
 
     def fold_cluster(key, pdf):
         # executor-side pre-reduce (the pca.py pid-bucket discipline):
         # fold each cluster's per-partition rows in pid order, so the
         # driver receives ≤ k rows total regardless of task count AND
-        # the float summation order matches the old driver fold
-        # (partition order) bit-for-bit
+        # the float summation order matches the driver fold (partition
+        # order) bit-for-bit
         pdf = pdf.sort_values("pid", kind="mergesort")
         s = np.zeros(dim, dtype=np.float64)
         for sv in pdf["s"]:
@@ -774,12 +781,20 @@ def ivf_centroids(
                     }
                 )
 
-        parts = (
-            vecs_only.mapInPandas(partial_sums, part_schema)
-            .groupBy("c")
-            .applyInPandas(fold_cluster, fold_schema)
-            .collect()
-        )
+        partials_df = vecs_only.mapInPandas(partial_sums, part_schema)
+        if fold_partials:
+            parts = (
+                partials_df.groupBy("c")
+                .applyInPandas(fold_cluster, fold_schema)
+                .collect()
+            )
+        else:
+            # narrow scan: ≤ 64·k tiny rows — fold on the driver in the
+            # same (pid within cluster) order the grouped fold uses, so
+            # the two paths are bit-equal
+            parts = sorted(
+                partials_df.collect(), key=lambda r: (r["c"], r["pid"])
+            )
         newC = C.copy()
         total = np.zeros((C.shape[0], dim), dtype=np.float64)
         seen = np.zeros(C.shape[0], dtype=bool)

@@ -461,6 +461,16 @@ def test_pq_train_many_partitions_invariance(spark, emb):
     assert [np.asarray(x).tolist() for x in b17] == [
         np.asarray(x).tolist() for x in again
     ]
+    # grouped executor-side fold ≡ narrow-scan driver fold, bit-for-bit
+    folded = PQ.pq_train(
+        emb.repartition(17), m=4, n_codes=32, max_iter=2, fold_partials=True
+    )
+    direct = PQ.pq_train(
+        emb.repartition(17), m=4, n_codes=32, max_iter=2, fold_partials=False
+    )
+    assert [np.asarray(x).tolist() for x in folded] == [
+        np.asarray(x).tolist() for x in direct
+    ]
 
 
 def test_opq_train_many_partitions_invariance(spark, emb):

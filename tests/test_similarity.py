@@ -649,3 +649,12 @@ def test_ivf_centroids_many_partitions_invariance(spark, emb):
     # exact determinism on an identical frame (ordered fold)
     again = sim.ivf_centroids(emb.repartition(17), n_clusters=4, max_iter=3)
     assert np.asarray(C17).tolist() == np.asarray(again).tolist()
+    # the grouped executor-side fold and the narrow-scan driver fold add
+    # each cluster's partition rows in the SAME pid order — bit-equal
+    folded = sim.ivf_centroids(
+        emb.repartition(17), n_clusters=4, max_iter=3, fold_partials=True
+    )
+    direct = sim.ivf_centroids(
+        emb.repartition(17), n_clusters=4, max_iter=3, fold_partials=False
+    )
+    assert np.asarray(folded).tolist() == np.asarray(direct).tolist()
