@@ -1389,7 +1389,15 @@ def compact_release(spark, path: str) -> int:
     increment named in the live base's marker, and a RETRIED compaction
     folds nothing twice (already-marked increments are stale garbage to
     delete, not rows to merge).  All renames go through ``_swap_staged``
-    (raises on failure) instead of unchecked ``fs.rename``."""
+    (raises on failure) instead of unchecked ``fs.rename``.
+
+    Concurrency contract: ONE maintenance writer.  An append creating a
+    NEW increment id while a compaction runs is safe (the id is not in
+    the compaction's listing: not folded, not deleted, not marked — it
+    simply rides as an increment into the next compaction), but a
+    concurrent re-append of an id this compaction is FOLDING races the
+    marker (its fresh rows would be hidden); serialize maintenance
+    against retries of in-flight increment ids."""
     import os as _os
 
     from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
