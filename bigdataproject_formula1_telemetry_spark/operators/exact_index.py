@@ -267,9 +267,13 @@ def _write_bloom_distributed(
             columns=[f.name for f in _BLOOM_SCHEMA.fields],
         )
 
+    # static per-write (see build_exact_index): the base bloom is a
+    # fresh artifact; dynamic overwrite would keep stale inc= chunks
     keyed.groupBy("chunk_idx").applyInPandas(assemble, _BLOOM_SCHEMA).write.mode(
         "overwrite"
-    ).partitionBy("inc").parquet(out_path)
+    ).option("partitionOverwriteMode", "static").partitionBy("inc").parquet(
+        out_path
+    )
 
 
 def _load_bloom(spark: SparkSession, path: str) -> tuple[np.ndarray, int, int]:
@@ -311,9 +315,13 @@ def build_exact_index(
     hf = _hash_frame(docs, text_col, id_col, normalize).withColumn(
         "inc", F.lit("base")
     )
-    hf.write.mode("overwrite").partitionBy("inc").parquet(
-        os.path.join(path, "hashes")
-    )
+    # static per-write: a base build is a FRESH index — under the
+    # session's dynamic overwrite default, rebuilding onto a used path
+    # would keep the previous generation's inc=* partitions (stale
+    # admission state)
+    hf.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("inc").parquet(os.path.join(path, "hashes"))
     # sidecar from the WRITTEN hashes (never drifts), built distributed:
     # no hash ever reaches the driver — only the final chunk rows do,
     # and those go straight to the parquet write.  Explicit schema: an
@@ -466,6 +474,7 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
         .drop("inc")
         .withColumn("inc", F.lit("base"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("inc")
         .parquet(staged)
     )
@@ -489,6 +498,8 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
     spark.createDataFrame(
         pd.DataFrame(rows, columns=[f.name for f in _BLOOM_SCHEMA.fields]),
         _BLOOM_SCHEMA,
-    ).write.mode("overwrite").partitionBy("inc").parquet(bstaged)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("inc").parquet(bstaged)
     _swap_staged(spark, bstaged, bpath)
     return n_folded

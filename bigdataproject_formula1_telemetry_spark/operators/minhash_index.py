@@ -132,16 +132,21 @@ def build_minhash_index(
     sig = _sig_frame(docs, text_col, id_col, num_hashes, shingle_n).withColumn(
         "inc", F.lit("base")
     )
-    sig.write.mode("overwrite").partitionBy("inc").parquet(
-        os.path.join(path, "sigs")
-    )
+    # STATIC overwrite per-write: a base build is a FRESH index.  Under
+    # the session default (partitionOverwriteMode=dynamic) this write
+    # only replaces inc=base, so rebuilding onto a used path would keep
+    # the previous generation's inc=* partitions — stale admission state
+    # silently rejecting docs the new index never saw.
+    sig.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("inc").parquet(os.path.join(path, "sigs"))
     spark = docs.sparkSession
     stored = spark.read.parquet(os.path.join(path, "sigs"))
     _banded(stored.select("id", "sig"), num_hashes, bands).withColumn(
         "inc", F.lit("base")
-    ).write.mode("overwrite").partitionBy("inc", "band").parquet(
-        os.path.join(path, "banded")
-    )
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("inc", "band").parquet(os.path.join(path, "banded"))
 
 
 _INC_ID_RE = _re.compile(r"^[A-Za-z0-9._-]+$")
@@ -408,6 +413,7 @@ def compact_index(spark: SparkSession, path: str) -> int:
             .drop("inc")
             .withColumn("inc", F.lit("base"))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
             .partitionBy(*parts)
             .parquet(staged)
         )

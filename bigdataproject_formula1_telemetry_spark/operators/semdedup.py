@@ -702,6 +702,7 @@ def compact_semantic_index(spark, path: str, cluster_col: str = "ivf_cluster") -
         .drop("inc")
         .withColumn("inc", F.lit("base"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("inc", cluster_col)
         .parquet(staged)
     )

@@ -885,9 +885,14 @@ def write_training_shards(
     pruning contract as ``io.read_partition``)."""
     import os as _os
 
-    packed.write.mode("overwrite").partitionBy(shard_col).parquet(
-        _os.path.join(path, "data")
-    )
+    # STATIC overwrite per-write: a shard set is a complete artifact.
+    # Under the session default (``partitionOverwriteMode=dynamic``, the
+    # incremental-ETL setting) an overwrite only replaces the partitions
+    # the NEW data produces — re-releasing onto a used path would leave
+    # stale shards from the previous release mixed into the new one.
+    packed.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy(shard_col).parquet(_os.path.join(path, "data"))
     spark = packed.sparkSession
     # explicit schema: a zero-row release writes a fileless directory
     # that schema inference cannot read; the manifest must still come
@@ -968,6 +973,18 @@ def corpus_release(
             "corpus_release: nothing survived curation — refusing to "
             "write an empty release (check gate thresholds)"
         )
+    # a release is a FRESH artifact: clear any incremental state a
+    # previous release left under this root (its increments/ and
+    # manifest_full), or read_release would union STALE increments into
+    # the new base.  The data overwrite above already replaced the base
+    # (and with it any compaction marker), so in-place re-release was
+    # never reader-safe mid-write — this just makes the end state clean.
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    for stale in ("increments", "manifest_full"):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_os.path.join(path, stale)), True)
     released = spark.read.parquet(_os.path.join(path, "data"))
     card = corpus_card(
         released,
@@ -1420,9 +1437,9 @@ def compact_release(spark, path: str) -> int:
         data = _os.path.join(path, "data")
         staged = data + ".staged"
         fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
-        all_rows.write.mode("overwrite").partitionBy("pack_shard").parquet(
-            staged
-        )
+        all_rows.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("pack_shard").parquet(staged)
         # every increment dir present at swap time is now IN this base
         _write_folded_marker(spark, staged, existing)
         _swap_staged(spark, staged, data)

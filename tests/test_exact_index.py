@@ -289,3 +289,37 @@ def test_build_bloom_multi_chunk_keeps_zero_chunks(spark, tmp_path):
     assert [r["chunk_idx"] for r in got] == list(want["chunk_idx"])
     assert [bytes(r["bits"]) for r in got] == [bytes(b) for b in want["bits"]]
     assert EI.bloom_fill_fraction(spark, p) == 0.0
+
+
+def test_rebuild_onto_used_path_drops_stale_increments(spark, tmp_path):
+    """Same fresh-index contract as the minhash side: a rebuild must not
+    inherit the previous generation's inc=* hash or bloom partitions."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        exact_index as EI,
+    )
+
+    path = str(tmp_path / "eidx")
+    gen1 = spark.createDataFrame(
+        [(1, "first generation text")], "doc_id long, text string"
+    )
+    EI.build_exact_index(gen1, path, expected_items=1000)
+    EI.append_exact_index(
+        spark.createDataFrame(
+            [(2, "incremental generation text")], "doc_id long, text string"
+        ),
+        path, increment_id="day1",
+    )
+    assert EI.list_increments(spark, path) == ["base", "day1"]
+    EI.build_exact_index(
+        spark.createDataFrame(
+            [(9, "second generation text")], "doc_id long, text string"
+        ),
+        path, expected_items=1000,
+    )
+    assert EI.list_increments(spark, path) == ["base"]
+    # a verbatim copy of the OLD increment doc must now be admitted
+    probe = spark.createDataFrame(
+        [(100, "incremental generation text")], "doc_id long, text string"
+    )
+    kept = EI.dedup_exact_against_index(spark, probe, path)
+    assert [r["doc_id"] for r in kept.collect()] == [100]

@@ -359,3 +359,38 @@ def test_swap_staged_is_crash_safe_shape(spark, tmp_path):
     assert (live / "b.txt").read_text() == "new"
     assert not (live / "a.txt").exists()
     assert not staged.exists() and not stale.exists()
+
+
+def test_rebuild_onto_used_path_drops_stale_increments(spark, tmp_path):
+    """A base build is a FRESH index: under the session's dynamic
+    partition-overwrite default, the build's overwrite used to replace
+    only inc=base, silently keeping the previous generation's inc=*
+    partitions — stale admission state rejecting docs the new index
+    never saw."""
+    path = str(tmp_path / "midx")
+    mk = lambda i, w: (i, " ".join([w] * 25))
+    gen1 = spark.createDataFrame(
+        [mk(1, "first generation article words")], "doc_id long, text string"
+    )
+    MI.build_minhash_index(gen1, path)
+    MI.append_minhash_index(
+        spark.createDataFrame(
+            [mk(2, "incremental generation article words")],
+            "doc_id long, text string",
+        ),
+        path, increment_id="day1",
+    )
+    assert MI.list_increments(spark, path) == ["base", "day1"]
+    # rebuild from scratch with different content
+    gen2 = spark.createDataFrame(
+        [mk(9, "second generation article words")], "doc_id long, text string"
+    )
+    MI.build_minhash_index(gen2, path)
+    assert MI.list_increments(spark, path) == ["base"]
+    # a near-copy of the OLD day1 increment must now be admitted
+    probe = spark.createDataFrame(
+        [mk(100, "incremental generation article words")],
+        "doc_id long, text string",
+    )
+    kept = MI.dedup_against_index(spark, probe, path)
+    assert [r["doc_id"] for r in kept.collect()] == [100]

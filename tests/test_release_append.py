@@ -378,3 +378,23 @@ def test_expire_refuses_folded_increment(spark, tmp_path):
     P.compact_release(spark, root)
     with pytest.raises(ValueError, match="folded into the base"):
         P.expire_release_increment(spark, root, "inc0")
+
+
+def test_rerelease_clears_stale_increments(spark, tmp_path):
+    """`corpus_release` onto a previously-used root is a FRESH artifact:
+    increments (and manifest_full) from the old release must not leak
+    into `read_release` of the new one."""
+    root = _release_with_two_increments(spark, tmp_path)
+    assert P.list_release_increments(spark, root) == ["inc0", "inc1"]
+    P.corpus_release(
+        spark.createDataFrame(
+            [_doc(50, "second generation base words")], "doc_id long, text string"
+        ),
+        root, chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+    )
+    assert P.list_release_increments(spark, root) == []
+    texts = " ".join(
+        r["chunk_text"] for r in P.read_release(spark, root).collect()
+    )
+    assert "second generation base" in texts
+    assert "first crash article" not in texts and "crashy base" not in texts
