@@ -298,8 +298,17 @@ def main() -> None:
             comp, ["vec_id"], 0.1, salt="pca-pq-train"
         )
         t0 = time.time()
-        books = PQx.pq_train(ptrain, m=4, n_codes=256, max_iter=2)
-        C_pq = sim.ivf_centroids(ptrain, n_clusters=64, max_iter=2)
+        # fold_partials=True: this local corpus reads in ~32 partitions,
+        # below the auto threshold — forcing the executor-side grouped
+        # fold here makes the leg's EXACT numpy twin (below) certify the
+        # wide-scan fold path at 500k scale (the paths are bit-equal by
+        # the unit tests; this proves it on real artifacts)
+        books = PQx.pq_train(
+            ptrain, m=4, n_codes=256, max_iter=2, fold_partials=True
+        )
+        C_pq = sim.ivf_centroids(
+            ptrain, n_clusters=64, max_iter=2, fold_partials=True
+        )
         results["pca_pq_train_s"] = round(time.time() - t0, 2)
         ivfpq_path = f"{OUT}/aniso_ivfpq"
         t0 = time.time()
