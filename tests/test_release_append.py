@@ -398,3 +398,46 @@ def test_rerelease_clears_stale_increments(spark, tmp_path):
     )
     assert "second generation base" in texts
     assert "first crash article" not in texts and "crashy base" not in texts
+
+
+def test_append_then_compact_after_crashed_cleanup(spark, tmp_path, monkeypatch):
+    """The trickiest interleaving: a compaction crashes between its data
+    swap and its increment cleanup, and a NEW increment is appended
+    BEFORE anyone retries.  read_release must union base (which already
+    contains the folded rows) + ONLY the new increment; the retried
+    compaction must fold exactly the new increment and garbage-collect
+    the stale dirs."""
+    root = _release_with_two_increments(spark, tmp_path)
+    expected_old = _release_rows(spark, root)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before cleanup")
+
+    monkeypatch.setattr(P, "_delete_increment_dirs", boom)
+    with pytest.raises(RuntimeError):
+        P.compact_release(spark, root)
+    monkeypatch.undo()
+
+    # a fresh append lands while the stale folded dirs still exist
+    P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(30, "post crash fresh article words")],
+            "doc_id long, text string",
+        ),
+        root, "inc2", chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2, refresh_card=False,
+    )
+    rows_now = _release_rows(spark, root)
+    new_rows = [r for r in rows_now if r[0] == 30]
+    assert new_rows, "the fresh increment must be readable"
+    # everything else is exactly the pre-crash corpus — folded rows are
+    # read ONCE (from the base), never doubled via the stale dirs
+    assert [r for r in rows_now if r[0] != 30] == expected_old
+
+    # the retry folds ONLY the genuinely-new increment
+    assert P.compact_release(spark, root) == 1
+    assert _release_rows(spark, root) == rows_now
+    assert P.list_release_increments(spark, root) == []
+    mf = spark.read.parquet(root + "/manifest_full")
+    assert set(r["inc"] for r in mf.collect()) == {"base"}
+    assert sum(int(r["n_chunks"]) for r in mf.collect()) == len(rows_now)
