@@ -441,3 +441,23 @@ def test_append_then_compact_after_crashed_cleanup(spark, tmp_path, monkeypatch)
     mf = spark.read.parquet(root + "/manifest_full")
     assert set(r["inc"] for r in mf.collect()) == {"base"}
     assert sum(int(r["n_chunks"]) for r in mf.collect()) == len(rows_now)
+
+
+def test_read_release_plan_scan_count(spark, tmp_path):
+    """Plan-shape pin for the documented reader design (SCALING.md):
+    read_release is one parquet scan per side — base + each live
+    increment — and collapses to exactly ONE scan after compaction."""
+    root = _release_with_two_increments(spark, tmp_path)
+
+    def scans():
+        return (
+            P.read_release(spark, root)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Scan parquet")
+        )
+
+    assert scans() == 3  # base + inc0 + inc1
+    P.compact_release(spark, root)
+    assert scans() == 1  # the single-scan base is restored
