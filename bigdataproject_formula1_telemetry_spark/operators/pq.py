@@ -84,7 +84,8 @@ def pq_train(
     deterministic sample at corpus scale (``sampling.deterministic_sample``)
     — the same recipe the IVF quantizer practices.
 
-    ``fold_partials`` (None = auto, on past 64 partitions): pre-reduce
+    ``fold_partials`` (None = auto — on past 256 partitions or ~64 MB
+    of estimated direct driver traffic): pre-reduce
     the per-partition (subspace, code) gradient rows executor-side with
     a ``groupBy(m, c)`` pid-ordered fold, bounding driver traffic at
     m·n_codes rows for any task count; on narrow scans the driver folds
@@ -129,7 +130,13 @@ def pq_train(
     )
     vecs_only = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
     if fold_partials is None:
-        fold_partials = vecs_only.rdd.getNumPartitions() > 64
+        # auto by worst-case DIRECT driver traffic: Σ_m n_codes rows of
+        # (subdim+2) doubles per partition = n_codes·(dim+2m)·8 bytes —
+        # fold when that times the partition count is material (see
+        # ivf_centroids for the rationale)
+        n_parts = vecs_only.rdd.getNumPartitions()
+        est_bytes = n_parts * n_codes * (dim + 2 * m) * 8
+        fold_partials = n_parts > 256 or est_bytes > (64 << 20)
 
     def fold_code(key, pdf):
         # executor-side pre-reduce: fold each (subspace, code)'s

@@ -656,8 +656,10 @@ def ivf_centroids(
       Arrow batch to its nearest centroid AND accumulates the per-cluster
       sums of the normalized vectors in the same numpy kernel, emitting
       ≤ k partial-sum rows per PARTITION (the map-side combine, done in
-      the kernel).  When the scan is wide (``fold_partials``; None =
-      auto, on past 64 partitions) a ``groupBy(c)`` pid-ordered fold
+      the kernel).  When the direct collect would be
+      material (``fold_partials``; None = auto — on past 256 partitions
+      or ~64 MB of estimated partitions×k×dim driver traffic) a
+      ``groupBy(c)`` pid-ordered fold
       pre-reduces executor-side (the ``pca.py`` discipline) so the
       DRIVER receives ≤ k rows of (dim+2) doubles regardless of task
       count — at k=1024/dim=768 a 10⁶-task corpus ships ~6 MB to the
@@ -718,7 +720,15 @@ def ivf_centroids(
     )
     vecs_only = corpus.select(vec_col)
     if fold_partials is None:
-        fold_partials = vecs_only.rdd.getNumPartitions() > 64
+        # auto: fold when the DIRECT collect's worst-case driver traffic
+        # (partitions × k rows of dim+2 doubles) would be material — the
+        # decision is driver-bytes-based, not partition-count-based, so
+        # a narrow-but-huge (k=1024, dim=768) training job folds even at
+        # 32 partitions while the bench-scale (k=8, dim=64) job never
+        # pays the fold's extra shuffle+Python stage per round
+        n_parts = vecs_only.rdd.getNumPartitions()
+        est_bytes = n_parts * n_clusters * (dim + 2) * 8
+        fold_partials = n_parts > 256 or est_bytes > (64 << 20)
 
     def fold_cluster(key, pdf):
         # executor-side pre-reduce (the pca.py pid-bucket discipline):
