@@ -1079,8 +1079,10 @@ def read_release(spark, path: str) -> DataFrame:
     plan that grows linearly with increment count — measured at the
     500k sweep scale (``--relread``): 0.32 s / 852 plan chars at 1
     increment → 9.29 s / 42,531 chars at 100, back to 0.63 s / 419
-    after compaction.  Fine for tens; run ``compact_release`` every
-    ~25-50 increments (SCALING.md pins the cadence).
+    after compaction.  Fine for tens; ``corpus_release_append``'s
+    ``auto_compact_at`` (default 32, inside the measured 25–50 band)
+    keeps the count bounded by folding automatically — SCALING.md pins
+    the cadence evidence.
 
     Increments named in the base's compaction marker (see
     ``compact_release``) are SKIPPED: their rows already live in the
@@ -1116,6 +1118,7 @@ def corpus_release_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     refresh_card: bool = True,
+    auto_compact_at: int | None = 32,
     **curate_kwargs,
 ) -> dict:
     """The release TRAIN: extend an existing ``corpus_release`` with an
@@ -1140,8 +1143,21 @@ def corpus_release_append(
 
     An all-duplicates increment (a re-crawl) is NORMAL: nothing is
     written, the indexes roll back any prior partial state for this
-    id, and the manifest is left as-is.  Returns ``{"manifest":
-    manifest_full, "card": card, "admitted_docs": n}``."""
+    id, and the manifest is left as-is.
+
+    ``auto_compact_at`` makes the compaction cadence ENGINE behavior
+    instead of an operator runbook note: when the post-append count of
+    live (unfolded) increments reaches the threshold, this append runs
+    ``compact_release`` before returning — ``read_release``'s plan cost
+    grows ~linearly with increment count (measured: 0.32 s/852 plan
+    chars at 1 increment → 9.29 s at 100; SCALING.md), and the default
+    of 32 sits inside the measured 25–50 sweet band.  ``None`` disables
+    (schedule maintenance yourself).  Compaction is a pure move, so the
+    triggering append's result — and every ``read_release`` row — is
+    bit-identical either way.
+
+    Returns ``{"manifest": manifest_full, "card": card,
+    "admitted_docs": n, "compacted_increments": n_folded}``."""
     import os as _os
 
     spark = new_docs.sparkSession
@@ -1154,6 +1170,17 @@ def corpus_release_append(
             f"increment id {increment_id!r} was already folded into the "
             "base by compact_release; increment ids are unique for a "
             "release's lifetime — pick a fresh id"
+        )
+    if increment_id in _read_compaction_lease(spark, path):
+        # fail fast instead of racing an in-flight (or crashed)
+        # compaction that is folding THIS id: our fresh rows would land
+        # in a directory the compaction is about to mark folded and
+        # delete — hidden from readers, then removed
+        raise ValueError(
+            f"increment id {increment_id!r} is leased by an in-flight "
+            "compact_release (see _compacting.json); retry after the "
+            "compaction completes — or, if it crashed, after a "
+            "compact_release retry supersedes the stale lease"
         )
 
     gated = new_docs
@@ -1222,8 +1249,26 @@ def corpus_release_append(
             increment_id=increment_id, **(minhash_kwargs or {}),
         )
 
-    # manifest_full: base + every increment, inc-tagged, staged swap
-    _refresh_manifest_full(spark, path)
+    # self-driving maintenance: once the live (unfolded) increment count
+    # reaches the threshold, fold — compact_release refreshes both
+    # manifests itself, so the separate refresh below is skipped.  NEVER
+    # auto-fold while a compaction lease is held: the contract is ONE
+    # maintenance writer, and a lease means one is in flight (or crashed
+    # — a state an explicit compact_release retry must resolve, since
+    # the leased ids are blocked until it does).
+    n_compacted = 0
+    if auto_compact_at is not None and not _read_compaction_lease(spark, path):
+        folded_now = _read_folded_marker(spark, path)
+        live = [
+            i
+            for i in list_release_increments(spark, path)
+            if i not in folded_now
+        ]
+        if len(live) >= auto_compact_at:
+            n_compacted = compact_release(spark, path)
+    if n_compacted == 0:
+        # manifest_full: base + every increment, inc-tagged, staged swap
+        _refresh_manifest_full(spark, path)
     final = _os.path.join(path, "manifest_full")
 
     # card over EVERYTHING a consumer reads — the expensive half of an
@@ -1241,6 +1286,7 @@ def corpus_release_append(
         "manifest": spark.read.parquet(final),
         "card": spark.read.parquet(_os.path.join(path, "card")),
         "admitted_docs": n_admitted,
+        "compacted_increments": n_compacted,
     }
 
 
@@ -1279,12 +1325,24 @@ def _read_folded_marker(spark, path: str) -> set:
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return set()
+    return set(_json.loads(_read_small_file(spark, fs, p)))
+
+
+def _read_small_file(spark, fs, p) -> str:
+    """UTF-8 contents of one (small: marker/lease-sized) file through the
+    Hadoop FS API.  JDK-only on the JVM side: ``InputStream.readAllBytes``
+    (JDK 9+; Spark requires 17), which py4j hands back as Python bytes
+    directly — commons-io is present in stock distributions but is NOT a
+    declared dependency, and a slimmed classpath would otherwise break
+    every release reader.  (A JVM-side byte[] fill à la
+    ``o.a.h.io.IOUtils.readFully`` does NOT work from py4j: byte[] proxies
+    convert to an immutable Python ``bytes`` copy, so the JVM fills a
+    buffer Python never sees.)"""
     stream = fs.open(p)
     try:
-        payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
-    return set(_json.loads(payload))
 
 
 def _write_folded_marker(spark, staged_data_dir: str, incs: list) -> None:
@@ -1303,6 +1361,63 @@ def _write_folded_marker(spark, staged_data_dir: str, incs: list) -> None:
         out.write(bytearray(_json.dumps(sorted(incs)).encode("utf-8")))
     finally:
         out.close()
+
+
+# Compaction lease: a file at the RELEASE root (never scanned by parquet
+# readers, which only look under data/ and increments/) naming the
+# increment ids an in-flight compaction is folding.  It turns the
+# documented concurrency contract — "don't re-append an id a compaction
+# is folding" — into enforcement: `corpus_release_append` fails fast on a
+# leased id instead of racing the marker.  Written BEFORE the fold reads
+# its snapshot, cleared AFTER cleanup; a stale lease (crashed compaction)
+# keeps blocking exactly the folding ids until a compaction retry
+# supersedes it — the safe default, since those ids' fold state is
+# unknown until the retry completes.
+_COMPACTING_LEASE = "_compacting.json"
+
+
+def _lease_path(spark, path: str):
+    import os as _os
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_os.path.join(path, _COMPACTING_LEASE))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _read_compaction_lease(spark, path: str) -> set:
+    """Increment ids an (in-flight or crashed) compaction is folding —
+    empty set when no compaction is active."""
+    import json as _json
+
+    fs, p = _lease_path(spark, path)
+    if not fs.exists(p):
+        return set()
+    return set(_json.loads(_read_small_file(spark, fs, p))["incs"])
+
+
+def _write_compaction_lease(spark, path: str, incs: list) -> None:
+    import json as _json
+    import uuid as _uuid
+
+    fs, p = _lease_path(spark, path)
+    out = fs.create(p, True)  # overwrite: a retry supersedes a stale lease
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(
+                    {"incs": sorted(incs), "nonce": _uuid.uuid4().hex}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+
+
+def _clear_compaction_lease(spark, path: str) -> None:
+    fs, p = _lease_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, False)
 
 
 def _delete_increment_dirs(spark, path: str, incs: list) -> None:
@@ -1378,6 +1493,16 @@ def expire_release_increment(spark, path: str, increment_id: str) -> None:
             "base (filter read_release and re-release) — deleting the "
             "increment directory would not remove its rows"
         )
+    if increment_id in _read_compaction_lease(spark, path):
+        # an in-flight compaction is folding this id: deleting its dir
+        # mid-fold would tear the union read, and the fold would resurrect
+        # the rows in the base anyway — the opposite of expire
+        raise ValueError(
+            f"increment {increment_id!r} is leased by an in-flight "
+            "compact_release; retry the expire after the compaction "
+            "completes (it will then be folded — expiring requires a "
+            "base rewrite)"
+        )
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(
         _os.path.join(path, "increments", increment_id)
@@ -1411,10 +1536,27 @@ def compact_release(spark, path: str) -> int:
     Concurrency contract: ONE maintenance writer.  An append creating a
     NEW increment id while a compaction runs is safe (the id is not in
     the compaction's listing: not folded, not deleted, not marked — it
-    simply rides as an increment into the next compaction), but a
-    concurrent re-append of an id this compaction is FOLDING races the
-    marker (its fresh rows would be hidden); serialize maintenance
-    against retries of in-flight increment ids."""
+    simply rides as an increment into the next compaction).  A
+    concurrent re-append of an id this compaction is FOLDING would race
+    the marker (its fresh rows hidden), so the compaction LEASES its
+    snapshot (``_compacting.json`` at the release root, written before
+    the fold reads any data) and ``corpus_release_append`` /
+    ``expire_release_increment`` fail fast on leased ids.  The lease is
+    cleared only after cleanup succeeds; after a crash it keeps
+    blocking exactly the in-flight ids until a compaction retry
+    supersedes it.  (The lease is fail-fast enforcement, not a lock —
+    an append already past its lease check when the lease lands can
+    still interleave; maintenance retries of the SAME id remain the
+    operator's to serialize.)
+
+    The fold set, the marker, and the deletion list are all built from
+    ONE ``list_release_increments`` snapshot — an increment appended
+    after the listing is invisible to every step of this compaction by
+    construction (no re-list between the union and the marker write).
+    The marker accumulates across compaction GENERATIONS (union with
+    the prior marker), so the append guard's promise — increment ids
+    are unique for a release's lifetime — holds forever, not just
+    until the next compaction."""
     import os as _os
 
     from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
@@ -1423,25 +1565,46 @@ def compact_release(spark, path: str) -> int:
 
     existing = list_release_increments(spark, path)
     if not existing:
+        # a compaction that crashed AFTER deleting its folded dirs but
+        # BEFORE refreshing manifest_full / clearing its lease left a
+        # stale lease and (possibly) a stale manifest_full — finish its
+        # cleanup instead of returning with the release half-maintained
+        if _read_compaction_lease(spark, path):
+            _refresh_manifest_full(spark, path)
+            _clear_compaction_lease(spark, path)
         return 0
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
+    # lease the snapshot FIRST: from here until the lease clears, appends
+    # and expires of these ids fail fast instead of racing the fold
+    _write_compaction_lease(spark, path, existing)
     already = _read_folded_marker(spark, path)
     to_fold = [i for i in existing if i not in already]
     if to_fold:
-        # read_release skips already-folded dirs, so a retry after a
-        # crashed cleanup unions base + ONLY the genuinely-new increments
-        all_rows = read_release(spark, path)
+        # union built from the CAPTURED snapshot — base + each to-fold
+        # increment's data — never a re-list (an increment appended after
+        # the listing must not be folded: it would be absent from both
+        # the marker and the deletion list, and its rows would be
+        # double-counted forever).  Already-marked ids are crash-window
+        # garbage: their rows live in the base, so they are deleted, not
+        # merged.
         data = _os.path.join(path, "data")
+        all_rows = spark.read.parquet(data)
+        for inc in to_fold:
+            d = _os.path.join(path, "increments", inc, "data")
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+                all_rows = all_rows.unionByName(spark.read.parquet(d))
         staged = data + ".staged"
         fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
         all_rows.write.mode("overwrite").option(
             "partitionOverwriteMode", "static"
         ).partitionBy("pack_shard").parquet(staged)
-        # every increment dir present at swap time is now IN this base
-        _write_folded_marker(spark, staged, existing)
+        # marker = every id EVER folded into a base: this snapshot plus
+        # every prior generation's (ids whose dirs are long deleted) —
+        # the append-guard invariant outlives any one compaction
+        _write_folded_marker(spark, staged, sorted(set(existing) | already))
         _swap_staged(spark, staged, data)
         # the folded base's manifest = aggregate over the new data
         manifest = (
@@ -1461,4 +1624,7 @@ def compact_release(spark, path: str) -> int:
     # hides from readers — a crash anywhere past the swap loses nothing
     _delete_increment_dirs(spark, path, existing)
     _refresh_manifest_full(spark, path)
+    # lease cleared LAST: only a fully-maintained release unblocks the
+    # folded ids (which the marker now rejects permanently anyway)
+    _clear_compaction_lease(spark, path)
     return len(to_fold)

@@ -450,14 +450,249 @@ def test_read_release_plan_scan_count(spark, tmp_path):
     root = _release_with_two_increments(spark, tmp_path)
 
     def scans():
-        return (
-            P.read_release(spark, root)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .count("Scan parquet")
-        )
+        return _reader_scans(spark, root)
 
     assert scans() == 3  # base + inc0 + inc1
     P.compact_release(spark, root)
     assert scans() == 1  # the single-scan base is restored
+
+
+def _reader_scans(spark, root) -> int:
+    return (
+        P.read_release(spark, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Scan parquet")
+    )
+
+
+def test_auto_compact_keeps_reader_scan_count_bounded(spark, tmp_path):
+    """`auto_compact_at=N` makes the compaction cadence engine behavior:
+    across a long train of appends the reader's plan never exceeds
+    base + N-1 live-increment scans + the triggering append's own
+    (N ≤ scans ≤ N+1 transiently at the trigger, then back to 1), and
+    every row already released is bit-invariant across each automatic
+    fold — compaction is a pure move."""
+    base_docs = spark.createDataFrame(
+        [_doc(1, "auto compact base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    threshold = 4
+    fired_at = []
+    for i in range(9):
+        prev = _release_rows(spark, root)
+        res = P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(100 + i, f"auto compact fresh article number{i} words")],
+                "doc_id long, text string",
+            ),
+            root, f"inc{i}", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False, auto_compact_at=threshold,
+        )
+        now = _release_rows(spark, root)
+        # bit-invariance: prior rows untouched by the (possible) fold,
+        # the fresh doc's rows present
+        assert [r for r in now if r[0] != 100 + i] == prev
+        assert [r for r in now if r[0] == 100 + i]
+        # bounded reader: never more than base + threshold live scans
+        assert _reader_scans(spark, root) <= threshold + 1
+        if res["compacted_increments"]:
+            fired_at.append((i, res["compacted_increments"]))
+            # a fold collapses the reader back to the single-scan base
+            assert _reader_scans(spark, root) == 1
+    # live counts 1,2,3,4 → fold 4; 1,2,3,4 → fold 4; 1
+    assert fired_at == [(3, 4), (7, 4)]
+    # the folded ids stay permanently reserved across generations
+    assert P._read_folded_marker(spark, root) == {f"inc{i}" for i in range(8)}
+
+
+def test_append_rejects_folded_id_across_compaction_generations(
+    spark, tmp_path
+):
+    """The folded-id marker accumulates across compaction GENERATIONS:
+    an id folded two compactions ago (its directory long gone) is still
+    refused — 'increment ids are unique for a release's lifetime' is
+    enforced forever, not just until the next fold."""
+    root = _release_with_two_increments(spark, tmp_path)
+    assert P.compact_release(spark, root) == 2  # generation 1: inc0, inc1
+    P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(40, "generation two fresh article words")],
+            "doc_id long, text string",
+        ),
+        root, "inc2", chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2, refresh_card=False,
+    )
+    assert P.compact_release(spark, root) == 1  # generation 2: inc2
+    assert P._read_folded_marker(spark, root) == {"inc0", "inc1", "inc2"}
+    with pytest.raises(ValueError, match="already folded"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(41, "reuse of generation one id words")],
+                "doc_id long, text string",
+            ),
+            root, "inc0", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+
+
+def test_append_of_folding_id_fails_fast_during_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The compaction lease turns the documented concurrency contract
+    into enforcement: WHILE a compaction is folding inc0/inc1 — paused
+    BEFORE the marker swaps into place, the exact window the lease
+    exists for (after the swap the permanent folded-id guard takes
+    over) — a re-append of a folding id raises, while an append of a
+    NEW id proceeds and survives the fold."""
+    root = _release_with_two_increments(spark, tmp_path)
+    real_marker = P._write_folded_marker
+    observed = {}
+
+    def paused_marker(spark_, staged_, incs_):
+        # inside the pre-swap window: lease held, marker NOT yet visible
+        with pytest.raises(ValueError, match="leased by an in-flight"):
+            P.corpus_release_append(
+                spark.createDataFrame(
+                    [_doc(60, "racing re-append of folding id words")],
+                    "doc_id long, text string",
+                ),
+                root, "inc0", chunk_tokens=16, overlap=0, token_budget=64,
+                n_pack_shards=2, refresh_card=False,
+            )
+        # a NEW id is outside the lease and proceeds mid-compaction
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(61, "concurrent new id append words")],
+                "doc_id long, text string",
+            ),
+            root, "incNEW", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False, auto_compact_at=None,
+        )
+        observed["ran"] = True
+        return real_marker(spark_, staged_, incs_)
+
+    monkeypatch.setattr(P, "_write_folded_marker", paused_marker)
+    assert P.compact_release(spark, root) == 2
+    monkeypatch.undo()
+    assert observed["ran"]
+    # the lease cleared with the compaction; the mid-fold append is live
+    assert P._read_compaction_lease(spark, root) == set()
+    texts = " ".join(
+        r["chunk_text"] for r in P.read_release(spark, root).collect()
+    )
+    assert "concurrent new id append" in texts
+    assert "racing re-append" not in texts
+    # ...and rides into the NEXT compaction normally
+    assert P.compact_release(spark, root) == 1
+
+
+def test_stale_lease_blocks_then_retry_supersedes(spark, tmp_path, monkeypatch):
+    """A compaction that crashes mid-fold leaves its lease in place: the
+    folding ids stay blocked (their fold state is unknown — crash was
+    BEFORE the marker landed, so only the lease protects them), a
+    compact_release retry supersedes the stale lease, and the
+    pathological crash AFTER the increment dirs were deleted (retry sees
+    zero increments) still finishes maintenance: manifest refresh +
+    lease clear."""
+    root = _release_with_two_increments(spark, tmp_path)
+    expected = _release_rows(spark, root)
+
+    # crash flavor 1: mid-fold, BEFORE the marker/data swap — the lease
+    # is the ONLY thing standing between a re-append and silent row loss
+    def boom_marker(*a, **k):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(P, "_write_folded_marker", boom_marker)
+    with pytest.raises(RuntimeError, match="before marker"):
+        P.compact_release(spark, root)
+    monkeypatch.undo()
+
+    assert P._read_compaction_lease(spark, root) == {"inc0", "inc1"}
+    assert P._read_folded_marker(spark, root) == set()  # swap never ran
+    assert _release_rows(spark, root) == expected  # old base + incs intact
+    with pytest.raises(ValueError, match="leased by an in-flight"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(70, "append of stale leased id words")],
+                "doc_id long, text string",
+            ),
+            root, "inc1", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+    with pytest.raises(ValueError, match="leased"):
+        P.expire_release_increment(spark, root, "inc1")
+
+    # crash flavor 2: the retry folds + deletes the dirs but dies before
+    # the manifest refresh — the NEXT retry finds zero increments yet
+    # still finishes the crashed maintenance (refresh + lease clear)
+    def boom_refresh(*a, **k):
+        raise RuntimeError("injected crash after cleanup")
+
+    monkeypatch.setattr(P, "_refresh_manifest_full", boom_refresh)
+    with pytest.raises(RuntimeError, match="after cleanup"):
+        P.compact_release(spark, root)
+    monkeypatch.undo()
+    assert P.list_release_increments(spark, root) == []
+    assert P._read_compaction_lease(spark, root) == {"inc0", "inc1"}
+    assert _release_rows(spark, root) == expected  # folded, read from base
+
+    assert P.compact_release(spark, root) == 0  # pure finish-the-job retry
+    assert P._read_compaction_lease(spark, root) == set()
+    mf = spark.read.parquet(root + "/manifest_full")
+    assert set(r["inc"] for r in mf.collect()) == {"base"}
+    # folded ids remain reserved by the MARKER even after the lease clears
+    with pytest.raises(ValueError, match="already folded"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(71, "post recovery reuse attempt words")],
+                "doc_id long, text string",
+            ),
+            root, "inc0", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+
+
+def test_compaction_folds_only_its_listing_snapshot(spark, tmp_path, monkeypatch):
+    """TOCTOU pin: the fold unions exactly the increments captured by the
+    compaction's ONE directory listing.  An increment appended AFTER the
+    listing (simulated by appending inside the staged-write window) is
+    NOT folded, NOT marked, NOT deleted — it survives as a live
+    increment and its rows are read exactly once."""
+    root = _release_with_two_increments(spark, tmp_path)
+    real_marker = P._write_folded_marker
+    seen = {}
+
+    def append_then_mark(spark_, staged_, incs_):
+        # the fold's union and staged write already happened; a late
+        # increment lands now, after the listing snapshot
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(80, "late increment after listing words")],
+                "doc_id long, text string",
+            ),
+            root, "incLATE", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False, auto_compact_at=None,
+        )
+        seen["marked"] = sorted(incs_)
+        return real_marker(spark_, staged_, incs_)
+
+    monkeypatch.setattr(P, "_write_folded_marker", append_then_mark)
+    assert P.compact_release(spark, root) == 2
+    monkeypatch.undo()
+
+    # the late increment is not in the marker and its dir survived
+    assert seen["marked"] == ["inc0", "inc1"]
+    assert P._read_folded_marker(spark, root) == {"inc0", "inc1"}
+    assert P.list_release_increments(spark, root) == ["incLATE"]
+    rows = _release_rows(spark, root)
+    late = [r for r in rows if r[0] == 80]
+    assert len(late) == len(set(late)) and late, "read exactly once"
+    # and the next compaction folds exactly it
+    assert P.compact_release(spark, root) == 1
+    assert _release_rows(spark, root) == rows
