@@ -822,6 +822,8 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic — probed identical to DuckDB's ``quantile_disc`` across
     sizes and heavy-tie corpora — so the oracle recomputes the cut
     points and labels engine-exactly."""
+    from bigdataproject_formula1_telemetry_spark.operators import dedup as _dd
+
     docs = _t(spark, sf_dir, "documents")
     model = LM.unigram_lm(docs)
     ppl = LM.doc_perplexity(docs, model).select(
@@ -851,6 +853,15 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gopher_kept", F.coalesce(F.col("__gk"), F.lit(False)))
         .drop("__gk")
     )
+    # barrier before the two-pass bucketing: ppl_buckets consumes `base`
+    # twice (tercile sketch + label join), and without a barrier Catalyst
+    # re-inlines the ENTIRE upstream lineage — LM train, perplexity
+    # scoring, all nine Gopher rules — into both branches (measured: 14
+    # documents scans / 30 exchanges vs 7 / ~15 with it).  `base` is the
+    # narrow per-doc stats frame (7 scalar columns, no text), so caching
+    # it costs ~tens of bytes per doc — the persist-vs-recompute call is
+    # the OPPOSITE of span dedup's O(n_tokens) frame (SCALING.md r6 A/B).
+    base = _dd._barrier(base, "memory")
     return LM.ppl_buckets(
         base, ppl_col="ppl", lang_col="lang", accuracy=1_000_000
     ).drop("lang")

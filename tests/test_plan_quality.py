@@ -76,6 +76,18 @@ def test_partition_pruning(spark, tmp_path):
     assert m and "part" in m.group(1)
 
 
+def test_q26_base_is_single_pass_via_barrier(spark):
+    """q26 feeds its per-doc stats frame into ppl_buckets, which consumes
+    it TWICE (tercile sketch + label join); the memory barrier must make
+    both branches read the cached narrow frame instead of re-inlining the
+    whole upstream lineage (LM train + perplexity scoring + nine Gopher
+    rules) into each — at bench scale AQE exchange reuse happened to hide
+    the recompute, but reuse is best-effort canonicalization while the
+    barrier is structural."""
+    plan = plan_of(spark, "q26_text_stats")
+    assert plan.count("InMemoryTableScan") == 2
+
+
 def test_q53_global_topk_is_take_ordered(spark):
     """The sorted-limit must compile to TakeOrderedAndProject (per-
     partition top-k + k-way driver merge), never a global sort."""
