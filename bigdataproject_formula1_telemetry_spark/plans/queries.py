@@ -2118,6 +2118,74 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'tail' AS tag, value FROM
           (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 1000)
       ) GROUP BY tag
+      UNION ALL
+      -- ExactSubstr span dedup (Lee et al. ACL 2022), FULL keeper rule:
+      -- every 50-token window occurring >1x in the planted corpus is
+      -- excised from all occurrences except the global min-(doc_id,pos)
+      SELECT 'exact_substr' AS section,
+        CASE WHEN nt <> old THEN 'docs_changed' ELSE 'docs_unchanged' END AS key,
+        CAST(CASE WHEN nt <> old THEN 1 ELSE 2 END AS BIGINT) AS sort_key,
+        count(*) AS n,
+        round(CAST(sum(length(old) - length(nt)) AS DOUBLE), 2) AS total
+      FROM (
+        WITH es_tok0 AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x <> '') AS toks
+          FROM documents
+          WHERE doc_id % 10 = 0
+        ), es_base AS (
+          SELECT doc_id, text, toks FROM es_tok0 WHERE len(toks) >= 60
+        ), es_planted AS (
+          SELECT doc_id, text FROM es_base
+          UNION ALL
+          SELECT doc_id + 100000000,
+            'twin prefix for doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+              array_to_string(toks[1:60], ' ')
+          FROM es_base
+        ), es_tok AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x <> '') AS toks
+          FROM es_planted
+        ), es_pos AS (
+          SELECT doc_id, toks,
+            unnest(range(0, greatest(len(toks) - 49, 0))) AS pos
+          FROM es_tok
+        ), es_sp AS (
+          SELECT doc_id, pos,
+            array_to_string(toks[pos + 1: pos + 50], ' ') AS sp
+          FROM es_pos
+        ), es_dup AS (
+          SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY sp) AS c,
+            row_number() OVER (PARTITION BY sp ORDER BY doc_id, pos) AS rn
+          FROM es_sp
+        ), es_cuts AS (
+          SELECT doc_id, pos FROM es_dup WHERE c > 1 AND rn > 1
+        ), es_cut_docs AS (
+          SELECT DISTINCT doc_id FROM es_cuts
+        ), es_toki AS (
+          SELECT doc_id, unnest(toks) AS tok,
+            unnest(range(0, len(toks))) AS i
+          FROM es_tok WHERE doc_id IN (SELECT doc_id FROM es_cut_docs)
+        ), es_kept AS (
+          SELECT k.doc_id, k.tok, k.i FROM es_toki k
+          WHERE NOT EXISTS (
+            SELECT 1 FROM es_cuts c
+            WHERE c.doc_id = k.doc_id
+              AND c.pos <= k.i AND k.i < c.pos + 50)
+        ), es_new AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS nt
+          FROM es_kept GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.text AS old,
+          CASE WHEN cd.doc_id IS NULL THEN p.text
+               ELSE COALESCE(n.nt, '') END AS nt
+        FROM es_planted p
+        LEFT JOIN es_cut_docs cd USING (doc_id)
+        LEFT JOIN es_new n USING (doc_id)
+      ) GROUP BY 2, 3
     )
     ORDER BY section, sort_key, key
     """,
@@ -2133,7 +2201,21 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train_by_circuit.py:160-162), plus a P4 membership predicate.
     All sections aggregate to a handful of rows before the union, so the
     union-all is over tiny frames — the scans themselves stay pushed-down
-    and parallel."""
+    and parallel.
+
+    The ``exact_substr`` section (r10) gives ExactSubstr span dedup
+    (``dedup.remove_duplicate_spans``) its driver-checked oracle row: a
+    deterministic planted corpus — every ≥60-token ``doc_id%10==0``
+    document plus a twin embedding its first 60 tokens behind a unique
+    prefix — runs the real operator, and the DuckDB oracle recomputes
+    the complete keeper rule (50-token window strings, global
+    min-(doc_id,pos) keeper, per-doc cut-range union, token-level text
+    reconstruction).  The planting guarantees the rule BITES (every twin
+    is cut); the oracle is the rule itself, so accidental duplicate
+    spans between base docs are checked too (at sf0.1 it catches 2 of
+    them beyond the 215 twins).  Spark-side hashes vs oracle-side exact
+    strings differ only on 64-bit rolling-hash collisions (~1e-11 at
+    this scale, deterministic corpus)."""
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
@@ -2198,6 +2280,54 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     )
 
+    # ExactSubstr span dedup (operators/dedup.py remove_duplicate_spans —
+    # Lee et al. ACL 2022) as a driver-checked section: a deterministic
+    # planted corpus (every ≥60-token doc with doc_id%10==0, plus a twin
+    # that embeds its first 60 tokens behind a unique prefix) runs the
+    # REAL operator end-to-end (rolling-hash kernel → keeper aggregate →
+    # join-back → excise), and the oracle recomputes the FULL keeper rule
+    # in SQL (window strings, global min-(doc_id,pos) keeper, cut-range
+    # union, token-level reconstruction) — it also catches accidental
+    # duplicate spans between base docs, not just the planted twins.
+    docs = _t(spark, sf_dir, "documents")
+    es_toks = F.split(F.trim(F.col("text")), r"\s+")
+    es_base = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text", es_toks.alias("__toks"))
+        .where(F.size("__toks") >= 60)
+    )
+    es_twins = es_base.select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("twin prefix for doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.array_join(F.slice("__toks", 1, 60), " "),
+        ).alias("text"),
+    )
+    es_planted = es_base.select("doc_id", "text").unionByName(es_twins)
+    es_deduped = dedup.remove_duplicate_spans(
+        es_planted.withColumn("__old", F.col("text")), span_tokens=50
+    )
+    es_changed = F.col("text") != F.col("__old")
+    exact_substr = (
+        es_deduped.select(
+            F.when(es_changed, F.lit("docs_changed"))
+            .otherwise(F.lit("docs_unchanged"))
+            .alias("key"),
+            F.when(es_changed, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            .alias("sort_key"),
+            (F.length("__old") - F.length("text")).cast("double").alias("__cr"),
+        )
+        .groupBy("key", "sort_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("__cr"), 2).alias("total"))
+        .select(
+            F.lit("exact_substr").alias("section"), "key", "sort_key", "n", "total"
+        )
+    )
+
     # O3 head/tail caps + A8 union of the two sorted-limit frames
     head = (
         ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -2229,6 +2359,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority.unionByName(ladder)
         .unionByName(segment)
         .unionByName(cap)
+        .unionByName(exact_substr)
         .orderBy("section", "sort_key", "key")
     )
 
