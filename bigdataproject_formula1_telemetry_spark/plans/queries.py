@@ -692,7 +692,10 @@ def q28_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash, deterministic keeper (north-star)."""
+    """Exact dedup by content hash, deterministic keeper (north-star).
+    (The r10 decontamination driver row lives in q29 — the curation-gate
+    family — so this BENCHED entry keeps its exact-dedup identity and
+    its round-over-round band stays comparable.)"""
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs).select("doc_id", "lang", "n_chars")
 
@@ -875,6 +878,23 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                     x -> x <> '') AS toks
       FROM documents
+    ), nt AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      -- benchmark 8-grams: tokens 6..17 of every doc_id%7==0 doc yield
+      -- five overlapping 8-grams each (planted so the gate BITES)
+      SELECT DISTINCT array_to_string(nt.t[6 + g.k : 13 + g.k], ' ') AS gram
+      FROM nt, (SELECT unnest(range(0, 5)) AS k) g
+      WHERE doc_id % 7 = 0 AND len(nt.t) >= 17
+    ), cg AS (
+      SELECT doc_id, array_to_string(t[p + 1 : p + 8], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS p
+            FROM nt)
+    ), bad AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)
     ), h AS (
       SELECT doc_id,
         len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS h_de,
@@ -926,12 +946,26 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.host = 'spamfarm.com' OR d.host LIKE '%.spamfarm.com'
         OR regexp_matches(d.url, '(?i)(casino)')
       ) AS url_kept,
+      -- PII scrub oracle (r10): the planted email/IPv4/phone strings are
+      -- doc_id-parameterized, so the chars a CORRECT redaction removes
+      -- are pure arithmetic over the id's digit lengths: email drops
+      -- 1+len(id) ('u<id>@ex.com' -> '<EMAIL>'), IPv4 drops
+      -- 2+len(id%250)+len(id%200) ('10.0.A.B' -> '<IP>'), phone drops 1
+      -- ('555-12XY' -> '<PHONE>'); the digit/@-stripped base text must
+      -- contribute NOTHING (a false-positive redaction there breaks the
+      -- equality)
+      CAST(4 + length(CAST(l.doc_id AS VARCHAR))
+             + length(CAST(l.doc_id % 250 AS VARCHAR))
+             + length(CAST(l.doc_id % 200 AS VARCHAR))
+           AS BIGINT) AS pii_redacted_chars,
+      (b.doc_id IS NULL) AS contam_free,
       (SELECT len(list_filter(
           list_filter(string_split_regex(lower(doc.text), '[^a-z0-9]+'),
                       x -> x <> ''),
           t -> list_contains(['batch','spark'], t)))
        FROM documents doc WHERE doc.doc_id = l.doc_id) < 4 AS c4_kept
     FROM lang l JOIN dom d ON l.doc_id = d.doc_id
+    LEFT JOIN bad b ON l.doc_id = b.doc_id
     """,
 )
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,8 +986,62 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``text.blocklist_filter``): word-boundary tokenization + blocked
     OCCURRENCE counting (the r6-ADVICE semantics — a page repeating a
     blocked word must eventually trip ``min_hits``), thresholds tuned
-    to split this corpus 273/227 at sf0.01."""
+    to split this corpus 273/227 at sf0.01.
+
+    ``pii_redacted_chars`` (r10) oracle-checks ``text.redact_pii``:
+    each doc's text is digit/@-stripped (PII-free by construction in
+    both engines — email needs '@', IPv4/phone need digits) and a
+    doc_id-parameterized email + IPv4 + phone suffix is planted; the
+    column is the chars the real chained-regexp scrub removed.  The
+    oracle recomputes it as pure digit-length arithmetic over doc_id,
+    so BOTH failure modes trip the driver compare: a planted pattern
+    missed (chars under), or a false positive in the stripped prose
+    (chars over).  The phone pattern's lookarounds are
+    RE2-inexpressible, which is exactly why the oracle checks the
+    redaction's EFFECT rather than re-running the regex.
+
+    ``contam_free`` (r10) oracle-checks 8-gram eval-set
+    decontamination (``dedup.decontaminate``, the published
+    long-n-gram-overlap recipe) against a PLANTED benchmark: tokens
+    6..17 of every ``doc_id%7==0`` document (normalized tokenization,
+    so the slice is identical in both engines).  Every planted source
+    doc contains its own benchmark grams, so the gate provably bites;
+    the oracle recomputes the overlap on exact gram STRINGS, so any
+    OTHER doc sharing one of those 8-grams is checked too (sf0.01:
+    76 flagged = 72 planted + 4 accidental).  Spark-side xxhash64
+    gram hashes differ only on 64-bit collisions (~1e-13 here).
+    Hosted in q29 rather than the BENCHED q25 so the exact-dedup
+    bench entry keeps its identity (the 8-gram shingle pass costs
+    ~2 s at sf0.1 — real operator cost, wrong entry to carry it)."""
     docs = _t(spark, sf_dir, "documents")
+    _norm = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    _bench = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(_norm.alias("__t"))
+        .where(F.size("__t") >= 17)
+        .select(F.array_join(F.slice("__t", 6, 12), " ").alias("text"))
+    )
+    contam_ok = dedup.decontaminate(docs, _bench).select(
+        "doc_id", F.lit(True).alias("__cf")
+    )
+    _d = F.col("doc_id").cast("string")
+    _stripped = F.regexp_replace(F.col("text"), "[0-9@]", "")
+    _planted = F.concat(
+        _stripped,
+        F.lit(" u"), _d, F.lit("@ex.com 10.0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit("."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(" 555-12"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    pii = docs.select(
+        "doc_id",
+        (F.length(_planted) - F.length(T.redact_pii(_planted)))
+        .cast("long")
+        .alias("pii_redacted_chars"),
+    )
     base = docs.select(
         "doc_id",
         T.lang_id(F.col("text")).alias("lang_pred"),
@@ -1000,10 +1088,14 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.url_parts(base)
         .join(kept, "doc_id", "left")
         .join(kept_c4, "doc_id", "left")
+        .join(pii, "doc_id")
+        .join(contam_ok, "doc_id", "left")
         .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
         .withColumn("c4_kept", F.coalesce(F.col("__c4"), F.lit(False)))
+        .withColumn("contam_free", F.coalesce(F.col("__cf"), F.lit(False)))
         .select(
-            "doc_id", "lang_pred", "host", "domain", "url_kept", "c4_kept"
+            "doc_id", "lang_pred", "host", "domain", "url_kept",
+            "pii_redacted_chars", "contam_free", "c4_kept",
         )
     )
 
@@ -1608,10 +1700,50 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
       WHERE substr(md5('strat|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
             < (CASE WHEN d.lang = 'en' THEN '40000000' ELSE 'g' END)
+    ),
+    -- quality classifier (r10): replay ONE full-batch logistic epoch
+    -- from w0 = 0 in closed form (sigma(0) = 1/2 exactly, so the
+    -- residual r = 1/2 - y is EXACT and the gradient needs no
+    -- recursion), then score every doc with the updated weights —
+    -- featurization (md5 bucket+sign, L2 row norm), distributed
+    -- gradient, update rule, and Arrow serving all oracle-checked
+    clf_tb AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5('clf56|' || tok), 1, 8)) AS UBIGINT)
+          % 256 AS b,
+        CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5('clf56|' || tok), 9, 1)) - 1) % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS s
+      FROM tok, unnest(toks) AS u(tok)
+    ), clf_v AS (
+      SELECT doc_id, b, sum(s) AS v FROM clf_tb GROUP BY doc_id, b
+    ), clf_nrm AS (
+      SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM clf_v GROUP BY doc_id
+    ), clf_x AS (
+      SELECT v.doc_id, v.b, v.v / n.nrm AS x
+      FROM clf_v v JOIN clf_nrm n USING (doc_id) WHERE n.nrm > 0
+    ), clf_r AS (
+      SELECT doc_id, 0.5 - (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS r
+      FROM documents
+    ), clf_n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(r) AS gb FROM clf_r
+    ), clf_w AS (
+      SELECT x.b, -2.0 * (sum(r.r * x.x) / (SELECT n FROM clf_n)) AS w
+      FROM clf_x x JOIN clf_r r USING (doc_id) GROUP BY x.b
+    ), clf_p AS (
+      SELECT d.doc_id,
+        1.0 / (1.0 + exp(-(coalesce(s.dot, 0.0)
+          + (SELECT -2.0 * (gb / n) FROM clf_n)))) AS p
+      FROM documents d LEFT JOIN (
+        SELECT x.doc_id, sum(x.x * w.w) AS dot
+        FROM clf_x x JOIN clf_w w USING (b) GROUP BY x.doc_id
+      ) s ON d.doc_id = s.doc_id
     )
-    SELECT lang, count(*) AS n_kept,
-      floor(sum(log_w) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_logw
-    FROM kept GROUP BY lang ORDER BY lang
+    SELECT k.lang, count(*) AS n_kept,
+      floor(sum(k.log_w) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_logw,
+      floor(sum(p.p) / count(*) * 1000000 + 0.5) / 1000000.0 AS avg_clf_prob
+    FROM kept k JOIN clf_p p ON k.doc_id = p.doc_id
+    GROUP BY k.lang ORDER BY k.lang
     """,
 )
 def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,10 +1761,38 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-smoothed multinomials, per-doc Σ c_b·(log p_b − log q_b),
     and the rebalance gate — so model fit, featurization, and weighting
     are all oracle-checked end-to-end (prototype: max |Δ| vs numpy
-    2.4e-14 at sf0.01, rounded at 1e-6)."""
-    from bigdataproject_formula1_telemetry_spark.operators import dsir, sampling
+    2.4e-14 at sf0.01, rounded at 1e-6).
+
+    ``avg_clf_prob`` (r10) oracle-checks the quality classifier
+    (``classifier.train_text_classifier`` +
+    ``score_text_classifier``): ONE full-batch logistic epoch from
+    w0 = 0 is closed-form (σ(0) = ½ exactly, so the residual ½ − y is
+    exact and the gradient is a single aggregate, no recursion) — the
+    oracle recomputes the md5 bucket+sign hashing trick, the L2 row
+    normalization, the distributed gradient, the −lr·g/n update, and
+    the sigmoid serving pass entirely in SQL, then averages the score
+    over each language's kept docs.  Engine float drift is partition-
+    sum associativity only (~1e-15 for one epoch), absorbed by the
+    1e-6 portable rounding."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        classifier as CLF,
+        dsir,
+        sampling,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    wvec = CLF.train_text_classifier(
+        docs.select(
+            "text", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        dim=256,
+        epochs=1,
+        lr=2.0,
+        salt="clf56",
+    )
+    scored = CLF.score_text_classifier(
+        docs, wvec, out_col="__p", salt="clf56"
+    ).select("doc_id", "__p")
     p = dsir.fit_hashed_ngram_model(
         docs.where(F.col("lang") == "en"), dim=1024, salt="dsir56"
     )
@@ -1643,10 +1803,12 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(w, "doc_id")
+        .join(scored, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             _pround(F.avg("log_w"), 6).alias("avg_logw"),
+            _pround(F.avg("__p"), 6).alias("avg_clf_prob"),
         )
         .orderBy("lang")
     )
@@ -2186,6 +2348,92 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN es_cut_docs cd USING (doc_id)
         LEFT JOIN es_new n USING (doc_id)
       ) GROUP BY 2, 3
+      UNION ALL
+      -- UniMax waterfill (Chung et al. 2023 Algorithm 1): the oracle
+      -- replays the EXACT sequential fill (ascending-capacity visit
+      -- order, alloc = min(cap, remaining/left)) as a recursive CTE, so
+      -- every IEEE double op happens in the same order as the Python
+      -- driver loop — bit-identical allocations, then portable rounding
+      SELECT 'unimax' AS section, source AS key,
+        CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS sort_key,
+        n, floor(alloc * 10000.0 + 0.5) / 10000.0 AS total
+      FROM (
+        WITH RECURSIVE um_caps AS (
+          SELECT source, 1.0 * CAST(sum(n_chars) AS DOUBLE) AS cap,
+            count(*) AS n,
+            CAST(row_number() OVER (
+              ORDER BY 1.0 * CAST(sum(n_chars) AS DOUBLE), source
+            ) AS INTEGER) AS rn
+          FROM documents GROUP BY source
+        ), um_l AS (SELECT count(*) AS l FROM um_caps),
+        um_b AS (
+          SELECT 0.97 * CAST(sum(n_chars) AS DOUBLE) AS budget
+          FROM documents
+        ),
+        um_fill AS (
+          SELECT 0 AS rn, (SELECT budget FROM um_b) AS remaining,
+            CAST(NULL AS DOUBLE) AS alloc,
+            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n
+          UNION ALL
+          SELECT c.rn,
+            f.remaining
+              - least(c.cap,
+                      f.remaining / ((SELECT l FROM um_l) - c.rn + 1)),
+            least(c.cap,
+                  f.remaining / ((SELECT l FROM um_l) - c.rn + 1)),
+            c.source, c.n
+          FROM um_fill f JOIN um_caps c ON c.rn = f.rn + 1
+        )
+        SELECT source, n, alloc FROM um_fill WHERE rn > 0
+      )
+      UNION ALL
+      -- Z-order layout key (layout.zorder_key, minmax mode): the oracle
+      -- recomputes bounds -> equi-width bucket (trunc, NOT round: Spark's
+      -- double->long cast truncates) -> Morton interleave, then sums the
+      -- full 16-bit keys per curve cell — any misplaced bit shifts a sum
+      SELECT 'zorder' AS section, CAST(z >> 12 AS VARCHAR) AS key,
+        CAST((z >> 12) + 1 AS BIGINT) AS sort_key,
+        count(*) AS n, CAST(sum(z) AS DOUBLE) AS total
+      FROM (
+        SELECT CAST(list_sum(list_transform(range(0, 8), i ->
+                 (((b.bx >> i) & 1) << (2 * i))
+                 + (((b.by >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        FROM (
+          SELECT
+            least(greatest(CAST(trunc((CAST(o_custkey AS DOUBLE) - st.lo1)
+              / (st.hi1 - st.lo1) * 256.0) AS BIGINT), 0), 255) AS bx,
+            least(greatest(CAST(trunc((CAST(o_orderkey AS DOUBLE) - st.lo2)
+              / (st.hi2 - st.lo2) * 256.0) AS BIGINT), 0), 255) AS by
+          FROM orders, (
+            SELECT min(CAST(o_custkey AS DOUBLE)) AS lo1,
+                   max(CAST(o_custkey AS DOUBLE)) AS hi1,
+                   min(CAST(o_orderkey AS DOUBLE)) AS lo2,
+                   max(CAST(o_orderkey AS DOUBLE)) AS hi2
+            FROM orders) st
+        ) b
+      )
+      GROUP BY z >> 12
+      UNION ALL
+      -- corpus_diff: full-outer change classification recomputed on raw
+      -- TEXT equality (the operator joins 16-byte md5 hashes — the
+      -- oracle is hash-free, so hashing bugs trip the compare)
+      SELECT 'corpus_diff' AS section, change AS key,
+        CAST(CASE change WHEN 'added' THEN 1 WHEN 'modified' THEN 2
+             WHEN 'removed' THEN 3 ELSE 4 END AS BIGINT) AS sort_key,
+        count(*) AS n, CAST(sum(id) AS DOUBLE) AS total
+      FROM (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.text = n.text THEN 'unchanged'
+               ELSE 'modified' END AS change
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) o
+        FULL OUTER JOIN (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 3 <> 0
+        ) n ON o.doc_id = n.doc_id
+      ) GROUP BY change
     )
     ORDER BY section, sort_key, key
     """,
@@ -2328,6 +2576,101 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # UniMax mixing (operators/mixing.py unimax_budgets — Chung et al.
+    # 2023) as a driver-checked section: budget = 0.97× total corpus
+    # chars with max_epochs=1, so the fair share lands INSIDE the
+    # per-source capacity range at every SF (small sources bind at cap,
+    # large sources absorb the slack — the waterfill genuinely branches).
+    # The oracle replays the exact fill sequence as a recursive CTE.
+    from bigdataproject_formula1_telemetry_spark.operators import mixing
+
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budgets = mixing.unimax_budgets(
+        docs,
+        "source",
+        token_budget=0.97 * float(total_chars),
+        max_epochs=1.0,
+        n_tokens_col="n_chars",
+    )
+    alloc_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in budgets.items()],
+        "key string, __alloc double",
+    )
+    unimax = (
+        docs.groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(alloc_df, "key")
+        .select(
+            F.lit("unimax").alias("section"),
+            "key",
+            F.row_number().over(Window.orderBy("key")).cast("long").alias("sort_key"),
+            "n",
+            _pround(F.col("__alloc"), 4).alias("total"),
+        )
+    )
+
+    # Z-order layout (operators/layout.py zorder_key, minmax mode) as a
+    # driver-checked section: the REAL bounds-aggregate + equi-width
+    # bucket + codegen Morton interleave runs over orders, and the sum
+    # of full 16-bit keys per curve cell pins every bit position (a
+    # single misplaced interleave bit shifts a sum).
+    from bigdataproject_formula1_telemetry_spark.operators import layout as LY
+
+    zsrc = o.select("o_custkey", "o_orderkey")
+    zkey = LY.zorder_key(
+        zsrc, ["o_custkey", "o_orderkey"], bits=8, mode="minmax"
+    )
+    zorder = (
+        zsrc.select(zkey.alias("__z"))
+        .groupBy(F.shiftright(F.col("__z"), 12).alias("__cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__z").cast("double").alias("total"),
+        )
+        .select(
+            F.lit("zorder").alias("section"),
+            F.col("__cell").cast("string").alias("key"),
+            (F.col("__cell") + 1).cast("long").alias("sort_key"),
+            "n",
+            "total",
+        )
+    )
+
+    # corpus_diff (plans/pipelines.py) as a driver-checked section: old =
+    # even ids, new = ids not divisible by 3 with %5==0 texts modified —
+    # all four change classes populated.  The operator classifies on md5
+    # content hashes; the oracle reclassifies on raw text equality.
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    old_docs = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new_docs = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = (
+        P.corpus_diff(old_docs, new_docs)
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").cast("double").alias("total"),
+        )
+        .select(
+            F.lit("corpus_diff").alias("section"),
+            F.col("change").alias("key"),
+            R.custom_order(
+                F.col("change"), ["added", "modified", "removed", "unchanged"]
+            )
+            .cast("long")
+            .alias("sort_key"),
+            "n",
+            "total",
+        )
+    )
+
     # O3 head/tail caps + A8 union of the two sorted-limit frames
     head = (
         ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -2360,6 +2703,9 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(segment)
         .unionByName(cap)
         .unionByName(exact_substr)
+        .unionByName(unimax)
+        .unionByName(zorder)
+        .unionByName(diff)
         .orderBy("section", "sort_key", "key")
     )
 
