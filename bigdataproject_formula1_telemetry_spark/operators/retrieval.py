@@ -1,0 +1,156 @@
+"""BM25 full-text retrieval over a document corpus — the classical
+probabilistic ranking function (Okapi BM25, Robertson et al., TREC-3;
+the textbook formulation used by Lucene/Elasticsearch and the standard
+"find training docs similar to this benchmark item" audit tool in
+LLM-data work, e.g. retrieval-based contamination studies).
+
+Spark-first plan shape (the 100 TB story):
+
+1. The corpus is touched by ONE narrow scan: ``(id, doc_len, term)``
+   token rows (lowercase alnum runs — the same normalization as
+   ``dedup.shingles``, so retrieval and dedup agree on what a word is).
+2. The query set's DISTINCT vocabulary is broadcast and the token rows
+   are filtered by a broadcast hash join — everything downstream
+   (tf aggregation, df aggregation, scoring, top-k) is proportional to
+   the MATCHED subset, never the corpus.  A thousand query terms
+   against 100 TB touch only rows containing those terms.
+3. Corpus-level constants (N, avgdl) ride as a broadcast one-row frame
+   (never collected to the driver); per-term document frequencies are
+   at most |vocabulary| rows — broadcast back for scoring.
+4. Top-k per query is a window over (query_id) partitions — thousands
+   of partitions of ≤ matched-doc size, with a deterministic
+   (score DESC, doc_id ASC) tiebreak.
+
+Scoring: the standard BM25 with the Lucene-style non-negative idf,
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d)     = tf · (k1 + 1) / (tf + k1 · (1 - b + b · dl/avgdl))
+    score(q, d) = Σ_{t ∈ q, distinct} idf(t) · w(t, d)
+
+Repeated query terms count once (classic query-side binarization);
+``k1`` saturates term frequency, ``b`` length-normalizes.  Everything
+is JVM expressions — no Python UDF anywhere.
+
+No reference-repo counterpart (the reference has no text retrieval);
+this is part of the beyond-reference LLM-data-pipeline surface, next
+to kNN cosine (`similarity.py`) as the lexical retrieval twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk", "bm25_scores"]
+
+
+def _tokens(col: Column) -> Column:
+    """Lowercase alnum-run tokenization (``dedup.shingles``'s word
+    rule), empties dropped — engine-portable (split on ``[^a-z0-9]+``)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every (query, matching doc) pair —
+    docs sharing no term with a query produce no row.  See module
+    docstring for the plan shape; ``bm25_topk`` adds the ranked cut."""
+    base = docs.select(
+        F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    tok_rows = base.select(
+        "__id",
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("__term"),
+    )
+    # corpus constants as a broadcast ONE-ROW frame (never collected):
+    # N = doc count, avgdl = Σ dl / N — explicit sum/count division so a
+    # SQL oracle divides the identical doubles
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (
+            F.sum(F.size("__toks")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(_tokens(F.col(query_text_col))).alias("__term"),
+        )
+        .distinct()  # classic query-side binarization: repeated terms count once
+    )
+    vocab = qterms.select("__term").distinct()
+
+    # the one corpus-proportional step: broadcast vocabulary filter
+    matched = tok_rows.join(F.broadcast(vocab), "__term")
+    tf = matched.groupBy("__id", "__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf"),
+        F.first("__dl").cast("double").alias("__dl"),
+    )
+    df_ = tf.groupBy("__term").agg(
+        F.countDistinct("__id").cast("double").alias("__df")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    wtd = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / F.col("__avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "__term")
+        .join(F.broadcast(qterms), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            (idf * wtd).alias("__w"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__w").alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, rank, score): the ``k`` best-scoring docs per
+    query, rank 1-based, deterministic (score DESC, doc_id ASC)
+    tiebreak.  Queries matching nothing return no rows."""
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    scored = bm25_scores(
+        docs, queries, text_col, id_col, query_id_col, query_text_col, k1, b
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )

@@ -2414,6 +2414,59 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY z >> 12
       UNION ALL
+      -- BM25 top-3 retrieval (operators/retrieval.py): five queries are
+      -- token-4..9 slices of planted docs; the oracle recomputes the
+      -- ENTIRE ranking function — corpus stats, tf, df, Lucene-style
+      -- idf, length norm, per-query top-k with the (score DESC, id)
+      -- tiebreak.  Literal note: 2.2 == 1.2 + 1.0 bit-exactly, and
+      -- DuckDB decimal literals promote to the identical doubles.
+      SELECT 'bm25' AS section,
+        qid || '#' || CAST(rk AS VARCHAR) AS key,
+        CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+        CAST(id AS BIGINT) AS n,
+        floor(score * 1000000 + 0.5) / 1000000.0 AS total
+      FROM (
+        WITH bm_tok AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS t
+          FROM documents
+        ), bm_qt AS (
+          SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS qid,
+            doc_id AS qnum, u.tok
+          FROM bm_tok, unnest(t[4:9]) AS u(tok)
+          WHERE doc_id IN (1, 101, 201, 301, 401) AND len(t) >= 9
+        ), bm_stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM bm_tok
+        ), bm_tf AS (
+          SELECT d.doc_id, u.tok, CAST(count(*) AS DOUBLE) AS tf,
+            CAST(any_value(len(d.t)) AS DOUBLE) AS dl
+          FROM bm_tok d, unnest(d.t) AS u(tok)
+          WHERE u.tok IN (SELECT DISTINCT tok FROM bm_qt)
+          GROUP BY d.doc_id, u.tok
+        ), bm_df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM bm_tf GROUP BY tok
+        ), bm_sc AS (
+          SELECT q.qid, q.qnum, f.doc_id AS id,
+            sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * ((f.tf * 2.2)
+                   / (f.tf + 1.2 * (0.25 + 0.75 * (f.dl / s.avgdl))))) AS score
+          FROM bm_tf f
+          JOIN bm_df d USING (tok)
+          JOIN bm_qt q USING (tok), bm_stats s
+          GROUP BY q.qid, q.qnum, f.doc_id
+        )
+        SELECT qid, qnum, id, score,
+          row_number() OVER (
+            PARTITION BY qid ORDER BY score DESC, id
+          ) AS rk
+        FROM bm_sc
+        QUALIFY rk <= 3
+      )
+      UNION ALL
       -- corpus_diff: full-outer change classification recomputed on raw
       -- TEXT equality (the operator joins 16-byte md5 hashes — the
       -- oracle is hash-free, so hashing bugs trip the compare)
@@ -2636,6 +2689,48 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # BM25 retrieval (operators/retrieval.py bm25_topk) as a
+    # driver-checked section: five queries are token-4..9 slices of the
+    # planted docs (1, 101, ...), so top-1 is usually the source doc and
+    # the tail exercises real cross-doc term statistics; the oracle
+    # recomputes corpus stats, tf/df, idf, length norm, and the ranked
+    # cut from scratch.
+    from bigdataproject_formula1_telemetry_spark.operators import retrieval as RT
+
+    bm_norm = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    bm_queries = (
+        docs.where(F.col("doc_id").isin(1, 101, 201, 301, 401))
+        .select("doc_id", bm_norm.alias("__t"))
+        .where(F.size("__t") >= 9)
+        .select(
+            F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+                "query_id"
+            ),
+            F.col("doc_id").alias("__qnum"),
+            F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+        )
+    )
+    bm25 = (
+        RT.bm25_topk(docs.select("doc_id", "text"), bm_queries, k=3)
+        .join(
+            F.broadcast(bm_queries.select("query_id", "__qnum")), "query_id"
+        )
+        .select(
+            F.lit("bm25").alias("section"),
+            F.concat(
+                F.col("query_id"), F.lit("#"), F.col("rank").cast("string")
+            ).alias("key"),
+            (F.col("__qnum") * 10 + F.col("rank")).cast("long").alias(
+                "sort_key"
+            ),
+            F.col("doc_id").cast("long").alias("n"),
+            _pround(F.col("score"), 6).alias("total"),
+        )
+    )
+
     # corpus_diff (plans/pipelines.py) as a driver-checked section: old =
     # even ids, new = ids not divisible by 3 with %5==0 texts modified —
     # all four change classes populated.  The operator classifies on md5
@@ -2705,6 +2800,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(exact_substr)
         .unionByName(unimax)
         .unionByName(zorder)
+        .unionByName(bm25)
         .unionByName(diff)
         .orderBy("section", "sort_key", "key")
     )

@@ -1,0 +1,153 @@
+"""BM25 retrieval (`operators/retrieval.py`): exact-formula parity
+against a pure-Python reference, ranked-cut semantics, determinism, and
+the plan shape the 100 TB story depends on (broadcast vocabulary
+filter, no Python UDF, no sort-merge join of the corpus)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import retrieval as RT
+
+DOCS = [
+    (0, "spark shuffles data between stages for wide operations"),
+    (1, "broadcast joins avoid shuffles for small build sides"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "spark spark spark shuffle shuffle broadcast"),
+    (4, "completely unrelated text about cooking pasta al dente"),
+    (5, ""),  # empty doc: contributes to N and avgdl, matches nothing
+]
+
+QUERIES = [
+    ("qa", "spark shuffle broadcast"),
+    ("qb", "lazy dog"),
+    ("qc", "zzz-missing-term"),  # matches nothing -> no rows
+    ("qd", "spark spark spark"),  # repeated query terms count once
+]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Independent reference: same formulas, dict arithmetic."""
+
+    def toks(s):
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    dtoks = {i: toks(t) for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in dtoks.values()) / n
+    out = {}
+    for qid, qt in queries:
+        scores = {}
+        for term in set(toks(qt)):
+            df = sum(1 for v in dtoks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i, v in dtoks.items():
+                tf = float(v.count(term))
+                if tf == 0:
+                    continue
+                w = (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (len(v) / avgdl))
+                )
+                scores[i] = scores.get(i, 0.0) + idf * w
+        out[qid] = scores
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id string, text string")
+    return docs, qs
+
+
+def test_scores_match_python_reference(spark, frames):
+    docs, qs = frames
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in RT.bm25_scores(docs, qs).collect()
+    }
+    want = _py_bm25(DOCS, QUERIES)
+    flat = {
+        (qid, i): s for qid, m in want.items() for i, s in m.items()
+    }
+    assert set(got) == set(flat)
+    for key, s in flat.items():
+        assert got[key] == pytest.approx(s, abs=1e-12), key
+
+
+def test_topk_rank_and_tiebreak(spark, frames):
+    docs, qs = frames
+    rows = RT.bm25_topk(docs, qs, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # qc matches nothing
+    assert "qc" not in by_q
+    for qid, rs in by_q.items():
+        assert len(rs) <= 2
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # ranked by score desc, doc_id asc
+        for a, c in zip(rs, rs[1:]):
+            assert (a["score"], -a["doc_id"]) >= (c["score"], -c["doc_id"])
+    # the spam doc (3) saturates tf but is short: top hit for qa either
+    # way must score doc 3 or 0/1 — assert against the reference argmax
+    want = _py_bm25(DOCS, QUERIES)["qa"]
+    best = min(sorted(want), key=lambda i: (-want[i], i))
+    assert by_q["qa"][0]["doc_id"] == best
+
+
+def test_repeated_query_terms_binarized(spark, frames):
+    docs, qs = frames
+    got = {
+        r["doc_id"]: r["score"]
+        for r in RT.bm25_scores(docs, qs).where(F.col("query_id") == "qd").collect()
+    }
+    one = {
+        r["doc_id"]: r["score"]
+        for r in RT.bm25_scores(
+            docs,
+            qs.sparkSession.createDataFrame(
+                [("q1", "spark")], "query_id string, text string"
+            ),
+        ).collect()
+    }
+    assert got == one  # 'spark spark spark' == 'spark'
+
+
+def test_deterministic(spark, frames):
+    docs, qs = frames
+    a = sorted(map(tuple, RT.bm25_topk(docs, qs, k=3).collect()))
+    bb = sorted(map(tuple, RT.bm25_topk(docs, qs, k=3).collect()))
+    assert a == bb
+
+
+def test_k_validation(spark, frames):
+    docs, qs = frames
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        RT.bm25_topk(docs, qs, k=0)
+
+
+def test_plan_broadcasts_and_stays_jvm(spark, frames):
+    """100 TB shape: the vocabulary filter and both stats joins must
+    broadcast (never a sort-merge join against the corpus), and the
+    whole pipeline stays JVM-side (no Python UDF eval node)."""
+    docs, qs = frames
+    plan = (
+        RT.bm25_topk(docs, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3  # vocab, df, qterms
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row stats frame
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
