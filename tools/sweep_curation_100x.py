@@ -358,6 +358,89 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- BM25 retrieval at 500k docs (--bm25 runs only this) ---
+    # Queries are token-4..9 slices of 100 deterministic variant-0 docs.
+    # Sharp prediction: the corpus is 100 word-SHUFFLES per source doc,
+    # and BM25 is order-invariant by construction (tf/dl/df see token
+    # multisets, never order) — so for each query, ALL of its source
+    # doc's variants must (a) match and (b) score identically (spread
+    # bounded by float sum associativity).  Honest caveat: the synthetic
+    # vocabulary is tiny (~50 words), so the broadcast vocabulary filter
+    # keeps most token rows here — this leg measures end-to-end
+    # throughput and correctness at scale, not selectivity (real corpora
+    # with open vocabularies are where the filter pays).
+    if "--bm25" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            retrieval as RT,
+        )
+
+        norm = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        queries = (
+            distinct.where((F.col("doc_id") % (REPLICAS * 50)) == 0)
+            .select("doc_id", norm.alias("__t"))
+            .where(F.size("__t") >= 9)
+            .select(
+                F.concat(
+                    F.lit("q"),
+                    (F.col("doc_id") / REPLICAS).cast("long").cast("string"),
+                ).alias("query_id"),
+                (F.col("doc_id") / REPLICAS).cast("long").alias("qdid"),
+                F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nq = queries.count()
+        print(f"  bm25: {nq} queries over {n:,} docs ...", flush=True)
+        t0 = time.time()
+        n_top = RT.bm25_topk(
+            distinct, queries.select("query_id", "text"), k=10
+        ).count()
+        wall = time.time() - t0
+        results["bm25_n_queries"] = nq
+        results["bm25_topk_rows"] = n_top
+        results["bm25_topk_s"] = round(wall, 2)
+        results["bm25_docs_per_s"] = round(n / wall, 1)
+        fam = (
+            RT.bm25_scores(distinct, queries.select("query_id", "text"))
+            .join(queries.select("query_id", "qdid"), "query_id")
+            .where((F.col("doc_id") / REPLICAS).cast("long") == F.col("qdid"))
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("nfam"),
+                (F.max("score") - F.min("score")).alias("spread"),
+            )
+            .agg(
+                F.min("nfam").alias("minfam"),
+                F.max("spread").alias("maxspread"),
+            )
+            .first()
+        )
+        results["bm25_family_complete"] = int(fam["minfam"]) == REPLICAS
+        results["bm25_family_max_spread"] = float(fam["maxspread"])
+        results["bm25_ok"] = bool(
+            results["bm25_family_complete"] and fam["maxspread"] < 1e-9
+        )
+        # honest denominator: this corpus makes ~every doc a candidate
+        # for ~every query, so the real unit of work is scored
+        # (query, doc) pairs, not docs
+        n_pairs = RT.bm25_scores(
+            distinct, queries.select("query_id", "text")
+        ).count()
+        results["bm25_candidate_pairs"] = n_pairs
+        results["bm25_pairs_per_s"] = round(n_pairs / wall, 1)
+        print(
+            f"  topk {wall:.2f} s ({results['bm25_docs_per_s']:,.0f} docs/s); "
+            f"family completeness {fam['minfam']}/{REPLICAS}, max score "
+            f"spread {fam['maxspread']:.2e}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- read_release plan bloat vs increment count (--relread only) ---
     # ``read_release`` unions ONE parquet scan per increment; this leg
     # pins the measured cost of that design at many increments (read
