@@ -1299,28 +1299,66 @@ def q39_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q42_embedding_norms",
     """
+    WITH nx AS (
+      SELECT e.vec_id, e.label,
+        sqrt(sum(CAST(e.embedding[u.i] AS DOUBLE) ** 2)) AS nrm
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY e.vec_id, e.label
+    ), dots AS (
+      SELECT e.vec_id AS vid,
+        sum((CAST(e.embedding[u.i] AS DOUBLE) / ne.nrm)
+            * (CAST(c.embedding[u.i] AS DOUBLE) / ncx.nrm)) AS cs
+      FROM embeddings e
+      JOIN nx ne ON ne.vec_id = e.vec_id,
+      embeddings c
+      JOIN nx ncx ON ncx.vec_id = c.vec_id,
+      (SELECT unnest(range(1, 65)) AS i) u
+      WHERE c.vec_id < 4
+      GROUP BY e.vec_id, c.vec_id
+    ), best AS (
+      SELECT vid, max(cs) AS best FROM dots GROUP BY vid
+    )
     SELECT label,
       round(avg(nrm), 6) AS avg_norm,
       round(max(nrm), 6) AS max_norm,
-      count(*) AS n_vecs
-    FROM (
-      SELECT e.label, sqrt(sum(CAST(e.embedding[u.i] AS DOUBLE) ** 2)) AS nrm
-      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
-      GROUP BY e.vec_id, e.label
-    ) GROUP BY label
+      count(*) AS n_vecs,
+      CAST(sum(CASE WHEN best IS NULL OR best <= 0.3 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_proto_kept
+    FROM nx LEFT JOIN best ON nx.vec_id = best.vid
+    GROUP BY label
     """,
 )
 def q42_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-lambda math over the embedding column: per-label L2-norm
-    stats — the vector-column hygiene check of the similarity stack."""
+    stats — the vector-column hygiene check of the similarity stack.
+
+    ``n_proto_kept`` (r10) oracle-checks SSL-prototypes pruning
+    (``semdedup.prototype_prune``, Sorscher et al. 2022 — the D4
+    diversification stage) on its explicit-cutoff path: centroids are
+    the first four embeddings, cutoff 0.3, so the most prototypical
+    ~4% (plus the four self-matching rows) are dropped and the oracle
+    recomputes every normalize-then-dot max-cosine score from scratch.
+    The cutoff sits ≥4.5e-4 from every score at all three SFs (probed)
+    vs ~1e-15 cross-engine float drift — the boolean cannot flip."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    kept = SD.prototype_prune(
+        emb, cents, cutoff=0.3, id_col="vec_id", vec_col="embedding"
+    ).select("vec_id", F.lit(1).alias("__pk"))
     return (
-        emb.select("label", sim.l2_norm(F.col("embedding")).alias("nrm"))
+        emb.select("vec_id", "label", sim.l2_norm(F.col("embedding")).alias("nrm"))
+        .join(kept, "vec_id", "left")
         .groupBy("label")
         .agg(
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
             F.round(F.max("nrm"), 6).alias("max_norm"),
             F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("__pk"), F.lit(0))).cast("long").alias(
+                "n_proto_kept"
+            ),
         )
     )
 
