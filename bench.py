@@ -340,6 +340,45 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["dsir_select"] = round(best, 3)
 
+    # BM25 lexical retrieval (operators/retrieval.py; oracle-twinned in
+    # q57's bm25 section): 20 token-slice queries ranked top-10 against
+    # the documents corpus — the batch-scoring shape of the lexical
+    # retrieval twin of the kNN entries.
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        retrieval as _rt,
+    )
+
+    bm_docs = io.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    bm_norm = _Fq.filter(
+        _Fq.split(_Fq.lower(_Fq.col("text")), r"[^a-z0-9]+"),
+        lambda x: x != _Fq.lit(""),
+    )
+    bm_q = (
+        bm_docs.where(_Fq.col("doc_id") % 250 == 1)
+        .select("doc_id", bm_norm.alias("__t"))
+        .where(_Fq.size("__t") >= 9)
+        .select(
+            _Fq.concat(_Fq.lit("q"), _Fq.col("doc_id").cast("string")).alias(
+                "query_id"
+            ),
+            _Fq.array_join(_Fq.slice("__t", 4, 6), " ").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def build_bm25():
+        return _rt.bm25_topk(bm_docs, bm_q, k=10)
+
+    build_bm25().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_bm25().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["bm25_topk"] = round(best, 3)
+
     # SemDeDup over the documents table: hashed-BoW embed + cluster-
     # scoped semantic dedup (the curate_documents semdedup= gate's
     # exact shape).  Centroids are trained ONCE outside the timer on a
