@@ -130,6 +130,24 @@ def test_deterministic(spark, frames):
     assert a == bb
 
 
+def test_partition_invariance(spark, frames):
+    """Scores must not depend on the corpus's physical layout — the
+    distributed tf/df aggregates reduce identically (up to float-sum
+    associativity) however the token rows are partitioned."""
+    docs, qs = frames
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in RT.bm25_scores(docs, qs).collect()
+    }
+    bb = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in RT.bm25_scores(docs.repartition(7), qs).collect()
+    }
+    assert set(a) == set(bb)
+    for key, s in a.items():
+        assert bb[key] == pytest.approx(s, abs=1e-12), key
+
+
 def test_k_validation(spark, frames):
     docs, qs = frames
     with pytest.raises(ValueError, match="k must be >= 1"):
