@@ -87,7 +87,13 @@ def temperature_fractions(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    z = sum(n**temperature for n in counts.values())
+    # sum in sorted-key order: collect() returns partition order, and a
+    # float sum over dict order would make the fractions wobble at
+    # 1e-16 BETWEEN RUNS — sorted order keeps them bit-reproducible
+    z = sum(
+        n**temperature
+        for _, n in sorted(counts.items(), key=lambda kv: str(kv[0]))
+    )
     return {
         k: min(1.0, target_rows * (n**temperature / z) / n)
         for k, n in counts.items()

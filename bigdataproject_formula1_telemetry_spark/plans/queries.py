@@ -2452,6 +2452,31 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY z >> 12
       UNION ALL
+      -- temperature-mixture sizing (mixing.temperature_fractions,
+      -- tau=0.7, target = one epoch = N rows): f_c = min(1, target *
+      -- (n^tau / Z) / n) — the head language's fraction stays < 1 while
+      -- the tail languages cap at exactly 1.0, so the min() genuinely
+      -- branches.  pow/sum drift between the Python driver loop and SQL
+      -- is ~1e-16 against 1e-6 rounding.
+      SELECT 'temp_mix' AS section, lang AS key,
+        CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS sort_key,
+        n, floor(frac * 1000000 + 0.5) / 1000000.0 AS total
+      FROM (
+        WITH tm_c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang
+        ), tm_z AS (
+          SELECT sum(pow(CAST(n AS DOUBLE), 0.7)) AS z,
+            CAST((SELECT sum(n) FROM tm_c) AS DOUBLE) AS tgt
+          FROM tm_c
+        )
+        SELECT c.lang, c.n,
+          least(1.0,
+                tgt * (pow(CAST(c.n AS DOUBLE), 0.7) / z)
+                    / CAST(c.n AS DOUBLE)) AS frac
+        FROM tm_c c, tm_z
+      )
+      UNION ALL
       -- BM25 top-3 retrieval (operators/retrieval.py): five queries are
       -- token-4..9 slices of planted docs; the oracle recomputes the
       -- ENTIRE ranking function — corpus stats, tf, df, Lucene-style
@@ -2727,6 +2752,33 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # temperature-mixture sizing (mixing.temperature_fractions) as a
+    # driver-checked section: tau=0.7, target = one epoch (N rows) —
+    # the tail languages cap at fraction 1.0, the head stays below, so
+    # the published temperature-flattening rule genuinely branches.
+    n_total = docs.count()
+    tm_fracs = mixing.temperature_fractions(
+        docs, "lang", temperature=0.7, target_rows=n_total
+    )
+    tm_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in tm_fracs.items()],
+        "key string, __frac double",
+    )
+    temp_mix = (
+        docs.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(tm_df, "key")
+        .select(
+            F.lit("temp_mix").alias("section"),
+            "key",
+            F.row_number().over(Window.orderBy("key")).cast("long").alias(
+                "sort_key"
+            ),
+            "n",
+            _pround(F.col("__frac"), 6).alias("total"),
+        )
+    )
+
     # BM25 retrieval (operators/retrieval.py bm25_topk) as a
     # driver-checked section: five queries are token-4..9 slices of the
     # planted docs (1, 101, ...), so top-1 is usually the source doc and
@@ -2837,6 +2889,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cap)
         .unionByName(exact_substr)
         .unionByName(unimax)
+        .unionByName(temp_mix)
         .unionByName(zorder)
         .unionByName(bm25)
         .unionByName(diff)
