@@ -895,6 +895,40 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM nt)
     ), bad AS (
       SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)
+    ), se_tb AS (
+      -- hashed-BoW embedding (embed.py md5 bucket+sign, dim 256): the
+      -- semantic-decontamination twin — benchmark = word-REVERSED
+      -- doc_id%13==0 texts, whose bag-of-words vectors equal the
+      -- source docs' own vectors exactly (integer +/-1 sums), so the
+      -- oracle uses the docs' vectors directly
+      SELECT doc_id,
+        CAST(('0x' || substr(md5('hashemb|' || tok), 1, 8)) AS UBIGINT)
+          % 256 AS b,
+        CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5('hashemb|' || tok), 9, 1)) - 1) % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS s
+      FROM (
+        SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+'),
+                             x -> x <> '')) AS tok
+        FROM documents
+      )
+    ), se_v AS (
+      SELECT doc_id, b, sum(s) AS v FROM se_tb GROUP BY doc_id, b
+    ), se_n AS (
+      SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM se_v GROUP BY doc_id
+    ), se_x AS (
+      SELECT v.doc_id, v.b, v.v / n.nrm AS x
+      FROM se_v v JOIN se_n n USING (doc_id) WHERE n.nrm > 0
+    ), se_bad AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT d.doc_id, bch.doc_id AS bid, sum(d.x * bch.x) AS cs
+        FROM se_x d JOIN se_x bch ON d.b = bch.b
+        WHERE bch.doc_id % 13 = 0
+        GROUP BY d.doc_id, bch.doc_id
+        HAVING sum(d.x * bch.x) >= 0.9
+      )
     ), h AS (
       SELECT doc_id,
         len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS h_de,
@@ -959,6 +993,7 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              + length(CAST(l.doc_id % 200 AS VARCHAR))
            AS BIGINT) AS pii_redacted_chars,
       (b.doc_id IS NULL) AS contam_free,
+      (sb.doc_id IS NULL) AS sem_free,
       (SELECT len(list_filter(
           list_filter(string_split_regex(lower(doc.text), '[^a-z0-9]+'),
                       x -> x <> ''),
@@ -966,6 +1001,7 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM documents doc WHERE doc.doc_id = l.doc_id) < 4 AS c4_kept
     FROM lang l JOIN dom d ON l.doc_id = d.doc_id
     LEFT JOIN bad b ON l.doc_id = b.doc_id
+    LEFT JOIN se_bad sb ON l.doc_id = sb.doc_id
     """,
 )
 def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,8 +1048,29 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hashes differ only on 64-bit collisions (~1e-13 here).
     Hosted in q29 rather than the BENCHED q25 so the exact-dedup
     bench entry keeps its identity (the 8-gram shingle pass costs
-    ~2 s at sf0.1 — real operator cost, wrong entry to carry it)."""
+    ~2 s at sf0.1 — real operator cost, wrong entry to carry it).
+
+    ``sem_free`` (r10) oracle-checks SEMANTIC decontamination
+    (``embed.semantic_decontaminate``) — the order-invariant twin the
+    8-gram pass cannot catch: the benchmark is the word-REVERSED text
+    of every ``doc_id%13==0`` doc, whose hashed-BoW vector equals the
+    source doc's exactly (integer ±1 bucket sums are order-free), so
+    every planted doc is dropped at cosine ~1.0 and organic
+    high-cosine docs fall with them (sf0.01: 4 organic drops).  The
+    oracle rebuilds the md5 bucket+sign embedding, L2 norms, and every
+    corpus×benchmark cosine in SQL; min |cos − 0.9| probed at
+    1.6e-5..1.8e-3 across SFs vs ~1e-15 engine drift."""
+    from bigdataproject_formula1_telemetry_spark.operators import embed as EM
+
     docs = _t(spark, sf_dir, "documents")
+    _rev_bench = docs.where(F.col("doc_id") % 13 == 0).select(
+        F.array_join(
+            F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "
+        ).alias("text")
+    )
+    sem_ok = EM.semantic_decontaminate(
+        docs.select("doc_id", "text"), _rev_bench, threshold=0.9
+    ).select("doc_id", F.lit(True).alias("__sf"))
     _norm = F.filter(
         F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
         lambda x: x != F.lit(""),
@@ -1090,12 +1147,14 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept_c4, "doc_id", "left")
         .join(pii, "doc_id")
         .join(contam_ok, "doc_id", "left")
+        .join(sem_ok, "doc_id", "left")
         .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
         .withColumn("c4_kept", F.coalesce(F.col("__c4"), F.lit(False)))
         .withColumn("contam_free", F.coalesce(F.col("__cf"), F.lit(False)))
+        .withColumn("sem_free", F.coalesce(F.col("__sf"), F.lit(False)))
         .select(
             "doc_id", "lang_pred", "host", "domain", "url_kept",
-            "pii_redacted_chars", "contam_free", "c4_kept",
+            "pii_redacted_chars", "contam_free", "sem_free", "c4_kept",
         )
     )
 
