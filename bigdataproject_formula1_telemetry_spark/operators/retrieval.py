@@ -46,9 +46,17 @@ __all__ = ["bm25_topk", "bm25_scores"]
 
 def _tokens(col: Column) -> Column:
     """Lowercase alnum-run tokenization (``dedup.shingles``'s word
-    rule), empties dropped — engine-portable (split on ``[^a-z0-9]+``)."""
-    return F.filter(
-        F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+    rule), empties dropped — engine-portable (split on ``[^a-z0-9]+``).
+
+    NULL text coalesces to the EMPTY array (not NULL): under the default
+    non-ANSI config ``F.size(NULL)`` is -1, so a NULL token array would
+    subtract 1 from the avgdl numerator while the doc still counts in N,
+    silently skewing every score.  dl=0 matches the empty-string path."""
+    return F.coalesce(
+        F.filter(
+            F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+        ),
+        F.array().cast("array<string>"),
     )
 
 
@@ -137,15 +145,29 @@ def bm25_topk(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    score_round: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, rank, score): the ``k`` best-scoring docs per
     query, rank 1-based, deterministic (score DESC, doc_id ASC)
-    tiebreak.  Queries matching nothing return no rows."""
+    tiebreak.  Queries matching nothing return no rows.
+
+    ``score_round=n`` ranks on the score portably half-up-rounded to
+    ``n`` decimals — floor(x·10ⁿ + 0.5)/10ⁿ, identical on the same IEEE
+    double in every engine — and returns the ROUNDED score.  Use it when
+    ranks must agree across engines: docs with identical term multisets
+    (exact duplicates) tie in real arithmetic and split only by ~1e-16
+    float-sum order, whose sign differs between engines; rounding
+    collapses such ties onto the (score, doc_id) tiebreak."""
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
     scored = bm25_scores(
         docs, queries, text_col, id_col, query_id_col, query_text_col, k1, b
     )
+    if score_round is not None:
+        p = float(10**score_round)
+        scored = scored.withColumn(
+            "score", F.floor(F.col("score") * p + F.lit(0.5)) / F.lit(p)
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

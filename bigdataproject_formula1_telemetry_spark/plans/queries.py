@@ -1085,7 +1085,13 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(True).alias("__cf")
     )
     _d = F.col("doc_id").cast("string")
-    _stripped = F.regexp_replace(F.col("text"), "[0-9@]", "")
+    # coalesce: F.concat returns NULL if ANY input is NULL, which would
+    # make the Spark column NULL on a NULL-text doc while the oracle's
+    # text-independent digit arithmetic still emits a value (ADVICE r10);
+    # the empty string degrades gracefully to the identical arithmetic.
+    _stripped = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[0-9@]", ""
+    )
     _planted = F.concat(
         _stripped,
         F.lit(" u"), _d, F.lit("@ex.com 10.0."),
@@ -1820,8 +1826,11 @@ def q51_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT v.doc_id, v.b, v.v / n.nrm AS x
       FROM clf_v v JOIN clf_nrm n USING (doc_id) WHERE n.nrm > 0
     ), clf_r AS (
+      -- lang IS NOT NULL aligns with the Spark side: (lang='en') is NULL
+      -- for NULL lang and train_text_classifier drops NULL labels, so a
+      -- NULL-lang row must not enter the gradient here either (ADVICE r10)
       SELECT doc_id, 0.5 - (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS r
-      FROM documents
+      FROM documents WHERE lang IS NOT NULL
     ), clf_n AS (
       SELECT CAST(count(*) AS DOUBLE) AS n, sum(r) AS gb FROM clf_r
     ), clf_w AS (
@@ -1878,8 +1887,12 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # lang IS NOT NULL: (lang == 'en') is NULL for NULL lang and the
+    # trainer drops NULL labels — the explicit filter keeps the Spark
+    # training set and the oracle's clf_r CTE the same set by
+    # construction, not by the trainer's drop rule (ADVICE r10)
     wvec = CLF.train_text_classifier(
-        docs.select(
+        docs.where(F.col("lang").isNotNull()).select(
             "text", (F.col("lang") == "en").cast("int").alias("label")
         ),
         dim=256,
@@ -2539,18 +2552,23 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- BM25 top-3 retrieval (operators/retrieval.py): five queries are
       -- token-4..9 slices of planted docs; the oracle recomputes the
       -- ENTIRE ranking function — corpus stats, tf, df, Lucene-style
-      -- idf, length norm, per-query top-k with the (score DESC, id)
-      -- tiebreak.  Literal note: 2.2 == 1.2 + 1.0 bit-exactly, and
-      -- DuckDB decimal literals promote to the identical doubles.
+      -- idf, length norm, per-query top-k.  Ranking is on the PORTABLY
+      -- ROUNDED score (floor(x*1e6+0.5)/1e6, = score_round=6 on the
+      -- Spark side) so exact-duplicate docs tie exactly and split by
+      -- doc_id in both engines rather than by ~1e-16 float-sum order.
+      -- Literal note: 2.2 == 1.2 + 1.0 bit-exactly, and DuckDB decimal
+      -- literals promote to the identical doubles.  coalesce(text,'')
+      -- mirrors _tokens's NULL->empty-array rule (dl=0, still in N).
       SELECT 'bm25' AS section,
         qid || '#' || CAST(rk AS VARCHAR) AS key,
         CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
         CAST(id AS BIGINT) AS n,
-        floor(score * 1000000 + 0.5) / 1000000.0 AS total
+        rscore AS total
       FROM (
         WITH bm_tok AS (
           SELECT doc_id,
-            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            list_filter(string_split_regex(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
                         x -> x <> '') AS t
           FROM documents
         ), bm_qt AS (
@@ -2581,9 +2599,11 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN bm_qt q USING (tok), bm_stats s
           GROUP BY q.qid, q.qnum, f.doc_id
         )
-        SELECT qid, qnum, id, score,
+        SELECT qid, qnum, id,
+          floor(score * 1000000 + 0.5) / 1000000.0 AS rscore,
           row_number() OVER (
-            PARTITION BY qid ORDER BY score DESC, id
+            PARTITION BY qid
+            ORDER BY floor(score * 1000000 + 0.5) / 1000000.0 DESC, id
           ) AS rk
         FROM bm_sc
         QUALIFY rk <= 3
@@ -2862,8 +2882,14 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
         )
     )
+    # score_round=6: rank on the PORTABLY ROUNDED score so exact-duplicate
+    # docs (identical term multisets — this corpus plants them for the
+    # dedup queries) tie exactly and split by doc_id in BOTH engines,
+    # instead of by the sign of ~1e-16 float-sum order drift (ADVICE r10).
     bm25 = (
-        RT.bm25_topk(docs.select("doc_id", "text"), bm_queries, k=3)
+        RT.bm25_topk(
+            docs.select("doc_id", "text"), bm_queries, k=3, score_round=6
+        )
         .join(
             F.broadcast(bm_queries.select("query_id", "__qnum")), "query_id"
         )
@@ -2876,7 +2902,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sort_key"
             ),
             F.col("doc_id").cast("long").alias("n"),
-            _pround(F.col("score"), 6).alias("total"),
+            F.col("score").alias("total"),
         )
     )
 

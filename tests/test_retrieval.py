@@ -169,3 +169,53 @@ def test_plan_broadcasts_and_stays_jvm(spark, frames):
     assert "BroadcastNestedLoopJoin" in plan  # the one-row stats frame
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_text_doc_scores_as_empty(spark, frames):
+    """A NULL-text doc must behave exactly like an empty-text doc:
+    counted in N, dl=0 (NOT -1 — F.size(NULL) is -1 under the default
+    non-ANSI config, which would skew avgdl and every score)."""
+    docs, qs = frames
+    with_null = docs.unionByName(
+        spark.createDataFrame([(6, None)], "doc_id long, text string")
+    )
+    with_empty = docs.unionByName(
+        spark.createDataFrame([(6, "")], "doc_id long, text string")
+    )
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in RT.bm25_scores(with_null, qs).collect()
+    }
+    bb = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in RT.bm25_scores(with_empty, qs).collect()
+    }
+    assert set(a) == set(bb)
+    for key, s in bb.items():
+        assert a[key] == s, key  # identical doubles, not approx
+
+
+def test_score_round_collapses_duplicate_ties(spark):
+    """Exact-duplicate docs tie in real arithmetic but their float sums
+    can differ by ~1e-16 depending on reduce order; score_round ranks on
+    the portably rounded score so the (score, doc_id) tiebreak decides —
+    duplicates must come out adjacent, doc_id ascending, equal scores."""
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (20, "alpha beta gamma delta"),  # exact duplicate of 10
+            (30, "alpha beta unrelated filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("q", "alpha beta gamma")], "query_id string, text string"
+    )
+    rows = sorted(
+        RT.bm25_topk(docs, qs, k=3, score_round=6).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in rows] == [10, 20, 30]
+    assert rows[0]["score"] == rows[1]["score"]  # tie is EXACT post-round
+    assert rows[0]["score"] == round(rows[0]["score"], 6)  # rounded returned
+    assert rows[2]["score"] < rows[1]["score"]
