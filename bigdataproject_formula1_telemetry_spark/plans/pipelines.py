@@ -1249,6 +1249,44 @@ def corpus_release_append(
             increment_id=increment_id, **(minhash_kwargs or {}),
         )
 
+    # post-write double-check (shrinks the lease's residual race window,
+    # VERDICT r10): the pre-write lease check can pass an instant before
+    # a compaction leases this id — that compaction would then mark the
+    # id folded and delete the directory, hiding rows we wrote AFTER its
+    # snapshot read.  Re-reading the lease and marker here — after every
+    # write of ours, before anything is PUBLISHED (manifest_full) —
+    # turns the interleaving into a deterministic abort: roll back our
+    # own writes and raise, so no append ever reports success while a
+    # compaction is folding its id.  Still fail-fast, not a lock.
+    if increment_id in (
+        _read_compaction_lease(spark, path) | _read_folded_marker(spark, path)
+    ):
+        # roll back the increment dir (idempotent against the racing
+        # compaction's own delete) and the index admission under this id
+        # (clear-then-write of the EMPTY set is the established rollback
+        # — an unadmitted doc can be re-sent; an admitted-but-unreleased
+        # one would be silently lost forever).  Worst case after a retry
+        # under a fresh id: docs the compaction DID manage to fold land
+        # twice and the next dedup pass removes them — benign, loud.
+        fs.delete(jvm.org.apache.hadoop.fs.Path(inc_dir), True)
+        none = survivors.limit(0)
+        if exact_index_path is not None:
+            append_exact_index(
+                none, exact_index_path, increment_id=increment_id,
+                text_col=text_col, id_col=id_col,
+            )
+        if minhash_index_path is not None:
+            append_minhash_index(
+                none, minhash_index_path, text_col, id_col,
+                increment_id=increment_id, **(minhash_kwargs or {}),
+            )
+        raise RuntimeError(
+            f"corpus_release_append({increment_id!r}): a compact_release "
+            "leased this id mid-append; the append rolled itself back "
+            "(increment dir + index admission) and published nothing — "
+            "retry with a FRESH id after the compaction completes"
+        )
+
     # self-driving maintenance: once the live (unfolded) increment count
     # reaches the threshold, fold — compact_release refreshes both
     # manifests itself, so the separate refresh below is skipped.  NEVER
@@ -1545,9 +1583,11 @@ def compact_release(spark, path: str) -> int:
     cleared only after cleanup succeeds; after a crash it keeps
     blocking exactly the in-flight ids until a compaction retry
     supersedes it.  (The lease is fail-fast enforcement, not a lock —
-    an append already past its lease check when the lease lands can
-    still interleave; maintenance retries of the SAME id remain the
-    operator's to serialize.)
+    but an append that was already past its pre-write lease check when
+    the lease landed RE-reads the lease after its last write and before
+    publishing, rolls its own writes back, and aborts, so no append
+    ever reports success while a compaction folds its id; maintenance
+    retries of the SAME id remain the operator's to serialize.)
 
     The fold set, the marker, and the deletion list are all built from
     ONE ``list_release_increments`` snapshot — an increment appended

@@ -696,3 +696,77 @@ def test_compaction_folds_only_its_listing_snapshot(spark, tmp_path, monkeypatch
     # and the next compaction folds exactly it
     assert P.compact_release(spark, root) == 1
     assert _release_rows(spark, root) == rows
+
+
+def test_lease_landing_mid_append_aborts_and_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """The lease's residual window, closed (r11): an append whose
+    PRE-write lease check passed can still be overtaken by a compaction
+    leasing its id mid-flight.  The post-write double-check must then
+    abort the append BEFORE anything publishes — increment dir deleted,
+    index admission rolled back, manifest_full untouched — so the same
+    docs remain appendable under a fresh id (nothing is silently lost
+    to the compaction's fold-and-delete)."""
+    import os
+
+    base_docs = spark.createDataFrame(
+        [_doc(1, "race base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    eidx = str(tmp_path / "eidx")
+    midx = str(tmp_path / "midx")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    EI.build_exact_index(base_docs, eidx, expected_items=10_000)
+    MI.build_minhash_index(base_docs, midx)
+    before = _release_rows(spark, root)
+
+    real_shards = P.write_training_shards
+
+    def lease_lands_mid_write(packed, inc_dir):
+        # a compaction leases THIS id after the append's pre-write check
+        # (the append is already past it) but before its writes finish
+        P._write_compaction_lease(spark, root, ["incRACE"])
+        return real_shards(packed, inc_dir)
+
+    monkeypatch.setattr(P, "write_training_shards", lease_lands_mid_write)
+    with pytest.raises(RuntimeError, match="leased this id mid-append"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(90, "overtaken append article words")],
+                "doc_id long, text string",
+            ),
+            root, "incRACE",
+            minhash_index_path=midx, exact_index_path=eidx,
+            chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+            refresh_card=False,
+        )
+    monkeypatch.undo()
+
+    # nothing published, nothing left behind: the release reads exactly
+    # as before, and the aborted increment's dir is gone
+    assert _release_rows(spark, root) == before
+    assert not os.path.exists(os.path.join(root, "increments", "incRACE"))
+    assert P.list_release_increments(spark, root) == []
+
+    # admission was rolled back: once the (simulated) compaction is done
+    # and the lease clears, the SAME docs append cleanly under a fresh id
+    P._clear_compaction_lease(spark, root)
+    out = P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(90, "overtaken append article words")],
+            "doc_id long, text string",
+        ),
+        root, "incRETRY",
+        minhash_index_path=midx, exact_index_path=eidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+        refresh_card=False,
+    )
+    assert out["admitted_docs"] == 1
+    texts = " ".join(
+        r["chunk_text"] for r in P.read_release(spark, root).collect()
+    )
+    assert "overtaken append article" in texts
