@@ -815,6 +815,85 @@ def corpus_card(
     return card
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 8,
+    semantic_threshold: float = 0.95,
+) -> DataFrame:
+    """The RETRIEVAL face of contamination auditing: for every benchmark
+    item, the top-``k`` corpus docs by BM25 (``retrieval.bm25_topk``),
+    each annotated with the two decontamination passes' verdicts —
+    ``contam_ngrams`` (shared ``shingle_n``-gram count with the
+    benchmark, ``dedup.contamination_hits``; 0 = verbatim-clean) and
+    ``cos_sim`` (hashed-BoW cosine to THIS item when ≥ threshold,
+    ``embed.semantic_contamination_pairs``; NULL = semantically clean).
+    This is the published retrieval-based contamination-audit recipe:
+    lexical search surfaces the near-miss neighborhood the exact gates
+    don't flag, so a reviewer reads ranked evidence per eval item
+    instead of a bare count (``corpus_card(benchmark=)`` reports those
+    counts; this report names the docs).
+
+    Returns ``(bench_id, rank, doc_id, score, contam_ngrams, cos_sim)``
+    sorted by (bench_id, rank).
+
+    100 TB shape: three independent single-corpus-scan passes (BM25
+    tf/df with broadcast query vocabulary; broadcast benchmark gram
+    set; broadcast benchmark embedding matrix) — everything joined
+    AFTER reduction, on frames bounded by |benchmark|·k, the flagged
+    docs, and the ≥threshold pairs.  No pass shuffles the corpus text."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        dedup as DD,
+        embed as EM,
+        retrieval as RT,
+    )
+
+    btc = bench_text_col
+    queries = benchmark.select(
+        F.col(bench_id_col).cast("string").alias("query_id"),
+        F.col(btc).alias("text"),
+    )
+    top = RT.bm25_topk(
+        docs.select(id_col, text_col), queries, k=k,
+        text_col=text_col, id_col=id_col,
+    )
+    # join the original (typed) bench id back via its string form
+    bids = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.col(bench_id_col).cast("string").alias("query_id"),
+    ).distinct()
+    hits = DD.contamination_hits(
+        docs, benchmark, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, bench_text_col=btc,
+    )
+    pairs = EM.semantic_contamination_pairs(
+        docs, benchmark, threshold=semantic_threshold,
+        text_col=text_col, id_col=id_col,
+        bench_id_col=bench_id_col, bench_text_col=btc,
+    )
+    return (
+        top.join(F.broadcast(bids), "query_id")
+        .join(hits, id_col, "left")
+        .join(pairs, [id_col, "bench_id"], "left")
+        .select(
+            "bench_id",
+            "rank",
+            id_col,
+            "score",
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long").alias(
+                "contam_ngrams"
+            ),
+            "cos_sim",
+        )
+        .orderBy("bench_id", "rank")
+    )
+
+
 def corpus_diff(
     old_docs: DataFrame,
     new_docs: DataFrame,

@@ -473,3 +473,72 @@ def test_parser_fuzz_valid_records_with_injected_corruption():
         assert uris[-len(tail):] == tail if tail else True
 
     run()
+
+
+def test_release_bm25_contamination_audit_end_to_end(spark, tmp_path):
+    """VERDICT r10 item 4: the retrieval face of contamination auditing
+    composed over the full web path — WARC segments → documents bridge →
+    curate/release → ``pipelines.contamination_report`` over the
+    released chunks.  A benchmark item that verbatim-copies a released
+    chunk must come back rank-1 with shared 8-grams and cosine 1.0; a
+    disjoint-vocabulary item must surface nothing flagged."""
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as P
+
+    art = "<html><body><p>{}</p></body></html>"
+    pages = [
+        (f"https://news-{i}.example.org/a",
+         art.format(f"Article number {i}. "
+                    + f"Solid body text about topic {i} with many words here. " * 20))
+        for i in range(4)
+    ]
+    data = b"".join(
+        _record(
+            "response",
+            _http(html.encode()),
+            uri=url,
+            rec_id=f"<urn:uuid:{j:04d}>",
+            content_type="application/http;msgtype=response",
+        )
+        for j, (url, html) in enumerate(pages)
+    )
+    p = tmp_path / "seg.warc"
+    p.write_bytes(data)
+    docs = W.warc_to_documents(W.read_warc(spark, str(p)))
+    root = str(tmp_path / "release")
+    P.corpus_release(
+        docs, root, chunk_tokens=64, overlap=0, token_budget=256,
+        n_pack_shards=2,
+    )
+
+    released = P.read_release(spark, root).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_uid"),
+        "chunk_text",
+    )
+    # benchmark: one item verbatim-copies a released chunk (the planted
+    # contamination), one has fully disjoint vocabulary (clean)
+    src = released.orderBy("chunk_uid").first()
+    bench = spark.createDataFrame(
+        [
+            (1, src["chunk_text"]),
+            (2, "quantum entanglement superconducting qubit decoherence"),
+        ],
+        "bench_id long, text string",
+    )
+    rep = P.contamination_report(
+        released, bench, k=3,
+        text_col="chunk_text", id_col="chunk_uid",
+        bench_id_col="bench_id",
+    ).collect()
+    assert [f.name for f in P.contamination_report(
+        released, bench, k=1, text_col="chunk_text", id_col="chunk_uid",
+        bench_id_col="bench_id",
+    ).schema.fields] == [
+        "bench_id", "rank", "chunk_uid", "score", "contam_ngrams", "cos_sim"
+    ]
+    b1 = sorted((r for r in rep if r["bench_id"] == 1), key=lambda r: r["rank"])
+    assert b1 and b1[0]["chunk_uid"] == src["chunk_uid"]  # source wins rank 1
+    assert b1[0]["contam_ngrams"] > 0  # verbatim 8-gram overlap flagged
+    assert b1[0]["cos_sim"] == pytest.approx(1.0)  # exact copy
+    b2 = [r for r in rep if r["bench_id"] == 2]
+    # disjoint vocabulary: nothing retrieved, or retrieved but unflagged
+    assert all(r["contam_ngrams"] == 0 and r["cos_sim"] is None for r in b2)
