@@ -770,3 +770,34 @@ def test_lease_landing_mid_append_aborts_and_rolls_back(
         r["chunk_text"] for r in P.read_release(spark, root).collect()
     )
     assert "overtaken append article" in texts
+
+
+def test_bench_shape_appends_never_auto_compact(spark, tmp_path):
+    """VERDICT r10 item 2 companion: bench.py's corpus_release_append
+    entry appends exactly N_RUNS=3 increments per session with default
+    kwargs — the default auto_compact_at=32 must never fire at bench
+    increment counts, or the entry's timing would silently include a
+    full base fold.  Pins compacted_increments == 0 for every
+    bench-shaped append (3 << 32)."""
+    base_docs = spark.createDataFrame(
+        [_doc(1, "bench shape base words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    P.corpus_release(
+        base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
+        n_pack_shards=2,
+    )
+    for i in range(3):  # bench.py N_RUNS
+        out = P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(100 + i, f"bench shape increment {i} words")],
+                "doc_id long, text string",
+            ),
+            root, f"bench{i}", chunk_tokens=16, overlap=0, token_budget=64,
+            n_pack_shards=2, refresh_card=False,
+        )
+        assert out["compacted_increments"] == 0
+    assert P.list_release_increments(spark, root) == [
+        "bench0", "bench1", "bench2"
+    ]
+    assert P._read_folded_marker(spark, root) == set()
