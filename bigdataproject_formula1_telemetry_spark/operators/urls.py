@@ -32,7 +32,9 @@ __all__ = [
     "url_parts",
     "url_filter",
     "cap_per_domain",
+    "canonicalize_url",
     "COMMON_SECOND_LEVEL_TLDS",
+    "TRACKING_PARAM_PATTERN",
 ]
 
 #: Common two-label public suffixes (documented APPROXIMATION of the
@@ -88,6 +90,80 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
         df.withColumn("host", host)
         .withColumn("domain", _registered_domain(F.col("host")))
         .withColumn("path", F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")))
+    )
+
+
+#: Query parameters that carry no content identity — the standard
+#: analytics/click-tracking families every public canonicalizer strips
+#: (utm_* per Google Analytics docs; fbclid/gclid/msclkid click ids;
+#: Mailchimp mc_cid/mc_eid).  Matched against the full ``key=`` prefix
+#: (or a bare valueless key), never a substring of another key.
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
+)
+
+
+def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute URL — the pre-dedup normalization
+    step of a web-curation pipeline (two crawls of the same page differ
+    by case, tracking params, param order, default ports, fragments;
+    URL-level dedup without canonicalization misses all of them).
+    Pure JVM expressions, engine-portable (no lookarounds):
+
+    - scheme and host lowercased; a trailing ``.`` on the host dropped
+      (DNS root); ``www.`` prefix dropped when ``strip_www``;
+    - the scheme's DEFAULT port dropped (``:80`` http / ``:443``
+      https) — non-default ports are identity and kept;
+    - empty path with an authority becomes ``/``;
+    - query: empty and tracking params (``TRACKING_PARAM_PATTERN``)
+      dropped, the rest sorted bytewise and rejoined (param order is
+      presentation, not identity); an emptied query drops its ``?``;
+    - the fragment is always dropped (client-side only).
+
+    Inputs without a ``://`` scheme (relative refs, mailto:) and NULLs
+    are returned unchanged/NULL — canonicalization never invents a
+    scheme.  Idempotent by construction (pinned in tests).
+    percent-encoding normalization is deliberately NOT attempted:
+    case-folding %XX without decoding reserved characters is unsafe,
+    and full decoding changes identity (documented non-goal)."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    # everything after ://, with the fragment cut (regex stops at '#')
+    rest = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^#]*)", 1
+    )
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+
+    host = F.lower(authority)
+    host = F.regexp_replace(host, r"\.(:\d+)?$", "$1")  # drop DNS-root dot
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    q2 = F.array_join(kept, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return F.when(url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), canon).otherwise(
+        url
     )
 
 

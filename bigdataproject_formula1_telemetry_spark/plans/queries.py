@@ -994,6 +994,21 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS BIGINT) AS pii_redacted_chars,
       (b.doc_id IS NULL) AS contam_free,
       (sb.doc_id IS NULL) AS sem_free,
+      -- URL canonicalization oracle (r11): the planted messy URL is
+      -- doc_id-parameterized (upper scheme/host, www., DNS-root dot,
+      -- default vs :8080 port, empty path, shuffled+tracking params,
+      -- trailing empty param, fragment), so the CORRECT canonical
+      -- string is pure arithmetic — any rule misfiring (a kept utm_,
+      -- an unsorted param, a stripped :8080, a lowercased path...)
+      -- breaks string equality.  Construction-independent: this CASE
+      -- never runs the operator's parse/rebuild pipeline.
+      (CASE WHEN l.doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        || '://site-' || CAST(l.doc_id % 7 AS VARCHAR) || '.org'
+        || (CASE WHEN l.doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+        || (CASE WHEN l.doc_id % 5 = 0 THEN '/'
+                 ELSE '/P/' || CAST(l.doc_id % 5 AS VARCHAR) END)
+        || '?a=' || CAST(l.doc_id % 11 AS VARCHAR) || '&z=9'
+        AS url_canon,
       (SELECT len(list_filter(
           list_filter(string_split_regex(lower(doc.text), '[^a-z0-9]+'),
                       x -> x <> ''),
@@ -1035,6 +1050,16 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chars over).  The phone pattern's lookarounds are
     RE2-inexpressible, which is exactly why the oracle checks the
     redaction's EFFECT rather than re-running the regex.
+
+    ``url_canon`` (r11) oracle-checks URL canonicalization
+    (``urls.canonicalize_url``): a doc_id-parameterized messy URL
+    exercises EVERY rule at once (scheme/host case, ``www.``, DNS-root
+    dot, default-port strip vs non-default keep, empty path → ``/``,
+    tracking + empty param drop, bytewise param sort, fragment drop);
+    the oracle states the expected canonical string ANALYTICALLY from
+    doc_id arithmetic — construction-independent, so both parse and
+    rebuild bugs break string equality.  No float margin exists (string
+    column); checked green at sf0.001/0.01/0.1.
 
     ``contam_free`` (r10) oracle-checks 8-gram eval-set
     decontamination (``dedup.decontaminate``, the published
@@ -1147,11 +1172,35 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__c4", F.lit(True))
     )
+    # URL canonicalization (r11): a doc_id-parameterized MESSY url —
+    # uppercase scheme+host, www., DNS-root trailing dot, the scheme's
+    # default port (%3==0) vs a kept :8080 (%3==1), an empty path
+    # (%5==0), out-of-order + tracking + empty query params, and a
+    # fragment — canonicalized by the real operator; the oracle states
+    # the expected string analytically (never re-running the pipeline)
+    _i = F.col("doc_id")
+    _messy = F.concat(
+        F.when(_i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Site-"), (_i % 7).cast("string"), F.lit(".ORG."),
+        F.when(_i % 3 == 0, F.when(_i % 2 == 0, F.lit(":443"))
+               .otherwise(F.lit(":80")))
+        .when(_i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(_i % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/P/"), (_i % 5).cast("string"))),
+        F.lit("?z=9&utm_source=s"), _i.cast("string"),
+        F.lit("&a="), (_i % 11).cast("string"), F.lit("&fbclid=f&"),
+        F.lit("#frag"), _i.cast("string"),
+    )
+    canon = docs.select(
+        "doc_id", U.canonicalize_url(_messy).alias("url_canon")
+    )
     return (
         U.url_parts(base)
         .join(kept, "doc_id", "left")
         .join(kept_c4, "doc_id", "left")
         .join(pii, "doc_id")
+        .join(canon, "doc_id")
         .join(contam_ok, "doc_id", "left")
         .join(sem_ok, "doc_id", "left")
         .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
@@ -1160,7 +1209,8 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sem_free", F.coalesce(F.col("__sf"), F.lit(False)))
         .select(
             "doc_id", "lang_pred", "host", "domain", "url_kept",
-            "pii_redacted_chars", "contam_free", "sem_free", "c4_kept",
+            "pii_redacted_chars", "url_canon", "contam_free", "sem_free",
+            "c4_kept",
         )
     )
 

@@ -234,3 +234,80 @@ def test_corpus_card_null_domain_not_counted_as_domain(spark):
     assert dom["top_domain_frac"] == 1.0    # 6/6 URL-bearing, not 6/10
     assert dom["example.org"] == 6.0
     assert dom["<no-host>"] == 4.0          # still listed for visibility
+
+
+CANON_CASES = [
+    # (input, expected) — one rule per case, then compositions
+    ("https://Example.COM/a", "https://example.com/a"),          # host case
+    ("HTTPS://example.com/a", "https://example.com/a"),          # scheme case
+    ("https://www.example.com/a", "https://example.com/a"),      # www strip
+    ("https://example.com./a", "https://example.com/a"),         # DNS root dot
+    ("https://example.com:443/a", "https://example.com/a"),      # default port
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:443/a", "http://example.com:443/a"),    # NON-default kept
+    ("https://example.com:8080/a", "https://example.com:8080/a"),
+    ("https://example.com", "https://example.com/"),              # empty path
+    ("https://example.com/a#sec-2", "https://example.com/a"),     # fragment
+    ("https://example.com/a?z=2&a=1", "https://example.com/a?a=1&z=2"),  # sort
+    ("https://example.com/a?utm_source=x&b=1&fbclid=q&gclid=g&msclkid=m"
+     "&mc_cid=c&mc_eid=e", "https://example.com/a?b=1"),          # tracking
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),  # all dropped
+    ("https://example.com/a?utm=keepme", "https://example.com/a?utm=keepme"),
+    ("https://example.com/a?butm_source=x", "https://example.com/a?butm_source=x"),
+    ("https://example.com/a?&&b=1&", "https://example.com/a?b=1"),  # empty params
+    ("https://example.com/A/B?x=1", "https://example.com/A/B?x=1"),  # path case KEPT
+    ("relative/path?utm_source=x", "relative/path?utm_source=x"),  # no scheme: as-is
+    ("mailto:a@b.com", "mailto:a@b.com"),                          # no ://: as-is
+    ("HTTP://WWW.Example.com.:80?Z=1&utm_campaign=c#f", "http://example.com/?Z=1"),
+]
+
+
+def test_canonicalize_url_rules(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", U.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_idempotent_and_null(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)] + [(99, None)],
+        "i long, url string",
+    )
+    once = df.select("i", U.canonicalize_url(F.col("url")).alias("url"))
+    twice = once.select("i", U.canonicalize_url(F.col("url")).alias("url"))
+    a = {r["i"]: r["url"] for r in once.collect()}
+    b = {r["i"]: r["url"] for r in twice.collect()}
+    assert a == b          # idempotent on every case
+    assert a[99] is None   # NULL in, NULL out
+
+
+def test_canonicalize_url_keep_www(spark):
+    df = spark.createDataFrame([("https://www.example.com/a",)], "url string")
+    got = df.select(
+        U.canonicalize_url(F.col("url"), strip_www=False).alias("c")
+    ).first()["c"]
+    assert got == "https://www.example.com/a"
+
+
+def test_canonicalize_feeds_exact_url_dedup(spark):
+    """The point of the operator: crawl variants of one page collapse to
+    one canonical key, distinct pages stay distinct."""
+    variants = [
+        "https://www.example.com/page?utm_source=tw&id=1",
+        "HTTPS://EXAMPLE.COM:443/page?id=1#top",
+        "https://example.com./page?id=1&fbclid=x",
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u in variants + ["https://example.com/page?id=2"]],
+        "url string",
+    )
+    canon = df.select(U.canonicalize_url(F.col("url")).alias("c"))
+    assert canon.distinct().count() == 2
+    top = canon.groupBy("c").count().orderBy(F.col("count").desc()).first()
+    assert top["c"] == "https://example.com/page?id=1" and top["count"] == 3
