@@ -38,10 +38,13 @@ to kNN cosine (`similarity.py`) as the lexical retrieval twin.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_scores"]
+__all__ = ["bm25_topk", "bm25_scores", "rrf_fuse", "hybrid_topk"]
 
 
 def _tokens(col: Column) -> Column:
@@ -176,3 +179,129 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — the standard score-free combiner for heterogeneous retrievers:
+
+        rrf(q, d) = Σ_r 1 / (k + rank_r(q, d))
+
+    over every ranking ``r`` that returned ``d`` for ``q`` (absent docs
+    contribute nothing — the paper's convention).  ``k=60`` is the
+    published constant; it damps the head so one ranker's rank-1 can't
+    drown the other's rank-3.  Rank-based fusion needs no score
+    calibration, which is exactly why it wins for lexical⊕semantic
+    hybrids whose score scales are incomparable.
+
+    Input frames need (query_id_col, id_col, rank_col); output is
+    ``(query_id, doc_id, rrf_score, rank)`` with the fused rank 1-based
+    per query, ties broken by ``id_col`` ascending.
+
+    Engine-portability note: each contribution ``1/(k + rank)`` is a
+    division of identical small integers → the identical IEEE double
+    everywhere; with TWO rankings the fused sum is a single commutative
+    addition, so the score is bit-exact across engines/partitionings
+    (the q57 ``rrf`` oracle relies on this — no float margin exists).
+
+    100 TB shape: inputs are already top-k cuts (≤ |queries|·k rows per
+    ranking); the union + groupBy here never touches the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            query_id_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    scored = u.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").alias("rrf_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        query_id_col, id_col, "rrf_score", "rank"
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_k: int = 60,
+    dim: int = 256,
+    salt: str = "hashemb",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Hybrid lexical⊕semantic retrieval: BM25 top-``fetch_k`` and
+    hashed-BoW-cosine top-``fetch_k`` (both over the same text), fused
+    with :func:`rrf_fuse` and cut to ``k`` — the published two-tower
+    recipe (every hybrid search stack: BM25 for exact-term precision,
+    embeddings for paraphrase recall, RRF because the score scales are
+    incomparable).  ``fetch_k`` defaults to ``max(2k, 20)`` — fuse over
+    a deeper pool than you return, so a doc ranked k+1 by both rankers
+    can still win.
+
+    Output ``(query_id, doc_id, rrf_score, rank)``, rank ≤ k.
+
+    100 TB shape: BM25 is the module's one-corpus-scan plan; the
+    semantic leg is ONE ``hashed_embedding`` Arrow pass over the corpus
+    + a broadcast of the |queries| embedding rows; fusion touches only
+    the two top-``fetch_k`` cuts."""
+    from bigdataproject_formula1_telemetry_spark.operators import embed as EM
+
+    if k < 1:
+        raise ValueError(f"hybrid_topk: k must be >= 1, got {k}")
+    fetch_k = fetch_k if fetch_k is not None else max(2 * k, 20)
+    lex = bm25_topk(
+        docs, queries, k=fetch_k, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+    ).select(query_id_col, id_col, "rank")
+
+    demb = EM.hashed_embedding(
+        docs.select(id_col, text_col), text_col=text_col, out_col="__dv",
+        dim=dim, salt=salt,
+    )
+    qemb = EM.hashed_embedding(
+        queries.select(query_id_col, query_text_col),
+        text_col=query_text_col, out_col="__qv", dim=dim, salt=salt,
+    ).select(query_id_col, "__qv")
+    from bigdataproject_formula1_telemetry_spark.operators.similarity import (
+        cosine,
+    )
+
+    scored = demb.crossJoin(F.broadcast(qemb)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__dv"), F.col("__qv")).alias("__cos"),
+    ).where(F.col("__cos").isNotNull())  # zero-norm side -> no vote
+    wsem = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    sem = (
+        scored.withColumn("rank", F.row_number().over(wsem))
+        .where(F.col("rank") <= fetch_k)
+        .select(query_id_col, id_col, "rank")
+    )
+    fused = rrf_fuse(
+        [lex, sem], k=rrf_k, query_id_col=query_id_col, id_col=id_col
+    )
+    return fused.where(F.col("rank") <= k)

@@ -2659,6 +2659,92 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rk <= 3
       )
       UNION ALL
+      -- RRF hybrid fusion (retrieval.rrf_fuse, Cormack/Clarke/Buettcher
+      -- 2009): the bm25 top-3 (rounded ranking, same as above — CTEs
+      -- restated because UNION ALL branches don't share scope) fused
+      -- with a term-overlap-count ranking.  Each 1/(60+r) divides
+      -- identical integers (CAST forces double division — a bare 1.0/
+      -- BIGINT would be DECIMAL) and the two-term sum is ONE
+      -- commutative IEEE addition, so rrf is bit-exact across engines.
+      SELECT 'rrf' AS section,
+        qid || '#' || CAST(rk AS VARCHAR) AS key,
+        CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+        CAST(id AS BIGINT) AS n,
+        floor(rrf * 1000000 + 0.5) / 1000000.0 AS total
+      FROM (
+        WITH f_tok AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                        x -> x <> '') AS t
+          FROM documents
+        ), f_qt AS (
+          SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS qid,
+            doc_id AS qnum, u.tok
+          FROM f_tok, unnest(t[4:9]) AS u(tok)
+          WHERE doc_id IN (1, 101, 201, 301, 401) AND len(t) >= 9
+        ), f_stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM f_tok
+        ), f_tf AS (
+          SELECT d.doc_id, u.tok, CAST(count(*) AS DOUBLE) AS tf,
+            CAST(any_value(len(d.t)) AS DOUBLE) AS dl
+          FROM f_tok d, unnest(d.t) AS u(tok)
+          WHERE u.tok IN (SELECT DISTINCT tok FROM f_qt)
+          GROUP BY d.doc_id, u.tok
+        ), f_df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM f_tf GROUP BY tok
+        ), f_sc AS (
+          SELECT q.qid, q.qnum, f.doc_id AS id,
+            sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * ((f.tf * 2.2)
+                   / (f.tf + 1.2 * (0.25 + 0.75 * (f.dl / s.avgdl))))) AS score
+          FROM f_tf f
+          JOIN f_df d USING (tok)
+          JOIN f_qt q USING (tok), f_stats s
+          GROUP BY q.qid, q.qnum, f.doc_id
+        ), f_lex AS (
+          SELECT qid, qnum, id,
+            row_number() OVER (
+              PARTITION BY qid
+              ORDER BY floor(score * 1000000 + 0.5) / 1000000.0 DESC, id
+            ) AS r1
+          FROM f_sc
+          QUALIFY r1 <= 3
+        ), f_ov AS (
+          SELECT q.qid, q.qnum, p.doc_id AS id, count(*) AS ov
+          FROM (
+            SELECT DISTINCT d2.doc_id, u.tok
+            FROM f_tok d2, unnest(d2.t) AS u(tok)
+          ) p
+          JOIN f_qt q USING (tok)
+          GROUP BY q.qid, q.qnum, p.doc_id
+        ), f_ov3 AS (
+          SELECT qid, qnum, id,
+            row_number() OVER (
+              PARTITION BY qid ORDER BY ov DESC, id
+            ) AS r2
+          FROM f_ov
+          QUALIFY r2 <= 3
+        ), f_fuse AS (
+          SELECT coalesce(l.qid, o.qid) AS qid,
+            coalesce(l.qnum, o.qnum) AS qnum,
+            coalesce(l.id, o.id) AS id,
+            coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r1), 0.0)
+              + coalesce(CAST(1.0 AS DOUBLE) / (60 + o.r2), 0.0) AS rrf
+          FROM f_lex l
+          FULL OUTER JOIN f_ov3 o ON l.qid = o.qid AND l.id = o.id
+        )
+        SELECT qid, qnum, id, rrf,
+          row_number() OVER (
+            PARTITION BY qid ORDER BY rrf DESC, id
+          ) AS rk
+        FROM f_fuse
+        QUALIFY rk <= 3
+      )
+      UNION ALL
       -- corpus_diff: full-outer change classification recomputed on raw
       -- TEXT equality (the operator joins 16-byte md5 hashes — the
       -- oracle is hash-free, so hashing bugs trip the compare)
@@ -2708,7 +2794,15 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans between base docs are checked too (at sf0.1 it catches 2 of
     them beyond the 215 twins).  Spark-side hashes vs oracle-side exact
     strings differ only on 64-bit rolling-hash collisions (~1e-11 at
-    this scale, deterministic corpus)."""
+    this scale, deterministic corpus).
+
+    The ``rrf`` section (r11) oracle-checks Reciprocal Rank Fusion
+    (``retrieval.rrf_fuse``, Cormack et al. 2009): the bm25 top-3
+    fused with an integer term-overlap ranking.  Every 1/(60+rank)
+    contribution divides identical integers and the two-ranker sum is
+    ONE commutative IEEE addition, so the fused score is bit-exact
+    across engines — the one float driver column with NO margin to
+    probe, by construction."""
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
@@ -2956,6 +3050,62 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # RRF hybrid fusion (retrieval.rrf_fuse, Cormack et al. 2009) as a
+    # driver-checked section: the bm25 top-3 above fused with a
+    # term-overlap-count ranking (distinct matched query terms per doc,
+    # integer — engine-exact).  Every 1/(60+rank) contribution divides
+    # identical integers and the two-term fused sum is ONE commutative
+    # IEEE addition, so the rrf_score is bit-exact across engines — no
+    # float margin exists for this section by construction.
+    lex3 = RT.bm25_topk(
+        docs.select("doc_id", "text"), bm_queries, k=3, score_round=6
+    ).select("query_id", "doc_id", "rank")
+    _doc_terms = docs.select(
+        "doc_id", F.explode(bm_norm).alias("__t")
+    ).distinct()
+    _q_terms = bm_queries.select(
+        "query_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("__t"),
+    ).distinct()
+    ov3 = (
+        _doc_terms.join(F.broadcast(_q_terms), "__t")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__ov").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "rank")
+    )
+    rrf = (
+        RT.rrf_fuse([lex3, ov3], k=60)
+        .where(F.col("rank") <= 3)
+        .join(
+            F.broadcast(bm_queries.select("query_id", "__qnum")), "query_id"
+        )
+        .select(
+            F.lit("rrf").alias("section"),
+            F.concat(
+                F.col("query_id"), F.lit("#"), F.col("rank").cast("string")
+            ).alias("key"),
+            (F.col("__qnum") * 10 + F.col("rank")).cast("long").alias(
+                "sort_key"
+            ),
+            F.col("doc_id").cast("long").alias("n"),
+            _pround(F.col("rrf_score"), 6).alias("total"),
+        )
+    )
+
     # corpus_diff (plans/pipelines.py) as a driver-checked section: old =
     # even ids, new = ids not divisible by 3 with %5==0 texts modified —
     # all four change classes populated.  The operator classifies on md5
@@ -3027,6 +3177,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(temp_mix)
         .unionByName(zorder)
         .unionByName(bm25)
+        .unionByName(rrf)
         .unionByName(diff)
         .orderBy("section", "sort_key", "key")
     )

@@ -219,3 +219,84 @@ def test_score_round_collapses_duplicate_ties(spark):
     assert rows[0]["score"] == rows[1]["score"]  # tie is EXACT post-round
     assert rows[0]["score"] == round(rows[0]["score"], 6)  # rounded returned
     assert rows[2]["score"] < rows[1]["score"]
+
+
+def _rankdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, rank long"
+    )
+
+
+def test_rrf_matches_python_reference(spark):
+    a = [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("r", 9, 1)]
+    b = [("q", 2, 1), ("q", 4, 2), ("q", 1, 3)]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in RT.rrf_fuse([_rankdf(spark, a), _rankdf(spark, b)]).collect()
+    }
+    want = {}
+    for rows in (a, b):
+        for q, d, rk in rows:
+            want[(q, d)] = want.get((q, d), 0.0) + 1.0 / (60.0 + rk)
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert got[key][0] == s, key  # bit-exact, not approx
+    order = sorted(
+        (k for k in want if k[0] == "q"),
+        key=lambda k: (-want[k], k[1]),
+    )
+    assert [got[k][1] for k in order] == [1, 2, 3, 4]
+
+
+def test_rrf_consensus_beats_single_first_place(spark):
+    """The fusion property RRF exists for: a doc ranked 2nd by BOTH
+    rankers outranks docs ranked 1st by only one (1/62+1/62 > 1/61)."""
+    a = [("q", 10, 1), ("q", 7, 2)]
+    b = [("q", 20, 1), ("q", 7, 2)]
+    rows = sorted(
+        RT.rrf_fuse([_rankdf(spark, a), _rankdf(spark, b)]).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["doc_id"] == 7
+    assert [r["doc_id"] for r in rows[1:]] == [10, 20]  # tie -> id order
+
+
+def test_rrf_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        RT.rrf_fuse([])
+    with pytest.raises(ValueError, match="k must be"):
+        RT.rrf_fuse([_rankdf(spark, [("q", 1, 1)])], k=0)
+
+
+def test_hybrid_topk_fuses_lexical_and_semantic(spark):
+    """End shape: every fused rank ≤ k, contiguous from 1 per query, and
+    the planted near-verbatim doc wins rank-1 (both legs agree on it).
+    A doc inside both fetch_k pools but neither leg's top spot can
+    still outrank single-leg favorites (the consensus property)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle exchange partitions wide dependency"),
+            (2, "spark shuffle exchange partitions wide dependency extras"),
+            (3, "cooking pasta with garlic and olive oil"),
+            (4, "shuffle partitions"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("qa", "spark shuffle exchange partitions wide dependency"),
+         ("qb", "garlic olive oil")],
+        "query_id string, text string",
+    )
+    rows = RT.hybrid_topk(docs, qs, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+    assert by_q["qa"][0]["doc_id"] == 1  # verbatim match tops both legs
+    assert by_q["qb"][0]["doc_id"] == 3
+    # determinism
+    again = RT.hybrid_topk(docs, qs, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
