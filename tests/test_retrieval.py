@@ -300,3 +300,21 @@ def test_hybrid_topk_fuses_lexical_and_semantic(spark):
     # determinism
     again = RT.hybrid_topk(docs, qs, k=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hybrid_plan_shape(spark, frames):
+    """100 TB shape: no sort-merge join anywhere (corpus joins broadcast
+    or are top-k-cut-sized), and the ONLY Python in the plan is the two
+    hashed-embedding Arrow passes — BM25 and fusion stay JVM-side."""
+    docs, qs = frames
+    plan = (
+        RT.hybrid_topk(docs, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
+    # exactly two Arrow passes: corpus embeddings + query embeddings
+    n_arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    assert n_arrow == 2, plan
