@@ -582,6 +582,63 @@ def repetition_stats(text: Column) -> Column:
     )
 
 
+#: C0/C1-ish control characters that are never content: everything
+#: below 0x20 EXCEPT tab/LF/CR (those are whitespace, handled by the
+#: collapse step), plus DEL.  Portable \xNN escapes (Java regex + RE2).
+CONTROL_CHAR_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def unicode_normalize(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization to ``form`` (NFC/NFKC/NFD/NFKD) — Spark has
+    no JVM builtin, so this is ONE Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` (no package import on executors; NULLs pass
+    through).  NFC is the web canonical form; NFKC is what tokenizer
+    pipelines apply (folds ligatures/width variants — lossy by design,
+    so it is opt-in, not the default)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unicode_normalize: unknown form {form!r}")
+    import pandas as pd  # noqa: F401 (signature type only)
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(text)
+
+
+def normalize_text(
+    text: Column,
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """The standard text-cleaning pre-step of a curation pipeline (CCNet
+    normalizes before LM scoring; tokenizers normalize before BPE; two
+    byte-different crawls of one page hash apart without it):
+
+    1. unicode normalization to ``form`` (``None`` skips it — the rest
+       is then pure JVM, no Arrow pass),
+    2. control-char strip (``CONTROL_CHAR_CLASS``: C0 minus tab/LF/CR,
+       plus DEL — they are never content),
+    3. whitespace-run collapse to single spaces + trim (so the hash/
+       shingle view of a doc is layout-invariant).
+
+    Composes in front of ``fingerprint``/``dedup.shingles``/LM scoring;
+    each step is independently optional."""
+    out = text
+    if form is not None:
+        out = unicode_normalize(out, form)
+    if strip_control:
+        out = F.regexp_replace(out, CONTROL_CHAR_CLASS, "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 #: minimal HTML entity map — the handful that dominate scraped text;
 #: other numeric entities are REMOVED (replaced with a space) below,
 #: not decoded — acceptable for a heuristic extractor feeding hashes

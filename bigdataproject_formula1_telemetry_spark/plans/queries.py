@@ -1009,6 +1009,12 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE '/P/' || CAST(l.doc_id % 5 AS VARCHAR) END)
         || '?a=' || CAST(l.doc_id % 11 AS VARCHAR) || '&z=9'
         AS url_canon,
+      -- text normalization oracle (r11): the planted string carries n
+      -- combining-acute e+U+0301 pairs, a BEL, and tab/space runs; the
+      -- expected NFC+strip+collapse result is stated analytically
+      -- (chr(233) = precomposed e-acute) — no normalizer runs here
+      'Doc' || repeat(chr(233), CAST(l.doc_id % 5 AS INTEGER) + 1)
+        || ' end ' || CAST(l.doc_id % 3 AS VARCHAR) AS text_norm,
       (SELECT len(list_filter(
           list_filter(string_split_regex(lower(doc.text), '[^a-z0-9]+'),
                       x -> x <> ''),
@@ -1060,6 +1066,15 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic — construction-independent, so both parse and
     rebuild bugs break string equality.  No float margin exists (string
     column); checked green at sf0.001/0.01/0.1.
+
+    ``text_norm`` (r11) oracle-checks text normalization
+    (``text.normalize_text``): the planted string carries doc_id%5+1
+    combining-acute ``e``+U+0301 pairs (NFC must fold each to the
+    precomposed é — the one Arrow step), a BEL control char, and
+    tab/space runs; the oracle states the expected result analytically
+    with ``repeat(chr(233), n)``, so the NFC fold, the control strip,
+    and the whitespace collapse are each independently load-bearing.
+    String-exact, green at all SFs.
 
     ``contam_free`` (r10) oracle-checks 8-gram eval-set
     decontamination (``dedup.decontaminate``, the published
@@ -1195,12 +1210,27 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = docs.select(
         "doc_id", U.canonicalize_url(_messy).alias("url_canon")
     )
+    # text normalization (r11): a doc_id-parameterized DENORMALIZED
+    # string — n combining-acute 'e'+U+0301 pairs (NFC folds each to é),
+    # a BEL control char, and tab/space runs — through the real
+    # normalize_text; the oracle states the normalized string
+    # analytically (repeat(chr(233), n)), never running a normalizer
+    _nmessy = F.concat(
+        F.lit("Doc"),
+        F.expr("repeat('é', CAST(doc_id % 5 AS INT) + 1)"),
+        F.lit("\x07  end\t\t "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    tnorm = docs.select(
+        "doc_id", T.normalize_text(_nmessy).alias("text_norm")
+    )
     return (
         U.url_parts(base)
         .join(kept, "doc_id", "left")
         .join(kept_c4, "doc_id", "left")
         .join(pii, "doc_id")
         .join(canon, "doc_id")
+        .join(tnorm, "doc_id")
         .join(contam_ok, "doc_id", "left")
         .join(sem_ok, "doc_id", "left")
         .withColumn("url_kept", F.coalesce(F.col("__uk"), F.lit(False)))
@@ -1209,8 +1239,8 @@ def q29_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sem_free", F.coalesce(F.col("__sf"), F.lit(False)))
         .select(
             "doc_id", "lang_pred", "host", "domain", "url_kept",
-            "pii_redacted_chars", "url_canon", "contam_free", "sem_free",
-            "c4_kept",
+            "pii_redacted_chars", "url_canon", "text_norm", "contam_free",
+            "sem_free", "c4_kept",
         )
     )
 

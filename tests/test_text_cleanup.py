@@ -527,3 +527,75 @@ def test_curate_documents_sentence_chunking(spark):
     assert len(out) > 0
     # every chunk in the release ends at a sentence boundary
     assert all(r["chunk_text"].rstrip()[-1] in ".!?" for r in out)
+
+
+class TestNormalizeText:
+    def test_nfc_combining_to_precomposed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Café"), (2, "Café"), (3, None)],
+            "i long, t string",
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", T.normalize_text(F.col("t")).alias("n")
+            ).collect()
+        }
+        assert got[1] == got[2] == "Café"  # both forms converge
+        assert got[3] is None
+
+    def test_forms_match_python_unicodedata(self, spark):
+        import unicodedata
+
+        samples = ["ﬁle", "Ｆｕｌｌｗｉｄｔｈ", "x̣́y", "½ + ¼"]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                                   "i long, t string")
+        for form in ("NFC", "NFKC", "NFD", "NFKD"):
+            got = {
+                r["i"]: r["n"]
+                for r in df.select(
+                    "i", T.unicode_normalize(F.col("t"), form).alias("n")
+                ).collect()
+            }
+            for i, s in enumerate(samples):
+                assert got[i] == unicodedata.normalize(form, s), (form, s)
+
+    def test_control_strip_and_whitespace_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\x07b\x00c"), (2, "  a\t\tb\n\nc  "), (3, "a \x0b b")],
+            "i long, t string",
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", T.normalize_text(F.col("t"), form=None).alias("n")
+            ).collect()
+        }
+        assert got[1] == "abc"      # bell/NUL stripped, no space left
+        assert got[2] == "a b c"    # runs collapse + trim
+        assert got[3] == "a b"      # VT stripped, then runs collapse
+
+    def test_layout_invariant_fingerprinting(self, spark):
+        """The reason the op exists: byte-different layouts of one text
+        normalize to one hash key."""
+        df = spark.createDataFrame(
+            [("same text here",), ("same\ttext\n here ",),
+             ("same  text  here",)],
+            "t string",
+        )
+        n = df.select(
+            F.md5(T.normalize_text(F.col("t"), form=None)).alias("h")
+        )
+        assert n.distinct().count() == 1
+
+    def test_pure_jvm_when_form_none(self, spark):
+        df = spark.createDataFrame([("x",)], "t string")
+        plan = (
+            df.select(T.normalize_text(F.col("t"), form=None).alias("n"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_bad_form_raises(self, spark):
+        with pytest.raises(ValueError, match="unknown form"):
+            T.unicode_normalize(F.lit("x"), "NFX")
