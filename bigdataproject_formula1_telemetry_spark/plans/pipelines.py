@@ -181,6 +181,7 @@ def curate_documents(
     semantic_threshold: float | None = None,
     html: bool = False,
     c4_clean: bool = False,
+    normalize: str | None = None,
     max_line_occurrences: int | None = None,
     soft_quality: tuple[str, float] | None = None,
     span_dedup_tokens: int | None = None,
@@ -235,7 +236,11 @@ def curate_documents(
     counts instead of whitespace tokens), ``html``/``c4_clean`` (tag
     strip + the C4 line heuristics, applied FIRST — every downstream
     hash/score must see extracted text; docs emptied by the cleanup are
-    dropped), ``max_line_occurrences`` (RefinedWeb corpus-level line
+    dropped), ``normalize="NFC"|"NFKC"|"jvm"`` (``text.normalize_text``
+    right after extraction, before every hash/score/dedup key — layout
+    variants of one page dedup together; ``"jvm"`` = control/whitespace
+    cleanup only, no Arrow pass), ``max_line_occurrences`` (RefinedWeb
+    corpus-level line
     dedup, applied just before doc dedup so near-dup hashing sees
     boilerplate-free text), ``soft_quality=(score_col, fraction)``
     (FineWeb-style score-weighted thinning via
@@ -321,6 +326,18 @@ def curate_documents(
         docs = docs.withColumn(text_col, T.c4_line_filter(F.col(text_col)))
     if html or c4_clean:
         docs = docs.where(F.col(text_col) != "")
+    if normalize is not None:
+        # unicode NFC/NFKC + control/whitespace cleanup right after
+        # extraction and BEFORE every hash/score/dedup key — the point
+        # is that byte-different layouts of one page dedup together;
+        # normalize="jvm" skips the unicode step (pure-JVM cleanup)
+        docs = docs.withColumn(
+            text_col,
+            T.normalize_text(
+                F.col(text_col),
+                form=None if normalize == "jvm" else normalize,
+            ),
+        )
     if blocklist is not None:
         # C4 banned-words gate right after extraction (the published
         # order: the list must see extracted text, and everything

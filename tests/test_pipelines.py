@@ -726,3 +726,36 @@ def test_curate_documents_d4_gate(spark):
     assert d4.join(dd, "doc_id", "left_anti").count() == 0
     # realized keep near the requested fraction (sketch band)
     assert abs(n_d4 / n_dd - 0.6) < 0.15
+
+
+def test_curate_normalize_gate_collapses_layout_variants(spark):
+    """normalize= runs before every hash: a tab/space-run layout variant
+    and an NFC-vs-decomposed variant of one doc must EXACT-dedup down to
+    one survivor; without the gate all three survive (the miss the gate
+    exists to close).  'jvm' mode collapses layout but not unicode."""
+    body = "solid unique caf\u00e9 article body text with many words " * 8
+    variants = [
+        (1, body),
+        (2, body.replace(" ", "\t ", 3) + "  "),      # layout variant
+        (3, body.replace("\u00e9", "e\u0301")),      # decomposed accents
+        (4, "a completely different second document " * 10),
+    ]
+    docs = spark.createDataFrame(variants, "doc_id long, text string")
+    kw = dict(chunk_tokens=64, overlap=0, token_budget=256, n_pack_shards=2,
+              dedup_threshold=0.99)
+
+    plain = P.curate_documents(docs, **kw)
+    norm = P.curate_documents(docs, normalize="NFC", **kw)
+    # exact near-dup at 0.99: un-normalized variants hash apart on
+    # whitespace/accents; normalized they collapse to one survivor + doc 4
+    assert set(
+        r.doc_id for r in norm.select("doc_id").distinct().collect()
+    ) == {1, 4}
+    assert len(
+        plain.select("doc_id").distinct().collect()
+    ) > 2  # the gate is load-bearing
+
+    # 'jvm' mode: layout collapses (doc 2 gone), unicode variant survives
+    jvm = P.curate_documents(docs, normalize="jvm", **kw)
+    ids = {r.doc_id for r in jvm.select("doc_id").distinct().collect()}
+    assert 2 not in ids and 3 in ids and {1, 4} <= ids
