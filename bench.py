@@ -379,6 +379,21 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["bm25_topk"] = round(best, 3)
 
+    # Hybrid retrieval (r11): the same 20 queries through BM25 ⊕
+    # hashed-BoW-cosine fused by RRF (retrieval.hybrid_topk) — the
+    # two-tower serving shape; the semantic leg pays one corpus
+    # hashed_embedding Arrow pass + the knn matmul kernel per run.
+    def build_hybrid():
+        return _rt.hybrid_topk(bm_docs, bm_q, k=10)
+
+    build_hybrid().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        build_hybrid().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["hybrid_topk"] = round(best, 3)
+
     # SemDeDup over the documents table: hashed-BoW embed + cluster-
     # scoped semantic dedup (the curate_documents semdedup= gate's
     # exact shape).  Centroids are trained ONCE outside the timer on a

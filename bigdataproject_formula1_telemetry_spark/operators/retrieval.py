@@ -264,9 +264,16 @@ def hybrid_topk(
 
     100 TB shape: BM25 is the module's one-corpus-scan plan; the
     semantic leg is ONE ``hashed_embedding`` Arrow pass over the corpus
-    + a broadcast of the |queries| embedding rows; fusion touches only
-    the two top-``fetch_k`` cuts."""
-    from bigdataproject_formula1_telemetry_spark.operators import embed as EM
+    fused with the ``knn_bruteforce_arrow`` matmul kernel (the query
+    matrix broadcasts; each Arrow batch emits only its per-query top-k
+    — never an interpreted per-row cosine, which A/B-measured 7×
+    slower end-to-end at sf0.1); fusion touches only the two
+    top-``fetch_k`` cuts.  Zero-norm docs/queries get no semantic vote
+    (the kernel omits NULL-cosine rows)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        embed as EM,
+        similarity as SIM,
+    )
 
     if k < 1:
         raise ValueError(f"hybrid_topk: k must be >= 1, got {k}")
@@ -277,29 +284,25 @@ def hybrid_topk(
     ).select(query_id_col, id_col, "rank")
 
     demb = EM.hashed_embedding(
-        docs.select(id_col, text_col), text_col=text_col, out_col="__dv",
+        docs.select(id_col, text_col), text_col=text_col, out_col="__v",
         dim=dim, salt=salt,
-    )
+    ).select(id_col, "__v")
     qemb = EM.hashed_embedding(
         queries.select(query_id_col, query_text_col),
-        text_col=query_text_col, out_col="__qv", dim=dim, salt=salt,
-    ).select(query_id_col, "__qv")
-    from bigdataproject_formula1_telemetry_spark.operators.similarity import (
-        cosine,
-    )
-
-    scored = demb.crossJoin(F.broadcast(qemb)).select(
-        query_id_col,
-        id_col,
-        cosine(F.col("__dv"), F.col("__qv")).alias("__cos"),
-    ).where(F.col("__cos").isNotNull())  # zero-norm side -> no vote
+        text_col=query_text_col, out_col="__v", dim=dim, salt=salt,
+    ).select(F.col(query_id_col).alias(id_col), "__v")
     wsem = Window.partitionBy(query_id_col).orderBy(
-        F.col("__cos").desc(), F.col(id_col).asc()
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     sem = (
-        scored.withColumn("rank", F.row_number().over(wsem))
-        .where(F.col("rank") <= fetch_k)
-        .select(query_id_col, id_col, "rank")
+        SIM.knn_bruteforce_arrow(
+            demb, qemb, k=fetch_k, id_col=id_col, vec_col="__v",
+            query_id_col=query_id_col,
+        )
+        .withColumn("rank", F.row_number().over(wsem))
+        .select(
+            query_id_col, F.col("neighbor_id").alias(id_col), "rank"
+        )
     )
     fused = rrf_fuse(
         [lex, sem], k=rrf_k, query_id_col=query_id_col, id_col=id_col

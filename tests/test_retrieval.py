@@ -304,8 +304,10 @@ def test_hybrid_topk_fuses_lexical_and_semantic(spark):
 
 def test_hybrid_plan_shape(spark, frames):
     """100 TB shape: no sort-merge join anywhere (corpus joins broadcast
-    or are top-k-cut-sized), and the ONLY Python in the plan is the two
-    hashed-embedding Arrow passes — BM25 and fusion stay JVM-side."""
+    or are top-k-cut-sized), and the ONLY Python in the final plan is
+    the corpus hashed-embedding Arrow pass + the knn matmul kernel (the
+    query embeddings collect in their own tiny job) — BM25 and fusion
+    stay JVM-side, and nothing is row-at-a-time."""
     docs, qs = frames
     plan = (
         RT.hybrid_topk(docs, qs, k=3)
