@@ -423,6 +423,7 @@ def main() -> None:
         results["bm25_ok"] = bool(
             results["bm25_family_complete"] and fam["maxspread"] < 1e-9
         )
+
         # honest denominator: this corpus makes ~every doc a candidate
         # for ~every query, so the real unit of work is scored
         # (query, doc) pairs, not docs
@@ -435,6 +436,65 @@ def main() -> None:
             f"  topk {wall:.2f} s ({results['bm25_docs_per_s']:,.0f} docs/s); "
             f"family completeness {fam['minfam']}/{REPLICAS}, max score "
             f"spread {fam['maxspread']:.2e}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
+    # --- hybrid retrieval at 500k docs (--hybrid runs only this) ---
+    # BM25 ⊕ hashed-BoW-cosine fused by RRF (retrieval.hybrid_topk).
+    # At-scale assertions: every query returns a FULL k (the corpus
+    # guarantees ≥k matches), and the fused output is BIT-deterministic
+    # across two runs — the tie-handling class of bug (family variants
+    # tie exactly in BOTH legs here, by construction) that only
+    # surfaces under real multi-partition execution.
+    if "--hybrid" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            retrieval as RT,
+        )
+
+        norm = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        queries = (
+            distinct.where((F.col("doc_id") % (REPLICAS * 50)) == 0)
+            .select("doc_id", norm.alias("__t"))
+            .where(F.size("__t") >= 9)
+            .select(
+                F.concat(
+                    F.lit("q"),
+                    (F.col("doc_id") / REPLICAS).cast("long").cast("string"),
+                ).alias("query_id"),
+                F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nq = queries.count()
+        print(f"  hybrid: {nq} queries over {n:,} docs ...", flush=True)
+        t0 = time.time()
+        a = sorted(
+            map(tuple, RT.hybrid_topk(distinct, queries, k=10).collect())
+        )
+        wall = time.time() - t0
+        b = sorted(
+            map(tuple, RT.hybrid_topk(distinct, queries, k=10).collect())
+        )
+        results["hybrid_n_queries"] = nq
+        results["hybrid_topk_rows"] = len(a)
+        results["hybrid_topk_s"] = round(wall, 2)
+        results["hybrid_docs_per_s"] = round(n / wall, 1)
+        results["hybrid_full_k"] = len(a) == nq * 10
+        results["hybrid_deterministic"] = a == b
+        results["hybrid_ok"] = bool(
+            results["hybrid_full_k"] and results["hybrid_deterministic"]
+        )
+        print(
+            f"  hybrid topk {wall:.2f} s "
+            f"({results['hybrid_docs_per_s']:,.0f} docs/s); "
+            f"full_k {results['hybrid_full_k']}, "
+            f"deterministic {results['hybrid_deterministic']}",
             flush=True,
         )
         print(json.dumps(results))
