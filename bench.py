@@ -55,11 +55,35 @@ HEADLINE = [
 ]
 
 
+def _ship_package(spark) -> None:
+    """Python-UDF entries (applyInPandas / mapInPandas) deserialize on
+    executor workers, which must import the engine package.  From the
+    repo cwd the workers find it via sys.path[''], but a foreign-cwd
+    invocation (``python /root/repo/bench.py`` from elsewhere) needs the
+    package shipped — same addPyFile recipe as ``__spark_entry__``."""
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"bdp_f1_spark_pkg_{os.getpid()}"
+    )
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=os.path.dirname(os.path.abspath(__file__)),
+            base_dir="bigdataproject_formula1_telemetry_spark",
+        )
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    _ship_package(spark)
 
     from bigdataproject_formula1_telemetry_spark.operators import dedup as _dedup
 
