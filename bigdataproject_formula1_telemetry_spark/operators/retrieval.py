@@ -44,7 +44,17 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_scores", "rrf_fuse", "hybrid_topk"]
+__all__ = [
+    "bm25_topk",
+    "bm25_scores",
+    "bm25_scores_weighted",
+    "rm3_expand",
+    "bm25_topk_rm3",
+    "rrf_fuse",
+    "hybrid_topk",
+    "mmr_rerank",
+    "retrieval_metrics",
+]
 
 
 def _tokens(col: Column) -> Column:
@@ -75,7 +85,46 @@ def bm25_scores(
 ) -> DataFrame:
     """(query_id, doc_id, score) for every (query, matching doc) pair —
     docs sharing no term with a query produce no row.  See module
-    docstring for the plan shape; ``bm25_topk`` adds the ranked cut."""
+    docstring for the plan shape; ``bm25_topk`` adds the ranked cut.
+
+    Classic query-side binarization (repeated terms count once, unit
+    weight) — the weight-1.0 case of :func:`bm25_scores_weighted`."""
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias(query_id_col),
+            F.explode(_tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()  # classic query-side binarization: repeated terms count once
+        .withColumn("weight", F.lit(1.0))
+    )
+    return bm25_scores_weighted(
+        docs, qterms, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, k1=k1, b=b,
+    )
+
+
+def bm25_scores_weighted(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Weighted-query BM25: ``query_terms`` is a (query_id, term,
+    weight) frame — the query-model form every PRF/expansion recipe
+    produces (:func:`rm3_expand`) — and
+
+        score(q, d) = Σ_t w_q(t) · idf(t) · sat(t, d)
+
+    i.e. each term's classic BM25 contribution scaled by its query
+    weight.  Unit weights reproduce :func:`bm25_scores` exactly.  Plan
+    shape is the module-docstring one: ONE narrow corpus token scan,
+    broadcast vocabulary filter, everything downstream proportional to
+    the matched subset."""
     base = docs.select(
         F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("__toks")
     )
@@ -95,12 +144,10 @@ def bm25_scores(
         ).alias("__avgdl"),
     )
 
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("__qid"),
-            F.explode(_tokens(F.col(query_text_col))).alias("__term"),
-        )
-        .distinct()  # classic query-side binarization: repeated terms count once
+    qterms = query_terms.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(term_col).alias("__term"),
+        F.col(weight_col).cast("double").alias("__qw"),
     )
     vocab = qterms.select("__term").distinct()
 
@@ -131,10 +178,169 @@ def bm25_scores(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col("__id").alias(id_col),
-            (idf * wtd).alias("__w"),
+            (F.col("__qw") * idf * wtd).alias("__w"),
         )
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__w").alias("score"))
+    )
+
+
+def rm3_expand(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft,
+    SIGIR 2001 relevance models; the "RM3" interpolation is the
+    Anserini/Lucene-standard variant): retrieve top-``fb_docs`` per
+    query with BM25, estimate the relevance model
+
+        P(t|R) ∝ Σ_{d ∈ fb} P(t|d) · P(d|q),
+        P(t|d) = tf(t,d)/|d|,  P(d|q) = score(d)/Σ score(d'),
+
+    keep the ``fb_terms`` heaviest terms (renormalized), and
+    interpolate with the original (uniform) query model:
+
+        w(t) = orig_weight · P(t|q) + (1 − orig_weight) · P'(t|R).
+
+    Returns a (query_id, term, weight) frame for
+    :func:`bm25_scores_weighted` / :func:`bm25_topk_rm3`.  Weights sum
+    to 1 per query (when every original term survived tokenization);
+    a query with NO matching feedback docs keeps its original model
+    scaled by ``orig_weight`` — a pure rescale, rank-neutral.
+
+    Determinism: the fb_terms cut ranks (weight DESC, term ASC).
+
+    100 TB shape: two corpus-narrow passes — the BM25 retrieval (its
+    own broadcast-vocabulary scan) and ONE token re-scan narrowed by a
+    broadcast semi-join on the |queries|·fb_docs feedback ids; the
+    relevance-model arithmetic happens on the feedback subset only."""
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError(
+            f"rm3_expand: fb_docs/fb_terms must be >= 1, got {fb_docs}/{fb_terms}"
+        )
+    if not (0.0 <= orig_weight <= 1.0):
+        raise ValueError(
+            f"rm3_expand: orig_weight must be in [0, 1], got {orig_weight}"
+        )
+    top = bm25_topk(
+        docs, queries, k=fb_docs, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b,
+    ).select(query_id_col, id_col, "score")
+
+    # P(d|q): normalize retrieval scores per query (all > 0 — a matched
+    # BM25 score is a sum of positive idf·sat terms)
+    wq = Window.partitionBy(query_id_col)
+    pd_q = top.withColumn(
+        "__pd", F.col("score") / F.sum("score").over(wq)
+    ).select(query_id_col, id_col, "__pd")
+
+    # ONE token re-scan of the feedback docs only (broadcast semi-join
+    # on |queries|·fb_docs ids), then P(t|d) = tf/dl over ALL their terms
+    fb_ids = top.select(id_col).distinct()
+    fb_toks = (
+        docs.select(id_col, _tokens(F.col(text_col)).alias("__toks"))
+        .join(F.broadcast(fb_ids), id_col, "left_semi")
+        .select(
+            id_col,
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .where(F.col("__dl") > 0)
+        .groupBy(id_col, "term")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.first("__dl")).alias("__ptd")
+        )
+    )
+    rm = (
+        fb_toks.join(pd_q, id_col)
+        .groupBy(query_id_col, "term")
+        .agg(F.sum(F.col("__ptd") * F.col("__pd")).alias("__rm"))
+    )
+    wcut = Window.partitionBy(query_id_col).orderBy(
+        F.col("__rm").desc(), F.col("term").asc()
+    )
+    rm_top = (
+        rm.withColumn("__rn", F.row_number().over(wcut))
+        .where(F.col("__rn") <= fb_terms)
+        .withColumn("__prm", F.col("__rm") / F.sum("__rm").over(wq))
+        .select(query_id_col, "term", "__prm")
+    )
+
+    # original query model: uniform over the distinct tokenized terms
+    qterms = queries.select(
+        F.col(query_id_col).alias(query_id_col),
+        F.explode(_tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    pq = qterms.withColumn(
+        "__pq", F.lit(1.0) / F.count(F.lit(1)).over(wq)
+    )
+    lam = float(orig_weight)
+    return (
+        pq.join(rm_top, [query_id_col, "term"], "full_outer")
+        .select(
+            query_id_col,
+            "term",
+            (
+                F.lit(lam) * F.coalesce(F.col("__pq"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.coalesce(F.col("__prm"), F.lit(0.0))
+            ).alias("weight"),
+        )
+        # a zero-weight term scores nothing but would still MATCH docs
+        # (phantom score-0 rows at lam extremes) — drop it outright
+        .where(F.col("weight") > 0)
+    )
+
+
+def bm25_topk_rm3(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 with RM3 expansion, end to end: expand each query with
+    :func:`rm3_expand`, score the expanded weighted query with
+    :func:`bm25_scores_weighted`, return the ranked top-``k`` cut
+    ``(query_id, doc_id, rank, score)`` with the (score DESC, id ASC)
+    tiebreak.  The classic recall lever: a document sharing NO term
+    with the raw query becomes retrievable when it shares the feedback
+    neighborhood's vocabulary."""
+    if k < 1:
+        raise ValueError(f"bm25_topk_rm3: k must be >= 1, got {k}")
+    expanded = rm3_expand(
+        docs, queries, fb_docs=fb_docs, fb_terms=fb_terms,
+        orig_weight=orig_weight, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b,
+    )
+    scored = bm25_scores_weighted(
+        docs, expanded, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, k1=k1, b=b,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
     )
 
 
@@ -308,3 +514,232 @@ def hybrid_topk(
         [lex, sem], k=rrf_k, query_id_col=query_id_col, id_col=id_col
     )
     return fused.where(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the classical diversity-aware selection over a
+    relevance-ranked candidate pool:
+
+        MMR(d) = λ·rel(d) − (1−λ)·max_{s ∈ S} cos(d, s)
+
+    picked greedily: each step selects the candidate maximizing MMR
+    against the already-selected set ``S`` (empty-set redundancy is 0,
+    the paper's convention, so step 1 is the pure-relevance argmax).
+    ``λ=1`` reproduces the input ranking; ``λ=0`` is pure
+    farthest-point diversity.  The standard tool when the top-k of a
+    retriever is REDUNDANT (near-duplicate training docs all matching
+    a benchmark item; dedup-audit panels want distinct evidence, not
+    five copies).
+
+    Inputs: ``candidates`` (one row per (query, doc): query_id_col,
+    id_col, score_col — e.g. a ``bm25_topk``/``hybrid_topk`` top-fetch_k
+    cut), ``vectors`` (id_col, vec_col) supplying the similarity
+    embedding.  ``score_col`` should be on a scale COMPARABLE to cosine
+    ([-1, 1]) for λ to trade meaningfully — raw BM25 scores (unbounded)
+    drown the redundancy term; normalize per query first (e.g. divide
+    by the pool max, the ``pipelines.contamination_report`` recipe).  Candidates with no vector row (or a zero-norm/NULL
+    vector) participate with cosine 0 to everything — they can still
+    win on relevance, matching ``hashed_embedding``'s zero-vector
+    degradation; a NULL relevance scores as 0.  Output
+    ``(query_id, doc_id, mmr_score, rank)``, rank 1-based in pick
+    order, ≤ k rows per query.
+
+    Determinism: within each step, ties break by ``id_col`` ascending
+    (rows are sorted by id before the argmax, which takes the FIRST
+    maximum).  ``score_round=n`` applies the portable half-up rounding
+    floor(x·10ⁿ + 0.5)/10ⁿ to every step's MMR values BEFORE the
+    argmax (and returns the rounded score) — near-ties from float-sum
+    order then collapse onto the id tiebreak identically in any
+    re-implementation (the ``bm25_topk`` cross-engine pattern).
+
+    100 TB shape: the candidate pool is a top-fetch_k cut (|queries| ×
+    fetch_k rows) — its DISTINCT ids broadcast into a semi-join that
+    narrows the ONE pass over the corpus-scale ``vectors`` table to
+    candidate rows only; the greedy loop runs per query group inside
+    ``applyInPandas`` on ≤ fetch_k rows (a fetch_k×fetch_k cosine
+    matrix per query, never corpus-side pairs)."""
+    import pyspark.sql.types as SQT
+
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    cand_ids = candidates.select(id_col).distinct()
+    vecs = vectors.select(id_col, vec_col).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    pool = candidates.select(query_id_col, id_col, score_col).join(
+        vecs, id_col, "left"
+    )
+    out_schema = SQT.StructType(
+        [
+            pool.schema[query_id_col],
+            pool.schema[id_col],
+            SQT.StructField("mmr_score", SQT.DoubleType()),
+            SQT.StructField("rank", SQT.IntegerType()),
+        ]
+    )
+    p = float(10**score_round) if score_round is not None else None
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        rel = np.nan_to_num(
+            pdf[score_col].to_numpy(dtype=np.float64), nan=0.0
+        )
+        vec_list = pdf[vec_col].tolist()
+        dim = max(
+            (len(v) for v in vec_list if v is not None and len(v)), default=1
+        )
+        V = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(vec_list):
+            if v is not None and len(v):
+                V[i, : len(v)] = np.asarray(v, dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nz = nrm > 0
+        Vn = np.zeros_like(V)
+        Vn[nz] = V[nz] / nrm[nz, None]
+        max_sim = None  # true max over S (can be NEGATIVE); empty S -> 0
+        alive = np.ones(n, dtype=bool)
+        picks, scores = [], []
+        for _ in range(min(k, n)):
+            red = np.zeros(n) if max_sim is None else max_sim
+            mmr = lam * rel - (1.0 - lam) * red
+            if p is not None:
+                mmr = np.floor(mmr * p + 0.5) / p
+            masked = np.where(alive, mmr, -np.inf)
+            pick = int(np.argmax(masked))  # first max → lowest id wins ties
+            picks.append(pick)
+            scores.append(float(masked[pick]))
+            alive[pick] = False
+            sims = Vn @ Vn[pick]
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[picks].to_numpy(),
+                id_col: pdf[id_col].iloc[picks].to_numpy(),
+                "mmr_score": scores,
+                "rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+            }
+        )
+
+    return pool.groupBy(query_id_col).applyInPandas(_greedy, out_schema)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query IR evaluation over a ranked result frame against graded
+    judgments — the trec_eval metric core, all JVM expressions:
+
+    - ``precision_at_k`` / ``recall_at_k``: binary relevance (rel > 0)
+      inside the top-``k`` cut, over ``k`` / over the query's judged
+      relevant count;
+    - ``mrr``: 1/rank of the first relevant result (0.0 when none);
+    - ``ndcg_at_k``: burges-gain DCG Σ (2^rel − 1)/log2(rank+1) over
+      the cut, normalized by the ideal DCG of the query's judgments
+      (graded rels honored; ties in the ideal ordering break by doc id);
+    - ``n_rel``: the query's judged-relevant count (the recall base).
+
+    ``qrels`` is the standard (query_id, doc_id, rel) frame; unjudged
+    retrieved docs count as non-relevant (the trec_eval convention) and
+    queries with no judged-relevant doc are dropped (metrics undefined).
+    Results deeper than ``k`` are ignored, so callers can pass any
+    ranked frame (``bm25_topk``/``hybrid_topk``/``mmr_rerank`` output).
+
+    100 TB shape: both inputs are reduced frames (top-k cuts and
+    judgment sets — never the corpus); one join on (query, doc), one
+    per-query aggregate, one broadcast of the per-query IDCG/base."""
+    if k < 1:
+        raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
+    res = results.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("int").alias("__rank"),
+    ).where(F.col("__rank") <= k)
+    qr = qrels.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    # per-query judgment summary: relevant count + ideal DCG@k
+    w_ideal = Window.partitionBy("__qid").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    base = (
+        qr.withColumn("__irank", F.row_number().over(w_ideal))
+        .groupBy("__qid")
+        .agg(
+            F.sum((F.col("__rel") > 0).cast("long")).alias("__n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
+                    / F.log2(F.col("__irank").cast("double") + F.lit(1.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("__idcg"),
+        )
+        .where(F.col("__n_rel") > 0)
+    )
+    hits = res.join(qr, ["__qid", "__id"], "left").select(
+        "__qid",
+        "__rank",
+        F.coalesce(F.col("__rel"), F.lit(0.0)).alias("__rel"),
+    )
+    per_q = hits.groupBy("__qid").agg(
+        (
+            F.sum((F.col("__rel") > 0).cast("double")) / F.lit(float(k))
+        ).alias("__p_at_k"),
+        F.sum((F.col("__rel") > 0).cast("double")).alias("__n_hit"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("__rel") > 0,
+                    F.lit(1.0) / F.col("__rank").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
+            / F.log2(F.col("__rank").cast("double") + F.lit(1.0))
+        ).alias("__dcg"),
+    )
+    return (
+        base.join(per_q, "__qid", "left")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__n_rel").alias("n_rel"),
+            F.coalesce(F.col("__p_at_k"), F.lit(0.0)).alias(
+                "precision_at_k"
+            ),
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0.0))
+                / F.col("__n_rel").cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+            (
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg")
+            ).alias("ndcg_at_k"),
+        )
+    )

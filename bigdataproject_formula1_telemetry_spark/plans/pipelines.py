@@ -842,6 +842,8 @@ def contamination_report(
     bench_text_col: str = "text",
     shingle_n: int = 8,
     semantic_threshold: float = 0.95,
+    mmr_lambda: float | None = None,
+    fetch_k: int | None = None,
 ) -> DataFrame:
     """The RETRIEVAL face of contamination auditing: for every benchmark
     item, the top-``k`` corpus docs by BM25 (``retrieval.bm25_topk``),
@@ -856,6 +858,16 @@ def contamination_report(
     instead of a bare count (``corpus_card(benchmark=)`` reports those
     counts; this report names the docs).
 
+    ``mmr_lambda`` diversifies the evidence: BM25 fetches a deeper
+    ``fetch_k`` pool (default max(2k, 20)) and ``retrieval.mmr_rerank``
+    cuts it to ``k`` over hashed-BoW embeddings, with relevance
+    normalized to the per-query pool max so the λ trade is
+    like-for-like against cosine — a benchmark item whose
+    lexical neighborhood is one duplicate family then shows the family
+    ONCE plus the distinct near-misses behind it, instead of k copies
+    of the same evidence.  ``rank`` becomes the diverse pick order;
+    ``score`` stays the doc's BM25 relevance.
+
     Returns ``(bench_id, rank, doc_id, score, contam_ngrams, cos_sim)``
     sorted by (bench_id, rank).
 
@@ -863,7 +875,9 @@ def contamination_report(
     tf/df with broadcast query vocabulary; broadcast benchmark gram
     set; broadcast benchmark embedding matrix) — everything joined
     AFTER reduction, on frames bounded by |benchmark|·k, the flagged
-    docs, and the ≥threshold pairs.  No pass shuffles the corpus text."""
+    docs, and the ≥threshold pairs.  No pass shuffles the corpus text;
+    the MMR leg embeds ONLY the broadcast-semi-narrowed candidate pool
+    (|benchmark|·fetch_k docs), never the corpus."""
     from bigdataproject_formula1_telemetry_spark.operators import (
         dedup as DD,
         embed as EM,
@@ -876,9 +890,37 @@ def contamination_report(
         F.col(btc).alias("text"),
     )
     top = RT.bm25_topk(
-        docs.select(id_col, text_col), queries, k=k,
+        docs.select(id_col, text_col), queries,
+        k=k if mmr_lambda is None else (fetch_k or max(2 * k, 20)),
         text_col=text_col, id_col=id_col,
     )
+    if mmr_lambda is not None:
+        from pyspark.sql import Window
+
+        pool_ids = top.select(id_col).distinct()
+        cand_docs = docs.select(id_col, text_col).join(
+            F.broadcast(pool_ids), id_col, "left_semi"
+        )
+        vecs = EM.hashed_embedding(
+            cand_docs, text_col=text_col, out_col="__v"
+        ).select(id_col, "__v")
+        # BM25 scores (unbounded) and cosines ([-1, 1]) are incomparable
+        # scales — normalize relevance to [0, 1] per query (divide by the
+        # pool max) so mmr_lambda trades like-for-like; the report still
+        # carries the RAW BM25 score.
+        wq = Window.partitionBy("query_id")
+        rel = top.withColumn(
+            "__rel", F.col("score") / F.max("score").over(wq)
+        )
+        top = (
+            RT.mmr_rerank(
+                rel, vecs, k=k, lam=mmr_lambda,
+                id_col=id_col, vec_col="__v", score_col="__rel",
+            )
+            .select("query_id", id_col, "rank")
+            .join(top.select("query_id", id_col, "score"),
+                  ["query_id", id_col])
+        )
     # join the original (typed) bench id back via its string form
     bids = benchmark.select(
         F.col(bench_id_col).alias("bench_id"),

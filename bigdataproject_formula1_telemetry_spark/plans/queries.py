@@ -2775,6 +2775,149 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rk <= 3
       )
       UNION ALL
+      -- MMR diversity re-rank (retrieval.mmr_rerank, Carbonell &
+      -- Goldstein 1998): 5 queries x 12 candidates (embeddings vec_ids
+      -- qnum..qnum+11), rel = ((id*7)%13)/13, lam=0.7, k=3.  The oracle
+      -- UNROLLS the greedy as three stages (window functions are not
+      -- allowed in a recursive term): each stage ranks the portably
+      -- rounded MMR = floor((0.7*rel - 0.3*max_sim)*1e6 + 0.5)/1e6 with
+      -- an id tiebreak, exactly the Spark kernel's score_round=6 rule;
+      -- max_sim is the TRUE max cosine over the picked set (negative
+      -- cosines stay negative — the paper's definition).  Margins at
+      -- all SFs: rounding-edge >= 7.7e-9 abs, pick gap >= 0.0118.
+      SELECT 'mmr' AS section,
+        'q' || CAST(qnum AS VARCHAR) || '#' || CAST(rk AS VARCHAR) AS key,
+        CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+        CAST(id AS BIGINT) AS n,
+        mmr AS total
+      FROM (
+        WITH mm_q AS (
+          SELECT unnest([1, 101, 201, 301, 401]) AS qnum
+        ), mm_cand AS (
+          SELECT q.qnum, e.vec_id AS id,
+            CAST((e.vec_id * 7) % 13 AS DOUBLE) / 13.0 AS rel,
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE) /
+              sqrt(list_sum(list_transform(e.embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+          FROM mm_q q
+          JOIN embeddings e ON e.vec_id BETWEEN q.qnum AND q.qnum + 11
+        ), mm_p1 AS (
+          SELECT qnum, id, nv, mmr FROM (
+            SELECT qnum, id, nv,
+              floor(CAST(0.7 AS DOUBLE) * rel * 1000000 + 0.5)
+                / 1000000.0 AS mmr,
+              row_number() OVER (PARTITION BY qnum ORDER BY
+                floor(CAST(0.7 AS DOUBLE) * rel * 1000000 + 0.5)
+                  / 1000000.0 DESC, id) AS rn
+            FROM mm_cand)
+          WHERE rn = 1
+        ), mm_p2 AS (
+          SELECT qnum, id, nv, mmr FROM (
+            SELECT c.qnum, c.id, c.nv,
+              floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.nv[i] * p.nv[i])))
+                    * 1000000 + 0.5) / 1000000.0 AS mmr,
+              row_number() OVER (PARTITION BY c.qnum ORDER BY
+                floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                       list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p.nv[i])))
+                      * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
+            FROM mm_cand c JOIN mm_p1 p USING (qnum)
+            WHERE c.id <> p.id)
+          WHERE rn = 1
+        ), mm_p3 AS (
+          SELECT qnum, id, mmr FROM (
+            SELECT c.qnum, c.id,
+              floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                     greatest(
+                       list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p1.nv[i])),
+                       list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p2.nv[i]))))
+                    * 1000000 + 0.5) / 1000000.0 AS mmr,
+              row_number() OVER (PARTITION BY c.qnum ORDER BY
+                floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                       greatest(
+                         list_sum(list_transform(range(1, 65),
+                           i -> c.nv[i] * p1.nv[i])),
+                         list_sum(list_transform(range(1, 65),
+                           i -> c.nv[i] * p2.nv[i]))))
+                      * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
+            FROM mm_cand c
+            JOIN mm_p1 p1 USING (qnum) JOIN mm_p2 p2 ON p2.qnum = c.qnum
+            WHERE c.id <> p1.id AND c.id <> p2.id)
+          WHERE rn = 1
+        )
+        SELECT qnum, id, mmr, 1 AS rk FROM mm_p1
+        UNION ALL SELECT qnum, id, mmr, 2 FROM mm_p2
+        UNION ALL SELECT qnum, id, mmr, 3 FROM mm_p3
+      )
+      UNION ALL
+      -- IR metrics (retrieval.retrieval_metrics): fully analytic
+      -- results/qrels (rank 4 retrieved-but-unjudged, graded rels with
+      -- judged-non-relevant rows), all four trec_eval-core metrics
+      -- recomputed — precision/recall@5, MRR, burges-gain nDCG@5 with
+      -- the id-tiebroken ideal ordering.  Rounding-edge >= 5.1e-8 abs.
+      SELECT 'ir_metrics' AS section,
+        'q' || CAST(qnum AS VARCHAR) || '#' || m AS key,
+        CAST(qnum * 10 + mi AS BIGINT) AS sort_key,
+        n_rel AS n,
+        floor(v * 1000000 + 0.5) / 1000000.0 AS total
+      FROM (
+        WITH im_q AS (
+          SELECT unnest([1, 2, 3, 4, 5]) AS qnum
+        ), im_res AS (
+          SELECT qnum, qnum * 1000 + r AS id, r AS rank
+          FROM im_q, unnest(range(1, 9)) AS t(r)
+        ), im_qrel AS (
+          SELECT qnum, qnum * 1000 + j AS id,
+            CAST((j * 3 + qnum) % 4 AS DOUBLE) AS rel
+          FROM im_q, unnest(range(1, 13)) AS t(j)
+          WHERE j % 5 <> 4
+        ), im_base AS (
+          SELECT qnum,
+            CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_rel,
+            sum(CASE WHEN irank <= 5
+                THEN (pow(2.0, rel) - 1.0)
+                     / log2(CAST(irank AS DOUBLE) + 1.0)
+                ELSE 0.0 END) AS idcg
+          FROM (
+            SELECT qnum, rel,
+              row_number() OVER (
+                PARTITION BY qnum ORDER BY rel DESC, id) AS irank
+            FROM im_qrel
+          ) GROUP BY qnum
+          HAVING sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) > 0
+        ), im_hits AS (
+          SELECT r.qnum, r.rank, coalesce(q.rel, 0.0) AS rel
+          FROM im_res r
+          LEFT JOIN im_qrel q ON q.qnum = r.qnum AND q.id = r.id
+          WHERE r.rank <= 5
+        ), im_per AS (
+          SELECT qnum,
+            sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) / 5.0 AS p_at_k,
+            sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS n_hit,
+            coalesce(max(CASE WHEN rel > 0
+                         THEN 1.0 / CAST(rank AS DOUBLE) END), 0.0) AS mrr,
+            sum((pow(2.0, rel) - 1.0)
+                / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+          FROM im_hits GROUP BY qnum
+        ), im_fin AS (
+          SELECT b.qnum, b.n_rel,
+            coalesce(p.p_at_k, 0.0) AS p_at_k,
+            coalesce(p.n_hit, 0.0) / CAST(b.n_rel AS DOUBLE) AS recall,
+            coalesce(p.mrr, 0.0) AS mrr,
+            coalesce(p.dcg, 0.0) / b.idcg AS ndcg
+          FROM im_base b LEFT JOIN im_per p USING (qnum)
+        )
+        SELECT qnum, n_rel, 'p' AS m, 1 AS mi, p_at_k AS v FROM im_fin
+        UNION ALL SELECT qnum, n_rel, 'r', 2, recall FROM im_fin
+        UNION ALL SELECT qnum, n_rel, 'mrr', 3, mrr FROM im_fin
+        UNION ALL SELECT qnum, n_rel, 'ndcg', 4, ndcg FROM im_fin
+      )
+      UNION ALL
       -- corpus_diff: full-outer change classification recomputed on raw
       -- TEXT equality (the operator joins 16-byte md5 hashes — the
       -- oracle is hash-free, so hashing bugs trip the compare)
@@ -2832,7 +2975,23 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution divides identical integers and the two-ranker sum is
     ONE commutative IEEE addition, so the fused score is bit-exact
     across engines — the one float driver column with NO margin to
-    probe, by construction."""
+    probe, by construction.
+
+    The ``mmr`` section (r11) oracle-checks Maximal Marginal Relevance
+    re-ranking (``retrieval.mmr_rerank``, Carbonell & Goldstein 1998):
+    five queries with 12-candidate pools from the embeddings table,
+    analytic relevance, lam=0.7, k=3, ranked on the portably rounded
+    MMR (score_round=6).  The REAL greedy Arrow kernel runs; the
+    oracle unrolls the 3-step greedy as three SQL stages over the same
+    normalized vectors.  Margins probed at all SFs: rounding-edge
+    distance ≥ 7.7e-9 absolute, pick/runner-up rounded gap ≥ 0.0118,
+    zero rounded ties.
+
+    The ``ir_metrics`` section (r11) oracle-checks the trec_eval core
+    (``retrieval.retrieval_metrics``) on FULLY ANALYTIC inputs (no
+    corpus dependency): 5 queries × (precision/recall@5, MRR, nDCG@5),
+    every convention branching — a retrieved-but-unjudged rank, graded
+    rels, judged-non-relevant rows.  Rounding-edge ≥ 5.1e-8 absolute."""
     o = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
@@ -3136,6 +3295,99 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # MMR diversity re-rank (retrieval.mmr_rerank, Carbonell & Goldstein
+    # SIGIR 1998) as a driver-checked section: five queries, each with a
+    # 12-candidate pool (vec_ids qnum..qnum+11 from the embeddings
+    # table), analytic relevance rel = ((id*7) % 13)/13 — identical
+    # integer arithmetic + ONE IEEE division in both engines — lam=0.7,
+    # k=3, score_round=6.  The REAL greedy applyInPandas kernel runs
+    # end-to-end (broadcast-semi vector narrowing included); the oracle
+    # unrolls the 3-step greedy as three SQL stages over the same
+    # normalized vectors.  Margins probed at all SFs (tools note in
+    # SCALING): min rounding-edge distance of any step value ≥ 7.7e-9
+    # absolute (vs ~1e-16 cross-engine float-sum spread), min
+    # pick/runner-up ROUNDED gap ≥ 0.0118, zero rounded ties.
+    emb = _t(spark, sf_dir, "embeddings")
+    mm_q = spark.createDataFrame(
+        [(q,) for q in (1, 101, 201, 301, 401)], "qnum long"
+    )
+    mm_cands = mm_q.select(
+        "qnum",
+        F.explode(F.sequence(F.col("qnum"), F.col("qnum") + 11)).alias(
+            "doc_id"
+        ),
+    ).withColumn(
+        "score", ((F.col("doc_id") * 7) % 13).cast("double") / F.lit(13.0)
+    )
+    mmr = RT.mmr_rerank(
+        mm_cands,
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        k=3,
+        lam=0.7,
+        query_id_col="qnum",
+        score_round=6,
+    ).select(
+        F.lit("mmr").alias("section"),
+        F.concat(
+            F.lit("q"), F.col("qnum").cast("string"),
+            F.lit("#"), F.col("rank").cast("string"),
+        ).alias("key"),
+        (F.col("qnum") * 10 + F.col("rank")).cast("long").alias("sort_key"),
+        F.col("doc_id").cast("long").alias("n"),
+        F.col("mmr_score").alias("total"),
+    )
+
+    # IR evaluation metrics (retrieval.retrieval_metrics, the trec_eval
+    # core) as a driver-checked section: FULLY ANALYTIC inputs — 5
+    # queries, results rank r=1..8 → doc qnum*1000+r, qrels j=1..12
+    # minus j%5==4 (so rank 4 is retrieved-but-unjudged) with graded
+    # rel=(3j+qnum)%4 (judged-non-relevant rows included) — so every
+    # trec_eval convention branches; the oracle recomputes all four
+    # metrics (precision/recall@5, MRR, burges-gain nDCG@5 with the
+    # id-tiebroken ideal ordering) from the same arithmetic.  Rounded
+    # at 1e-6; probed rounding-edge distance 5.1e-8 absolute
+    # (tools/probe_ir_metrics_margins.py; data is SF-independent).
+    im_q = spark.createDataFrame([(q,) for q in (1, 2, 3, 4, 5)], "qnum long")
+    im_results = im_q.select(
+        "qnum", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rank")
+    ).select(
+        "qnum", (F.col("qnum") * 1000 + F.col("rank")).alias("doc_id"), "rank"
+    )
+    im_qrels = (
+        im_q.select(
+            "qnum", F.explode(F.sequence(F.lit(1), F.lit(12))).alias("__j")
+        )
+        .where(F.col("__j") % 5 != 4)
+        .select(
+            "qnum",
+            (F.col("qnum") * 1000 + F.col("__j")).alias("doc_id"),
+            ((F.col("__j") * 3 + F.col("qnum")) % 4).alias("rel"),
+        )
+    )
+    im = RT.retrieval_metrics(im_results, im_qrels, k=5, query_id_col="qnum")
+    ir_metrics = im.select(
+        "qnum",
+        "n_rel",
+        F.expr(
+            "stack(4, 'p', precision_at_k, 'r', recall_at_k, "
+            "'mrr', mrr, 'ndcg', ndcg_at_k) as (__m, __v)"
+        ),
+    ).select(
+        F.lit("ir_metrics").alias("section"),
+        F.concat(
+            F.lit("q"), F.col("qnum").cast("string"), F.lit("#"), F.col("__m")
+        ).alias("key"),
+        (
+            F.col("qnum") * 10
+            + F.when(F.col("__m") == "p", 1)
+            .when(F.col("__m") == "r", 2)
+            .when(F.col("__m") == "mrr", 3)
+            .otherwise(4)
+        ).cast("long").alias("sort_key"),
+        F.col("n_rel").cast("long").alias("n"),
+        _pround(F.col("__v"), 6).alias("total"),
+    )
+
     # corpus_diff (plans/pipelines.py) as a driver-checked section: old =
     # even ids, new = ids not divisible by 3 with %5==0 texts modified —
     # all four change classes populated.  The operator classifies on md5
@@ -3208,6 +3460,8 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zorder)
         .unionByName(bm25)
         .unionByName(rrf)
+        .unionByName(mmr)
+        .unionByName(ir_metrics)
         .unionByName(diff)
         .orderBy("section", "sort_key", "key")
     )

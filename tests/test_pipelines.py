@@ -759,3 +759,50 @@ def test_curate_normalize_gate_collapses_layout_variants(spark):
     jvm = P.curate_documents(docs, normalize="jvm", **kw)
     ids = {r.doc_id for r in jvm.select("doc_id").distinct().collect()}
     assert 2 not in ids and 3 in ids and {1, 4} <= ids
+
+
+def test_contamination_report_mmr_diversifies_evidence(spark):
+    """mmr_lambda: a benchmark item whose lexical neighborhood is one
+    duplicate family shows the family ONCE plus the distinct near-miss
+    behind it, instead of k copies; score stays the doc's BM25
+    relevance and the annotation columns survive unchanged."""
+    fam = "solar panel efficiency degrades under partial shading conditions"
+    docs = spark.createDataFrame(
+        [
+            (0, fam),
+            (1, fam),                      # exact duplicate of 0
+            (2, fam + " extra"),           # near-duplicate
+            (3, "panel mounting hardware galvanized steel rails shading"),
+            (4, "unrelated cooking pasta recipe with garlic and oil"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "solar panel efficiency shading")], "bench_id long, text string"
+    )
+    plain = sorted(
+        P.contamination_report(docs, bench, k=3, bench_id_col="bench_id").collect(),
+        key=lambda r: r["rank"],
+    )
+    # the duplicate family fills the lexical top ranks
+    assert {r["doc_id"] for r in plain[:2]} == {0, 1}
+    div = sorted(
+        P.contamination_report(docs, bench, k=3, mmr_lambda=0.5, bench_id_col="bench_id").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [f for f in div[0].asDict()] == [
+        "bench_id", "rank", "doc_id", "score", "contam_ngrams", "cos_sim"
+    ]
+    ids = [r["doc_id"] for r in div]
+    assert len(set(ids)) == len(ids) == 3
+    # at most one member of the exact-duplicate family in the diverse cut
+    assert len({0, 1} & set(ids)) == 1
+    # the distinct near-miss (doc 3) makes the cut
+    assert 3 in ids
+    # score is the BM25 relevance of that doc in the plain pool
+    pool = {
+        r["doc_id"]: r["score"]
+        for r in P.contamination_report(docs, bench, k=5, bench_id_col="bench_id").collect()
+    }
+    for r in div:
+        assert r["score"] == pytest.approx(pool[r["doc_id"]], abs=1e-12)
