@@ -748,3 +748,39 @@ def test_retrieval_metrics_close_the_loop_on_bm25(spark, frames):
         assert r["mrr"] == pytest.approx(1.0)
         assert r["recall_at_k"] == pytest.approx(1.0)
         assert r["ndcg_at_k"] == pytest.approx(1.0)
+
+
+def test_mmr_plan_shape(spark, mmr_frames):
+    """100 TB shape: the corpus-scale vectors table is narrowed by a
+    BROADCAST semi-join on candidate ids BEFORE any wide join (the one
+    scale-critical property — the later pool join pairs two
+    candidate-bounded frames, where a shuffle join is legitimate), the
+    greedy is ONE grouped Arrow kernel, nothing row-at-a-time."""
+    cands, vecs = mmr_frames
+    plan = (
+        RT.mmr_rerank(cands, vecs, k=3, lam=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_rm3_plan_stays_jvm(spark, frames):
+    """RM3 end-to-end is pure JVM expressions — NO Python eval node
+    anywhere — and every corpus-touching join broadcasts (the vocab
+    filter and the feedback-id semi-join); the remaining joins pair
+    per-query-bounded frames."""
+    docs, qs = frames
+    plan = (
+        RT.bm25_topk_rm3(docs, qs, k=3, fb_docs=3, fb_terms=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # vocab x2 + df + qterms
+    assert "LeftSemi" in plan  # feedback-id narrowing of the token re-scan
