@@ -501,6 +501,102 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- MMR diversity re-rank at 500k docs (--mmr runs only this) ---
+    # BM25 top-40 pools are TIE-SATURATED by construction here: every
+    # 100-variant word-shuffle family has identical term multisets
+    # (identical BM25 scores) AND identical hashed-BoW vectors (BoW is
+    # order-free), so the greedy faces maximal tie pressure.  At-scale
+    # assertions: full k per query, BIT-determinism across two runs
+    # under real 32-partition execution, and diversity genuinely bites
+    # (the MMR cut never has FEWER distinct families than the plain
+    # BM25 cut, and strictly more for at least one query).
+    if "--mmr" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            embed as EM,
+            retrieval as RT,
+        )
+        from pyspark.sql import Window
+
+        norm = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        queries = (
+            distinct.where((F.col("doc_id") % (REPLICAS * 50)) == 0)
+            .select("doc_id", norm.alias("__t"))
+            .where(F.size("__t") >= 9)
+            .select(
+                F.concat(
+                    F.lit("q"),
+                    (F.col("doc_id") / REPLICAS).cast("long").cast("string"),
+                ).alias("query_id"),
+                F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nq = queries.count()
+        print(f"  mmr: {nq} queries over {n:,} docs ...", flush=True)
+
+        def run_once():
+            pool = RT.bm25_topk(distinct, queries, k=40, score_round=6)
+            wq = Window.partitionBy("query_id")
+            rel = pool.withColumn(
+                "score", F.col("score") / F.max("score").over(wq)
+            )
+            pool_docs = distinct.join(
+                F.broadcast(pool.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            vecs = EM.hashed_embedding(
+                pool_docs, text_col="text", out_col="__v"
+            ).select("doc_id", "__v")
+            out = RT.mmr_rerank(
+                rel, vecs, k=10, lam=0.5, vec_col="__v", score_round=6
+            )
+            return pool, sorted(map(tuple, out.collect()))
+
+        t0 = time.time()
+        pool, a = run_once()
+        wall = time.time() - t0
+        _, b = run_once()
+        fam = lambda did: did // REPLICAS  # noqa: E731
+        bm10 = {}
+        for r in pool.where(F.col("rank") <= 10).collect():
+            bm10.setdefault(r["query_id"], set()).add(fam(r["doc_id"]))
+        mm10 = {}
+        for qid, did, _, _ in a:
+            mm10.setdefault(qid, set()).add(fam(did))
+        never_fewer = all(
+            len(mm10[q]) >= len(bm10.get(q, set())) for q in mm10
+        )
+        strictly_more = sum(
+            len(mm10[q]) > len(bm10.get(q, set())) for q in mm10
+        )
+        results["mmr_n_queries"] = nq
+        results["mmr_rows"] = len(a)
+        results["mmr_s"] = round(wall, 2)
+        results["mmr_full_k"] = len(a) == nq * 10
+        results["mmr_deterministic"] = a == b
+        results["mmr_families_never_fewer"] = bool(never_fewer)
+        results["mmr_queries_strictly_diversified"] = int(strictly_more)
+        results["mmr_ok"] = bool(
+            results["mmr_full_k"]
+            and results["mmr_deterministic"]
+            and never_fewer
+            and strictly_more > 0
+        )
+        print(
+            f"  mmr topk {wall:.2f} s; full_k {results['mmr_full_k']}, "
+            f"deterministic {results['mmr_deterministic']}, "
+            f"never_fewer {never_fewer}, "
+            f"strictly_diversified {strictly_more}/{nq}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- read_release plan bloat vs increment count (--relread only) ---
     # ``read_release`` unions ONE parquet scan per increment; this leg
     # pins the measured cost of that design at many increments (read
