@@ -1,0 +1,269 @@
+"""Materialized BM25 inverted index — the LEXICAL member of the repo's
+materialized-index family (``similarity.build_inverted_file`` serves kNN
+from partition-pruned centroid files; ``exact_index``/``minhash_index``
+serve dedup admission; this serves full-text retrieval).
+
+At 100 TB you do not rescan the corpus per query batch.  The index is a
+postings table — one row per (term, doc): ``(term, doc_id, tf, dl)`` —
+hive-partitioned by ``bucket = pmod(xxhash64(term), n_buckets)`` under an
+``inc=`` increment level (the exact_index lifecycle pattern).  Serving a
+query batch:
+
+1. the batch's distinct terms are tokenized and collected (bounded by
+   contract — query sets are broadcast-small, the same contract every
+   kNN serving path in ``similarity.py`` makes);
+2. their bucket values become a PARTITION filter (the scan reads
+   ~|query buckets|/n_buckets of the table) and the term list a PUSHED
+   parquet filter (row-group/dictionary pruning inside each bucket) —
+   both asserted in tests;
+3. document frequencies are NOT materialized: df(t) =
+   count_distinct(doc_id) over the pruned+filtered postings is exact,
+   touches only matched rows, and — crucially — makes increments
+   merge-free;
+4. corpus constants ride in ``stats/`` (one (n_docs, sum_dl) row per
+   increment, summed at serve time as a broadcast one-row frame — an
+   increment append never rewrites global state).
+
+Scores are the exact ``retrieval.bm25_scores`` arithmetic (Lucene-style
+idf, explicit sum/count avgdl division), so index-served results equal
+corpus-scan results up to float-sum order (pinned in tests).
+
+Append contract: doc ids must be unique across the base and all
+increments (the ``corpus_release_append`` admission pipeline's own
+invariant); idempotent per increment id — both partitions are cleared
+before the write.
+
+No reference-repo counterpart (the reference has no text retrieval);
+beyond-reference LLM-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators.retrieval import _tokens
+
+__all__ = [
+    "build_bm25_index",
+    "append_bm25_index",
+    "bm25_topk_indexed",
+]
+
+_INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+_META_SCHEMA = "n_buckets int"
+_STATS_SCHEMA = "n_docs double, sum_dl double"
+
+
+def _postings_frame(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("__dl").cast("double").alias("dl"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+
+
+def _stats_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(_tokens(F.col(text_col)).alias("__toks")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0)).cast("double").alias(
+            "sum_dl"
+        ),
+    )
+
+
+def _read_n_buckets(spark: SparkSession, path: str) -> int:
+    return int(
+        spark.read.schema(_META_SCHEMA)
+        .parquet(os.path.join(path, "meta"))
+        .head()["n_buckets"]
+    )
+
+
+def _clear_inc_partition(spark: SparkSession, table_dir: str, inc: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(table_dir, f"inc={inc}"))
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """ONE corpus pass → ``path/postings`` (inc=base, bucket-partitioned)
+    + ``path/stats`` + ``path/meta``.  A base build is a FRESH index:
+    static overwrite drops any previous generation's ``inc=*``
+    partitions (the exact_index rule — stale admission state must not
+    survive a rebuild)."""
+    if n_buckets < 1:
+        raise ValueError(f"build_bm25_index: n_buckets must be >= 1, got {n_buckets}")
+    spark = docs.sparkSession
+    spark.createDataFrame([(n_buckets,)], _META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "meta"))
+    _postings_frame(docs, text_col, id_col, n_buckets).withColumn(
+        "inc", F.lit("base")
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("inc", "bucket").parquet(os.path.join(path, "postings"))
+    _stats_frame(docs, text_col).withColumn("inc", F.lit("base")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy("inc").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    increment_id: str = "inc0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit an increment under ``inc=<increment_id>``: its postings
+    (same term bucketing, read from meta) and its own stats row.
+    MERGE-FREE by design — df is serve-time-derived and stats rows sum,
+    so nothing global is rewritten.  Idempotent per increment id."""
+    if not _INC_ID_RE.match(increment_id):
+        raise ValueError(
+            "increment_id must match [A-Za-z0-9._-]+ (it names a "
+            f"partition directory), got {increment_id!r}"
+        )
+    if increment_id == "base":
+        raise ValueError("increment_id 'base' is reserved for build_bm25_index")
+    spark = new_docs.sparkSession
+    n_buckets = _read_n_buckets(spark, path)
+    _clear_inc_partition(spark, os.path.join(path, "postings"), increment_id)
+    _clear_inc_partition(spark, os.path.join(path, "stats"), increment_id)
+    _postings_frame(new_docs, text_col, id_col, n_buckets).withColumn(
+        "inc", F.lit(increment_id)
+    ).write.mode("append").partitionBy("inc", "bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    _stats_frame(new_docs, text_col).withColumn(
+        "inc", F.lit(increment_id)
+    ).write.mode("append").partitionBy("inc").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Serve ``(query_id, doc_id, rank, score)`` from the materialized
+    index WITHOUT touching the corpus: the postings scan carries a
+    bucket PARTITION filter and a pushed term filter, so it reads only
+    the query vocabulary's buckets (and inside them only matched
+    row-groups).  Same ranked-cut semantics as ``retrieval.bm25_topk``
+    (query-side binarization, (score DESC, doc_id ASC) tiebreak,
+    ``score_round`` for cross-engine-stable ranking)."""
+    if k < 1:
+        raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
+    n_buckets = _read_n_buckets(spark, path)
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(_tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()  # query-side binarization
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    # the query vocabulary is broadcast-small BY CONTRACT (the same
+    # contract as every kNN serving path); its terms/buckets become scan
+    # filter LITERALS, which is what partition pruning + parquet pushdown
+    # require
+    q_rows = qterms.select("term", "bucket").distinct().collect()
+    terms = [r["term"] for r in q_rows]
+    buckets = sorted({r["bucket"] for r in q_rows})
+    postings_raw = spark.read.parquet(os.path.join(path, "postings"))
+    if not terms:
+        out_schema = (
+            f"{query_id_col} "
+            f"{queries.schema[query_id_col].dataType.simpleString()}, "
+            f"doc_id {postings_raw.schema['doc_id'].dataType.simpleString()},"
+            " rank int, score double"
+        )
+        return spark.createDataFrame([], out_schema)
+    postings = postings_raw.where(F.col("bucket").isin(buckets)).where(
+        F.col("term").isin(terms)
+    )
+    stats = (
+        spark.read.schema(_STATS_SCHEMA + ", inc string")
+        .parquet(os.path.join(path, "stats"))
+        .agg(
+            F.sum("n_docs").alias("__n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("__avgdl"),
+        )
+    )
+    df_ = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("__df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    wtd = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("__avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms.select("__qid", "term")), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            "doc_id",
+            (idf * wtd).alias("__w"),
+        )
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.sum("__w").alias("score"))
+    )
+    if score_round is not None:
+        p = float(10**score_round)
+        scored = scored.withColumn(
+            "score", F.floor(F.col("score") * p + F.lit(0.5)) / F.lit(p)
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "doc_id", "rank", "score")
+    )

@@ -1,0 +1,152 @@
+"""Materialized BM25 inverted index (`operators/bm25_index.py`):
+index-served results equal the corpus-scan `retrieval.bm25_topk`,
+increments compose exactly (build(A)+append(B) == build(A∪B)), the
+serving scan is partition-pruned + term-pushed (the 100 TB property),
+and the increment lifecycle is idempotent."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import (
+    bm25_index as BI,
+    retrieval as RT,
+)
+
+DOCS_A = [
+    (0, "spark shuffles data between stages for wide operations"),
+    (1, "broadcast joins avoid shuffles for small build sides"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "spark spark spark shuffle shuffle broadcast"),
+    (4, "completely unrelated text about cooking pasta al dente"),
+    (5, ""),  # empty doc: counts in N / sum_dl
+]
+DOCS_B = [
+    (10, "late increment about spark shuffle behavior under skew"),
+    (11, "another appended doc mentioning the lazy dog again"),
+]
+QUERIES = [
+    ("qa", "spark shuffle broadcast"),
+    ("qb", "lazy dog"),
+    ("qc", "zzz-missing-term"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    a = spark.createDataFrame(DOCS_A, "doc_id long, text string")
+    b = spark.createDataFrame(DOCS_B, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id string, text string")
+    return a, b, qs
+
+
+def _ranked(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows
+    )
+
+
+def test_index_serving_equals_corpus_scan(spark, frames, tmp_path):
+    a, _, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    served = RT.bm25_topk(a, qs, k=3).collect()
+    indexed = BI.bm25_topk_indexed(spark, path, qs, k=3).collect()
+    want = {(r["query_id"], r["rank"]): r for r in served}
+    got = {(r["query_id"], r["rank"]): r for r in indexed}
+    assert set(want) == set(got)
+    for key, r in want.items():
+        assert got[key]["doc_id"] == r["doc_id"], key
+        assert got[key]["score"] == pytest.approx(r["score"], abs=1e-12)
+
+
+def test_append_composes_exactly(spark, frames, tmp_path):
+    """build(A) + append(B) must serve the SAME results as build(A∪B):
+    stats rows sum, df derives from all increments' postings."""
+    a, b, qs = frames
+    inc_path = str(tmp_path / "inc_idx")
+    all_path = str(tmp_path / "all_idx")
+    BI.build_bm25_index(a, inc_path, n_buckets=8)
+    BI.append_bm25_index(b, inc_path, increment_id="inc1")
+    BI.build_bm25_index(a.unionByName(b), all_path, n_buckets=8)
+    x = _ranked(BI.bm25_topk_indexed(spark, inc_path, qs, k=5).collect())
+    y = _ranked(BI.bm25_topk_indexed(spark, all_path, qs, k=5).collect())
+    assert x == y
+    # and both equal the corpus scan over A∪B
+    z = _ranked(RT.bm25_topk(a.unionByName(b), qs, k=5).collect())
+    assert [t[:3] for t in x] == [t[:3] for t in z]
+
+
+def test_append_is_idempotent(spark, frames, tmp_path):
+    a, b, qs = frames
+    path = str(tmp_path / "idem_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc1")
+    once = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    BI.append_bm25_index(b, path, increment_id="inc1")  # retry
+    twice = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    assert once == twice
+
+
+def test_rebuild_drops_stale_increments(spark, frames, tmp_path):
+    """A base rebuild is a FRESH index: previous increments must not
+    leak into the new generation (static overwrite of inc=*)."""
+    a, b, qs = frames
+    path = str(tmp_path / "fresh_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc1")
+    BI.build_bm25_index(a, path, n_buckets=8)  # rebuild
+    fresh = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    plain = str(tmp_path / "plain_idx")
+    BI.build_bm25_index(a, plain, n_buckets=8)
+    assert fresh == _ranked(
+        BI.bm25_topk_indexed(spark, plain, qs, k=5).collect()
+    )
+
+
+def test_serving_scan_is_pruned_and_pushed(spark, frames, tmp_path):
+    """The 100 TB property: the postings scan carries a bucket
+    PARTITION filter (reads ~|query buckets|/n_buckets of the table)
+    and the term list as a PUSHED parquet filter."""
+    a, _, qs = frames
+    path = str(tmp_path / "prune_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    plan = (
+        BI.bm25_topk_indexed(spark, path, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    p = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert p and ("In(term" in p.group(1) or "EqualTo(term" in p.group(1)), plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_match_and_validation(spark, frames, tmp_path):
+    a, _, _ = frames
+    path = str(tmp_path / "v_idx")
+    BI.build_bm25_index(a, path, n_buckets=4)
+    empty_q = a.sparkSession.createDataFrame(
+        [("q1", "")], "query_id string, text string"
+    )
+    out = BI.bm25_topk_indexed(spark, path, empty_q, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "rank", "score",
+    ]
+    with pytest.raises(ValueError):
+        BI.build_bm25_index(a, path, n_buckets=0)
+    with pytest.raises(ValueError):
+        BI.append_bm25_index(a, path, increment_id="base")
+    with pytest.raises(ValueError):
+        BI.append_bm25_index(a, path, increment_id="bad/inc")
+    with pytest.raises(ValueError):
+        BI.bm25_topk_indexed(spark, path, empty_q, k=0)

@@ -537,8 +537,16 @@ def main() -> None:
         nq = queries.count()
         print(f"  mmr: {nq} queries over {n:,} docs ...", flush=True)
 
+        # pool depth must EXCEED the family size: the query's own family
+        # (REPLICAS identical-score variants) fills the head of the BM25
+        # ranking wholesale, so a pool of k <= REPLICAS contains exactly
+        # one family and MMR has nothing cross-family to reach for (the
+        # first full-scale run measured exactly that: 0/100 diversified
+        # at k=40 with 100-variant families)
+        pool_k = REPLICAS + 40
+
         def run_once():
-            pool = RT.bm25_topk(distinct, queries, k=40, score_round=6)
+            pool = RT.bm25_topk(distinct, queries, k=pool_k, score_round=6)
             wq = Window.partitionBy("query_id")
             rel = pool.withColumn(
                 "score", F.col("score") / F.max("score").over(wq)
