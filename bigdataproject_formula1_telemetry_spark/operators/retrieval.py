@@ -52,6 +52,7 @@ __all__ = [
     "bm25_topk_rm3",
     "rrf_fuse",
     "hybrid_topk",
+    "hybrid_topk_indexed",
     "mmr_rerank",
     "retrieval_metrics",
 ]
@@ -743,3 +744,76 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def hybrid_topk_indexed(
+    spark,
+    bm25_path: str,
+    ivf_path: str,
+    centroids: Sequence[Sequence[float]],
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_k: int = 60,
+    nprobe: int = 4,
+    dim: int = 256,
+    salt: str = "hashemb",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`hybrid_topk` served ENTIRELY from materialized state — the
+    steady-state form: the lexical leg reads the term-bucket-partitioned
+    BM25 postings index (``bm25_index.bm25_topk_indexed``), the semantic
+    leg reads the IVF inverted file (``similarity.knn_ivf_materialized``,
+    partition-pruned to the probed clusters), and RRF fuses the two
+    top-``fetch_k`` cuts.  NO corpus scan anywhere: both legs' plans
+    carry PartitionFilters, so a query batch against 100 TB reads only
+    its vocabulary's term buckets + its probes' cluster directories.
+
+    The IVF file must be built over the SAME embedding the queries get
+    here (``embed.hashed_embedding(docs, dim=dim, salt=salt)`` — the
+    builder's responsibility); with enough probes (``nprobe`` =
+    n_clusters) the output equals the scan-based :func:`hybrid_topk`
+    rank-for-rank (pinned in tests), and fewer probes trade recall for
+    the pruned read exactly as ``knn_ivf`` documents."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as BI,
+        embed as EM,
+        similarity as SIM,
+    )
+
+    if k < 1:
+        raise ValueError(f"hybrid_topk_indexed: k must be >= 1, got {k}")
+    fetch_k = fetch_k if fetch_k is not None else max(2 * k, 20)
+    lex = BI.bm25_topk_indexed(
+        spark, bm25_path, queries, k=fetch_k,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+    ).select(query_id_col, id_col, "rank")
+
+    # the IVF family convention: BOTH the query frame and the inverted
+    # file carry (vec_id, embedding) — build the file as
+    # hashed_embedding(docs) -> select(doc_id AS vec_id, __v AS embedding)
+    qemb = EM.hashed_embedding(
+        queries.select(query_id_col, query_text_col),
+        text_col=query_text_col, out_col="__v", dim=dim, salt=salt,
+    ).select(
+        F.col(query_id_col).alias("vec_id"), F.col("__v").alias("embedding")
+    )
+    wsem = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    sem = (
+        SIM.knn_ivf_materialized(
+            spark, ivf_path, qemb, list(map(list, centroids)),
+            k=fetch_k, nprobe=nprobe, id_col="vec_id", vec_col="embedding",
+            query_id_col=query_id_col,
+        )
+        .where(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(wsem))
+        .select(query_id_col, F.col("neighbor_id").alias(id_col), "rank")
+    )
+    fused = rrf_fuse(
+        [lex, sem], k=rrf_k, query_id_col=query_id_col, id_col=id_col
+    )
+    return fused.where(F.col("rank") <= k)

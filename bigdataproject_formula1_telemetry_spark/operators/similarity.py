@@ -960,9 +960,14 @@ def knn_ivf_materialized(
     )
     probed = sorted({c for _, _, c in probe_rows})
     cb = spark.read.parquet(path).where(F.col(cluster_col).isin(probed))
+    # self-match exclusion, NULL-SAFE: when query ids live in a different
+    # type domain than the table ids (hybrid_topk_indexed passes string
+    # query ids against long doc ids), the implicit cast yields NULL and
+    # a plain != would go NULL -> silently drop EVERY row; <=> returns
+    # false there (keep), and is bit-identical to != for same-type ids
     scored = (
         cb.join(F.broadcast(qb), F.col(cluster_col) == F.col("__c"))
-        .where(F.col(id_col) != F.col(query_id_col))
+        .where(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),

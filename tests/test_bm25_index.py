@@ -150,3 +150,56 @@ def test_no_match_and_validation(spark, frames, tmp_path):
         BI.append_bm25_index(a, path, increment_id="bad/inc")
     with pytest.raises(ValueError):
         BI.bm25_topk_indexed(spark, path, empty_q, k=0)
+
+
+def test_hybrid_topk_indexed_matches_scan_form(spark, frames, tmp_path):
+    """The steady-state composition: BM25 postings index ⊕ IVF inverted
+    file ⊕ RRF.  With nprobe = n_clusters the IVF leg is exact, so the
+    fused output must equal the scan-based hybrid_topk rank-for-rank
+    (RRF is rank-based -> bit-exact scores); and NEITHER leg scans a
+    flat corpus — both plans carry PartitionFilters."""
+    import numpy as np
+
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        embed as EM,
+        similarity as SIM,
+    )
+
+    a, b, qs = frames
+    docs = a.unionByName(b)
+    bm25_path = str(tmp_path / "h_bm25")
+    ivf_path = str(tmp_path / "h_ivf")
+    BI.build_bm25_index(docs, bm25_path, n_buckets=8)
+    emb = EM.hashed_embedding(docs, text_col="text", out_col="__v").select(
+        F.col("doc_id").alias("vec_id"), F.col("__v").alias("embedding")
+    )
+    rows = emb.collect()
+    rng = np.random.default_rng(7)
+    cents = [
+        list(np.asarray(rows[i]["embedding"]) + rng.normal(0, 1e-3, 256))
+        for i in (0, 3)
+    ]
+    SIM.build_inverted_file(emb, cents, ivf_path)
+    got = sorted(
+        map(
+            tuple,
+            RT.hybrid_topk_indexed(
+                spark, bm25_path, ivf_path, cents, qs,
+                k=3, nprobe=len(cents),
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, RT.hybrid_topk(docs, qs, k=3).collect()))
+    assert got == want
+    # both legs' scans are partition-pruned (no flat corpus read)
+    plan = (
+        RT.hybrid_topk_indexed(
+            spark, bm25_path, ivf_path, cents, qs, k=3, nprobe=1
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f for f in filters), plan
+    assert any("ivf_cluster" in f for f in filters), plan
