@@ -983,6 +983,100 @@ def corpus_diff(
     )
 
 
+def corpus_diff_near(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`corpus_diff` with near-duplicate ATTRIBUTION of the churn:
+    every ``added`` doc that is a ≥ ``threshold`` n-gram-Jaccard
+    near-duplicate of some ``removed`` doc gets ``near_of`` = that
+    removed doc's id and ``near_jaccard`` = the similarity (best
+    Jaccard, then lowest removed id).  This is the release-review
+    question ``corpus_diff`` alone can't answer: re-ided / lightly
+    edited / moved content shows up as added+removed churn, and a
+    reviewer counting "fresh data added" must subtract it.
+
+    Output: one row per id in either release —
+    ``(id, change, near_of, near_jaccard)``; the two new columns are
+    non-NULL only on attributed ``added`` rows.  Same-id edits are
+    already classified ``modified`` and are NOT re-attributed here.
+
+    100 TB shape: the MinHash/LSH machinery runs over the CHURN only
+    (added ∪ removed texts, disjoint id sets by construction), never a
+    full release; candidate pairs come banded+bucket-capped from
+    ``dedup.minhash_lsh_candidates`` and only cross-side pairs are
+    Jaccard-verified."""
+    from bigdataproject_formula1_telemetry_spark.operators import dedup as DD
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"corpus_diff_near: threshold must be in (0, 1], got {threshold}"
+        )
+    d = corpus_diff(old_docs, new_docs, text_col=text_col, id_col=id_col)
+    added = d.where(F.col("change") == "added").select("id")
+    removed = d.where(F.col("change") == "removed").select("id")
+    a_txt = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).join(added, "id", "left_semi")
+    r_txt = old_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).join(removed, "id", "left_semi")
+    pool = a_txt.unionByName(r_txt)  # id sets disjoint by construction
+    cands = DD.minhash_lsh_candidates(
+        pool, text_col="__t", id_col="id",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    jac = DD.jaccard_pairs(
+        pool, cands, text_col="__t", id_col="id", shingle_n=shingle_n
+    ).where(F.col("jaccard") >= F.lit(float(threshold)))
+    # keep cross-side pairs only, oriented (added, removed): tag every
+    # pool id once with its side, join the tag to both pair ends
+    tags = added.select("id", F.lit(True).alias("__t")).unionByName(
+        removed.select("id", F.lit(False).alias("__t"))
+    )
+    cross = (
+        jac.join(
+            tags.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            tags.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb")),
+            "id_b",
+        )
+        .where(F.col("__ta") != F.col("__tb"))
+        .select(
+            F.when(F.col("__ta"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("__add"),
+            F.when(F.col("__ta"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("__rem"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("__add").orderBy(
+        F.col("jaccard").desc(), F.col("__rem").asc()
+    )
+    best = (
+        cross.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__add").alias("id"),
+            F.col("__rem").alias("near_of"),
+            F.col("jaccard").alias("near_jaccard"),
+        )
+    )
+    return d.join(best, "id", "left").select(
+        "id", "change", "near_of", "near_jaccard"
+    )
+
+
 def audit_warehouse(meta: DataFrame, warehouse: DataFrame) -> DataFrame:
     """§5 audit as a real assertable query (detailed_data_audit,
     F1_Data_Test.ipynb:135-240): expected races left-joined to per-round

@@ -806,3 +806,51 @@ def test_contamination_report_mmr_diversifies_evidence(spark):
     }
     for r in div:
         assert r["score"] == pytest.approx(pool[r["doc_id"]], abs=1e-12)
+
+
+def test_corpus_diff_near_attributes_moved_content(spark):
+    """corpus_diff_near: added docs that near-match removed docs get
+    near_of attribution; genuinely new docs don't; same-id edits stay
+    'modified' and are never re-attributed."""
+    base3 = "solar panels degrade measurably under partial shading on tilted roofs"
+    base4 = "inverter clipping losses dominate oversized array designs in summer"
+    old = spark.createDataFrame(
+        [
+            (1, "stable document kept in both releases verbatim"),
+            (2, "document whose text will change in place across releases"),
+            (3, base3),
+            (4, base4),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "stable document kept in both releases verbatim"),
+            (2, "document whose text DID change in place across releases"),
+            (5, base3.replace("tilted", "flat")),  # re-ided near-dup of 3
+            (6, "a genuinely new article about battery cycling chemistry"),
+            (7, base4),  # exact copy of removed 4 under a fresh id
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in P.corpus_diff_near(old, new, threshold=0.5).collect()
+    }
+    assert rows[1]["change"] == "unchanged" and rows[1]["near_of"] is None
+    assert rows[2]["change"] == "modified" and rows[2]["near_of"] is None
+    assert rows[3]["change"] == "removed" and rows[3]["near_of"] is None
+    assert rows[4]["change"] == "removed"
+    assert rows[5]["change"] == "added" and rows[5]["near_of"] == 3
+    assert 0.5 <= rows[5]["near_jaccard"] < 1.0
+    assert rows[6]["change"] == "added" and rows[6]["near_of"] is None
+    assert rows[7]["change"] == "added" and rows[7]["near_of"] == 4
+    assert rows[7]["near_jaccard"] == pytest.approx(1.0)
+    # threshold=1.0 keeps only the exact re-id
+    strict = {
+        r["id"]: r["near_of"]
+        for r in P.corpus_diff_near(old, new, threshold=1.0).collect()
+    }
+    assert strict[7] == 4 and strict[5] is None
+    with pytest.raises(ValueError):
+        P.corpus_diff_near(old, new, threshold=0.0)
