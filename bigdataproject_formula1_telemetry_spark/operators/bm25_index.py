@@ -51,6 +51,7 @@ __all__ = [
     "build_bm25_index",
     "append_bm25_index",
     "bm25_topk_indexed",
+    "index_stream",
 ]
 
 _INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
@@ -266,4 +267,40 @@ def bm25_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "doc_id", "rank", "score")
+    )
+
+
+def index_stream(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous lexical-index ingest (the streaming face of
+    :func:`append_bm25_index`, mirroring the exact/minhash admission
+    pattern): each micro-batch appends ONE increment —
+    ``inc=b<batch_id>`` — and because increments are merge-free, the
+    streaming path IS the batch path per micro-batch.  Replay-safe:
+    Structured Streaming can re-run a batch id after a crash, and the
+    append's clear-then-write makes the retry an exact overwrite.
+
+    Returns the configured ``writeStream`` builder — the caller picks
+    the trigger and calls ``.start()`` (the repo's streaming
+    convention).  The index must already exist (``build_bm25_index``,
+    possibly over an empty frame)."""
+
+    def _admit(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        append_bm25_index(
+            df,
+            path,
+            increment_id=f"b{batch_id:012d}",
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    return stream_docs.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint
     )

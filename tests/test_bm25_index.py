@@ -203,3 +203,36 @@ def test_hybrid_topk_indexed_matches_scan_form(spark, frames, tmp_path):
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in f for f in filters), plan
     assert any("ivf_cluster" in f for f in filters), plan
+
+
+def test_streaming_ingest_matches_batch_index(spark, frames, tmp_path):
+    """index_stream: micro-batch ingest through foreachBatch appends must
+    serve EXACTLY what the batch path serves — one increment per
+    micro-batch, one shared lifecycle (the streaming-admission-triangle
+    contract, lexical edition)."""
+    a, b, qs = frames
+    src = str(tmp_path / "src")
+    for i, part in enumerate([DOCS_A, DOCS_B]):
+        spark.createDataFrame(part, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/p{i}")
+    stream_idx = str(tmp_path / "s_idx")
+    batch_idx = str(tmp_path / "b_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    BI.build_bm25_index(empty, stream_idx, n_buckets=8)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        BI.index_stream(stream, stream_idx, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    BI.build_bm25_index(a.unionByName(b), batch_idx, n_buckets=8)
+    got = _ranked(BI.bm25_topk_indexed(spark, stream_idx, qs, k=5).collect())
+    want = _ranked(BI.bm25_topk_indexed(spark, batch_idx, qs, k=5).collect())
+    assert got == want and got
