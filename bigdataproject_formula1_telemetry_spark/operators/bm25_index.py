@@ -52,6 +52,8 @@ __all__ = [
     "append_bm25_index",
     "bm25_topk_indexed",
     "index_stream",
+    "list_bm25_increments",
+    "compact_bm25_index",
 ]
 
 _INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
@@ -304,3 +306,72 @@ def index_stream(
     return stream_docs.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint
     )
+
+
+def list_bm25_increments(spark: SparkSession, path: str) -> list[str]:
+    """Increment ids present in the index (postings partition directory
+    names — metadata only, no data scan)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "postings"))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            out.append(name[len("inc=") :])
+    return sorted(out)
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> int:
+    """LSM-style maintenance (the ``minhash_index.compact_index``
+    twin): fold every increment into a fresh ``base`` — a long-lived
+    streaming ingest leaves incs × buckets small files, and scan cost
+    goes file-count-bound long before byte-bound.  Returns the number
+    of increments folded (0 = no-op).
+
+    Postings rows are REWRITTEN, never recomputed (no tokenization — a
+    metadata-scale job next to a build); the per-increment stats rows
+    fold to ONE exact row (counts and token sums are integer-valued
+    doubles, so the pre-sum is bit-exact against serve-time summing).
+    Both tables swap via the shared crash-safe staged-then-rename
+    (``minhash_index._swap_staged``): a complete copy exists under some
+    name at every instant."""
+    from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+        _swap_staged,
+    )
+
+    incs = list_bm25_increments(spark, path)
+    n_folded = len([i for i in incs if i != "base"])
+    if n_folded == 0:
+        return 0
+    ppath = os.path.join(path, "postings")
+    staged = ppath + ".compact"
+    (
+        spark.read.parquet(ppath)
+        .drop("inc")
+        .withColumn("inc", F.lit("base"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("inc", "bucket")
+        .parquet(staged)
+    )
+    _swap_staged(spark, staged, ppath)
+    spath = os.path.join(path, "stats")
+    staged_s = spath + ".compact"
+    (
+        spark.read.schema(_STATS_SCHEMA + ", inc string")
+        .parquet(spath)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+        .withColumn("inc", F.lit("base"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("inc")
+        .parquet(staged_s)
+    )
+    _swap_staged(spark, staged_s, spath)
+    return n_folded

@@ -236,3 +236,34 @@ def test_streaming_ingest_matches_batch_index(spark, frames, tmp_path):
     got = _ranked(BI.bm25_topk_indexed(spark, stream_idx, qs, k=5).collect())
     want = _ranked(BI.bm25_topk_indexed(spark, batch_idx, qs, k=5).collect())
     assert got == want and got
+
+
+def test_compact_folds_increments_search_identically(spark, frames, tmp_path):
+    """compact_bm25_index: serving is EXACTLY identical before/after the
+    fold (stats pre-sum is bit-exact on integer-valued doubles), the
+    increment list collapses to base, and re-compaction is a no-op."""
+    a, b, qs = frames
+    path = str(tmp_path / "c_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc1")
+    BI.append_bm25_index(
+        spark.createDataFrame(
+            [(20, "one more spark document for the second increment")],
+            "doc_id long, text string",
+        ),
+        path,
+        increment_id="inc2",
+    )
+    before = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    assert BI.list_bm25_increments(spark, path) == ["base", "inc1", "inc2"]
+    assert BI.compact_bm25_index(spark, path) == 2
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    after = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    assert before == after
+    # stats folded to ONE row
+    assert (
+        spark.read.parquet(str(tmp_path / "c_idx" / "stats")).count() == 1
+    )
+    # idempotent no-op
+    assert BI.compact_bm25_index(spark, path) == 0
+    assert _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect()) == after
