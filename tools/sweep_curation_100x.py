@@ -605,6 +605,111 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- materialized BM25 index at 500k docs (--lexidx runs only this) ---
+    # Build the postings index over the full corpus (timed), then serve
+    # the same 100 queries indexed vs corpus-scan: results must be
+    # rank-identical (rounded ranking on both sides), and the indexed
+    # serve documents its wall against the scan — at corpus scale the
+    # scan re-derives tf/df/stats from ALL documents per batch while the
+    # index reads only the query vocabulary's buckets.
+    if "--lexidx" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            bm25_index as BX,
+            retrieval as RT,
+        )
+
+        norm = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        queries = (
+            distinct.where((F.col("doc_id") % (REPLICAS * 50)) == 0)
+            .select("doc_id", norm.alias("__t"))
+            .where(F.size("__t") >= 9)
+            .select(
+                F.concat(
+                    F.lit("q"),
+                    (F.col("doc_id") / REPLICAS).cast("long").cast("string"),
+                ).alias("query_id"),
+                F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nq = queries.count()
+        idx = os.path.join(OUT, "lexidx")
+        shutil.rmtree(idx, ignore_errors=True)
+        print(f"  lexidx: building over {n:,} docs ...", flush=True)
+        t0 = time.time()
+        BX.build_bm25_index(distinct, idx, n_buckets=64)
+        build_s = time.time() - t0
+        t0 = time.time()
+        served = sorted(
+            map(
+                tuple,
+                BX.bm25_topk_indexed(
+                    spark, idx, queries, k=10, score_round=6
+                ).collect(),
+            )
+        )
+        idx_s = time.time() - t0
+        t0 = time.time()
+        scan = sorted(
+            map(
+                tuple,
+                RT.bm25_topk(
+                    distinct, queries, k=10, score_round=6
+                ).collect(),
+            )
+        )
+        scan_s = time.time() - t0
+        # the single-query case is where the index pays: a handful of
+        # terms hits a handful of buckets (real partition pruning),
+        # while the scan re-derives corpus-wide tf/df/stats regardless
+        one_q = queries.limit(1).localCheckpoint(eager=True)
+        t0 = time.time()
+        s1 = sorted(
+            map(
+                tuple,
+                BX.bm25_topk_indexed(
+                    spark, idx, one_q, k=10, score_round=6
+                ).collect(),
+            )
+        )
+        one_idx_s = time.time() - t0
+        t0 = time.time()
+        s2 = sorted(
+            map(
+                tuple,
+                RT.bm25_topk(distinct, one_q, k=10, score_round=6).collect(),
+            )
+        )
+        one_scan_s = time.time() - t0
+        results["lexidx_n_queries"] = nq
+        results["lexidx_build_s"] = round(build_s, 2)
+        results["lexidx_serve_s"] = round(idx_s, 2)
+        results["lexidx_scan_s"] = round(scan_s, 2)
+        results["lexidx_speedup"] = round(scan_s / idx_s, 2)
+        results["lexidx_identical"] = served == scan
+        results["lexidx_one_serve_s"] = round(one_idx_s, 2)
+        results["lexidx_one_scan_s"] = round(one_scan_s, 2)
+        results["lexidx_one_speedup"] = round(one_scan_s / one_idx_s, 2)
+        results["lexidx_one_identical"] = s1 == s2
+        results["lexidx_ok"] = bool(
+            served == scan and len(served) == nq * 10 and s1 == s2
+        )
+        print(
+            f"  lexidx build {build_s:.1f} s; 100-query serve {idx_s:.2f} s "
+            f"vs scan {scan_s:.2f} s ({results['lexidx_speedup']}x); "
+            f"1-query serve {one_idx_s:.2f} s vs scan {one_scan_s:.2f} s "
+            f"({results['lexidx_one_speedup']}x); "
+            f"identical {results['lexidx_identical']}/"
+            f"{results['lexidx_one_identical']}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- read_release plan bloat vs increment count (--relread only) ---
     # ``read_release`` unions ONE parquet scan per increment; this leg
     # pins the measured cost of that design at many increments (read
