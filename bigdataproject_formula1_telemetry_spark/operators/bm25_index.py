@@ -184,6 +184,7 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     score_round: int | None = None,
+    storage: str = "persist",
 ) -> DataFrame:
     """Serve ``(query_id, doc_id, rank, score)`` from the materialized
     index WITHOUT touching the corpus: the postings scan carries a
@@ -191,7 +192,17 @@ def bm25_topk_indexed(
     the query vocabulary's buckets (and inside them only matched
     row-groups).  Same ranked-cut semantics as ``retrieval.bm25_topk``
     (query-side binarization, (score DESC, doc_id ASC) tiebreak,
-    ``score_round`` for cross-engine-stable ranking)."""
+    ``score_round`` for cross-engine-stable ranking).
+
+    The pruned postings are consumed TWICE (serve-time df + scoring),
+    so they sit behind the repo's ``dedup._barrier`` (``storage``:
+    persist/checkpoint/none — release with ``dedup.release_barriers``)
+    rather than re-reading the scan; the barrier holds the MATCHED
+    subset only.  At the 500k sweep's deliberate worst case (a query
+    batch whose union vocabulary hits every bucket — zero pruning) the
+    barrier improved batched serving 0.63×→0.75× of the corpus scan;
+    the selective single-query case serves 2.3× FASTER than the scan,
+    and that is the shape that scales (SCALING, --lexidx leg)."""
     if k < 1:
         raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
     n_buckets = _read_n_buckets(spark, path)
@@ -221,8 +232,13 @@ def bm25_topk_indexed(
             " rank int, score double"
         )
         return spark.createDataFrame([], out_schema)
-    postings = postings_raw.where(F.col("bucket").isin(buckets)).where(
-        F.col("term").isin(terms)
+    from bigdataproject_formula1_telemetry_spark.operators.dedup import _barrier
+
+    postings = _barrier(
+        postings_raw.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(terms)
+        ),
+        storage,
     )
     stats = (
         spark.read.schema(_STATS_SCHEMA + ", inc string")
