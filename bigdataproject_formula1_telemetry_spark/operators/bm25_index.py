@@ -57,7 +57,7 @@ __all__ = [
 ]
 
 _INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
-_META_SCHEMA = "n_buckets int"
+_META_SCHEMA = "n_buckets int, id_type string"
 _STATS_SCHEMA = "n_docs double, sum_dl double"
 
 
@@ -93,11 +93,24 @@ def _stats_frame(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _read_n_buckets(spark: SparkSession, path: str) -> int:
-    return int(
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, str]:
+    row = (
         spark.read.schema(_META_SCHEMA)
         .parquet(os.path.join(path, "meta"))
-        .head()["n_buckets"]
+        .head()
+    )
+    return int(row["n_buckets"]), row["id_type"]
+
+
+def _postings_schema(id_type: str) -> str:
+    # explicit schema INCLUDING the partition columns: an all-empty-text
+    # corpus writes a FILELESS postings directory where neither data
+    # schema inference nor partition-column discovery works (the
+    # exact_index lesson, found here by the hypothesis sweep); with
+    # files present the directory values still populate inc/bucket
+    return (
+        f"term string, doc_id {id_type}, tf double, dl double, "
+        "inc string, bucket int"
     )
 
 
@@ -125,9 +138,10 @@ def build_bm25_index(
     if n_buckets < 1:
         raise ValueError(f"build_bm25_index: n_buckets must be >= 1, got {n_buckets}")
     spark = docs.sparkSession
-    spark.createDataFrame([(n_buckets,)], _META_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "meta"))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    spark.createDataFrame(
+        [(n_buckets, id_type)], _META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
     _postings_frame(docs, text_col, id_col, n_buckets).withColumn(
         "inc", F.lit("base")
     ).write.mode("overwrite").option(
@@ -159,7 +173,13 @@ def append_bm25_index(
     if increment_id == "base":
         raise ValueError("increment_id 'base' is reserved for build_bm25_index")
     spark = new_docs.sparkSession
-    n_buckets = _read_n_buckets(spark, path)
+    n_buckets, id_type = _read_meta(spark, path)
+    got_t = new_docs.schema[id_col].dataType.simpleString()
+    if got_t != id_type:
+        raise ValueError(
+            f"append_bm25_index: id type {got_t} does not match the "
+            f"index's {id_type}"
+        )
     _clear_inc_partition(spark, os.path.join(path, "postings"), increment_id)
     _clear_inc_partition(spark, os.path.join(path, "stats"), increment_id)
     _postings_frame(new_docs, text_col, id_col, n_buckets).withColumn(
@@ -205,7 +225,7 @@ def bm25_topk_indexed(
     and that is the shape that scales (SCALING, --lexidx leg)."""
     if k < 1:
         raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
-    n_buckets = _read_n_buckets(spark, path)
+    n_buckets, id_type = _read_meta(spark, path)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("__qid"),
@@ -223,7 +243,9 @@ def bm25_topk_indexed(
     q_rows = qterms.select("term", "bucket").distinct().collect()
     terms = [r["term"] for r in q_rows]
     buckets = sorted({r["bucket"] for r in q_rows})
-    postings_raw = spark.read.parquet(os.path.join(path, "postings"))
+    postings_raw = spark.read.schema(_postings_schema(id_type)).parquet(
+        os.path.join(path, "postings")
+    )
     if not terms:
         out_schema = (
             f"{query_id_col} "
@@ -362,10 +384,11 @@ def compact_bm25_index(spark: SparkSession, path: str) -> int:
     n_folded = len([i for i in incs if i != "base"])
     if n_folded == 0:
         return 0
+    _, id_type = _read_meta(spark, path)
     ppath = os.path.join(path, "postings")
     staged = ppath + ".compact"
     (
-        spark.read.parquet(ppath)
+        spark.read.schema(_postings_schema(id_type)).parquet(ppath)
         .drop("inc")
         .withColumn("inc", F.lit("base"))
         .write.mode("overwrite")

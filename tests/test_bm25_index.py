@@ -267,3 +267,61 @@ def test_compact_folds_increments_search_identically(spark, frames, tmp_path):
     # idempotent no-op
     assert BI.compact_bm25_index(spark, path) == 0
     assert _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect()) == after
+
+
+# --------------------------------------------------------------------------
+# Property-based: index-served == corpus-scan on random adversarial corpora
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = [
+    "spark", "shuffle", "broadcast", "dog", "123", "Über", "naïve-fox",
+    "x", "", "lorem,ipsum", "ΔΣ", "a1b2",
+]
+
+
+@st.composite
+def _corpus_case(draw):
+    n_docs = draw(st.integers(1, 8))
+    docs = [
+        (i, " ".join(draw(st.lists(st.sampled_from(_VOCAB), max_size=8))))
+        for i in range(n_docs)
+    ]
+    if draw(st.booleans()):
+        docs.append((n_docs, None))  # NULL text doc
+    queries = [
+        (f"q{j}", " ".join(draw(st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=3))))
+        for j in range(draw(st.integers(1, 3)))
+    ]
+    return docs, queries
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(case=_corpus_case())
+def test_index_equals_scan_on_random_corpora(spark, tmp_path, case):
+    """Random adversarial corpora (unicode, punctuation runs, empty and
+    NULL texts, likely exact-duplicate docs under the tiny vocabulary):
+    the materialized index must serve EXACTLY what the corpus scan
+    ranks.  Rounded ranking on both sides so duplicate ties collapse
+    onto the shared id tiebreak instead of float-sum order."""
+    import tempfile
+
+    docs, queries = case
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    qs = spark.createDataFrame(queries, "query_id string, text string")
+    path = tempfile.mkdtemp(dir=str(tmp_path), prefix="pidx_")
+    BI.build_bm25_index(d, path, n_buckets=4)
+    got = _ranked(
+        BI.bm25_topk_indexed(spark, path, qs, k=4, score_round=6).collect()
+    )
+    want = _ranked(RT.bm25_topk(d, qs, k=4, score_round=6).collect())
+    assert got == want
