@@ -31,7 +31,11 @@ corpus-scan results up to float-sum order (pinned in tests).
 Append contract: doc ids must be unique across the base and all
 increments (the ``corpus_release_append`` admission pipeline's own
 invariant); idempotent per increment id — both partitions are cleared
-before the write.
+before the write.  Appends and compaction are serialized by the shared
+``index_lifecycle`` lease/abort contract (r12): appends fail fast while
+a compaction lease is held and abort-with-rollback if one lands
+mid-flight; the compactor's swap reconciles (never deletes) increments
+appended after its snapshot.
 
 No reference-repo counterpart (the reference has no text retrieval);
 beyond-reference LLM-data-pipeline surface.
@@ -164,7 +168,13 @@ def append_bm25_index(
     """Admit an increment under ``inc=<increment_id>``: its postings
     (same term bucketing, read from meta) and its own stats row.
     MERGE-FREE by design — df is serve-time-derived and stats rows sum,
-    so nothing global is rewritten.  Idempotent per increment id."""
+    so nothing global is rewritten.  Idempotent per increment id.
+    Fails fast while a compaction lease is held, and aborts-with-
+    rollback if one lands mid-append (``index_lifecycle`` contract)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     if not _INC_ID_RE.match(increment_id):
         raise ValueError(
             "increment_id must match [A-Za-z0-9._-]+ (it names a "
@@ -173,6 +183,8 @@ def append_bm25_index(
     if increment_id == "base":
         raise ValueError("increment_id 'base' is reserved for build_bm25_index")
     spark = new_docs.sparkSession
+    lease = LC.lease_file_at(path)
+    LC.check_append_allowed(spark, lease, "append_bm25_index")
     n_buckets, id_type = _read_meta(spark, path)
     got_t = new_docs.schema[id_col].dataType.simpleString()
     if got_t != id_type:
@@ -180,17 +192,17 @@ def append_bm25_index(
             f"append_bm25_index: id type {got_t} does not match the "
             f"index's {id_type}"
         )
-    _clear_inc_partition(spark, os.path.join(path, "postings"), increment_id)
-    _clear_inc_partition(spark, os.path.join(path, "stats"), increment_id)
+    tables = [os.path.join(path, "postings"), os.path.join(path, "stats")]
+    _clear_inc_partition(spark, tables[0], increment_id)
+    _clear_inc_partition(spark, tables[1], increment_id)
     _postings_frame(new_docs, text_col, id_col, n_buckets).withColumn(
         "inc", F.lit(increment_id)
-    ).write.mode("append").partitionBy("inc", "bucket").parquet(
-        os.path.join(path, "postings")
-    )
+    ).write.mode("append").partitionBy("inc", "bucket").parquet(tables[0])
     _stats_frame(new_docs, text_col).withColumn(
         "inc", F.lit(increment_id)
-    ).write.mode("append").partitionBy("inc").parquet(
-        os.path.join(path, "stats")
+    ).write.mode("append").partitionBy("inc").parquet(tables[1])
+    LC.abort_append_if_leased(
+        spark, lease, increment_id, tables, "append_bm25_index"
     )
 
 
@@ -205,6 +217,7 @@ def bm25_topk_indexed(
     b: float = 0.75,
     score_round: int | None = None,
     storage: str = "persist",
+    max_literal_terms: int = 4096,
 ) -> DataFrame:
     """Serve ``(query_id, doc_id, rank, score)`` from the materialized
     index WITHOUT touching the corpus: the postings scan carries a
@@ -213,6 +226,19 @@ def bm25_topk_indexed(
     row-groups).  Same ranked-cut semantics as ``retrieval.bm25_topk``
     (query-side binarization, (score DESC, doc_id ASC) tiebreak,
     ``score_round`` for cross-engine-stable ranking).
+
+    ``max_literal_terms`` gates HOW the vocabulary reaches the scan
+    (r12, VERDICT r11 item 4).  At or below the gate the distinct terms
+    become ``isin`` LITERALS — partition pruning plus parquet
+    row-group/dictionary pushdown, optimal for interactive batches.
+    Above it (a benchmark-scale audit: 100k items × ~10 terms would
+    inline a million-term literal filter — plan-size/driver blowup, not
+    a data problem) the term filter switches to a broadcast semi-join
+    on ``term`` while the bucket PARTITION literals stay (they are
+    bounded by ``n_buckets`` regardless of vocabulary size, and they
+    are what keeps the scan sub-corpus).  Results are identical either
+    way; only the parquet-level term pushdown is traded away, which a
+    vocabulary that large was going to defeat anyway.
 
     The pruned postings are consumed TWICE (serve-time df + scoring),
     so they sit behind the repo's ``dedup._barrier`` (``storage``:
@@ -225,6 +251,11 @@ def bm25_topk_indexed(
     and that is the shape that scales (SCALING, --lexidx leg)."""
     if k < 1:
         raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
+    if max_literal_terms < 1:
+        raise ValueError(
+            "bm25_topk_indexed: max_literal_terms must be >= 1, "
+            f"got {max_literal_terms}"
+        )
     n_buckets, id_type = _read_meta(spark, path)
     qterms = (
         queries.select(
@@ -237,16 +268,20 @@ def bm25_topk_indexed(
         )
     )
     # the query vocabulary is broadcast-small BY CONTRACT (the same
-    # contract as every kNN serving path); its terms/buckets become scan
-    # filter LITERALS, which is what partition pruning + parquet pushdown
-    # require
-    q_rows = qterms.select("term", "bucket").distinct().collect()
-    terms = [r["term"] for r in q_rows]
-    buckets = sorted({r["bucket"] for r in q_rows})
+    # contract as every kNN serving path); up to max_literal_terms the
+    # terms/buckets become scan filter LITERALS (partition pruning +
+    # parquet pushdown), above it only the BOUNDED bucket literals are
+    # collected and the term filter rides a broadcast semi-join
+    q_rows = (
+        qterms.select("term", "bucket")
+        .distinct()
+        .limit(max_literal_terms + 1)
+        .collect()
+    )
     postings_raw = spark.read.schema(_postings_schema(id_type)).parquet(
         os.path.join(path, "postings")
     )
-    if not terms:
+    if not q_rows:
         out_schema = (
             f"{query_id_col} "
             f"{queries.schema[query_id_col].dataType.simpleString()}, "
@@ -256,12 +291,21 @@ def bm25_topk_indexed(
         return spark.createDataFrame([], out_schema)
     from bigdataproject_formula1_telemetry_spark.operators.dedup import _barrier
 
-    postings = _barrier(
-        postings_raw.where(F.col("bucket").isin(buckets)).where(
+    if len(q_rows) <= max_literal_terms:
+        terms = [r["term"] for r in q_rows]
+        buckets = sorted({r["bucket"] for r in q_rows})
+        pruned = postings_raw.where(F.col("bucket").isin(buckets)).where(
             F.col("term").isin(terms)
-        ),
-        storage,
-    )
+        )
+    else:
+        buckets = sorted(
+            r["bucket"]
+            for r in qterms.select("bucket").distinct().collect()
+        )
+        pruned = postings_raw.where(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+    postings = _barrier(pruned, storage)
     stats = (
         spark.read.schema(_STATS_SCHEMA + ", inc string")
         .parquet(os.path.join(path, "stats"))
@@ -373,44 +417,53 @@ def compact_bm25_index(spark: SparkSession, path: str) -> int:
     metadata-scale job next to a build); the per-increment stats rows
     fold to ONE exact row (counts and token sums are integer-valued
     doubles, so the pre-sum is bit-exact against serve-time summing).
-    Both tables swap via the shared crash-safe staged-then-rename
-    (``minhash_index._swap_staged``): a complete copy exists under some
-    name at every instant."""
-    from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
-        _swap_staged,
+
+    Driven by the shared ``index_lifecycle.compact_index_tables`` (r12):
+    leased against concurrent appends, each table folds exactly its
+    post-lease ``inc IN snapshot`` rows, the swap reconciles (moves,
+    never deletes) increments appended after the snapshot, and the no-op
+    decision consults BOTH tables — a crash between the postings swap
+    and the stats swap is retryable instead of leaving stats unfolded
+    forever (ADVICE r11)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
     )
 
-    incs = list_bm25_increments(spark, path)
-    n_folded = len([i for i in incs if i != "base"])
-    if n_folded == 0:
-        return 0
     _, id_type = _read_meta(spark, path)
-    ppath = os.path.join(path, "postings")
-    staged = ppath + ".compact"
-    (
-        spark.read.schema(_postings_schema(id_type)).parquet(ppath)
-        .drop("inc")
-        .withColumn("inc", F.lit("base"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("inc", "bucket")
-        .parquet(staged)
-    )
-    _swap_staged(spark, staged, ppath)
-    spath = os.path.join(path, "stats")
-    staged_s = spath + ".compact"
-    (
-        spark.read.schema(_STATS_SCHEMA + ", inc string")
-        .parquet(spath)
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_dl").alias("sum_dl"),
+
+    def fold_postings(spark_, table, ids, staged):
+        (
+            spark_.read.schema(_postings_schema(id_type)).parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .drop("inc")
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("inc", "bucket")
+            .parquet(staged)
         )
-        .withColumn("inc", F.lit("base"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("inc")
-        .parquet(staged_s)
+
+    def fold_stats(spark_, table, ids, staged):
+        (
+            spark_.read.schema(_STATS_SCHEMA + ", inc string")
+            .parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("inc")
+            .parquet(staged)
+        )
+
+    return LC.compact_index_tables(
+        spark,
+        LC.lease_file_at(path),
+        [
+            (os.path.join(path, "postings"), fold_postings),
+            (os.path.join(path, "stats"), fold_stats),
+        ],
     )
-    _swap_staged(spark, staged_s, spath)
-    return n_folded

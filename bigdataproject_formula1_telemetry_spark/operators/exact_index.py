@@ -347,30 +347,40 @@ def append_exact_index(
     """Admit an increment under ``inc=<increment_id>`` — hashes AND its
     Bloom chunk (same (m, k) as the base, read from the sidecar).
     Idempotent per increment id: both partitions are cleared before the
-    write, so an empty retry truly rolls back."""
+    write, so an empty retry truly rolls back.  Fails fast while a
+    compaction lease is held, and aborts-with-rollback if one lands
+    mid-append (the shared ``index_lifecycle`` contract, r12)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     if not _INC_ID_RE.match(increment_id):
         raise ValueError(
             "increment_id must match [A-Za-z0-9._-]+ (it names a "
             f"partition directory), got {increment_id!r}"
         )
     spark = new_docs.sparkSession
+    lease = LC.lease_file_at(path)
+    LC.check_append_allowed(spark, lease, "append_exact_index")
     _, m_bits, k = _load_bloom(spark, path)
     normalize = _read_normalize(spark, path)
-    _clear_inc_partition(spark, os.path.join(path, "hashes"), increment_id)
-    _clear_inc_partition(spark, os.path.join(path, "bloom"), increment_id)
+    tables = [os.path.join(path, "hashes"), os.path.join(path, "bloom")]
+    _clear_inc_partition(spark, tables[0], increment_id)
+    _clear_inc_partition(spark, tables[1], increment_id)
     hf = _hash_frame(new_docs, text_col, id_col, normalize).localCheckpoint(
         eager=True
     )
     hf.withColumn("inc", F.lit(increment_id)).write.mode("append").partitionBy(
         "inc"
-    ).parquet(os.path.join(path, "hashes"))
+    ).parquet(tables[0])
     hb = hf.select("hb").toPandas()["hb"].to_numpy()
     if len(hb):
         spark.createDataFrame(
             _bloom_rows(hb, m_bits, k, increment_id), _BLOOM_SCHEMA
-        ).write.mode("append").partitionBy("inc").parquet(
-            os.path.join(path, "bloom")
-        )
+        ).write.mode("append").partitionBy("inc").parquet(tables[1])
+    LC.abort_append_if_leased(
+        spark, lease, increment_id, tables, "append_exact_index"
+    )
 
 
 def dedup_exact_against_index(
@@ -461,45 +471,70 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
     rewritten, never recomputed; the Bloom sidecar needs NO per-key
     work at all — its per-increment bit chunks simply OR into one base
     chunk set (the union filter is exactly the bitwise OR).  Returns
-    the number of increments folded."""
-    incs = list_increments(spark, path)
-    n_folded = len([i for i in incs if i != "base"])
-    if n_folded == 0:
-        return 0
-    # hashes: rewrite under base
-    tpath = os.path.join(path, "hashes")
-    staged = tpath + ".compact"
-    (
-        spark.read.parquet(tpath)
-        .drop("inc")
-        .withColumn("inc", F.lit("base"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("inc")
-        .parquet(staged)
+    the number of increments folded.
+
+    Driven by the shared ``index_lifecycle.compact_index_tables``
+    (r12): leased against concurrent appends, per-table post-lease
+    snapshots (the Bloom fold ORs exactly the snapshot's chunks, so a
+    late-append's chunk survives as its own increment next to its
+    reconciled hash partition), retryable after a crash between the two
+    swaps."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
     )
-    _swap_staged(spark, staged, tpath)
-    # bloom: OR all chunks into one base chunk set
-    bits, m_bits, k = _load_bloom(spark, path)
-    bpath = os.path.join(path, "bloom")
-    bstaged = bpath + ".compact"
-    words_per_chunk = _CHUNK_BITS // 64
-    rows = []
-    for ci in range(0, len(bits), words_per_chunk):
-        rows.append(
-            {
-                "inc": "base",
-                "m_bits": m_bits,
-                "k": k,
-                "chunk_idx": ci // words_per_chunk,
-                "bits": bits[ci : ci + words_per_chunk].tobytes(),
-            }
+
+    def fold_hashes(spark_, table, ids, staged):
+        (
+            spark_.read.parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .drop("inc")
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("inc")
+            .parquet(staged)
         )
-    spark.createDataFrame(
-        pd.DataFrame(rows, columns=[f.name for f in _BLOOM_SCHEMA.fields]),
-        _BLOOM_SCHEMA,
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("inc").parquet(bstaged)
-    _swap_staged(spark, bstaged, bpath)
-    return n_folded
+
+    def fold_bloom(spark_, table, ids, staged):
+        rows_in = (
+            spark_.read.parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .collect()
+        )
+        if not rows_in:
+            raise ValueError(f"empty bloom sidecar at {table}")
+        m_bits, k = int(rows_in[0]["m_bits"]), int(rows_in[0]["k"])
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        words_per_chunk = _CHUNK_BITS // 64
+        for r in rows_in:
+            if int(r["m_bits"]) != m_bits or int(r["k"]) != k:
+                raise ValueError("bloom chunks disagree on (m_bits, k)")
+            chunk = np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+            start = int(r["chunk_idx"]) * words_per_chunk
+            bits[start : start + len(chunk)] |= chunk
+        rows = []
+        for ci in range(0, len(bits), words_per_chunk):
+            rows.append(
+                {
+                    "inc": "base",
+                    "m_bits": m_bits,
+                    "k": k,
+                    "chunk_idx": ci // words_per_chunk,
+                    "bits": bits[ci : ci + words_per_chunk].tobytes(),
+                }
+            )
+        spark_.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in _BLOOM_SCHEMA.fields]),
+            _BLOOM_SCHEMA,
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("inc").parquet(staged)
+
+    return LC.compact_index_tables(
+        spark,
+        LC.lease_file_at(path),
+        [
+            (os.path.join(path, "hashes"), fold_hashes),
+            (os.path.join(path, "bloom"), fold_bloom),
+        ],
+    )

@@ -1,0 +1,307 @@
+"""Shared LSM lifecycle for the materialized-index family — ONE
+implementation of the compaction lease/abort contract that
+``plans.pipelines.corpus_release`` pioneered (``_compacting.json`` +
+mid-append abort, VERDICT r10/r11), adapted to indexes whose compaction
+REPLACES whole table directories (bm25 postings/stats, minhash
+sigs/banded, exact hashes/bloom, the semantic inverted file).
+
+Why the release contract alone is not enough here: ``compact_release``
+folds per-increment DIRECTORIES and swaps only the base, so an increment
+appended after its listing snapshot simply survives in place.  The index
+compactors rewrite the ENTIRE ``inc=``-partitioned table through a
+staged-then-rename swap — an ``append_*`` landing between the
+compactor's snapshot read and its ``_swap_staged`` would be silently
+DELETED by the swap (the r11 verdict's race class).  Three mechanisms
+close it:
+
+1. **Lease (fail fast).**  ``compact_*`` writes ``_compacting.json``
+   (its listing snapshot + a nonce) BEFORE reading any data and clears
+   it only after every table has swapped.  Every ``append_*`` checks the
+   lease first and raises while one is held — a whole-table swap
+   endangers ANY concurrent append, so unlike the release the lease
+   blocks all of them, not just the folding ids.
+
+2. **Post-write re-check (abort + rollback).**  An append whose
+   pre-check passed an instant before the lease landed re-reads the
+   lease AFTER its writes: if one appeared, it deletes its own ``inc=``
+   partitions and raises — nothing is published, the docs stay
+   appendable under the same id after the compaction completes.
+
+3. **Post-swap reconciliation (no silent deletes, ever).**  The swap
+   folds only ``inc IN snapshot``; any ``inc=`` directory present in the
+   old live table but NOT in the snapshot (an append that landed after
+   the snapshot and whose re-check ran before the lease became visible)
+   is MOVED into the new table before ``.old`` is deleted.  The append
+   reported success, so its rows must survive — they ride as a live
+   increment into the next compaction instead of vanishing.
+
+Crash recovery: the lease survives a crashed compaction and keeps every
+append fail-fast-blocked until a ``compact_*`` retry finishes the job.
+The retry's no-op decision consults EVERY table (a crash between two
+tables' swaps leaves the later ones unfolded — ``compact_bm25_index``'s
+postings-only check could never retry the stats fold, ADVICE r11), and
+a stale ``<table>.old`` is reconciled against the leased snapshot before
+anything else runs.
+
+Concurrency contract (documented, enforced fail-fast — not a lock):
+ONE maintenance writer.  Two concurrent ``compact_*`` calls on the same
+index are the operator's to serialize (a retry deliberately supersedes
+a stale lease, exactly like ``compact_release``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+__all__ = [
+    "lease_file_at",
+    "read_lease",
+    "write_lease",
+    "clear_lease",
+    "check_append_allowed",
+    "abort_append_if_leased",
+    "list_inc_ids",
+    "compact_index_tables",
+]
+
+_COMPACTING_LEASE = "_compacting.json"
+
+
+def lease_file_at(path: str) -> str:
+    """Default lease location: at the INDEX ROOT, next to the table
+    subdirectories (never scanned by parquet readers).  Indexes whose
+    table IS the root (the semantic inverted file) must use a SIBLING
+    file instead — a root-internal lease would ride the compaction
+    renames and vanish with ``.old``."""
+    return os.path.join(path, _COMPACTING_LEASE)
+
+
+def _fs_path(spark, p: str):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hp, jvm
+
+
+def _read_small(fs, p) -> str:
+    # JDK-only small-file read through the Hadoop FS API (the
+    # plans.pipelines._read_small_file recipe: readAllBytes proxies to
+    # Python bytes; a JVM-side buffer fill would stay invisible here)
+    stream = fs.open(p)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def read_lease(spark, lease_file: str) -> "set[str] | None":
+    """The in-flight (or crashed) compaction's snapshot ids, or ``None``
+    when no lease exists.  An EMPTY snapshot still blocks appends — the
+    distinction None-vs-set is load-bearing for recovery."""
+    fs, p, _ = _fs_path(spark, lease_file)
+    if not fs.exists(p):
+        return None
+    return set(json.loads(_read_small(fs, p))["incs"])
+
+
+def write_lease(spark, lease_file: str, incs) -> None:
+    fs, p, _ = _fs_path(spark, lease_file)
+    out = fs.create(p, True)  # overwrite: a retry supersedes a stale lease
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"incs": sorted(incs), "nonce": uuid.uuid4().hex}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+
+
+def clear_lease(spark, lease_file: str) -> None:
+    fs, p, _ = _fs_path(spark, lease_file)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def check_append_allowed(spark, lease_file: str, op: str) -> None:
+    """Pre-write append guard: raise while a compaction lease is held.
+    The compactor's staged write re-reads the WHOLE table and the swap
+    replaces it, so any append overlapping a compaction is unsafe — not
+    just re-appends of folding ids (the release-contract difference)."""
+    if read_lease(spark, lease_file) is not None:
+        raise ValueError(
+            f"{op}: a compaction lease is held (see "
+            f"{os.path.basename(lease_file)} — an in-flight or crashed "
+            "compact run); appends would race the whole-table swap.  "
+            "Retry after the compaction completes — or, if it crashed, "
+            "after a compact retry supersedes the stale lease"
+        )
+
+
+def abort_append_if_leased(
+    spark, lease_file: str, increment_id: str, table_dirs, op: str
+) -> None:
+    """Post-write append re-check (the ``corpus_release_append``
+    double-check, r11): if a lease landed after the pre-check, roll back
+    this append's own ``inc=`` partitions and raise — nothing published.
+    The rollback's deletes can tear the racing compactor's scan, which
+    fails THAT job loudly with the lease still held (retryable) — the
+    acceptable loud outcome, never a silent loss."""
+    if read_lease(spark, lease_file) is None:
+        return
+    for t in table_dirs:
+        fs, p, _ = _fs_path(spark, os.path.join(t, f"inc={increment_id}"))
+        if fs.exists(p):
+            fs.delete(p, True)
+        # the append's own write re-cached this table's file listing;
+        # the rollback deletes OUTSIDE Spark, so drop the stale entries
+        # or a same-session read would chase the deleted files
+        spark.catalog.refreshByPath(t)
+    raise RuntimeError(
+        f"{op}({increment_id!r}): a compaction leased this index "
+        "mid-append; the append rolled its own partitions back and "
+        "published nothing — retry after the compaction completes"
+    )
+
+
+def list_inc_ids(spark, table_dir: str) -> "list[str]":
+    """``inc=`` partition directory names under one table — metadata
+    only, no data scan."""
+    fs, p, _ = _fs_path(spark, table_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("inc="):
+            out.append(name[len("inc="):])
+    return sorted(out)
+
+
+def _recover_table(spark, lease_file: str, table_dir: str) -> None:
+    """Finish a crashed swap before compacting again: ``.old`` with no
+    live table means the crash hit between the two renames (rename it
+    back); ``.old`` NEXT TO a live table means the crash hit after the
+    swap but before cleanup — reconcile its non-snapshot ``inc=`` dirs
+    into the live table (they are post-snapshot appends the interrupted
+    reconciliation never moved) and delete it."""
+    table = table_dir.rstrip("/")
+    fs, old_p, jvm = _fs_path(spark, table + ".old")
+    if not fs.exists(old_p):
+        return
+    dst = jvm.org.apache.hadoop.fs.Path(table)
+    if not fs.exists(dst):
+        if not fs.rename(old_p, dst):
+            raise IOError(
+                f"recover: rename {table}.old -> {table} failed"
+            )
+        return
+    snapshot = read_lease(spark, lease_file)
+    if snapshot is None:
+        # .old should never outlive the lease — ambiguous garbage; a
+        # silent delete could destroy a post-snapshot append's only copy
+        raise IOError(
+            f"recover: {table}.old exists with no compaction lease — "
+            "ambiguous crash state; inspect and remove (or restore) "
+            f"{table}.old manually"
+        )
+    for st in fs.listStatus(old_p):
+        name = st.getPath().getName()
+        if not name.startswith("inc=") or name[len("inc="):] in snapshot:
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(os.path.join(table, name))
+        if fs.exists(dest):
+            continue
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(f"recover: reconcile of {name} into {table} failed")
+    fs.delete(old_p, True)
+
+
+def _swap_staged_reconcile(
+    spark, staged: str, table_dir: str, snapshot_ids: "set[str]"
+) -> None:
+    """``minhash_index._swap_staged`` plus the reconciliation step: after
+    the staged dir renames into place, every ``inc=`` directory in the
+    old live table whose id is NOT in the compaction's snapshot (an
+    append that landed after the snapshot) is MOVED into the new table
+    — preserved, never deleted.  A complete copy of the table exists
+    under some name at every instant, exactly as before."""
+    table = table_dir.rstrip("/")
+    fs, src, jvm = _fs_path(spark, staged)
+    dst = jvm.org.apache.hadoop.fs.Path(table)
+    old = jvm.org.apache.hadoop.fs.Path(table + ".old")
+    fs.delete(old, True)  # stale .old from a prior crashed swap
+    if fs.exists(dst) and not fs.rename(dst, old):
+        raise IOError(f"swap: rename {table} -> {table}.old failed")
+    if not fs.rename(src, dst):
+        fs.rename(old, dst)  # put the live table back before raising
+        raise IOError(f"swap: rename {staged} -> {table} failed")
+    if fs.exists(old):
+        for st in fs.listStatus(old):
+            name = st.getPath().getName()
+            if (
+                not name.startswith("inc=")
+                or name[len("inc="):] in snapshot_ids
+            ):
+                continue
+            dest = jvm.org.apache.hadoop.fs.Path(os.path.join(table, name))
+            if fs.exists(dest):
+                continue
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(
+                    f"swap: reconcile of late increment {name} into "
+                    f"{table} failed"
+                )
+    fs.delete(old, True)
+    # renames happen outside Spark: drop any cached file listing so a
+    # same-session read sees the swapped table, not the old file set
+    spark.catalog.refreshByPath(table)
+
+
+def compact_index_tables(spark, lease_file: str, specs) -> int:
+    """Drive one leased, crash-retryable, reconcile-swapped compaction
+    over an index's tables.  ``specs`` is a sequence of ``(table_dir,
+    fold)`` where ``fold(spark, table_dir, inc_ids, staged_dir)`` writes
+    the folded table (exactly the rows of ``inc IN inc_ids``, rewritten
+    under ``inc=base``) to ``staged_dir``.  Returns the number of
+    distinct non-base increment ids folded across all tables (0 =
+    no-op; the decision consults EVERY table, so a crash between two
+    tables' swaps is retryable — ADVICE r11)."""
+    for table_dir, _ in specs:
+        _recover_table(spark, lease_file, table_dir)
+    union_nonbase = {
+        i
+        for table_dir, _ in specs
+        for i in list_inc_ids(spark, table_dir)
+        if i != "base"
+    }
+    if not union_nonbase:
+        # nothing left to fold; a surviving lease is a crashed run whose
+        # tables all swapped — finish its cleanup
+        clear_lease(spark, lease_file)
+        return 0
+    # lease FIRST: from here until the clear, appends fail fast (or
+    # abort on their post-write re-check) instead of racing the swaps
+    write_lease(spark, lease_file, sorted(union_nonbase))
+    folded: set = set()
+    for table_dir, fold in specs:
+        # per-table snapshot listed AFTER the lease: an append completing
+        # in the pre-check window is either fully listed (folded) or
+        # rolls itself back (its dirs vanish before the fold reads them —
+        # a torn read fails THIS job loudly, lease held, retry clean)
+        ids = list_inc_ids(spark, table_dir)
+        nonbase = [i for i in ids if i != "base"]
+        if not nonbase:
+            continue  # this table already folded (crashed-run retry)
+        folded.update(nonbase)
+        staged = table_dir.rstrip("/") + ".compact"
+        fs, sp, _ = _fs_path(spark, staged)
+        fs.delete(sp, True)
+        fold(spark, table_dir, ids, staged)
+        _swap_staged_reconcile(spark, staged, table_dir, set(ids))
+    clear_lease(spark, lease_file)
+    return len(folded)

@@ -208,23 +208,33 @@ def append_minhash_index(
     leave a previously-written ``inc=<id>`` intact on an empty retry and
     let its stale signatures over-drop future increments.  The caller
     filters the increment first (see ``incremental_near_dedup``) and
-    supplies a stable id per batch (date, batch number)."""
+    supplies a stable id per batch (date, batch number).  Fails fast
+    while a compaction lease is held, and aborts-with-rollback if one
+    lands mid-append (the shared ``index_lifecycle`` contract, r12)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     if not _INC_ID_RE.match(increment_id):
         raise ValueError(
             "increment_id must match [A-Za-z0-9._-]+ (it names a "
             f"partition directory), got {increment_id!r}"
         )
     spark = new_docs.sparkSession
-    _clear_inc_partition(spark, os.path.join(path, "sigs"), increment_id)
-    _clear_inc_partition(spark, os.path.join(path, "banded"), increment_id)
+    lease = LC.lease_file_at(path)
+    LC.check_append_allowed(spark, lease, "append_minhash_index")
+    tables = [os.path.join(path, "sigs"), os.path.join(path, "banded")]
+    _clear_inc_partition(spark, tables[0], increment_id)
+    _clear_inc_partition(spark, tables[1], increment_id)
     sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
     sig.withColumn("inc", F.lit(increment_id)).write.mode(
         "append"
-    ).partitionBy("inc").parquet(os.path.join(path, "sigs"))
+    ).partitionBy("inc").parquet(tables[0])
     _banded(sig, num_hashes, bands).withColumn(
         "inc", F.lit(increment_id)
-    ).write.mode("append").partitionBy("inc", "band").parquet(
-        os.path.join(path, "banded")
+    ).write.mode("append").partitionBy("inc", "band").parquet(tables[1])
+    LC.abort_append_if_leased(
+        spark, lease, increment_id, tables, "append_minhash_index"
     )
 
 
@@ -371,7 +381,19 @@ def expire_increments(
     the ``base`` partition is ALWAYS kept — rebuild to rotate it.
     Returns the expired ids.  Metadata-only: partition directory
     deletes, no data scan; expired documents simply become admissible
-    again (searches stop seeing their signatures)."""
+    again (searches stop seeing their signatures).  Fails fast while a
+    compaction lease is held — deleting partitions mid-fold would tear
+    the compactor's scan (and the fold would resurrect the rows in the
+    new base anyway)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    if LC.read_lease(spark, LC.lease_file_at(path)) is not None:
+        raise ValueError(
+            "expire_increments: a compaction lease is held on this "
+            "index; retry after the compaction completes"
+        )
     kept = (
         (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
         else keep
@@ -393,29 +415,41 @@ def compact_index(spark: SparkSession, path: str) -> int:
     before it is byte-bound.  Returns the number of increments folded.
 
     Signatures are REWRITTEN, never recomputed (no text, no shingling —
-    a metadata-scale job relative to a build).  The swap is
-    staged-then-rename per table (``_swap_staged``): the new ``base``
-    is written under ``<table>.compact``, the live table is renamed
-    aside to ``<table>.old``, the staged dir renamed into place, and
-    ``.old`` deleted last — a COMPLETE copy exists under some name at
-    every instant, and a crash between the renames is recovered by
-    renaming ``.old`` back.  Run it when ``list_increments`` grows past
-    a few hundred, after ``expire_increments``."""
-    incs = list_increments(spark, path)
-    n_folded = len([i for i in incs if i != "base"])
-    if n_folded == 0:
-        return 0
-    for table, parts in (("sigs", ["inc"]), ("banded", ["inc", "band"])):
-        tpath = os.path.join(path, table)
-        staged = tpath + ".compact"
-        (
-            spark.read.parquet(tpath)
-            .drop("inc")
-            .withColumn("inc", F.lit("base"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy(*parts)
-            .parquet(staged)
-        )
-        _swap_staged(spark, staged, tpath)
-    return n_folded
+    a metadata-scale job relative to a build).  Driven by the shared
+    ``index_lifecycle.compact_index_tables`` (r12): leased against
+    concurrent appends (which fail fast, or abort-with-rollback if they
+    were mid-flight when the lease landed), each table folds exactly its
+    post-lease ``inc IN snapshot`` rows through the staged-then-rename
+    swap (a COMPLETE copy exists under some name at every instant), the
+    swap reconciles — moves, never deletes — increments appended after
+    the snapshot, and a crash between the two tables' swaps is
+    retryable (the no-op decision consults both).  Run it when
+    ``list_increments`` grows past a few hundred, after
+    ``expire_increments``."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    def make_fold(parts):
+        def fold(spark_, table, ids, staged):
+            (
+                spark_.read.parquet(table)
+                .where(F.col("inc").isin(list(ids)))
+                .drop("inc")
+                .withColumn("inc", F.lit("base"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy(*parts)
+                .parquet(staged)
+            )
+
+        return fold
+
+    return LC.compact_index_tables(
+        spark,
+        LC.lease_file_at(path),
+        [
+            (os.path.join(path, "sigs"), make_fold(["inc"])),
+            (os.path.join(path, "banded"), make_fold(["inc", "band"])),
+        ],
+    )

@@ -607,7 +607,14 @@ def build_semantic_index(
     spherical geometry.  With raw (non-unit) centroids, e.g. plain
     k-means means, argmax dot-product and argmax cosine disagree, and a
     vector stored under one cluster would be probed in another: the
-    admission path would silently miss stored duplicates."""
+    admission path would silently miss stored duplicates.
+
+    Writes (any ``increment_id``) fail fast while a compaction lease is
+    held, and abort-with-rollback if one lands mid-write (the shared
+    ``index_lifecycle`` contract, r12; the lease lives in a SIBLING file
+    ``<path>._compacting.json`` because the table is the root itself —
+    an in-root lease would ride the compaction renames)."""
+    from .index_lifecycle import abort_append_if_leased, check_append_allowed
     from .minhash_index import _INC_ID_RE, _clear_inc_partition
 
     if not _INC_ID_RE.match(increment_id):
@@ -615,6 +622,8 @@ def build_semantic_index(
             "increment_id must match [A-Za-z0-9._-]+ (it names a "
             f"partition directory), got {increment_id!r}"
         )
+    lease = _semantic_lease_file(path)
+    check_append_allowed(corpus.sparkSession, lease, "build_semantic_index")
     _Cm = np.asarray([list(map(float, c)) for c in centroids], dtype=np.float64)
     if _Cm.size == 0:
         raise ValueError("centroids must be non-empty")
@@ -634,6 +643,17 @@ def build_semantic_index(
         .partitionBy("inc", cluster_col)
         .parquet(path)
     )
+    abort_append_if_leased(
+        corpus.sparkSession, lease, increment_id, [path],
+        "build_semantic_index",
+    )
+
+
+def _semantic_lease_file(path: str) -> str:
+    """Sibling lease file for the single-table semantic index (the table
+    IS the root, so ``index_lifecycle.lease_file_at``'s in-root default
+    would vanish with the compaction swap)."""
+    return path.rstrip("/") + "._compacting.json"
 
 
 def list_semantic_increments(spark, path: str) -> list[str]:
@@ -660,8 +680,17 @@ def expire_semantic_increments(spark, path: str, keep) -> list[str]:
     partition whose id is NOT kept (``keep`` = predicate or explicit
     list; ``base`` always survives — rebuild to rotate it).
     Metadata-only directory deletes; expired vectors simply become
-    semantically admissible again."""
+    semantically admissible again.  Fails fast while a compaction lease
+    is held (a mid-fold partition delete would tear the compactor's
+    scan, and the fold would resurrect the rows anyway)."""
+    from .index_lifecycle import read_lease
     from .minhash_index import _clear_inc_partition
+
+    if read_lease(spark, _semantic_lease_file(path)) is not None:
+        raise ValueError(
+            "expire_semantic_increments: a compaction lease is held on "
+            "this index; retry after the compaction completes"
+        )
 
     kept = (
         (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
@@ -684,30 +713,34 @@ def compact_semantic_index(spark, path: str, cluster_col: str = "ivf_cluster") -
     incs × clusters small files, and the admission scan is
     file-count-bound long before it is byte-bound.  Vectors are
     REWRITTEN, never re-assigned (the cluster column is already stored —
-    a metadata-scale job relative to a build).  Crash-safe swap via
-    ``minhash_index._swap_staged`` (live table renamed aside before the
-    staged one renames into place — a complete copy exists under some
-    name at every instant).  Returns the number of increments folded.
-    Run after ``expire_semantic_increments`` when
-    ``list_semantic_increments`` grows past a few hundred."""
-    from .minhash_index import _swap_staged
+    a metadata-scale job relative to a build).  Driven by the shared
+    ``index_lifecycle.compact_index_tables`` (r12): leased against
+    concurrent ``build_semantic_index`` writes (sibling lease file —
+    the table is the root), folds exactly the post-lease ``inc IN
+    snapshot`` rows through the staged-then-rename swap, and the swap
+    reconciles (moves, never deletes) increments written after the
+    snapshot.  Returns the number of increments folded.  Run after
+    ``expire_semantic_increments`` when ``list_semantic_increments``
+    grows past a few hundred."""
+    from .index_lifecycle import compact_index_tables
 
-    incs = list_semantic_increments(spark, path)
-    n_folded = len([i for i in incs if i != "base"])
-    if n_folded == 0:
-        return 0
-    staged = path.rstrip("/") + ".compact"
-    (
-        spark.read.parquet(path)
-        .drop("inc")
-        .withColumn("inc", F.lit("base"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("inc", cluster_col)
-        .parquet(staged)
+    def fold(spark_, table, ids, staged):
+        (
+            spark_.read.parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .drop("inc")
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("inc", cluster_col)
+            .parquet(staged)
+        )
+
+    return compact_index_tables(
+        spark,
+        _semantic_lease_file(path),
+        [(path.rstrip("/"), fold)],
     )
-    _swap_staged(spark, staged, path.rstrip("/"))
-    return n_folded
 
 
 def incremental_semantic_dedup(

@@ -130,6 +130,45 @@ def test_serving_scan_is_pruned_and_pushed(spark, frames, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_vocab_size_gate_bounds_the_plan(spark, frames, tmp_path):
+    """VERDICT r11 item 4: above ``max_literal_terms`` the term filter
+    switches from ``isin`` literals to a broadcast semi-join, so a
+    benchmark-scale query batch cannot blow up the plan — while the
+    BOUNDED bucket partition literals stay, and results equal both the
+    literal-path serving and the corpus scan."""
+    a, _, _ = frames
+    path = str(tmp_path / "gate_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    # a multi-thousand-term batch: 3000 junk terms + the real query
+    junk = " ".join(f"zz{i}x" for i in range(3000))
+    big_q = a.sparkSession.createDataFrame(
+        [("qa", "spark shuffle broadcast " + junk), ("qb", "lazy dog")],
+        "query_id string, text string",
+    )
+    gated = BI.bm25_topk_indexed(
+        spark, path, big_q, k=3, max_literal_terms=256
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # bucket partition pruning survives the gate...
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    # ...while no multi-thousand-literal In(term, ...) reaches the scan
+    # (the whole executed plan stays small — the blowup this gate kills)
+    assert len(plan) < 100_000, len(plan)
+    assert "SortMergeJoin" not in plan
+
+    got = _ranked(gated.collect())
+    literal = _ranked(
+        BI.bm25_topk_indexed(
+            spark, path, big_q, k=3, max_literal_terms=100_000
+        ).collect()
+    )
+    scan = _ranked(RT.bm25_topk(a, big_q, k=3).collect())
+    assert got == literal == scan
+    with pytest.raises(ValueError):
+        BI.bm25_topk_indexed(spark, path, big_q, k=3, max_literal_terms=0)
+
+
 def test_no_match_and_validation(spark, frames, tmp_path):
     a, _, _ = frames
     path = str(tmp_path / "v_idx")

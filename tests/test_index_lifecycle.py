@@ -1,0 +1,432 @@
+"""Interleaving fault-injection for the shared index-family compaction
+lease/abort contract (`operators/index_lifecycle.py`, VERDICT r11 item
+1 — the race class `corpus_release` was hardened against in r10/r11,
+modeled on `tests/test_release_append.py`):
+
+- an append overlapping a held lease FAILS FAST (pre-write check);
+- a lease landing mid-append ABORTS the append and rolls back its own
+  `inc=` partitions — nothing published, the docs re-appendable;
+- an increment appended after a compaction's snapshot (the pre-check
+  window where the lease is not yet visible) is RECONCILED into the
+  swapped table — moved, never deleted;
+- a crash between two tables' swaps is RETRYABLE: the no-op decision
+  consults every table, so the retry folds the remaining table and
+  clears the lease (the compact_bm25_index stats-unfolded ADVICE r11
+  finding);
+- a crash between the swap's two renames is recovered (old renamed
+  back) before the retry refolds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproject_formula1_telemetry_spark.operators import (
+    bm25_index as BI,
+    exact_index as EI,
+    index_lifecycle as LC,
+    minhash_index as MI,
+    retrieval as RT,
+    semdedup as SD,
+)
+
+DOCS = [
+    (0, "spark shuffles data between stages for wide operations"),
+    (1, "broadcast joins avoid shuffles for small build sides"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "spark spark spark shuffle shuffle broadcast"),
+    (4, "completely unrelated text about cooking pasta al dente"),
+]
+LATE = [(20, "late increment about spark shuffle behavior under skew")]
+QUERIES = [("qa", "spark shuffle broadcast"), ("qb", "lazy dog")]
+
+
+@pytest.fixture()
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    late = spark.createDataFrame(LATE, "doc_id long, text string")
+    qs = spark.createDataFrame(QUERIES, "query_id string, text string")
+    return docs, late, qs
+
+
+def _ranked(rows):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows
+    )
+
+
+# ------------------------------------------------------------- bm25
+
+
+def test_bm25_append_fails_fast_while_lease_held(spark, frames, tmp_path):
+    docs, late, _ = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    LC.write_lease(spark, LC.lease_file_at(path), ["inc0"])
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        BI.append_bm25_index(late, path, increment_id="incX")
+    LC.clear_lease(spark, LC.lease_file_at(path))
+    BI.append_bm25_index(late, path, increment_id="incX")  # now clean
+    assert "incX" in BI.list_bm25_increments(spark, path)
+
+
+def test_bm25_lease_landing_mid_append_aborts_and_rolls_back(
+    spark, frames, tmp_path, monkeypatch
+):
+    """The residual pre-check window: a compaction leases the index
+    after the append's pre-write check but before its writes finish.
+    The post-write re-check must abort the append with NOTHING
+    published — both tables' inc= partitions rolled back, serving
+    unchanged — and the same docs must append cleanly once the lease
+    clears."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    before = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+
+    real_stats = BI._stats_frame
+
+    def lease_lands_mid_write(new_docs, text_col):
+        # the postings write already happened; the lease lands now,
+        # before the stats write and the append's post-write re-check
+        LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+        return real_stats(new_docs, text_col)
+
+    monkeypatch.setattr(BI, "_stats_frame", lease_lands_mid_write)
+    with pytest.raises(RuntimeError, match="leased this index mid-append"):
+        BI.append_bm25_index(late, path, increment_id="incRACE")
+    monkeypatch.undo()
+
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    assert not os.path.exists(os.path.join(path, "postings", "inc=incRACE"))
+    assert not os.path.exists(os.path.join(path, "stats", "inc=incRACE"))
+    assert (
+        _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+        == before
+    )
+
+    LC.clear_lease(spark, LC.lease_file_at(path))
+    BI.append_bm25_index(late, path, increment_id="incRACE")
+    assert "incRACE" in BI.list_bm25_increments(spark, path)
+    # post-recovery serving equals the corpus scan over docs ∪ late
+    want = _ranked(
+        RT.bm25_topk(docs.unionByName(late), qs, k=5).collect()
+    )
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    assert got == want
+
+
+def test_bm25_compaction_reconciles_append_landing_after_snapshot(
+    spark, frames, tmp_path, monkeypatch
+):
+    """An append that passed its pre-check before the lease became
+    visible (simulated: lease write no-op'd) and lands between the
+    compactor's snapshot and its swap must SURVIVE the swap — moved
+    into the new table as a live increment, its rows served exactly
+    once (the r11 verdict's silent-delete race, closed)."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(
+        spark.createDataFrame(
+            [(10, "another appended doc mentioning the lazy dog again")],
+            "doc_id long, text string",
+        ),
+        path,
+        increment_id="inc0",
+    )
+
+    monkeypatch.setattr(LC, "write_lease", lambda *a, **k: None)
+    real_swap = LC._swap_staged_reconcile
+    injected = {}
+
+    def append_then_swap(spark_, staged, table, snapshot_ids):
+        if not injected:  # first (postings) swap only
+            injected["done"] = True
+            BI.append_bm25_index(late, path, increment_id="incLATE")
+        return real_swap(spark_, staged, table, snapshot_ids)
+
+    monkeypatch.setattr(LC, "_swap_staged_reconcile", append_then_swap)
+    assert BI.compact_bm25_index(spark, path) >= 1
+    monkeypatch.undo()
+
+    # the late increment survived the swap as a live increment
+    assert "incLATE" in BI.list_bm25_increments(spark, path)
+    # and serving equals the corpus scan over everything, rows once each
+    all_docs = docs.unionByName(
+        spark.createDataFrame(
+            [(10, "another appended doc mentioning the lazy dog again")],
+            "doc_id long, text string",
+        )
+    ).unionByName(late)
+    want = _ranked(RT.bm25_topk(all_docs, qs, k=6).collect())
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    assert got == want
+    # stats fold consistency: N counts every doc exactly once
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_docs == all_docs.count()
+
+
+def test_bm25_crash_between_table_swaps_is_retryable(
+    spark, frames, tmp_path, monkeypatch
+):
+    """ADVICE r11: a crash between the postings swap and the stats swap
+    used to leave stats unfolded FOREVER (the no-op check consulted
+    only postings).  Now: the lease survives the crash, appends fail
+    fast meanwhile, and a compact retry folds the remaining table and
+    clears the lease — serving identical throughout."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(late, path, increment_id="inc0")
+    want = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+
+    real_swap = LC._swap_staged_reconcile
+    calls = {"n": 0}
+
+    def crash_after_first_swap(spark_, staged, table, snapshot_ids):
+        real_swap(spark_, staged, table, snapshot_ids)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between table swaps")
+
+    monkeypatch.setattr(LC, "_swap_staged_reconcile", crash_after_first_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        BI.compact_bm25_index(spark, path)
+    monkeypatch.undo()
+
+    # crashed state: postings folded, stats NOT, lease held
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == [
+        "base",
+        "inc0",
+    ]
+    assert LC.read_lease(spark, LC.lease_file_at(path)) == {"inc0"}
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        BI.append_bm25_index(late, path, increment_id="incY")
+
+    # retry finishes the job: stats folds, lease clears, serving equal
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.read_lease(spark, LC.lease_file_at(path)) is None
+    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == ["base"]
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    assert got == want
+
+
+def test_recover_from_crash_between_swap_renames(spark, frames, tmp_path):
+    """A crash BETWEEN the swap's two renames leaves `<table>.old` as
+    the only copy; the next compact renames it back before refolding."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(late, path, increment_id="inc0")
+    want = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+
+    # simulate: live postings renamed aside, staged never landed
+    ppath = os.path.join(path, "postings")
+    os.rename(ppath, ppath + ".old")
+    LC.write_lease(spark, LC.lease_file_at(path), ["inc0"])
+
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.read_lease(spark, LC.lease_file_at(path)) is None
+    assert not os.path.exists(ppath + ".old")
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------- minhash
+
+
+def test_minhash_lease_landing_mid_append_aborts_and_rolls_back(
+    spark, frames, tmp_path, monkeypatch
+):
+    docs, late, _ = frames
+    path = str(tmp_path / "midx")
+    MI.build_minhash_index(docs, path)
+
+    real_banded = MI._banded
+
+    def lease_lands_mid_write(sig_frame, num_hashes, bands):
+        # the sigs write already happened; the lease lands before the
+        # banded write and the post-write re-check
+        LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+        return real_banded(sig_frame, num_hashes, bands)
+
+    monkeypatch.setattr(MI, "_banded", lease_lands_mid_write)
+    with pytest.raises(RuntimeError, match="leased this index mid-append"):
+        MI.append_minhash_index(late, path, increment_id="incRACE")
+    monkeypatch.undo()
+
+    assert MI.list_increments(spark, path) == ["base"]
+    assert not os.path.exists(os.path.join(path, "sigs", "inc=incRACE"))
+    assert not os.path.exists(os.path.join(path, "banded", "inc=incRACE"))
+
+    # a copy of a LATE doc is NOT dropped (nothing was admitted) ...
+    probe = late.select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    kept = MI.dedup_against_index(spark, probe, path)
+    assert kept.count() == 1
+
+    # ... until the lease clears and the append retries cleanly
+    LC.clear_lease(spark, LC.lease_file_at(path))
+    MI.append_minhash_index(late, path, increment_id="incRACE")
+    assert MI.dedup_against_index(spark, probe, path).count() == 0
+
+
+def test_minhash_pre_check_and_expire_fail_fast(spark, frames, tmp_path):
+    docs, late, _ = frames
+    path = str(tmp_path / "midx")
+    MI.build_minhash_index(docs, path)
+    MI.append_minhash_index(late, path, increment_id="inc0")
+    LC.write_lease(spark, LC.lease_file_at(path), ["inc0"])
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        MI.append_minhash_index(late, path, increment_id="incX")
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        MI.expire_increments(spark, path, keep=[])
+    LC.clear_lease(spark, LC.lease_file_at(path))
+    assert MI.expire_increments(spark, path, keep=[]) == ["inc0"]
+
+
+def test_minhash_compaction_reconciles_late_append(
+    spark, frames, tmp_path, monkeypatch
+):
+    """The same reconcile pin as bm25, on the minhash table pair: a
+    post-snapshot append survives the swap and its signatures still
+    drop a later copy."""
+    docs, late, _ = frames
+    path = str(tmp_path / "midx")
+    MI.build_minhash_index(docs, path)
+    MI.append_minhash_index(
+        spark.createDataFrame(
+            [(10, "another appended doc mentioning the lazy dog again")],
+            "doc_id long, text string",
+        ),
+        path,
+        increment_id="inc0",
+    )
+
+    monkeypatch.setattr(LC, "write_lease", lambda *a, **k: None)
+    real_swap = LC._swap_staged_reconcile
+    injected = {}
+
+    def append_then_swap(spark_, staged, table, snapshot_ids):
+        if not injected:
+            injected["done"] = True
+            MI.append_minhash_index(late, path, increment_id="incLATE")
+        return real_swap(spark_, staged, table, snapshot_ids)
+
+    monkeypatch.setattr(LC, "_swap_staged_reconcile", append_then_swap)
+    assert MI.compact_index(spark, path) >= 1
+    monkeypatch.undo()
+
+    assert "incLATE" in MI.list_increments(spark, path)
+    probe = late.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    assert MI.dedup_against_index(spark, probe, path).count() == 0
+
+
+# ------------------------------------------------- exact / semantic
+
+
+def test_exact_index_lifecycle_guards(spark, frames, tmp_path, monkeypatch):
+    """Pre-check fail-fast + mid-append abort/rollback + crash-retry on
+    the exact index's (hashes, bloom) pair."""
+    docs, late, _ = frames
+    path = str(tmp_path / "eidx")
+    EI.build_exact_index(docs, path, expected_items=10_000)
+
+    LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        EI.append_exact_index(late, path, increment_id="incX")
+    LC.clear_lease(spark, LC.lease_file_at(path))
+
+    real_rows = EI._bloom_rows
+
+    def lease_lands_mid_write(hb, m_bits, k, inc):
+        LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+        return real_rows(hb, m_bits, k, inc)
+
+    monkeypatch.setattr(EI, "_bloom_rows", lease_lands_mid_write)
+    with pytest.raises(RuntimeError, match="leased this index mid-append"):
+        EI.append_exact_index(late, path, increment_id="incRACE")
+    monkeypatch.undo()
+    assert EI.list_increments(spark, path) == ["base"]
+    assert not os.path.exists(os.path.join(path, "hashes", "inc=incRACE"))
+    assert not os.path.exists(os.path.join(path, "bloom", "inc=incRACE"))
+    # an exact copy of a late doc passes (nothing admitted)
+    assert EI.dedup_exact_against_index(spark, late, path).count() == 1
+
+    LC.clear_lease(spark, LC.lease_file_at(path))
+    EI.append_exact_index(late, path, increment_id="incRACE")
+    assert EI.dedup_exact_against_index(spark, late, path).count() == 0
+
+    # crash between the hashes swap and the bloom swap, then retry
+    real_swap = LC._swap_staged_reconcile
+    calls = {"n": 0}
+
+    def crash_after_first_swap(spark_, staged, table, snapshot_ids):
+        real_swap(spark_, staged, table, snapshot_ids)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between table swaps")
+
+    monkeypatch.setattr(LC, "_swap_staged_reconcile", crash_after_first_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        EI.compact_exact_index(spark, path)
+    monkeypatch.undo()
+    assert LC.list_inc_ids(spark, os.path.join(path, "bloom")) == [
+        "base",
+        "incRACE",
+    ]
+    assert EI.compact_exact_index(spark, path) == 1
+    assert LC.list_inc_ids(spark, os.path.join(path, "bloom")) == ["base"]
+    assert LC.read_lease(spark, LC.lease_file_at(path)) is None
+    # the folded index still rejects both old and late copies
+    assert EI.dedup_exact_against_index(spark, late, path).count() == 0
+    assert EI.dedup_exact_against_index(spark, docs, path).count() == 0
+
+
+def test_semantic_index_sibling_lease_guards(spark, tmp_path):
+    """The semantic index's table IS the root: its lease is the sibling
+    file `<root>._compacting.json`, which survives the compaction swap
+    (an in-root lease would ride the renames and vanish)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [list(map(float, rng.normal(size=8))) for _ in range(3)]
+    path = str(tmp_path / "semidx")
+    SD.build_semantic_index(corpus, cents, path)
+    SD.build_semantic_index(
+        corpus.where("vec_id < 3").select(
+            (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+        ),
+        cents,
+        path,
+        increment_id="inc0",
+    )
+    lease = SD._semantic_lease_file(path)
+    assert lease == str(tmp_path / "semidx") + "._compacting.json"
+    LC.write_lease(spark, lease, ["inc0"])
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        SD.build_semantic_index(corpus, cents, path, increment_id="incX")
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        SD.expire_semantic_increments(spark, path, keep=[])
+    LC.clear_lease(spark, lease)
+
+    n_before = spark.read.parquet(path).count()
+    assert SD.compact_semantic_index(spark, path) == 1
+    assert SD.list_semantic_increments(spark, path) == ["base"]
+    assert spark.read.parquet(path).count() == n_before
+    assert LC.read_lease(spark, lease) is None
+    assert not os.path.exists(path + ".old")
