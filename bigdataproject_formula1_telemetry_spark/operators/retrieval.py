@@ -198,6 +198,7 @@ def rm3_expand(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    fb_score_round: int | None = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft,
     SIGIR 2001 relevance models; the "RM3" interpolation is the
@@ -219,6 +220,11 @@ def rm3_expand(
     scaled by ``orig_weight`` — a pure rescale, rank-neutral.
 
     Determinism: the fb_terms cut ranks (weight DESC, term ASC).
+    ``fb_score_round`` applies the portable half-up rounding to the
+    FEEDBACK retrieval's ranking (and to the scores the relevance model
+    normalizes), so the fb_docs cut is engine-stable — the ``bm25_topk``
+    ``score_round`` pattern; the fb_terms cut itself ranks raw relevance-
+    model weights, whose adjacent-gap margin is data-probed (SCALING).
 
     100 TB shape: two corpus-narrow passes — the BM25 retrieval (its
     own broadcast-vocabulary scan) and ONE token re-scan narrowed by a
@@ -235,7 +241,7 @@ def rm3_expand(
     top = bm25_topk(
         docs, queries, k=fb_docs, text_col=text_col, id_col=id_col,
         query_id_col=query_id_col, query_text_col=query_text_col,
-        k1=k1, b=b,
+        k1=k1, b=b, score_round=fb_score_round,
     ).select(query_id_col, id_col, "score")
 
     # P(d|q): normalize retrieval scores per query (all > 0 — a matched
@@ -267,6 +273,20 @@ def rm3_expand(
         .groupBy(query_id_col, "term")
         .agg(F.sum(F.col("__ptd") * F.col("__pd")).alias("__rm"))
     )
+    if fb_score_round is not None:
+        # the fb_terms cut ranks these float sums; round them portably
+        # (quantum 10^-(fb_score_round+3): 1e-9 at the standard 6 — far
+        # below any meaningful relevance-model distinction, ~1e8 above
+        # float-sum drift) so structurally-tied terms tie EXACTLY in
+        # every engine and split on the term tiebreak; probed margins in
+        # tools/probe_rm3_margins.py (an sf0.01 rank-5/6 exact tie is
+        # what motivated this — two terms sharing identical summand
+        # multisets tie only while both engines associate their sums
+        # identically, which partitioning does not guarantee)
+        pw = float(10 ** (fb_score_round + 3))
+        rm = rm.withColumn(
+            "__rm", F.floor(F.col("__rm") * pw + F.lit(0.5)) / F.lit(pw)
+        )
     wcut = Window.partitionBy(query_id_col).orderBy(
         F.col("__rm").desc(), F.col("term").asc()
     )
@@ -315,6 +335,7 @@ def bm25_topk_rm3(
     query_text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    score_round: int | None = None,
 ) -> DataFrame:
     """BM25 with RM3 expansion, end to end: expand each query with
     :func:`rm3_expand`, score the expanded weighted query with
@@ -322,19 +343,31 @@ def bm25_topk_rm3(
     ``(query_id, doc_id, rank, score)`` with the (score DESC, id ASC)
     tiebreak.  The classic recall lever: a document sharing NO term
     with the raw query becomes retrievable when it shares the feedback
-    neighborhood's vocabulary."""
+    neighborhood's vocabulary.
+
+    ``score_round=n`` makes BOTH ranking decisions engine-portable (the
+    ``bm25_topk`` pattern): the feedback retrieval ranks — and the
+    relevance model normalizes — half-up-rounded scores, and the final
+    cut ranks the rounded expanded score (returned rounded).  The
+    fb_terms cut ranks raw relevance-model weights; its adjacent-gap
+    margin is data-probed (SCALING r12)."""
     if k < 1:
         raise ValueError(f"bm25_topk_rm3: k must be >= 1, got {k}")
     expanded = rm3_expand(
         docs, queries, fb_docs=fb_docs, fb_terms=fb_terms,
         orig_weight=orig_weight, text_col=text_col, id_col=id_col,
         query_id_col=query_id_col, query_text_col=query_text_col,
-        k1=k1, b=b,
+        k1=k1, b=b, fb_score_round=score_round,
     )
     scored = bm25_scores_weighted(
         docs, expanded, text_col=text_col, id_col=id_col,
         query_id_col=query_id_col, k1=k1, b=b,
     )
+    if score_round is not None:
+        p = float(10**score_round)
+        scored = scored.withColumn(
+            "score", F.floor(F.col("score") * p + F.lit(0.5)) / F.lit(p)
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -656,7 +689,10 @@ def retrieval_metrics(
     - ``precision_at_k`` / ``recall_at_k``: binary relevance (rel > 0)
       inside the top-``k`` cut, over ``k`` / over the query's judged
       relevant count;
-    - ``mrr``: 1/rank of the first relevant result (0.0 when none);
+    - ``mrr``: 1/rank of the first relevant result over the FULL input
+      run — trec_eval's recip_rank convention: a first relevant hit at
+      rank k+1 still scores 1/(k+1), it is NOT zeroed by the cut (the
+      cut applies only to the @k metrics); 0.0 when none;
     - ``ndcg_at_k``: burges-gain DCG Σ (2^rel − 1)/log2(rank+1) over
       the cut, normalized by the ideal DCG of the query's judgments
       (graded rels honored; ties in the ideal ordering break by doc id);
@@ -665,19 +701,21 @@ def retrieval_metrics(
     ``qrels`` is the standard (query_id, doc_id, rel) frame; unjudged
     retrieved docs count as non-relevant (the trec_eval convention) and
     queries with no judged-relevant doc are dropped (metrics undefined).
-    Results deeper than ``k`` are ignored, so callers can pass any
-    ranked frame (``bm25_topk``/``hybrid_topk``/``mmr_rerank`` output).
+    Results deeper than ``k`` are ignored by the @k metrics (mrr sees
+    the full run), so callers can pass any ranked frame
+    (``bm25_topk``/``hybrid_topk``/``mmr_rerank`` output).
 
     100 TB shape: both inputs are reduced frames (top-k cuts and
     judgment sets — never the corpus); one join on (query, doc), one
     per-query aggregate, one broadcast of the per-query IDCG/base."""
     if k < 1:
         raise ValueError(f"retrieval_metrics: k must be >= 1, got {k}")
-    res = results.select(
+    res_full = results.select(
         F.col(query_id_col).alias("__qid"),
         F.col(id_col).alias("__id"),
         F.col(rank_col).cast("int").alias("__rank"),
-    ).where(F.col("__rank") <= k)
+    )
+    res = res_full.where(F.col("__rank") <= k)
     qr = qrels.select(
         F.col(query_id_col).alias("__qid"),
         F.col(id_col).alias("__id"),
@@ -712,22 +750,24 @@ def retrieval_metrics(
             F.sum((F.col("__rel") > 0).cast("double")) / F.lit(float(k))
         ).alias("__p_at_k"),
         F.sum((F.col("__rel") > 0).cast("double")).alias("__n_hit"),
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("__rel") > 0,
-                    F.lit(1.0) / F.col("__rank").cast("double"),
-                )
-            ),
-            F.lit(0.0),
-        ).alias("mrr"),
         F.sum(
             (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
             / F.log2(F.col("__rank").cast("double") + F.lit(1.0))
         ).alias("__dcg"),
     )
+    # mrr over the FULL run (trec_eval recip_rank — not cut at k): an
+    # inner join keeps only judged-relevant retrieved rows, so the max
+    # is the first relevant rank wherever it sits; queries whose run
+    # never hits a relevant doc fall out and coalesce to 0.0 below
+    mrr_q = (
+        res_full.join(qr, ["__qid", "__id"])
+        .where(F.col("__rel") > 0)
+        .groupBy("__qid")
+        .agg(F.max(F.lit(1.0) / F.col("__rank").cast("double")).alias("mrr"))
+    )
     return (
         base.join(per_q, "__qid", "left")
+        .join(mrr_q, "__qid", "left")
         .select(
             F.col("__qid").alias(query_id_col),
             F.col("__n_rel").alias("n_rel"),

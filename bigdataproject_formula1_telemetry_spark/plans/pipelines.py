@@ -844,6 +844,7 @@ def contamination_report(
     semantic_threshold: float = 0.95,
     mmr_lambda: float | None = None,
     fetch_k: int | None = None,
+    score_round: int | None = None,
 ) -> DataFrame:
     """The RETRIEVAL face of contamination auditing: for every benchmark
     item, the top-``k`` corpus docs by BM25 (``retrieval.bm25_topk``),
@@ -869,7 +870,10 @@ def contamination_report(
     ``score`` stays the doc's BM25 relevance.
 
     Returns ``(bench_id, rank, doc_id, score, contam_ngrams, cos_sim)``
-    sorted by (bench_id, rank).
+    sorted by (bench_id, rank).  ``score_round`` applies the
+    ``bm25_topk`` portable half-up rounding to the retrieval (and MMR)
+    ranking — set it when the report must be engine-reproducible (the
+    q57 ``contam_report`` oracle fold).
 
     100 TB shape: three independent single-corpus-scan passes (BM25
     tf/df with broadcast query vocabulary; broadcast benchmark gram
@@ -884,6 +888,15 @@ def contamination_report(
         retrieval as RT,
     )
 
+    if mmr_lambda is not None and fetch_k is not None and fetch_k <= k:
+        # the docstring's contract is a DEEPER pool: fetch_k < k would
+        # silently return fewer than k rows per query, fetch_k == k gives
+        # MMR nothing beyond the plain cut to diversify with (ADVICE r11)
+        raise ValueError(
+            f"contamination_report: fetch_k ({fetch_k}) must exceed k "
+            f"({k}) when mmr_lambda is set — MMR diversifies by cutting "
+            "a deeper pool; omit fetch_k for the max(2k, 20) default"
+        )
     btc = bench_text_col
     queries = benchmark.select(
         F.col(bench_id_col).cast("string").alias("query_id"),
@@ -892,7 +905,7 @@ def contamination_report(
     top = RT.bm25_topk(
         docs.select(id_col, text_col), queries,
         k=k if mmr_lambda is None else (fetch_k or max(2 * k, 20)),
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, score_round=score_round,
     )
     if mmr_lambda is not None:
         from pyspark.sql import Window
@@ -916,6 +929,7 @@ def contamination_report(
             RT.mmr_rerank(
                 rel, vecs, k=k, lam=mmr_lambda,
                 id_col=id_col, vec_col="__v", score_col="__rel",
+                score_round=score_round,
             )
             .select("query_id", id_col, "rank")
             .join(top.select("query_id", id_col, "score"),

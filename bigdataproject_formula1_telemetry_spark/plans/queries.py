@@ -2775,6 +2775,284 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rk <= 3
       )
       UNION ALL
+      -- RM3 expansion + weighted BM25 re-query (retrieval.bm25_topk_rm3,
+      -- Lavrenko & Croft SIGIR 2001; fb_docs=3, fb_terms=5,
+      -- orig_weight=0.5, k=3, score_round=6): the oracle replays BOTH
+      -- passes — rounded-score feedback retrieval, relevance model
+      -- P(t|R) = Σ P(t|d)·P(d|q) over the feedback docs, the (weight
+      -- DESC, term ASC) fb_terms cut renormalized and 0.5/0.5-
+      -- interpolated with the uniform original model, then weighted
+      -- BM25 over the EXPANSION vocabulary ranked on the portably
+      -- rounded score.  Multiplication order matches the engine:
+      -- (w · idf) · sat, summed per (query, doc).  The fb_terms cut
+      -- ranks RAW relevance-model weights; its adjacent-gap margin is
+      -- probed at all SFs (tools/probe_rm3_margins.py, SCALING r12).
+      SELECT 'rm3' AS section,
+        qid || '#' || CAST(rk AS VARCHAR) AS key,
+        CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+        CAST(id AS BIGINT) AS n,
+        rscore AS total
+      FROM (
+        WITH r3_tok AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                        x -> x <> '') AS t
+          FROM documents
+        ), r3_qt AS (
+          SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS qid,
+            doc_id AS qnum, u.tok
+          FROM r3_tok, unnest(t[4:9]) AS u(tok)
+          WHERE doc_id IN (1, 101, 201, 301, 401) AND len(t) >= 9
+        ), r3_stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM r3_tok
+        ), r3_tf AS (
+          SELECT d.doc_id, u.tok, CAST(count(*) AS DOUBLE) AS tf,
+            CAST(any_value(len(d.t)) AS DOUBLE) AS dl
+          FROM r3_tok d, unnest(d.t) AS u(tok)
+          WHERE u.tok IN (SELECT DISTINCT tok FROM r3_qt)
+          GROUP BY d.doc_id, u.tok
+        ), r3_df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM r3_tf GROUP BY tok
+        ), r3_fb AS (
+          SELECT qid, qnum, id, rscore FROM (
+            SELECT q.qid, q.qnum, f.doc_id AS id,
+              floor(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  * ((f.tf * 2.2)
+                     / (f.tf + 1.2 * (0.25 + 0.75 * (f.dl / s.avgdl)))))
+                * 1000000 + 0.5) / 1000000.0 AS rscore
+            FROM r3_tf f
+            JOIN r3_df d USING (tok)
+            JOIN r3_qt q USING (tok), r3_stats s
+            GROUP BY q.qid, q.qnum, f.doc_id
+          )
+          QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY rscore DESC, id) <= 3
+        ), r3_pd AS (
+          SELECT qid, qnum, id,
+            rscore / sum(rscore) OVER (PARTITION BY qid) AS pd
+          FROM r3_fb
+        ), r3_ptd AS (
+          SELECT t.doc_id AS id, u.tok,
+            CAST(count(*) AS DOUBLE)
+              / CAST(any_value(len(t.t)) AS DOUBLE) AS ptd
+          FROM r3_tok t, unnest(t.t) AS u(tok)
+          WHERE t.doc_id IN (SELECT DISTINCT id FROM r3_fb)
+            AND len(t.t) > 0
+          GROUP BY t.doc_id, u.tok
+        ), r3_rm AS (
+          -- relevance-model weights rounded portably at 1e-9 (the
+          -- operator's fb_score_round+3 quantum) BEFORE the term cut:
+          -- structurally-tied terms tie exactly in both engines and
+          -- split on the term tiebreak (margins probed, SCALING r12)
+          SELECT p.qid, p.qnum, d.tok,
+            floor(sum(d.ptd * p.pd) * 1000000000 + 0.5)
+              / 1000000000.0 AS rm
+          FROM r3_ptd d JOIN r3_pd p USING (id)
+          GROUP BY p.qid, p.qnum, d.tok
+        ), r3_rmcut AS (
+          SELECT qid, qnum, tok, rm FROM (
+            SELECT qid, qnum, tok, rm,
+              row_number() OVER (
+                PARTITION BY qid ORDER BY rm DESC, tok) AS rn
+            FROM r3_rm)
+          WHERE rn <= 5
+        ), r3_rmtop AS (
+          SELECT qid, qnum, tok,
+            rm / sum(rm) OVER (PARTITION BY qid) AS prm
+          FROM r3_rmcut
+        ), r3_pq AS (
+          SELECT qid, qnum, tok,
+            1.0 / CAST(count(*) OVER (PARTITION BY qid) AS DOUBLE) AS pq
+          FROM r3_qt
+        ), r3_w AS (
+          SELECT coalesce(p.qid, r.qid) AS qid,
+            coalesce(p.qnum, r.qnum) AS qnum,
+            coalesce(p.tok, r.tok) AS tok,
+            0.5 * coalesce(p.pq, 0.0) + 0.5 * coalesce(r.prm, 0.0) AS w
+          FROM r3_pq p
+          FULL OUTER JOIN r3_rmtop r ON p.qid = r.qid AND p.tok = r.tok
+          WHERE 0.5 * coalesce(p.pq, 0.0)
+              + 0.5 * coalesce(r.prm, 0.0) > 0
+        ), r3_tf2 AS (
+          SELECT d.doc_id, u.tok, CAST(count(*) AS DOUBLE) AS tf,
+            CAST(any_value(len(d.t)) AS DOUBLE) AS dl
+          FROM r3_tok d, unnest(d.t) AS u(tok)
+          WHERE u.tok IN (SELECT DISTINCT tok FROM r3_w)
+          GROUP BY d.doc_id, u.tok
+        ), r3_df2 AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM r3_tf2 GROUP BY tok
+        ), r3_sc AS (
+          SELECT w.qid, w.qnum, f.doc_id AS id,
+            floor(sum(w.w * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                * ((f.tf * 2.2)
+                   / (f.tf + 1.2 * (0.25 + 0.75 * (f.dl / s.avgdl)))))
+              * 1000000 + 0.5) / 1000000.0 AS rscore
+          FROM r3_tf2 f
+          JOIN r3_df2 d USING (tok)
+          JOIN r3_w w USING (tok), r3_stats s
+          GROUP BY w.qid, w.qnum, f.doc_id
+        )
+        SELECT qid, qnum, id, rscore,
+          row_number() OVER (
+            PARTITION BY qid ORDER BY rscore DESC, id) AS rk
+        FROM r3_sc
+        QUALIFY rk <= 3
+      )
+      UNION ALL
+      -- contamination_report (pipelines.py): the composed audit — BM25
+      -- top-3 per benchmark item (rounded ranking, CTEs restated per
+      -- UNION-branch scoping), left-joined with the BIGRAM distinct-
+      -- overlap count (global bench gram set, the contamination_hits
+      -- rule; shingle_n=2 so the gram leg bites on this small-vocab
+      -- corpus) and the >= 0.3 hashed-BoW cosine (md5 bucket+sign, the
+      -- q29 sem pattern, computed only for the report's 15 pairs).
+      -- `contam_report` rows carry (doc, rounded score); `contam_flags`
+      -- rows carry (gram hits, cosine | -2 when below threshold/absent).
+      SELECT section, key, sort_key, n, total FROM (
+        WITH cr_tok AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                        x -> x <> '') AS t
+          FROM documents
+        ), cr_qt AS (
+          SELECT DISTINCT doc_id AS qnum, u.tok
+          FROM cr_tok, unnest(t[4:9]) AS u(tok)
+          WHERE doc_id IN (1, 101, 201, 301, 401) AND len(t) >= 9
+        ), cr_stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM cr_tok
+        ), cr_tf AS (
+          SELECT d.doc_id, u.tok, CAST(count(*) AS DOUBLE) AS tf,
+            CAST(any_value(len(d.t)) AS DOUBLE) AS dl
+          FROM cr_tok d, unnest(d.t) AS u(tok)
+          WHERE u.tok IN (SELECT DISTINCT tok FROM cr_qt)
+          GROUP BY d.doc_id, u.tok
+        ), cr_df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM cr_tf GROUP BY tok
+        ), cr_top AS (
+          SELECT qnum, id, rscore,
+            row_number() OVER (
+              PARTITION BY qnum ORDER BY rscore DESC, id) AS rk
+          FROM (
+            SELECT q.qnum, f.doc_id AS id,
+              floor(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                  * ((f.tf * 2.2)
+                     / (f.tf + 1.2 * (0.25 + 0.75 * (f.dl / s.avgdl)))))
+                * 1000000 + 0.5) / 1000000.0 AS rscore
+            FROM cr_tf f
+            JOIN cr_df d USING (tok)
+            JOIN cr_qt q USING (tok), cr_stats s
+            GROUP BY q.qnum, f.doc_id
+          )
+          QUALIFY rk <= 3
+        ), cr_ids AS (
+          SELECT DISTINCT id FROM cr_top
+        ), cr_bt AS (
+          -- benchmark item text = tokens 4..9 re-tokenized (6 tokens)
+          SELECT doc_id AS qnum, t[4:9] AS bt
+          FROM cr_tok
+          WHERE doc_id IN (1, 101, 201, 301, 401) AND len(t) >= 9
+        ), cr_bg AS (
+          -- GLOBAL distinct bench bigram set (contamination_hits rule)
+          SELECT DISTINCT array_to_string(bt[p + 1 : p + 2], ' ') AS gram
+          FROM (SELECT bt, unnest(range(0, greatest(len(bt) - 1, 0))) AS p
+                FROM cr_bt)
+        ), cr_dg AS (
+          -- per report doc: DISTINCT grams (shingles is array_distinct;
+          -- docs under 2 tokens contribute their whole text, the
+          -- operator's short-text branch)
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+          FROM (
+            SELECT DISTINCT doc_id, gram FROM (
+              SELECT doc_id, array_to_string(t[p + 1 : p + 2], ' ') AS gram
+              FROM (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 1, 0))) AS p
+                    FROM cr_tok
+                    WHERE doc_id IN (SELECT id FROM cr_ids))
+              UNION ALL
+              SELECT doc_id, array_to_string(t, ' ') AS gram
+              FROM cr_tok
+              WHERE doc_id IN (SELECT id FROM cr_ids) AND len(t) < 2
+            )
+          ) g JOIN cr_bg USING (gram)
+          GROUP BY g.doc_id
+        ), cr_dtb AS (
+          -- hashed-BoW (md5 bucket+sign, dim 256, salt 'hashemb') for
+          -- the report docs — WHITESPACE tokens (the embed.py rule)
+          SELECT doc_id,
+            CAST(('0x' || substr(md5('hashemb|' || tok), 1, 8)) AS UBIGINT)
+              % 256 AS b,
+            CASE WHEN (strpos('0123456789abcdef',
+                              substr(md5('hashemb|' || tok), 9, 1)) - 1)
+                      % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (
+            SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(
+                       trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '')) AS tok
+            FROM documents WHERE doc_id IN (SELECT id FROM cr_ids)
+          )
+        ), cr_dv AS (
+          SELECT doc_id, b, sum(s) AS v FROM cr_dtb GROUP BY doc_id, b
+        ), cr_dn AS (
+          SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM cr_dv GROUP BY doc_id
+        ), cr_dx AS (
+          SELECT v.doc_id, v.b, v.v / n.nrm AS x
+          FROM cr_dv v JOIN cr_dn n USING (doc_id) WHERE n.nrm > 0
+        ), cr_btb AS (
+          SELECT qnum,
+            CAST(('0x' || substr(md5('hashemb|' || tok), 1, 8)) AS UBIGINT)
+              % 256 AS b,
+            CASE WHEN (strpos('0123456789abcdef',
+                              substr(md5('hashemb|' || tok), 9, 1)) - 1)
+                      % 2 = 0
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT qnum, unnest(bt) AS tok FROM cr_bt)
+        ), cr_bv AS (
+          SELECT qnum, b, sum(s) AS v FROM cr_btb GROUP BY qnum, b
+        ), cr_bn AS (
+          SELECT qnum, sqrt(sum(v * v)) AS nrm FROM cr_bv GROUP BY qnum
+        ), cr_bx AS (
+          SELECT v.qnum, v.b, v.v / n.nrm AS x
+          FROM cr_bv v JOIN cr_bn n USING (qnum) WHERE n.nrm > 0
+        ), cr_cos AS (
+          SELECT t.qnum, t.id, sum(d.x * b.x) AS cs
+          FROM cr_top t
+          JOIN cr_dx d ON d.doc_id = t.id
+          JOIN cr_bx b ON b.qnum = t.qnum AND b.b = d.b
+          GROUP BY t.qnum, t.id
+        ), cr_out AS (
+          SELECT t.qnum, t.rk, t.id, t.rscore,
+            coalesce(g.hits, 0) AS hits,
+            CASE WHEN c.cs >= 0.3
+                 THEN floor(c.cs * 1000000 + 0.5) / 1000000.0
+                 ELSE -2.0 END AS cosv
+          FROM cr_top t
+          LEFT JOIN cr_dg g ON g.doc_id = t.id
+          LEFT JOIN cr_cos c ON c.qnum = t.qnum AND c.id = t.id
+        )
+        SELECT 'contam_report' AS section,
+          'q' || CAST(qnum AS VARCHAR) || '#' || CAST(rk AS VARCHAR) AS key,
+          CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+          CAST(id AS BIGINT) AS n, rscore AS total
+        FROM cr_out
+        UNION ALL
+        SELECT 'contam_flags' AS section,
+          'q' || CAST(qnum AS VARCHAR) || '#' || CAST(rk AS VARCHAR) AS key,
+          CAST(qnum * 10 + rk AS BIGINT) AS sort_key,
+          CAST(hits AS BIGINT) AS n, cosv AS total
+        FROM cr_out
+      )
+      UNION ALL
       -- MMR diversity re-rank (retrieval.mmr_rerank, Carbonell &
       -- Goldstein 1998): 5 queries x 12 candidates (embeddings vec_ids
       -- qnum..qnum+11), rel = ((id*7)%13)/13, lam=0.7, k=3.  The oracle
@@ -2794,13 +3072,24 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH mm_q AS (
           SELECT unnest([1, 101, 201, 301, 401]) AS qnum
         ), mm_cand AS (
-          SELECT q.qnum, e.vec_id AS id,
-            CAST((e.vec_id * 7) % 13 AS DOUBLE) / 13.0 AS rel,
-            list_transform(e.embedding, x -> CAST(x AS DOUBLE) /
-              sqrt(list_sum(list_transform(e.embedding,
-                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+          -- pool generated ANALYTICALLY (qnum..qnum+11, mirroring the
+          -- Spark side's sequence()) with a LEFT JOIN to embeddings: a
+          -- dataset missing a vec_id degrades exactly like the kernel's
+          -- zero-fill (nv NULL -> every dot coalesces to 0 below)
+          -- instead of silently shrinking the pool (ADVICE r11); the
+          -- norm>0 guard matches the kernel's zero-norm handling
+          SELECT q.qnum, q.qnum + o.off AS id,
+            CAST(((q.qnum + o.off) * 7) % 13 AS DOUBLE) / 13.0 AS rel,
+            CASE WHEN e.vec_id IS NOT NULL AND
+                      list_sum(list_transform(e.embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+                 THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(e.embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                 END AS nv
           FROM mm_q q
-          JOIN embeddings e ON e.vec_id BETWEEN q.qnum AND q.qnum + 11
+          CROSS JOIN (SELECT unnest(range(0, 12)) AS off) o
+          LEFT JOIN embeddings e ON e.vec_id = q.qnum + o.off
         ), mm_p1 AS (
           SELECT qnum, id, nv, mmr FROM (
             SELECT qnum, id, nv,
@@ -2815,13 +3104,13 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT qnum, id, nv, mmr FROM (
             SELECT c.qnum, c.id, c.nv,
               floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
-                     list_sum(list_transform(range(1, 65),
-                       i -> c.nv[i] * p.nv[i])))
+                     coalesce(list_sum(list_transform(range(1, 65),
+                       i -> c.nv[i] * p.nv[i])), 0.0))
                     * 1000000 + 0.5) / 1000000.0 AS mmr,
               row_number() OVER (PARTITION BY c.qnum ORDER BY
                 floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
-                       list_sum(list_transform(range(1, 65),
-                         i -> c.nv[i] * p.nv[i])))
+                       coalesce(list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p.nv[i])), 0.0))
                       * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
             FROM mm_cand c JOIN mm_p1 p USING (qnum)
             WHERE c.id <> p.id)
@@ -2831,18 +3120,18 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c.qnum, c.id,
               floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
                      greatest(
-                       list_sum(list_transform(range(1, 65),
-                         i -> c.nv[i] * p1.nv[i])),
-                       list_sum(list_transform(range(1, 65),
-                         i -> c.nv[i] * p2.nv[i]))))
+                       coalesce(list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p1.nv[i])), 0.0),
+                       coalesce(list_sum(list_transform(range(1, 65),
+                         i -> c.nv[i] * p2.nv[i])), 0.0)))
                     * 1000000 + 0.5) / 1000000.0 AS mmr,
               row_number() OVER (PARTITION BY c.qnum ORDER BY
                 floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
                        greatest(
-                         list_sum(list_transform(range(1, 65),
-                           i -> c.nv[i] * p1.nv[i])),
-                         list_sum(list_transform(range(1, 65),
-                           i -> c.nv[i] * p2.nv[i]))))
+                         coalesce(list_sum(list_transform(range(1, 65),
+                           i -> c.nv[i] * p1.nv[i])), 0.0),
+                         coalesce(list_sum(list_transform(range(1, 65),
+                           i -> c.nv[i] * p2.nv[i])), 0.0)))
                       * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
             FROM mm_cand c
             JOIN mm_p1 p1 USING (qnum) JOIN mm_p2 p2 ON p2.qnum = c.qnum
@@ -2899,18 +3188,24 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT qnum,
             sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) / 5.0 AS p_at_k,
             sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS n_hit,
-            coalesce(max(CASE WHEN rel > 0
-                         THEN 1.0 / CAST(rank AS DOUBLE) END), 0.0) AS mrr,
             sum((pow(2.0, rel) - 1.0)
                 / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
           FROM im_hits GROUP BY qnum
+        ), im_mrr AS (
+          -- mrr over the FULL run (trec_eval recip_rank), not the @k cut
+          SELECT r.qnum, max(1.0 / CAST(r.rank AS DOUBLE)) AS mrr
+          FROM im_res r
+          JOIN im_qrel q ON q.qnum = r.qnum AND q.id = r.id
+          WHERE q.rel > 0
+          GROUP BY r.qnum
         ), im_fin AS (
           SELECT b.qnum, b.n_rel,
             coalesce(p.p_at_k, 0.0) AS p_at_k,
             coalesce(p.n_hit, 0.0) / CAST(b.n_rel AS DOUBLE) AS recall,
-            coalesce(p.mrr, 0.0) AS mrr,
+            coalesce(m.mrr, 0.0) AS mrr,
             coalesce(p.dcg, 0.0) / b.idcg AS ndcg
           FROM im_base b LEFT JOIN im_per p USING (qnum)
+          LEFT JOIN im_mrr m USING (qnum)
         )
         SELECT qnum, n_rel, 'p' AS m, 1 AS mi, p_at_k AS v FROM im_fin
         UNION ALL SELECT qnum, n_rel, 'r', 2, recall FROM im_fin
@@ -3295,6 +3590,87 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # RM3 pseudo-relevance-feedback expansion + weighted BM25 re-query
+    # (retrieval.rm3_expand / bm25_scores_weighted / bm25_topk_rm3,
+    # Lavrenko & Croft SIGIR 2001; Anserini-standard RM3 interpolation)
+    # as a driver-checked section — VERDICT r11 item 3: the FULL
+    # two-pass ranking is recomputed in DuckDB (feedback retrieval on
+    # rounded scores → relevance model P(t|R)=Σ P(t|d)·P(d|q) → top
+    # fb_terms by (weight DESC, term ASC), renormalized → 0.5/0.5
+    # interpolation with the uniform original model → weighted BM25 over
+    # the EXPANSION vocabulary → rounded-score final cut).  Both ranked
+    # cuts use score_round=6 (the bm25 section's portable-rounding
+    # rule); the fb_terms cut ranks raw relevance-model weights — its
+    # adjacent-gap margin is probed at all SFs
+    # (tools/probe_rm3_margins.py; figures in SCALING r12).
+    rm3 = (
+        RT.bm25_topk_rm3(
+            docs.select("doc_id", "text"), bm_queries, k=3, fb_docs=3,
+            fb_terms=5, orig_weight=0.5, score_round=6,
+        )
+        .join(
+            F.broadcast(bm_queries.select("query_id", "__qnum")), "query_id"
+        )
+        .select(
+            F.lit("rm3").alias("section"),
+            F.concat(
+                F.col("query_id"), F.lit("#"), F.col("rank").cast("string")
+            ).alias("key"),
+            (F.col("__qnum") * 10 + F.col("rank")).cast("long").alias(
+                "sort_key"
+            ),
+            F.col("doc_id").cast("long").alias("n"),
+            F.col("score").alias("total"),
+        )
+    )
+
+    # contamination_report (plans/pipelines.py:835) as TWO driver-checked
+    # sections — VERDICT r11 item 5: the COMPOSED report (BM25 top-3
+    # evidence per benchmark item, left-joined with the bigram overlap
+    # count and the ≥0.3 hashed-BoW cosine) runs the REAL operator
+    # end-to-end; the oracle recomputes retrieval, distinct-gram
+    # overlap, md5 bucket+sign cosines, and the join/coalesce semantics
+    # from scratch.  `contam_report` pins (bench_id, rank) -> (doc_id,
+    # rounded score); `contam_flags` pins the same keys ->
+    # (contam_ngrams, cos_sim | -2 sentinel for semantically-clean).
+    # Benchmark = the five bm25 token-slice queries as (doc_id, text)
+    # items; shingle_n=2 because the ~50-word synthetic vocabulary lets
+    # high-tf docs outrank a slice's SOURCE doc, so 4-grams never
+    # overlap the top-3 at sf>=0.01 — bigrams hit 13-15 of 15 report
+    # rows at every SF with counts 1..9 (genuinely discriminating);
+    # threshold 0.3 fires the semantic leg on all 15 pairs (both
+    # margins probed at all SFs — tools/probe_contam_report_margins.py,
+    # SCALING r12).
+    from bigdataproject_formula1_telemetry_spark.plans import pipelines as PL
+
+    cr_bench = bm_queries.select(F.col("__qnum").alias("doc_id"), "text")
+    cr_rep = PL.contamination_report(
+        docs.select("doc_id", "text"), cr_bench, k=3,
+        shingle_n=2, semantic_threshold=0.3, score_round=6,
+    )
+    cr_key = F.concat(
+        F.lit("q"), F.col("bench_id").cast("string"),
+        F.lit("#"), F.col("rank").cast("string"),
+    )
+    cr_sort = (F.col("bench_id") * 10 + F.col("rank")).cast("long")
+    contam_report = cr_rep.select(
+        F.lit("contam_report").alias("section"),
+        cr_key.alias("key"),
+        cr_sort.alias("sort_key"),
+        F.col("doc_id").cast("long").alias("n"),
+        F.col("score").alias("total"),
+    ).unionByName(
+        cr_rep.select(
+            F.lit("contam_flags").alias("section"),
+            cr_key.alias("key"),
+            cr_sort.alias("sort_key"),
+            F.col("contam_ngrams").cast("long").alias("n"),
+            F.coalesce(_pround(F.col("cos_sim"), 6), F.lit(-2.0)).alias(
+                "total"
+            ),
+        )
+    )
+
     # MMR diversity re-rank (retrieval.mmr_rerank, Carbonell & Goldstein
     # SIGIR 1998) as a driver-checked section: five queries, each with a
     # 12-candidate pool (vec_ids qnum..qnum+11 from the embeddings
@@ -3460,6 +3836,8 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zorder)
         .unionByName(bm25)
         .unionByName(rrf)
+        .unionByName(rm3)
+        .unionByName(contam_report)
         .unionByName(mmr)
         .unionByName(ir_metrics)
         .unionByName(diff)

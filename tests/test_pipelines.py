@@ -808,6 +808,28 @@ def test_contamination_report_mmr_diversifies_evidence(spark):
         assert r["score"] == pytest.approx(pool[r["doc_id"]], abs=1e-12)
 
 
+def test_contamination_report_validates_fetch_k(spark):
+    """ADVICE r11: with mmr_lambda set, fetch_k must EXCEED k — fetch_k
+    < k silently under-returns and fetch_k == k gives MMR no pool beyond
+    the plain cut; both now raise."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta")], "bench_id long, text string"
+    )
+    for bad in (2, 3):
+        with pytest.raises(ValueError, match="fetch_k"):
+            P.contamination_report(
+                docs, bench, k=3, mmr_lambda=0.5, fetch_k=bad,
+                bench_id_col="bench_id",
+            )
+    # fetch_k > k stays valid; without mmr_lambda fetch_k is unused
+    P.contamination_report(
+        docs, bench, k=3, mmr_lambda=0.5, fetch_k=4, bench_id_col="bench_id"
+    ).collect()
+
+
 def test_corpus_diff_near_attributes_moved_content(spark):
     """corpus_diff_near: added docs that near-match removed docs get
     near_of attribution; genuinely new docs don't; same-id edits stay

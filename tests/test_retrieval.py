@@ -605,6 +605,29 @@ def test_rm3_matches_python_reference(spark, frames):
             assert abs(s - rs) < 1e-9
 
 
+def test_rm3_score_round_quantizes_and_is_layout_invariant(spark, frames):
+    """score_round=6 (the q57 rm3 fold's setting): returned scores are
+    1e-6-quantized, and the full two-pass ranking is identical across
+    partition layouts (the relevance-model weights round at 1e-9, so
+    structurally-tied terms split on the term tiebreak regardless of
+    float-sum association order)."""
+    docs, qs = frames
+    base = RT.bm25_topk_rm3(
+        docs, qs, k=4, fb_docs=3, fb_terms=5, orig_weight=0.5,
+        score_round=6,
+    ).collect()
+    assert base, "expected rows"
+    for r in base:
+        q = round(r["score"] * 1e6)
+        assert abs(r["score"] - q / 1e6) < 1e-12, r
+    relayout = RT.bm25_topk_rm3(
+        docs.repartition(7), qs, k=4, fb_docs=3, fb_terms=5,
+        orig_weight=0.5, score_round=6,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, base)) == sorted(map(key, relayout))
+
+
 def test_rm3_expansion_recalls_cooccurring_vocabulary(spark):
     """The defining PRF behavior: a doc sharing NO term with the raw
     query becomes retrievable because the feedback docs' vocabulary
@@ -703,7 +726,9 @@ def test_retrieval_metrics_match_hand_computation(spark):
 def test_retrieval_metrics_conventions(spark):
     """Unjudged retrieved docs count non-relevant; queries with no
     judged-relevant doc are dropped; a query with judgments but no
-    results scores 0 across the board; results deeper than k ignored."""
+    results scores 0 across the board; results deeper than k are
+    ignored by the @k metrics but NOT by mrr (trec_eval's recip_rank
+    runs over the full input — ADVICE r11)."""
     results = spark.createDataFrame(
         [("qa", 1, 1), ("qa", 2, 2), ("qa", 3, 3)],
         "query_id string, doc_id long, rank int",
@@ -715,10 +740,12 @@ def test_retrieval_metrics_conventions(spark):
     rows = {r["query_id"]: r for r in
             RT.retrieval_metrics(results, qrels, k=2).collect()}
     assert set(rows) == {"qa", "qb"}  # qz: no relevant judgment -> dropped
-    # qa's one relevant doc sits at rank 3, outside k=2
+    # qa's one relevant doc sits at rank 3, outside k=2: the @k metrics
+    # miss it, mrr (full-run recip_rank) still scores 1/3
     assert rows["qa"]["recall_at_k"] == 0.0
-    assert rows["qa"]["mrr"] == 0.0
+    assert rows["qa"]["mrr"] == pytest.approx(1 / 3)
     assert rows["qa"]["ndcg_at_k"] == 0.0
+    assert rows["qb"]["mrr"] == 0.0  # judged but never retrieved
     # qb judged but never retrieved
     assert rows["qb"]["recall_at_k"] == 0.0
     assert rows["qb"]["precision_at_k"] == 0.0

@@ -32,14 +32,20 @@ ORACLE = """
 WITH mm_q AS (
   SELECT unnest([1, 101, 201, 301, 401]) AS qnum
 ), mm_cand AS (
-  SELECT q.qnum, e.vec_id AS id,
-    CAST((e.vec_id * 7) % 13 AS DOUBLE) / 13.0 AS rel,
-    list_transform(e.embedding, x -> CAST(x AS DOUBLE) /
-      sqrt(list_sum(list_transform(e.embedding,
-                                   y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-    ) AS nv
+  -- analytic pool + LEFT JOIN with zero-fallback, mirroring the r12
+  -- oracle (ADVICE r11: an inner join would silently shrink the pool)
+  SELECT q.qnum, q.qnum + o.off AS id,
+    CAST(((q.qnum + o.off) * 7) % 13 AS DOUBLE) / 13.0 AS rel,
+    CASE WHEN e.vec_id IS NOT NULL AND
+              list_sum(list_transform(e.embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+         THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_sum(list_transform(e.embedding,
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         END AS nv
   FROM mm_q q
-  JOIN embeddings e ON e.vec_id BETWEEN q.qnum AND q.qnum + 11
+  CROSS JOIN (SELECT unnest(range(0, 12)) AS off) o
+  LEFT JOIN embeddings e ON e.vec_id = q.qnum + o.off
 ), mm_p1 AS (
   SELECT qnum, id, nv, mmr FROM (
     SELECT qnum, id, nv,
@@ -53,11 +59,11 @@ WITH mm_q AS (
   SELECT qnum, id, nv, mmr FROM (
     SELECT c.qnum, c.id, c.nv,
       floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
-             list_sum(list_transform(range(1, 65), i -> c.nv[i] * p.nv[i])))
+             coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p.nv[i])), 0.0))
             * 1000000 + 0.5) / 1000000.0 AS mmr,
       row_number() OVER (PARTITION BY c.qnum ORDER BY
         floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
-               list_sum(list_transform(range(1, 65), i -> c.nv[i] * p.nv[i])))
+               coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p.nv[i])), 0.0))
               * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
     FROM mm_cand c JOIN mm_p1 p USING (qnum)
     WHERE c.id <> p.id)
@@ -67,14 +73,14 @@ WITH mm_q AS (
     SELECT c.qnum, c.id,
       floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
              greatest(
-               list_sum(list_transform(range(1, 65), i -> c.nv[i] * p1.nv[i])),
-               list_sum(list_transform(range(1, 65), i -> c.nv[i] * p2.nv[i]))))
+               coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p1.nv[i])), 0.0),
+               coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p2.nv[i])), 0.0)))
             * 1000000 + 0.5) / 1000000.0 AS mmr,
       row_number() OVER (PARTITION BY c.qnum ORDER BY
         floor((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
                greatest(
-                 list_sum(list_transform(range(1, 65), i -> c.nv[i] * p1.nv[i])),
-                 list_sum(list_transform(range(1, 65), i -> c.nv[i] * p2.nv[i]))))
+                 coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p1.nv[i])), 0.0),
+                 coalesce(list_sum(list_transform(range(1, 65), i -> c.nv[i] * p2.nv[i])), 0.0)))
               * 1000000 + 0.5) / 1000000.0 DESC, c.id) AS rn
     FROM mm_cand c
     JOIN mm_p1 p1 USING (qnum) JOIN mm_p2 p2 ON p2.qnum = c.qnum
