@@ -418,6 +418,65 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings["hybrid_topk"] = round(best, 3)
 
+    # Materialized serving paths (r12, VERDICT r11 item 2): the indexes
+    # are built ONCE outside the timer (ingest-time cost, the
+    # knn_ivf_materialized pattern); each timed run serves the SAME
+    # 20-query batch as bm25_topk/hybrid_topk — so the entry pairs read
+    # directly as scan-vs-index on an identical workload.  The lexical
+    # leg reads term-bucket-pruned postings (no corpus tokenize pass per
+    # batch); the hybrid adds the IVF inverted file (partition-pruned to
+    # the probed clusters) — no corpus scan in EITHER leg, the 100 TB
+    # steady-state shape.  bm25_topk_indexed persists its twice-consumed
+    # pruned postings behind a dedup barrier: released before every
+    # build, same barrier-cold protocol as the registry entries.
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as _bi,
+        embed as _emh,
+    )
+
+    with _tf.TemporaryDirectory() as btmp:
+        bidx = os.path.join(btmp, "bm25idx")
+        _bi.build_bm25_index(bm_docs, bidx, n_buckets=64)
+
+        def build_bm25_indexed():
+            _dedup.release_barriers()
+            return _bi.bm25_topk_indexed(spark, bidx, bm_q, k=10)
+
+        build_bm25_indexed().write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            build_bm25_indexed().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings["bm25_topk_indexed"] = round(best, 3)
+        _dedup.release_barriers()
+
+        demb = _emh.hashed_embedding(
+            bm_docs, out_col="__v", dim=256, salt="hashemb"
+        ).select(
+            _Fq.col("doc_id").alias("vec_id"), _Fq.col("__v").alias("embedding")
+        )
+        h_C = sim.ivf_centroids(demb, n_clusters=8, max_iter=2)
+        hivf = os.path.join(btmp, "hybrid_ivf")
+        sim.build_inverted_file(demb, h_C, hivf)
+
+        def build_hybrid_indexed():
+            _dedup.release_barriers()
+            return _rt.hybrid_topk_indexed(
+                spark, bidx, hivf, h_C, bm_q, k=10, nprobe=4
+            )
+
+        build_hybrid_indexed().write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            build_hybrid_indexed().write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings["hybrid_topk_indexed"] = round(best, 3)
+        _dedup.release_barriers()
+
     # SemDeDup over the documents table: hashed-BoW embed + cluster-
     # scoped semantic dedup (the curate_documents semdedup= gate's
     # exact shape).  Centroids are trained ONCE outside the timer on a

@@ -920,20 +920,46 @@ def knn_ivf_materialized(
     and reads only ~nprobe/n_clusters of the table's directories, which
     no flat-corpus form can do.
 
-    Candidates, scoring, and tie-break (cos desc, id asc) match
-    ``knn_ivf`` exactly: the driver-side probe math is the same float64
-    normalize + matmul + ``argpartition`` the Arrow assigner runs, so
-    the probe sets are bit-identical.  NULL query vectors degrade the
-    same way (zero-vector probes, NULL ``cos_sim``)."""
+    Candidates and tie-break (cos desc, id asc) match ``knn_ivf``
+    exactly: the driver-side probe math is the same float64 normalize +
+    matmul + ``argpartition`` the Arrow assigner runs, so the probe
+    sets are bit-identical; per-query masking uses the row's STORED
+    cluster (the materialized assignment is authoritative — no
+    re-assignment pass).
+
+    Scoring is the ``knn_bruteforce_arrow`` matmul kernel over the
+    pruned scan (r12): the first form HOF-scored every (query ×
+    pruned-candidate) pair with the interpreted ``cosine()`` expression
+    — the exact per-row-cosine trap hybrid_topk's first cut measured
+    5-7× slow (SCALING r11) — and it surfaced again as
+    ``hybrid_topk_indexed`` losing to the scan form (2.55 vs 1.83 s at
+    sf0.1).  The kernel also restores the scan kernels' numpy
+    self-match semantics (``cids != qid`` never matches across id type
+    domains — the ADVICE r11 string-qid case — and never NULLs out).
+    Arrow-form NULL convention applies: NULL/zero-norm corpus rows and
+    NULL query vectors produce NO rows (the ``knn_bruteforce_arrow``
+    divergence note), where the old expression form emitted
+    NULL-``cos_sim`` filler rows."""
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
     n = min(nprobe, C.shape[0])
-    qid_type = queries.schema[id_col].dataType
-    vec_type = queries.schema[vec_col].dataType
 
-    probe_rows = []
-    for r in queries.select(id_col, vec_col).collect():
+    q_rows = queries.select(id_col, vec_col).collect()
+    cb_all = spark.read.parquet(path)
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField("neighbor_id", cb_all.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    q_ids, Qn = _query_matrix(q_rows, np.float64)
+    if q_ids is None:
+        return spark.createDataFrame([], out_schema)
+    # probe math unchanged from the expression form (bit-identical sets)
+    probes = []
+    for r in q_rows:
         v = r[1]
         x = (
             np.zeros(C.shape[1], dtype=np.float64)
@@ -943,36 +969,58 @@ def knn_ivf_materialized(
         nrm = np.linalg.norm(x)
         sims = (x / (nrm if nrm else 1.0)) @ C.T
         top = np.argpartition(-sims, n - 1)[:n] if n > 1 else [int(np.argmax(sims))]
-        for c in top:
-            probe_rows.append((r[0], v, int(c)))
+        probes.append([int(c) for c in top])
+    allow = np.zeros((len(q_ids), C.shape[0]), dtype=bool)
+    for j, ps in enumerate(probes):
+        allow[j, ps] = True
+    probed = sorted({c for ps in probes for c in ps})
 
-    from pyspark.sql.types import IntegerType
+    cb = cb_all.where(F.col(cluster_col).isin(probed))
+    dim = Qn.shape[1]
+    bq = spark.sparkContext.broadcast((q_ids, Qn, allow))
 
-    qb = spark.createDataFrame(
-        probe_rows,
-        StructType(
-            [
-                StructField(query_id_col, qid_type),
-                StructField("__qv", vec_type),
-                StructField("__c", IntegerType()),
-            ]
-        ),
-    )
-    probed = sorted({c for _, _, c in probe_rows})
-    cb = spark.read.parquet(path).where(F.col(cluster_col).isin(probed))
-    # self-match exclusion, NULL-SAFE: when query ids live in a different
-    # type domain than the table ids (hybrid_topk_indexed passes string
-    # query ids against long doc ids), the implicit cast yields NULL and
-    # a plain != would go NULL -> silently drop EVERY row; <=> returns
-    # false there (keep), and is bit-identical to != for same-type ids
-    scored = (
-        cb.join(F.broadcast(qb), F.col(cluster_col) == F.col("__c"))
-        .where(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
-        )
+    def score(batches):
+        import numpy as np
+
+        ids_b, Qn_b, allow_b = bq.value
+        nq = len(ids_b)
+        zero = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            clusters = pdf[cluster_col].to_numpy(dtype=np.int64)
+            X = np.stack(
+                [
+                    zero if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = np.nan
+            Xn = X / nrm[:, None]
+            sims = Xn @ Qn_b.T  # (batch, nq)
+            sims[~allow_b[:, clusters].T] = np.nan  # outside probe set
+            rows = []
+            kk = min(k, len(cids))
+            for j in range(nq):
+                col = sims[:, j]
+                mask = cids != ids_b[j]
+                cand = np.where(mask & ~np.isnan(col))[0]
+                if len(cand) == 0:
+                    continue
+                # tie-safe pre-truncation: same (sim desc, id asc) total
+                # order as the final window (the r7 heavy-ties fix)
+                top = cand[np.lexsort((cids[cand], -col[cand]))[:kk]]
+                for i in top:
+                    rows.append((ids_b[j], cids[i], float(col[i])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[query_id_col, "neighbor_id", "cos_sim"]
+                )
+
+    scored = cb.select(id_col, vec_col, cluster_col).mapInPandas(
+        score, out_schema
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
