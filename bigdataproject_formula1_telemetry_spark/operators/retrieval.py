@@ -490,6 +490,7 @@ def hybrid_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    score_round: int | None = None,
 ) -> DataFrame:
     """Hybrid lexical⊕semantic retrieval: BM25 top-``fetch_k`` and
     hashed-BoW-cosine top-``fetch_k`` (both over the same text), fused
@@ -501,6 +502,16 @@ def hybrid_topk(
     can still win.
 
     Output ``(query_id, doc_id, rrf_score, rank)``, rank ≤ k.
+
+    ``score_round`` plumbs the ``bm25_topk`` portable rounding into the
+    LEXICAL leg's fetch_k cut.  Set it whenever duplicate-heavy corpora
+    meet cross-run/rank-stability requirements: with unrounded float
+    sums, identical-term-multiset families tie only up to float-sum
+    association order, which varies with partition layout — the 500k
+    tie-saturated sweep caught the indexed hybrid returning different
+    family members per RUN before this existed (SCALING r12).  The
+    semantic leg needs no rounding: identical vectors produce
+    bit-identical matmul cosines and split on the id tiebreak.
 
     100 TB shape: BM25 is the module's one-corpus-scan plan; the
     semantic leg is ONE ``hashed_embedding`` Arrow pass over the corpus
@@ -521,6 +532,7 @@ def hybrid_topk(
     lex = bm25_topk(
         docs, queries, k=fetch_k, text_col=text_col, id_col=id_col,
         query_id_col=query_id_col, query_text_col=query_text_col,
+        score_round=score_round,
     ).select(query_id_col, id_col, "rank")
 
     demb = EM.hashed_embedding(
@@ -801,6 +813,7 @@ def hybrid_topk_indexed(
     query_id_col: str = "query_id",
     query_text_col: str = "text",
     id_col: str = "doc_id",
+    score_round: int | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk` served ENTIRELY from materialized state — the
     steady-state form: the lexical leg reads the term-bucket-partitioned
@@ -829,6 +842,7 @@ def hybrid_topk_indexed(
     lex = BI.bm25_topk_indexed(
         spark, bm25_path, queries, k=fetch_k,
         query_id_col=query_id_col, query_text_col=query_text_col,
+        score_round=score_round,
     ).select(query_id_col, id_col, "rank")
 
     # the IVF family convention: BOTH the query frame and the inverted

@@ -230,6 +230,22 @@ def test_hybrid_topk_indexed_matches_scan_form(spark, frames, tmp_path):
     )
     want = sorted(map(tuple, RT.hybrid_topk(docs, qs, k=3).collect()))
     assert got == want
+    # score_round plumbs into BOTH forms' bm25 legs (r12 — the 500k
+    # tie-saturated sweep caught unrounded family-tie rank instability):
+    # rounded indexed == rounded scan, rank-for-rank
+    got_r = sorted(
+        map(
+            tuple,
+            RT.hybrid_topk_indexed(
+                spark, bm25_path, ivf_path, cents, qs,
+                k=3, nprobe=len(cents), score_round=6,
+            ).collect(),
+        )
+    )
+    want_r = sorted(
+        map(tuple, RT.hybrid_topk(docs, qs, k=3, score_round=6).collect())
+    )
+    assert got_r == want_r
     # both legs' scans are partition-pruned (no flat corpus read)
     plan = (
         RT.hybrid_topk_indexed(
