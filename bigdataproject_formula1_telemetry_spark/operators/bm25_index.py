@@ -139,9 +139,14 @@ def build_bm25_index(
     static overwrite drops any previous generation's ``inc=*``
     partitions (the exact_index rule — stale admission state must not
     survive a rebuild)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     if n_buckets < 1:
         raise ValueError(f"build_bm25_index: n_buckets must be >= 1, got {n_buckets}")
     spark = docs.sparkSession
+    LC.reset_lifecycle(spark, LC.lease_file_at(path))
     id_type = docs.schema[id_col].dataType.simpleString()
     spark.createDataFrame(
         [(n_buckets, id_type)], _META_SCHEMA
@@ -184,7 +189,9 @@ def append_bm25_index(
         raise ValueError("increment_id 'base' is reserved for build_bm25_index")
     spark = new_docs.sparkSession
     lease = LC.lease_file_at(path)
-    LC.check_append_allowed(spark, lease, "append_bm25_index")
+    LC.check_append_allowed(
+        spark, lease, "append_bm25_index", increment_id=increment_id
+    )
     n_buckets, id_type = _read_meta(spark, path)
     got_t = new_docs.schema[id_col].dataType.simpleString()
     if got_t != id_type:
@@ -368,6 +375,12 @@ def index_stream(
     streaming path IS the batch path per micro-batch.  Replay-safe:
     Structured Streaming can re-run a batch id after a crash, and the
     append's clear-then-write makes the retry an exact overwrite.
+    Caveat (r12): run ``compact_bm25_index`` only while the stream is
+    STOPPED with its last batch committed — a compaction folding
+    ``inc=b<N>`` between a crashed micro-batch and its replay makes the
+    replay fail LOUDLY on the folded-id marker (the alternative was a
+    silent double-admit that corrupts served scores); recover by
+    dropping the checkpoint's uncommitted batch or rebuilding the index.
 
     Returns the configured ``writeStream`` builder — the caller picks
     the trigger and calls ``.start()`` (the repo's streaming

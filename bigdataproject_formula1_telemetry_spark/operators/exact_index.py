@@ -309,8 +309,13 @@ def build_exact_index(
     can never drift.  ``normalize=True`` keys on the fingerprint
     identity (see ``_content_hash``) — the mode is persisted in
     ``path/meta`` and appends/searches follow it automatically."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     m_bits, k = _bloom_params(expected_items, fpr)
     spark0 = docs.sparkSession
+    LC.reset_lifecycle(spark0, LC.lease_file_at(path))
     _write_meta(spark0, path, normalize)
     hf = _hash_frame(docs, text_col, id_col, normalize).withColumn(
         "inc", F.lit("base")
@@ -361,7 +366,9 @@ def append_exact_index(
         )
     spark = new_docs.sparkSession
     lease = LC.lease_file_at(path)
-    LC.check_append_allowed(spark, lease, "append_exact_index")
+    LC.check_append_allowed(
+        spark, lease, "append_exact_index", increment_id=increment_id
+    )
     _, m_bits, k = _load_bloom(spark, path)
     normalize = _read_normalize(spark, path)
     tables = [os.path.join(path, "hashes"), os.path.join(path, "bloom")]

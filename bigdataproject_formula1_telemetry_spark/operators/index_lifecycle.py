@@ -35,8 +35,21 @@ close it:
    reported success, so its rows must survive — they ride as a live
    increment into the next compaction instead of vanishing.
 
+4. **Folded-id marker (no silent double-admit).**  A compaction folds
+   its snapshot ids into ``base`` and records them in
+   ``_folded_incs.json`` (accumulating across generations, the
+   ``corpus_release`` marker rule): a later ``append_*`` of a folded id
+   RAISES instead of writing fresh rows next to the already-folded ones
+   — for the admission indexes that double-admit was merely redundant,
+   but for the bm25 SERVING index it double-counts tf/df/stats and
+   corrupts every score touching those docs.  Increment ids are unique
+   for an index's lifetime; pick a fresh id to retry.
+
 Crash recovery: the lease survives a crashed compaction and keeps every
-append fail-fast-blocked until a ``compact_*`` retry finishes the job.
+append fail-fast-blocked until a ``compact_*`` retry finishes the job —
+including marking the leased ids folded on the retry's no-op path, so
+a crash between the last swap and the marker write cannot reopen a
+folded id (the lease names exactly the snapshot being folded).
 The retry's no-op decision consults EVERY table (a crash between two
 tables' swaps leaves the later ones unfolded — ``compact_bm25_index``'s
 postings-only check could never retry the stats fold, ADVICE r11), and
@@ -60,6 +73,7 @@ __all__ = [
     "read_lease",
     "write_lease",
     "clear_lease",
+    "read_folded",
     "check_append_allowed",
     "abort_append_if_leased",
     "list_inc_ids",
@@ -67,6 +81,16 @@ __all__ = [
 ]
 
 _COMPACTING_LEASE = "_compacting.json"
+_FOLDED_MARKER = "_folded_incs.json"
+
+
+def _folded_file_for(lease_file: str) -> str:
+    """The folded-id marker lives NEXT to the lease (same directory for
+    root leases, same sibling prefix for the semantic index's sibling
+    lease) — derived, so every module that picked a lease location gets
+    the marker for free."""
+    assert lease_file.endswith(_COMPACTING_LEASE), lease_file
+    return lease_file[: -len(_COMPACTING_LEASE)] + _FOLDED_MARKER
 
 
 def lease_file_at(path: str) -> str:
@@ -127,11 +151,46 @@ def clear_lease(spark, lease_file: str) -> None:
         fs.delete(p, False)
 
 
-def check_append_allowed(spark, lease_file: str, op: str) -> None:
-    """Pre-write append guard: raise while a compaction lease is held.
-    The compactor's staged write re-reads the WHOLE table and the swap
-    replaces it, so any append overlapping a compaction is unsafe — not
-    just re-appends of folding ids (the release-contract difference)."""
+def read_folded(spark, lease_file: str) -> "set[str]":
+    """Increment ids a past compaction folded into ``base`` — empty for
+    a never-compacted index.  Keyed off the lease location."""
+    fs, p, _ = _fs_path(spark, _folded_file_for(lease_file))
+    if not fs.exists(p):
+        return set()
+    return set(json.loads(_read_small(fs, p)))
+
+
+def _write_folded(spark, lease_file: str, incs) -> None:
+    fs, p, _ = _fs_path(spark, _folded_file_for(lease_file))
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(sorted(incs)).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def reset_lifecycle(spark, lease_file: str) -> None:
+    """Clear the lease AND the folded-id marker — for ``build_*``: a
+    base build is a FRESH index (static overwrite drops every prior
+    ``inc=`` partition), so the previous generation's folded ids must
+    not keep blocking re-use, and a stale lease has nothing left to
+    retry against."""
+    clear_lease(spark, lease_file)
+    fs, p, _ = _fs_path(spark, _folded_file_for(lease_file))
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def check_append_allowed(
+    spark, lease_file: str, op: str, increment_id: "str | None" = None
+) -> None:
+    """Pre-write append guard: raise while a compaction lease is held —
+    the compactor's staged write re-reads the WHOLE table and the swap
+    replaces it, so any append overlapping a compaction is unsafe (not
+    just re-appends of folding ids, the release-contract difference) —
+    and raise on reuse of a FOLDED increment id: its rows live in
+    ``base`` now, so a fresh write under the same id would double-admit
+    (score-corrupting for the bm25 serving index)."""
     if read_lease(spark, lease_file) is not None:
         raise ValueError(
             f"{op}: a compaction lease is held (see "
@@ -139,6 +198,16 @@ def check_append_allowed(spark, lease_file: str, op: str) -> None:
             "compact run); appends would race the whole-table swap.  "
             "Retry after the compaction completes — or, if it crashed, "
             "after a compact retry supersedes the stale lease"
+        )
+    if increment_id is not None and increment_id in read_folded(
+        spark, lease_file
+    ):
+        raise ValueError(
+            f"{op}: increment id {increment_id!r} was already folded "
+            "into the base by a compaction; its rows live in base, so "
+            "re-appending under this id would double-admit them.  "
+            "Increment ids are unique for an index's lifetime — pick a "
+            "fresh id"
         )
 
 
@@ -281,7 +350,15 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
     }
     if not union_nonbase:
         # nothing left to fold; a surviving lease is a crashed run whose
-        # tables all swapped — finish its cleanup
+        # tables all swapped — its snapshot ids ARE folded, so mark them
+        # (a crash between the last swap and the marker write must not
+        # reopen a folded id for re-append) before finishing cleanup
+        stale = read_lease(spark, lease_file)
+        if stale:
+            already = read_folded(spark, lease_file)
+            _write_folded(
+                spark, lease_file, (stale - {"base"}) | already
+            )
         clear_lease(spark, lease_file)
         return 0
     # lease FIRST: from here until the clear, appends fail fast (or
@@ -303,5 +380,11 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
         fs.delete(sp, True)
         fold(spark, table_dir, ids, staged)
         _swap_staged_reconcile(spark, staged, table_dir, set(ids))
+    # marker BEFORE the lease clears (appends stay blocked until both
+    # land); accumulates across generations — id uniqueness is for the
+    # index's lifetime, exactly the corpus_release marker rule
+    _write_folded(
+        spark, lease_file, folded | read_folded(spark, lease_file)
+    )
     clear_lease(spark, lease_file)
     return len(folded)

@@ -127,8 +127,13 @@ def build_minhash_index(
     """One corpus pass → ``path/sigs`` + ``path/banded`` (partitioned by
     band).  The signature kernel runs once; the banded table derives
     from the *written* sigs so the two tables can never drift."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
     if num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    LC.reset_lifecycle(docs.sparkSession, LC.lease_file_at(path))
     sig = _sig_frame(docs, text_col, id_col, num_hashes, shingle_n).withColumn(
         "inc", F.lit("base")
     )
@@ -222,7 +227,9 @@ def append_minhash_index(
         )
     spark = new_docs.sparkSession
     lease = LC.lease_file_at(path)
-    LC.check_append_allowed(spark, lease, "append_minhash_index")
+    LC.check_append_allowed(
+        spark, lease, "append_minhash_index", increment_id=increment_id
+    )
     tables = [os.path.join(path, "sigs"), os.path.join(path, "banded")]
     _clear_inc_partition(spark, tables[0], increment_id)
     _clear_inc_partition(spark, tables[1], increment_id)

@@ -623,7 +623,17 @@ def build_semantic_index(
             f"partition directory), got {increment_id!r}"
         )
     lease = _semantic_lease_file(path)
-    check_append_allowed(corpus.sparkSession, lease, "build_semantic_index")
+    if increment_id == "base":
+        # a base build is a FRESH index generation: clear any prior
+        # lease/folded-id state instead of guarding against it
+        from .index_lifecycle import reset_lifecycle
+
+        reset_lifecycle(corpus.sparkSession, lease)
+    else:
+        check_append_allowed(
+            corpus.sparkSession, lease, "build_semantic_index",
+            increment_id=increment_id,
+        )
     _Cm = np.asarray([list(map(float, c)) for c in centroids], dtype=np.float64)
     if _Cm.size == 0:
         raise ValueError("centroids must be non-empty")

@@ -395,6 +395,96 @@ def test_exact_index_lifecycle_guards(spark, frames, tmp_path, monkeypatch):
     assert EI.dedup_exact_against_index(spark, docs, path).count() == 0
 
 
+def test_folded_id_reuse_is_refused_until_rebuild(spark, frames, tmp_path):
+    """The folded-id marker (the corpus_release rule, r12): re-appending
+    an id a compaction folded into base would write fresh rows NEXT to
+    the already-folded ones — double-counted tf/df/stats for the bm25
+    serving index.  The append must refuse; a fresh id works; a base
+    REBUILD starts a new generation and clears the marker."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(late, path, increment_id="inc0")
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == {"inc0"}
+    with pytest.raises(ValueError, match="already folded"):
+        BI.append_bm25_index(late, path, increment_id="inc0")
+    # a fresh id admits cleanly, and stats count every doc exactly once
+    BI.append_bm25_index(
+        spark.createDataFrame(
+            [(30, "yet another fresh spark document")],
+            "doc_id long, text string",
+        ),
+        path,
+        increment_id="inc1",
+    )
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_docs == len(DOCS) + len(LATE) + 1
+    # marker accumulates across generations
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == {"inc0", "inc1"}
+    # a base rebuild is a FRESH generation: marker cleared, ids reusable
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == set()
+    BI.append_bm25_index(late, path, increment_id="inc0")
+    want = _ranked(RT.bm25_topk(docs.unionByName(late), qs, k=5).collect())
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    assert got == want
+
+
+def test_crash_before_marker_write_still_blocks_folded_id(
+    spark, frames, tmp_path, monkeypatch
+):
+    """A crash AFTER the last table's swap but BEFORE the marker write
+    leaves the folded ids unmarked — but the lease still names them, so
+    appends stay blocked, and the compact retry's no-op path marks the
+    lease's snapshot before clearing (no window where a folded id can
+    silently double-admit)."""
+    docs, late, _ = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(late, path, increment_id="inc0")
+
+    real_write_folded = LC._write_folded
+    calls = {"n": 0}
+
+    def crash_on_marker(spark_, lease_file, incs):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(LC, "_write_folded", crash_on_marker)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        BI.compact_bm25_index(spark, path)
+    monkeypatch.setattr(LC, "_write_folded", real_write_folded)
+
+    # tables folded, marker missing, lease held: appends blocked
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == set()
+    with pytest.raises(ValueError, match="compaction lease is held"):
+        BI.append_bm25_index(late, path, increment_id="inc0")
+    # the retry's no-op path marks the lease snapshot and clears
+    assert BI.compact_bm25_index(spark, path) == 0
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == {"inc0"}
+    assert LC.read_lease(spark, LC.lease_file_at(path)) is None
+    with pytest.raises(ValueError, match="already folded"):
+        BI.append_bm25_index(late, path, increment_id="inc0")
+
+
+def test_minhash_folded_id_refused(spark, frames, tmp_path):
+    docs, late, _ = frames
+    path = str(tmp_path / "midx")
+    MI.build_minhash_index(docs, path)
+    MI.append_minhash_index(late, path, increment_id="inc0")
+    assert MI.compact_index(spark, path) == 1
+    with pytest.raises(ValueError, match="already folded"):
+        MI.append_minhash_index(late, path, increment_id="inc0")
+    MI.append_minhash_index(late, path, increment_id="inc1")  # fresh ok
+
+
 def test_semantic_index_sibling_lease_guards(spark, tmp_path):
     """The semantic index's table IS the root: its lease is the sibling
     file `<root>._compacting.json`, which survives the compaction swap
@@ -430,3 +520,12 @@ def test_semantic_index_sibling_lease_guards(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_before
     assert LC.read_lease(spark, lease) is None
     assert not os.path.exists(path + ".old")
+    # folded-id reuse refused; the sibling marker file carries it
+    assert LC.read_folded(spark, lease) == {"inc0"}
+    with pytest.raises(ValueError, match="already folded"):
+        SD.build_semantic_index(
+            corpus.where("vec_id < 2"), cents, path, increment_id="inc0"
+        )
+    # a base rebuild resets the generation (marker + lease cleared)
+    SD.build_semantic_index(corpus, cents, path)
+    assert LC.read_folded(spark, lease) == set()
