@@ -403,7 +403,12 @@ def admit_stream_against_index(
     (a half-admitted prior attempt can't match the batch against
     itself), and both writes clear-then-replace their partition — so
     replays converge to the same index and output, byte-for-byte
-    (pinned in tests, including a full from-scratch replay).
+    (pinned in tests, including a full from-scratch replay).  r12
+    caveat (the ``bm25_index.index_stream`` rule): run the index
+    compactors only while the stream is STOPPED with its last batch
+    committed — a compaction folding a batch's ``inc=`` between a crash
+    and its replay makes the replay fail loudly on the folded-id marker
+    instead of silently re-admitting next to the folded rows.
 
     Returns the configured ``DataStreamWriter`` — caller picks the
     trigger and calls ``.start()``.  Survivor rows in ``out_path`` carry
