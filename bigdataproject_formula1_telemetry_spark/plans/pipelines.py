@@ -1159,12 +1159,28 @@ def write_training_shards(
     return spark.read.parquet(_os.path.join(path, "manifest"))
 
 
+def _bm25_chunk_rows(packed: DataFrame, id_col: str) -> DataFrame:
+    """Released chunk rows in the shape the lexical serving index wants:
+    the chunk identity ``(id_col, chunk_idx)`` flattened to one string id
+    (``<doc>#<idx>`` — unique per release lifetime because doc ids are)
+    and ``chunk_text`` as the text column."""
+    return packed.select(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("#"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+
+
 def corpus_release(
     docs: DataFrame,
     path: str,
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bm25_index_path: str | None = None,
     **curate_kwargs,
 ) -> dict[str, DataFrame]:
     """The end-to-end "corpus release" artifact a training run consumes:
@@ -1184,6 +1200,14 @@ def corpus_release(
     card's ``docs`` row equals the manifest's Σ n_chunks equals the
     packed row count, and — when token budgeting used whitespace counts
     — the card's ``tokens`` row equals the manifest's Σ n_tokens.
+
+    ``bm25_index_path`` (r12) additionally builds the materialized
+    LEXICAL SERVING index (``operators/bm25_index.py``) over the
+    released chunk rows — ids ``<doc>#<chunk_idx>`` — so the
+    steady-state audit (``bm25_topk_indexed`` /
+    ``contamination_report``'s retrieval leg) never rescans the
+    release; ``corpus_release_append`` keeps it fresh per increment
+    under the same increment id.
 
     Scale shape: curation is the measured ``curate_documents`` plan; the
     shard write is one partitioned write; the manifest and card are
@@ -1232,6 +1256,19 @@ def corpus_release(
     for stale in ("increments", "manifest_full"):
         fs.delete(jvm.org.apache.hadoop.fs.Path(_os.path.join(path, stale)), True)
     released = spark.read.parquet(_os.path.join(path, "data"))
+    if bm25_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.bm25_index import (
+            build_bm25_index,
+        )
+
+        # a release is a FRESH artifact, and build_bm25_index is a fresh
+        # generation (it resets the index's lease/folded-id state), so
+        # the serving index always mirrors exactly this base
+        build_bm25_index(
+            _bm25_chunk_rows(released, id_col),
+            bm25_index_path,
+            id_col="chunk_id",
+        )
     card = corpus_card(
         released,
         text_col="chunk_text",
@@ -1365,6 +1402,7 @@ def corpus_release_append(
     id_col: str = "doc_id",
     refresh_card: bool = True,
     auto_compact_at: int | None = 32,
+    bm25_index_path: str | None = None,
     **curate_kwargs,
 ) -> dict:
     """The release TRAIN: extend an existing ``corpus_release`` with an
@@ -1380,8 +1418,16 @@ def corpus_release_append(
     3. write their shards under ``path/increments/<id>/`` (a
        self-contained mini-release: data + manifest), cleared first so
        a retry replaces rather than duplicates,
-    4. admit the surviving DOCS to the indexes (clear-then-write
-       ``inc=`` discipline — an empty retry rolls back),
+    4. admit the surviving DOCS to the admission indexes and — when
+       ``bm25_index_path`` is set — the increment's released CHUNK rows
+       to the lexical SERVING index (clear-then-write ``inc=``
+       discipline — an empty retry rolls back).  Caveat: a
+       ``compact_bm25_index`` run between a failed append and its retry
+       folds this increment id, and the retry then fails LOUDLY on the
+       index's folded-id marker (pick a fresh release increment id, or
+       rebuild the serving index from ``read_release``) — the
+       alternative was a silent double-admit that corrupts served
+       scores,
     5. refresh ``path/manifest_full`` (base + every increment, with an
        ``inc`` column) and ``path/card`` over ALL released rows — the
        datasheet always describes what a consumer will actually read
@@ -1494,6 +1540,15 @@ def corpus_release_append(
             survivors, minhash_index_path, text_col, id_col,
             increment_id=increment_id, **(minhash_kwargs or {}),
         )
+    if bm25_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.bm25_index import (
+            append_bm25_index,
+        )
+
+        append_bm25_index(
+            _bm25_chunk_rows(packed, id_col), bm25_index_path,
+            increment_id=increment_id, id_col="chunk_id",
+        )
 
     # post-write double-check (shrinks the lease's residual race window,
     # VERDICT r10): the pre-write lease check can pass an instant before
@@ -1525,6 +1580,11 @@ def corpus_release_append(
             append_minhash_index(
                 none, minhash_index_path, text_col, id_col,
                 increment_id=increment_id, **(minhash_kwargs or {}),
+            )
+        if bm25_index_path is not None:
+            append_bm25_index(
+                _bm25_chunk_rows(packed.limit(0), id_col), bm25_index_path,
+                increment_id=increment_id, id_col="chunk_id",
             )
         raise RuntimeError(
             f"corpus_release_append({increment_id!r}): a compact_release "

@@ -772,6 +772,101 @@ def test_lease_landing_mid_append_aborts_and_rolls_back(
     assert "overtaken append article" in texts
 
 
+def test_release_maintains_bm25_serving_index(spark, tmp_path, monkeypatch):
+    """r12 (residual item 1): corpus_release(bm25_index_path=) builds the
+    lexical SERVING index over the released chunk rows, and
+    corpus_release_append keeps it fresh per increment — index-served
+    retrieval equals a corpus scan over read_release at every step, and
+    a release-append abort rolls the bm25 admission back too."""
+    import os
+
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as BI,
+        retrieval as RT,
+    )
+
+    base_docs = spark.createDataFrame(
+        [
+            _doc(1, "alpha retrieval article words"),
+            _doc(2, "beta retrieval article words"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "rel")
+    bidx = str(tmp_path / "bm25idx")
+    P.corpus_release(
+        base_docs, root, bm25_index_path=bidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+    )
+    qs = spark.createDataFrame(
+        [("qa", "alpha retrieval"), ("qb", "beta words")],
+        "query_id string, text string",
+    )
+
+    def scan_form():
+        chunks = P._bm25_chunk_rows(P.read_release(spark, root), "doc_id")
+        return sorted(
+            map(
+                tuple,
+                RT.bm25_topk(
+                    chunks, qs, k=3, id_col="chunk_id", score_round=6
+                ).collect(),
+            )
+        )
+
+    def served_form():
+        return sorted(
+            map(
+                tuple,
+                BI.bm25_topk_indexed(
+                    spark, bidx, qs, k=3, score_round=6
+                ).collect(),
+            )
+        )
+
+    assert served_form() == scan_form() and served_form()
+
+    # an increment extends the index under the SAME increment id
+    out = P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(10, "delta increment retrieval words")],
+            "doc_id long, text string",
+        ),
+        root, "inc0", bm25_index_path=bidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+        refresh_card=False,
+    )
+    assert out["admitted_docs"] == 1
+    assert "inc0" in BI.list_bm25_increments(spark, bidx)
+    assert served_form() == scan_form()
+
+    # a mid-append release-lease abort rolls the bm25 admission back
+    before = served_form()
+    real_shards = P.write_training_shards
+
+    def lease_lands_mid_write(packed, inc_dir):
+        P._write_compaction_lease(spark, root, ["incRACE"])
+        return real_shards(packed, inc_dir)
+
+    monkeypatch.setattr(P, "write_training_shards", lease_lands_mid_write)
+    with pytest.raises(RuntimeError, match="leased this id mid-append"):
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(11, "epsilon overtaken increment words")],
+                "doc_id long, text string",
+            ),
+            root, "incRACE", bm25_index_path=bidx,
+            chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+            refresh_card=False,
+        )
+    monkeypatch.undo()
+    assert not os.path.exists(
+        os.path.join(bidx, "postings", "inc=incRACE")
+    ) or not os.listdir(os.path.join(bidx, "postings", "inc=incRACE"))
+    assert served_form() == before == scan_form()
+    P._clear_compaction_lease(spark, root)
+
+
 def test_bench_shape_appends_never_auto_compact(spark, tmp_path):
     """VERDICT r10 item 2 companion: bench.py's corpus_release_append
     entry appends exactly N_RUNS=3 increments per session with default
