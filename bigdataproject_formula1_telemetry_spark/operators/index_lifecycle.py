@@ -47,9 +47,13 @@ close it:
 
 Crash recovery: the lease survives a crashed compaction and keeps every
 append fail-fast-blocked until a ``compact_*`` retry finishes the job —
-including marking the leased ids folded on the retry's no-op path, so
-a crash between the last swap and the marker write cannot reopen a
-folded id (the lease names exactly the snapshot being folded).
+including marking the leased ids folded, so a crash between the last
+swap and the marker write cannot reopen a folded id (the lease names
+exactly the snapshot being folded).  BOTH retry paths honor this: the
+no-op path marks the whole stale snapshot, and the non-no-op path
+(reached when a reconciled late increment keeps work pending) marks the
+stale ids no longer live in any table BEFORE superseding the lease
+(ADVICE r12 — the overwrite used to destroy the only record of them).
 The retry's no-op decision consults EVERY table (a crash between two
 tables' swaps leaves the later ones unfolded — ``compact_bm25_index``'s
 postings-only check could never retry the stats fold, ADVICE r11), and
@@ -219,13 +223,44 @@ def abort_append_if_leased(
     this append's own ``inc=`` partitions and raise — nothing published.
     The rollback's deletes can tear the racing compactor's scan, which
     fails THAT job loudly with the lease still held (retryable) — the
-    acceptable loud outcome, never a silent loss."""
+    acceptable loud outcome, never a silent loss.
+
+    A MISSING expected ``inc=`` partition during the rollback is
+    evidence the racing compactor already FOLDED it into ``base``
+    (ADVICE r12: an append straddling the lease — table 1 written
+    pre-lease and snapshotted, table 2 written post-lease — used to
+    have table 1 silently folded while the rollback deleted table 2,
+    corrupting e.g. bm25 scores with postings that have no stats row
+    while reporting a clean abort).  In that case the rollback deletes
+    NOTHING: the surviving partitions stay live so the index CONVERGES
+    to the fully-admitted state (a folded table's rows are in ``base``;
+    the survivors fold on the next compaction — at every instant each
+    row of the increment is served exactly once), and the raise says
+    the increment must be treated as PUBLISHED, not re-sent.  The only
+    other way a partition can be absent is a table the append wrote
+    zero rows for (a partitioned write of an empty frame creates no
+    directory) — keeping the survivors is identical to the full write
+    in that case too, so the conservative path is correct for both."""
     if read_lease(spark, lease_file) is None:
         return
-    for t in table_dirs:
-        fs, p, _ = _fs_path(spark, os.path.join(t, f"inc={increment_id}"))
-        if fs.exists(p):
-            fs.delete(p, True)
+    parts = [
+        (t, _fs_path(spark, os.path.join(t, f"inc={increment_id}")))
+        for t in table_dirs
+    ]
+    missing = [t for t, (fs, p, _) in parts if not fs.exists(p)]
+    if missing:
+        raise RuntimeError(
+            f"{op}({increment_id!r}): a compaction leased this index "
+            "mid-append AND the increment's partition is already absent "
+            f"from {[os.path.basename(t.rstrip('/')) for t in missing]} — "
+            "the compaction folded it into base (or the append wrote "
+            "zero rows there).  Rolled back NOTHING: the surviving "
+            "partitions stay live and fold on the next compaction, so "
+            "the index converges to the fully-admitted state.  Treat "
+            "this increment as PUBLISHED — do not re-send its rows"
+        )
+    for t, (fs, p, _) in parts:
+        fs.delete(p, True)
         # the append's own write re-cached this table's file listing;
         # the rollback deletes OUTSIDE Spark, so drop the stale entries
         # or a same-session read would chase the deleted files
@@ -361,6 +396,24 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
             )
         clear_lease(spark, lease_file)
         return 0
+    # a stale lease being SUPERSEDED here names a crashed run's snapshot;
+    # any of its ids no longer live in ANY table were fully folded by
+    # that run (it crashed after their swaps, before its marker write) —
+    # mark them NOW, before write_lease overwrites the only record of
+    # them, or a later append could reuse a folded id and double-admit
+    # (ADVICE r12; the no-op path above already honored this — this is
+    # the non-no-op twin, reached when e.g. a reconciled late increment
+    # keeps union_nonbase non-empty).  An id the crashed run's abort
+    # rollback deleted instead of folding gets marked too — a false
+    # "already folded" refusal is loud and the retry-under-a-fresh-id
+    # remedy is identical, never a silent loss.
+    stale = read_lease(spark, lease_file)
+    if stale:
+        ghosts = stale - union_nonbase - {"base"}
+        if ghosts:
+            _write_folded(
+                spark, lease_file, ghosts | read_folded(spark, lease_file)
+            )
     # lease FIRST: from here until the clear, appends fail fast (or
     # abort on their post-write re-check) instead of racing the swaps
     write_lease(spark, lease_file, sorted(union_nonbase))

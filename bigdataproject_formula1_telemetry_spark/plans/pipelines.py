@@ -1571,26 +1571,61 @@ def corpus_release_append(
         # twice and the next dedup pass removes them — benign, loud.
         fs.delete(jvm.org.apache.hadoop.fs.Path(inc_dir), True)
         none = survivors.limit(0)
+        # every rollback leg runs under try/except: a leg CAN itself
+        # raise (that index's OWN compaction lease held, or its folded
+        # marker naming this id — guards on a different lease than the
+        # release's), and an exception there must not MASK the abort
+        # RuntimeError below (ADVICE r12) — the caller must always learn
+        # the release append aborted, with the leg failures chained.
+        rollback_errors = []
         if exact_index_path is not None:
-            append_exact_index(
-                none, exact_index_path, increment_id=increment_id,
-                text_col=text_col, id_col=id_col,
-            )
+            try:
+                append_exact_index(
+                    none, exact_index_path, increment_id=increment_id,
+                    text_col=text_col, id_col=id_col,
+                )
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                rollback_errors.append(f"exact: {e}")
         if minhash_index_path is not None:
-            append_minhash_index(
-                none, minhash_index_path, text_col, id_col,
-                increment_id=increment_id, **(minhash_kwargs or {}),
-            )
+            try:
+                append_minhash_index(
+                    none, minhash_index_path, text_col, id_col,
+                    increment_id=increment_id, **(minhash_kwargs or {}),
+                )
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                rollback_errors.append(f"minhash: {e}")
         if bm25_index_path is not None:
-            append_bm25_index(
-                _bm25_chunk_rows(packed.limit(0), id_col), bm25_index_path,
-                increment_id=increment_id, id_col="chunk_id",
+            # NOT an empty append (ADVICE r12): append_bm25_index's own
+            # lifecycle guards can raise here, and even a clean empty
+            # append leaves an inc= partition with a (0,0) stats row, so
+            # the aborted id would show in list_bm25_increments and get
+            # folded/blocked by a later bm25 compaction.  Clear the
+            # serving index's inc= partitions DIRECTLY — the same
+            # clear-the-write rollback the lifecycle abort itself uses.
+            from bigdataproject_formula1_telemetry_spark.operators.bm25_index import (
+                _clear_inc_partition,
             )
+
+            try:
+                for t in ("postings", "stats"):
+                    td = _os.path.join(bm25_index_path, t)
+                    _clear_inc_partition(spark, td, increment_id)
+                    # deletes happen outside Spark: drop the cached file
+                    # listing the append's own write left behind
+                    spark.catalog.refreshByPath(td)
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                rollback_errors.append(f"bm25: {e}")
         raise RuntimeError(
             f"corpus_release_append({increment_id!r}): a compact_release "
             "leased this id mid-append; the append rolled itself back "
             "(increment dir + index admission) and published nothing — "
             "retry with a FRESH id after the compaction completes"
+            + (
+                "  [rollback legs that themselves failed and may need "
+                f"manual verification: {'; '.join(rollback_errors)}]"
+                if rollback_errors
+                else ""
+            )
         )
 
     # self-driving maintenance: once the live (unfolded) increment count

@@ -474,6 +474,119 @@ def test_crash_before_marker_write_still_blocks_folded_id(
         BI.append_bm25_index(late, path, increment_id="inc0")
 
 
+def test_superseded_stale_lease_marks_folded_ids_before_overwrite(
+    spark, frames, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium, non-no-op retry path): a compaction that
+    crashed AFTER its last swap but BEFORE the marker write, with a
+    reconciled late increment live, used to have the retry take the
+    NON-no-op path and overwrite the stale lease — the crashed run's
+    folded ids never reached ``_folded_incs.json``, so a later re-append
+    under one would pass ``check_append_allowed`` and double-admit next
+    to the already-folded rows.  The retry must mark the stale ids no
+    longer live in any table BEFORE superseding the lease."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+    BI.append_bm25_index(late, path, increment_id="inc0")
+
+    # crash after both swaps, before the marker write: tables folded,
+    # lease still naming inc0, marker empty
+    real_write_folded = LC._write_folded
+
+    def crash_on_marker(spark_, lease_file, incs):
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(LC, "_write_folded", crash_on_marker)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        BI.compact_bm25_index(spark, path)
+    monkeypatch.setattr(LC, "_write_folded", real_write_folded)
+    assert LC.read_lease(spark, LC.lease_file_at(path)) == {"inc0"}
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == set()
+
+    # a late increment lands while the stale lease is held (the
+    # reconcile window: its pre-check ran before the lease was visible)
+    late2 = spark.createDataFrame(
+        [(21, "reconciled late increment about spark broadcast")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(LC, "check_append_allowed", lambda *a, **k: None)
+    monkeypatch.setattr(LC, "abort_append_if_leased", lambda *a, **k: None)
+    BI.append_bm25_index(late2, path, increment_id="incLATE")
+    monkeypatch.undo()
+
+    # the retry takes the non-no-op path (incLATE is live) — it must
+    # mark inc0 folded BEFORE write_lease destroys the stale record
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.read_folded(spark, LC.lease_file_at(path)) == {
+        "inc0",
+        "incLATE",
+    }
+    assert LC.read_lease(spark, LC.lease_file_at(path)) is None
+    with pytest.raises(ValueError, match="already folded"):
+        BI.append_bm25_index(late, path, increment_id="inc0")
+    # serving equals the corpus scan over everything, rows once each
+    all_docs = docs.unionByName(late).unionByName(late2)
+    want = _ranked(RT.bm25_topk(all_docs, qs, k=7).collect())
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=7).collect())
+    assert got == want
+
+
+def test_straddled_append_partial_fold_detected_and_converges(
+    spark, frames, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium, abort rollback): an append straddling a
+    compaction — postings written pre-snapshot and FOLDED into base,
+    stats written post-lease — used to have its rollback silently no-op
+    on the vanished postings partition while deleting the stats one:
+    base postings with no matching stats row (silently corrupted
+    scores), reported as a clean 'published nothing'.  Now the rollback
+    deletes NOTHING when an expected partition is absent, raises a
+    distinct treat-as-PUBLISHED error, and the index CONVERGES: serving
+    is exact immediately and after the next compaction."""
+    docs, late, qs = frames
+    path = str(tmp_path / "idx")
+    BI.build_bm25_index(docs, path, n_buckets=8)
+
+    real_stats = BI._stats_frame
+
+    def compactor_folds_mid_append(new_docs, text_col):
+        # postings inc=incRACE is on disk; a concurrent compactor folds
+        # it into base and is STILL RUNNING (lease re-held) when the
+        # append's stats write and post-write re-check execute
+        assert BI.compact_bm25_index(spark, path) == 1
+        LC.write_lease(spark, LC.lease_file_at(path), ["incRACE"])
+        return real_stats(new_docs, text_col)
+
+    monkeypatch.setattr(BI, "_stats_frame", compactor_folds_mid_append)
+    with pytest.raises(
+        RuntimeError, match="Treat this increment as PUBLISHED"
+    ):
+        BI.append_bm25_index(late, path, increment_id="incRACE")
+    monkeypatch.undo()
+
+    # nothing deleted: the stats survivor stays live, postings in base
+    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == [
+        "base",
+        "incRACE",
+    ]
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    LC.clear_lease(spark, LC.lease_file_at(path))
+
+    # served exactly right ALREADY (asymmetric layout, every row once)
+    want = _ranked(RT.bm25_topk(docs.unionByName(late), qs, k=6).collect())
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    assert got == want
+    # the next compaction converges the layout without changing results
+    assert BI.compact_bm25_index(spark, path) == 1
+    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == ["base"]
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    assert got == want
+    # and the folded marker refuses a re-send under the same id
+    with pytest.raises(ValueError, match="already folded"):
+        BI.append_bm25_index(late, path, increment_id="incRACE")
+
+
 def test_minhash_folded_id_refused(spark, frames, tmp_path):
     docs, late, _ = frames
     path = str(tmp_path / "midx")

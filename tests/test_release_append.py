@@ -863,7 +863,86 @@ def test_release_maintains_bm25_serving_index(spark, tmp_path, monkeypatch):
     assert not os.path.exists(
         os.path.join(bidx, "postings", "inc=incRACE")
     ) or not os.listdir(os.path.join(bidx, "postings", "inc=incRACE"))
+    # ADVICE r12: the rollback clears the partitions DIRECTLY — no empty
+    # inc= partition with a (0,0) stats row left to show up in listings
+    # and get folded/blocked by a later bm25 compaction
+    assert "incRACE" not in BI.list_bm25_increments(spark, bidx)
+    assert not os.path.exists(os.path.join(bidx, "stats", "inc=incRACE"))
     assert served_form() == before == scan_form()
+    P._clear_compaction_lease(spark, root)
+    # a later bm25 compaction is untouched by the aborted id
+    assert BI.compact_bm25_index(spark, bidx) == 1  # folds inc0 only
+    assert served_form() == before
+
+
+def test_release_abort_rollback_leg_failure_never_masks_abort(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: a rollback leg can itself raise — the empty
+    index-append guards on that index's OWN compaction lease, a
+    different lease than the release's — and that used to MASK the
+    abort RuntimeError (the caller would see a confusing ValueError and
+    never learn the release append aborted).  The abort error must
+    always propagate, with the failed leg chained into the message, and
+    the OTHER legs (here the direct bm25 partition clear) must still
+    run."""
+    import os
+
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as BI,
+        index_lifecycle as LC,
+    )
+
+    base_docs = spark.createDataFrame(
+        [_doc(1, "mask base article words")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "rel")
+    eidx = str(tmp_path / "eidx")
+    bidx = str(tmp_path / "bm25idx")
+    P.corpus_release(
+        base_docs, root, bm25_index_path=bidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+    )
+    EI.build_exact_index(base_docs, eidx, expected_items=10_000)
+
+    # both leases land mid-append, AFTER the exact-index admission (so
+    # the main append path is clean) and before the post-write re-check:
+    # the release lease triggers the abort; the exact index's own lease
+    # makes the rollback's empty exact append raise
+    real_chunks = P._bm25_chunk_rows
+
+    def leases_land(packed, id_col):
+        P._write_compaction_lease(spark, root, ["incRACE"])
+        LC.write_lease(spark, LC.lease_file_at(eidx), ["base"])
+        return real_chunks(packed, id_col)
+
+    monkeypatch.setattr(P, "_bm25_chunk_rows", leases_land)
+    with pytest.raises(
+        RuntimeError, match="leased this id mid-append"
+    ) as excinfo:
+        P.corpus_release_append(
+            spark.createDataFrame(
+                [_doc(11, "masked overtaken increment words")],
+                "doc_id long, text string",
+            ),
+            root, "incRACE",
+            exact_index_path=eidx, bm25_index_path=bidx,
+            chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+            refresh_card=False,
+        )
+    monkeypatch.undo()
+    msg = str(excinfo.value)
+    assert "rollback legs that themselves failed" in msg
+    assert "exact:" in msg and "compaction lease is held" in msg
+    # the bm25 leg still ran (direct clear, no lifecycle guard to trip)
+    assert "incRACE" not in BI.list_bm25_increments(spark, bidx)
+    assert not os.path.exists(os.path.join(bidx, "stats", "inc=incRACE"))
+    # the exact leg's admission is the flagged leftover needing manual
+    # verification — present, exactly as the chained message says
+    assert "incRACE" in EI.list_increments(spark, eidx)
+    # the release itself published nothing
+    assert not os.path.exists(os.path.join(root, "increments", "incRACE"))
+    LC.clear_lease(spark, LC.lease_file_at(eidx))
     P._clear_compaction_lease(spark, root)
 
 
