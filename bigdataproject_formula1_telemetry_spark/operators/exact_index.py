@@ -544,4 +544,9 @@ def compact_exact_index(spark: SparkSession, path: str) -> int:
             (os.path.join(path, "hashes"), fold_hashes),
             (os.path.join(path, "bloom"), fold_bloom),
         ],
+        # bloom is the append's commit marker (written last; an empty
+        # increment writes neither table, so bloom-present <=> the
+        # append's hashes are on disk): a mid-append straddler is
+        # reconciled whole, never half-folded — ADVICE r12
+        commit_table=os.path.join(path, "bloom"),
     )

@@ -366,7 +366,9 @@ def _swap_staged_reconcile(
     spark.catalog.refreshByPath(table)
 
 
-def compact_index_tables(spark, lease_file: str, specs) -> int:
+def compact_index_tables(
+    spark, lease_file: str, specs, commit_table: "str | None" = None
+) -> int:
     """Drive one leased, crash-retryable, reconcile-swapped compaction
     over an index's tables.  ``specs`` is a sequence of ``(table_dir,
     fold)`` where ``fold(spark, table_dir, inc_ids, staged_dir)`` writes
@@ -374,7 +376,22 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
     under ``inc=base``) to ``staged_dir``.  Returns the number of
     distinct non-base increment ids folded across all tables (0 =
     no-op; the decision consults EVERY table, so a crash between two
-    tables' swaps is retryable — ADVICE r11)."""
+    tables' swaps is retryable — ADVICE r11).
+
+    ``commit_table`` (r13, the root-cause fix for ADVICE r12's
+    partial-fold straddle): the table an append writes LAST — its
+    ``inc=`` partition is the append's commit marker, so an id present
+    there has every earlier table's partition on disk.  When given,
+    only commit-complete ids fold; an append STRADDLING the lease
+    (early tables written, commit not yet) is excluded from every
+    table's fold and its partitions ride the swap's reconciliation
+    instead — so the append either completes and rolls back cleanly
+    (all partitions present) or was fully folded (all absent), never
+    half-folded.  Ids named by a stale (crashed-run) lease stay
+    eligible even if the crashed run already folded the commit table
+    (they were commit-complete when leased — without this a crash
+    between the commit table's swap and a later table's would strand
+    the later table's partition forever)."""
     for table_dir, _ in specs:
         _recover_table(spark, lease_file, table_dir)
     union_nonbase = {
@@ -414,9 +431,31 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
             _write_folded(
                 spark, lease_file, ghosts | read_folded(spark, lease_file)
             )
+    # the fold set: commit-complete ids only (plus a stale lease's still-
+    # live ids — commit-complete when the crashed run leased them).  Ids
+    # live somewhere but NOT in the fold set are in-flight straddlers:
+    # every table leaves them out of its fold, so the swap reconciles
+    # them — never half-folded
+    if commit_table is not None:
+        intended = {
+            i for i in list_inc_ids(spark, commit_table) if i != "base"
+        }
+        if stale:
+            intended |= stale & union_nonbase
+    else:
+        intended = set(union_nonbase)
+    if not intended:
+        # only incomplete (commit-less) increments live: nothing is safe
+        # to fold yet — their appends will finish (or be retried under
+        # the same id) and a later compaction takes them
+        clear_lease(spark, lease_file)
+        return 0
     # lease FIRST: from here until the clear, appends fail fast (or
-    # abort on their post-write re-check) instead of racing the swaps
-    write_lease(spark, lease_file, sorted(union_nonbase))
+    # abort on their post-write re-check) instead of racing the swaps.
+    # The lease names exactly the fold set — crash recovery reconciles
+    # every NON-leased ``inc=`` out of a stale ``.old``, so leasing an
+    # id we might not fold would let recovery drop its only copy
+    write_lease(spark, lease_file, sorted(intended))
     folded: set = set()
     for table_dir, fold in specs:
         # per-table snapshot listed AFTER the lease: an append completing
@@ -424,15 +463,16 @@ def compact_index_tables(spark, lease_file: str, specs) -> int:
         # rolls itself back (its dirs vanish before the fold reads them —
         # a torn read fails THIS job loudly, lease held, retry clean)
         ids = list_inc_ids(spark, table_dir)
-        nonbase = [i for i in ids if i != "base"]
-        if not nonbase:
-            continue  # this table already folded (crashed-run retry)
-        folded.update(nonbase)
+        fold_ids = [i for i in ids if i == "base" or i in intended]
+        if not [i for i in fold_ids if i != "base"]:
+            continue  # nothing foldable here (already folded, or only
+            # in-flight straddlers — reconciliation is not a fold)
+        folded.update(i for i in fold_ids if i != "base")
         staged = table_dir.rstrip("/") + ".compact"
         fs, sp, _ = _fs_path(spark, staged)
         fs.delete(sp, True)
-        fold(spark, table_dir, ids, staged)
-        _swap_staged_reconcile(spark, staged, table_dir, set(ids))
+        fold(spark, table_dir, fold_ids, staged)
+        _swap_staged_reconcile(spark, staged, table_dir, set(fold_ids))
     # marker BEFORE the lease clears (appends stay blocked until both
     # land); accumulates across generations — id uniqueness is for the
     # index's lifetime, exactly the corpus_release marker rule

@@ -459,4 +459,9 @@ def compact_index(spark: SparkSession, path: str) -> int:
             (os.path.join(path, "sigs"), make_fold(["inc"])),
             (os.path.join(path, "banded"), make_fold(["inc", "band"])),
         ],
+        # banded is the append's commit marker (written last): a
+        # mid-append straddler is reconciled whole, never half-folded
+        # (sigs-in-base without banded rows would be undiscoverable
+        # admission state) — ADVICE r12 root-cause fix
+        commit_table=os.path.join(path, "banded"),
     )

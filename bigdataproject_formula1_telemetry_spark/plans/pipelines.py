@@ -845,6 +845,7 @@ def contamination_report(
     mmr_lambda: float | None = None,
     fetch_k: int | None = None,
     score_round: int | None = None,
+    bm25_index_path: str | None = None,
 ) -> DataFrame:
     """The RETRIEVAL face of contamination auditing: for every benchmark
     item, the top-``k`` corpus docs by BM25 (``retrieval.bm25_topk``),
@@ -881,7 +882,25 @@ def contamination_report(
     AFTER reduction, on frames bounded by |benchmark|·k, the flagged
     docs, and the ≥threshold pairs.  No pass shuffles the corpus text;
     the MMR leg embeds ONLY the broadcast-semi-narrowed candidate pool
-    (|benchmark|·fetch_k docs), never the corpus."""
+    (|benchmark|·fetch_k docs), never the corpus.
+
+    ``bm25_index_path`` (r13, SCALING r12 residual 1) serves the
+    retrieval leg from a MATERIALIZED serving index
+    (``bm25_index.bm25_topk_indexed`` — bucket partition filter + term
+    pushdown, no corpus scan) instead of scan-form ``bm25_topk``; the
+    release train maintains exactly this index
+    (``corpus_release(bm25_index_path=)``), so the steady-state audit
+    of a release touches the corpus text ONLY for the report's own
+    rows: the retrieved id cut (bounded by |benchmark|·fetch_k, the
+    broadcast-small query contract) becomes a pushed ``isin`` literal
+    filter on the docs scan and every remaining pass — gram overlap,
+    semantic cosine, MMR embedding — runs over that sub-corpus slice.
+    The ranked cut is COLLECTED once at call time (the only eager step;
+    same boundedness), so the index is served exactly once however many
+    legs reuse it.  Results are identical to the scan form by the
+    index-over-the-same-docs contract, pinned end-to-end in tests —
+    pass ``score_round`` whenever cross-form (or cross-engine)
+    reproducibility matters, exactly as for ``bm25_topk``."""
     from bigdataproject_formula1_telemetry_spark.operators import (
         dedup as DD,
         embed as EM,
@@ -902,16 +921,45 @@ def contamination_report(
         F.col(bench_id_col).cast("string").alias("query_id"),
         F.col(btc).alias("text"),
     )
-    top = RT.bm25_topk(
-        docs.select(id_col, text_col), queries,
-        k=k if mmr_lambda is None else (fetch_k or max(2 * k, 20)),
-        text_col=text_col, id_col=id_col, score_round=score_round,
-    )
+    deep_k = k if mmr_lambda is None else (fetch_k or max(2 * k, 20))
+    ann_docs = docs  # the annotation/MMR legs' doc source
+    if bm25_index_path is None:
+        top = RT.bm25_topk(
+            docs.select(id_col, text_col), queries, k=deep_k,
+            text_col=text_col, id_col=id_col, score_round=score_round,
+        )
+    else:
+        from bigdataproject_formula1_telemetry_spark.operators.bm25_index import (
+            bm25_topk_indexed,
+        )
+
+        spark = docs.sparkSession
+        top = bm25_topk_indexed(
+            spark, bm25_index_path, queries, k=deep_k,
+            score_round=score_round,
+        )
+        if id_col != "doc_id":
+            top = top.withColumnRenamed("doc_id", id_col)
+        # serve the index exactly ONCE: localize the ranked cut (bounded
+        # by |benchmark|·deep_k rows — the broadcast-small contract) so
+        # the MMR and final-join consumers reuse local rows instead of
+        # re-running the pruned scan
+        cut = top.collect()
+        top = spark.createDataFrame(cut, top.schema)
+        # the annotation (and MMR-embedding) values are per-doc pure
+        # (broadcast benchmark gram set / embedding matrix — nothing
+        # corpus-global), so those legs only need the report's own rows:
+        # an isin LITERAL id filter reaches the parquet scan as a pushed
+        # filter and every downstream pass runs over the slice
+        ids = sorted({r[id_col] for r in cut})
+        ann_docs = (
+            docs.where(F.col(id_col).isin(ids)) if ids else docs.limit(0)
+        )
     if mmr_lambda is not None:
         from pyspark.sql import Window
 
         pool_ids = top.select(id_col).distinct()
-        cand_docs = docs.select(id_col, text_col).join(
+        cand_docs = ann_docs.select(id_col, text_col).join(
             F.broadcast(pool_ids), id_col, "left_semi"
         )
         vecs = EM.hashed_embedding(
@@ -941,11 +989,11 @@ def contamination_report(
         F.col(bench_id_col).cast("string").alias("query_id"),
     ).distinct()
     hits = DD.contamination_hits(
-        docs, benchmark, text_col=text_col, id_col=id_col,
+        ann_docs, benchmark, text_col=text_col, id_col=id_col,
         shingle_n=shingle_n, bench_text_col=btc,
     )
     pairs = EM.semantic_contamination_pairs(
-        docs, benchmark, threshold=semantic_threshold,
+        ann_docs, benchmark, threshold=semantic_threshold,
         text_col=text_col, id_col=id_col,
         bench_id_col=bench_id_col, bench_text_col=btc,
     )
@@ -1607,7 +1655,7 @@ def corpus_release_append(
             )
 
             try:
-                for t in ("postings", "stats"):
+                for t in ("postings", "stats", "terms"):
                     td = _os.path.join(bm25_index_path, t)
                     _clear_inc_partition(spark, td, increment_id)
                     # deletes happen outside Spark: drop the cached file

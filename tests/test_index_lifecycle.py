@@ -532,59 +532,86 @@ def test_superseded_stale_lease_marks_folded_ids_before_overwrite(
     assert got == want
 
 
-def test_straddled_append_partial_fold_detected_and_converges(
+def test_straddled_append_is_never_half_folded(
     spark, frames, tmp_path, monkeypatch
 ):
-    """ADVICE r12 (medium, abort rollback): an append straddling a
-    compaction — postings written pre-snapshot and FOLDED into base,
-    stats written post-lease — used to have its rollback silently no-op
-    on the vanished postings partition while deleting the stats one:
-    base postings with no matching stats row (silently corrupted
-    scores), reported as a clean 'published nothing'.  Now the rollback
-    deletes NOTHING when an expected partition is absent, raises a
-    distinct treat-as-PUBLISHED error, and the index CONVERGES: serving
-    is exact immediately and after the next compaction."""
+    """ADVICE r12 (medium, root-cause fix): an append straddling a
+    compaction — early tables written, commit table (stats) not yet —
+    used to have its postings folded into base while the rollback
+    silently no-op'd on the vanished partition and deleted the stats
+    one: base postings with no stats row (silently corrupted scores),
+    reported as a clean abort.  Now the compactor folds only
+    COMMIT-COMPLETE ids, so the mid-append compaction refuses the
+    straddler entirely; the append then either completes or rolls back
+    whole."""
     docs, late, qs = frames
     path = str(tmp_path / "idx")
     BI.build_bm25_index(docs, path, n_buckets=8)
+    other = spark.createDataFrame(
+        [(30, "a commit complete increment about spark broadcast joins")],
+        "doc_id long, text string",
+    )
+    BI.append_bm25_index(other, path, increment_id="inc0")  # commit-complete
 
     real_stats = BI._stats_frame
+    seen = {}
 
-    def compactor_folds_mid_append(new_docs, text_col):
-        # postings inc=incRACE is on disk; a concurrent compactor folds
-        # it into base and is STILL RUNNING (lease re-held) when the
-        # append's stats write and post-write re-check execute
-        assert BI.compact_bm25_index(spark, path) == 1
-        LC.write_lease(spark, LC.lease_file_at(path), ["incRACE"])
+    def compactor_runs_mid_append(new_docs, text_col):
+        # postings + terms for incRACE are on disk, stats (the commit
+        # marker) is not: a full compaction right now must fold ONLY the
+        # commit-complete inc0 and leave the straddler's partitions live
+        seen["folded"] = BI.compact_bm25_index(spark, path)
+        seen["postings_incs"] = BI.list_bm25_increments(spark, path)
+        # ... and a compactor still mid-flight when the append's last
+        # write + re-check run makes the append abort cleanly
+        LC.write_lease(spark, LC.lease_file_at(path), [])
         return real_stats(new_docs, text_col)
 
-    monkeypatch.setattr(BI, "_stats_frame", compactor_folds_mid_append)
-    with pytest.raises(
-        RuntimeError, match="Treat this increment as PUBLISHED"
-    ):
+    monkeypatch.setattr(BI, "_stats_frame", compactor_runs_mid_append)
+    with pytest.raises(RuntimeError, match="leased this index mid-append"):
         BI.append_bm25_index(late, path, increment_id="incRACE")
     monkeypatch.undo()
 
-    # nothing deleted: the stats survivor stays live, postings in base
-    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == [
-        "base",
-        "incRACE",
-    ]
-    assert BI.list_bm25_increments(spark, path) == ["base"]
+    # the mid-append compaction folded inc0, NOT the straddler
+    assert seen["folded"] == 1
+    assert seen["postings_incs"] == ["base", "incRACE"]
+    # the abort rolled the straddler back WHOLE — nothing half-folded
+    for t in ("postings", "stats", "terms"):
+        assert not os.path.exists(os.path.join(path, t, "inc=incRACE"))
     LC.clear_lease(spark, LC.lease_file_at(path))
 
-    # served exactly right ALREADY (asymmetric layout, every row once)
-    want = _ranked(RT.bm25_topk(docs.unionByName(late), qs, k=6).collect())
-    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
+    # the same docs re-append cleanly and serving equals the scan
+    BI.append_bm25_index(late, path, increment_id="incRACE")
+    all_docs = docs.unionByName(other).unionByName(late)
+    want = _ranked(RT.bm25_topk(all_docs, qs, k=7).collect())
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=7).collect())
     assert got == want
-    # the next compaction converges the layout without changing results
-    assert BI.compact_bm25_index(spark, path) == 1
-    assert LC.list_inc_ids(spark, os.path.join(path, "stats")) == ["base"]
-    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=6).collect())
-    assert got == want
-    # and the folded marker refuses a re-send under the same id
-    with pytest.raises(ValueError, match="already folded"):
-        BI.append_bm25_index(late, path, increment_id="incRACE")
+
+
+def test_abort_rollback_detects_missing_partition(spark, tmp_path):
+    """ADVICE r12 (abort-side guard, kept as defense in depth): if an
+    expected ``inc=`` partition is ABSENT at rollback time (a fold the
+    commit gate didn't prevent, a transient swap window, or an empty
+    write), the rollback deletes NOTHING and raises the distinct
+    treat-as-PUBLISHED error instead of the clean 'published nothing'
+    message."""
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    os.makedirs(os.path.join(t2, "inc=X"))
+    lease = str(tmp_path / "_compacting.json")
+    LC.write_lease(spark, lease, ["X"])
+    with pytest.raises(
+        RuntimeError, match="Treat this increment as PUBLISHED"
+    ):
+        LC.abort_append_if_leased(spark, lease, "X", [t1, t2], "op")
+    # the survivor was NOT deleted
+    assert os.path.exists(os.path.join(t2, "inc=X"))
+    # with every partition present the clean rollback still runs
+    os.makedirs(os.path.join(t1, "inc=X"))
+    with pytest.raises(RuntimeError, match="published nothing"):
+        LC.abort_append_if_leased(spark, lease, "X", [t1, t2], "op")
+    assert not os.path.exists(os.path.join(t1, "inc=X"))
+    assert not os.path.exists(os.path.join(t2, "inc=X"))
 
 
 def test_minhash_folded_id_refused(spark, frames, tmp_path):
@@ -596,6 +623,240 @@ def test_minhash_folded_id_refused(spark, frames, tmp_path):
     with pytest.raises(ValueError, match="already folded"):
         MI.append_minhash_index(late, path, increment_id="inc0")
     MI.append_minhash_index(late, path, increment_id="inc1")  # fresh ok
+
+
+# ------------------------------------------------- streaming (r13)
+
+
+DOCS_S1 = [(100, "streaming batch one about spark shuffle mechanics")]
+DOCS_S2 = [(101, "streaming batch two about broadcast joins and skew")]
+
+
+def _write_stream_src(spark, src, parts):
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{src}/p{i}")
+
+
+def _run_stream(builder, timeout=120):
+    q = builder.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout)
+    finally:
+        if q.isActive:
+            q.stop()
+    return q
+
+
+def test_index_stream_lease_between_micro_batches_fails_fast(
+    spark, frames, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5: a compaction lease landing BETWEEN two
+    micro-batches makes the NEXT batch's append fail fast — the
+    streaming query dies loudly (foreachBatch propagates the lifecycle
+    ValueError; no silent skip, no partial admit) — and a checkpoint
+    RESTART after the lease clears replays the uncommitted batch
+    idempotently: the final index equals the all-batch build."""
+    from pyspark.errors import StreamingQueryException
+
+    docs, _, qs = frames
+    src = str(tmp_path / "src")
+    _write_stream_src(spark, src, [DOCS_S1, DOCS_S2])
+    idx = str(tmp_path / "s_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    BI.build_bm25_index(empty, idx, n_buckets=8)
+
+    real_append = BI.append_bm25_index
+    calls = {"n": 0}
+
+    def lease_lands_after_first_batch(*a, **k):
+        real_append(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            LC.write_lease(spark, LC.lease_file_at(idx), [])
+
+    monkeypatch.setattr(BI, "append_bm25_index", lease_lands_after_first_batch)
+
+    def make_stream():
+        return BI.index_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*"),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(StreamingQueryException, match="compaction lease is held"):
+        _run_stream(make_stream())
+    monkeypatch.undo()
+
+    # batch one committed and admitted; batch two blocked, not admitted
+    assert BI.list_bm25_increments(spark, idx) == ["b000000000000"]
+
+    # lease clears (the compaction finished / was retried) -> the same
+    # checkpoint replays ONLY the uncommitted batch and converges
+    LC.clear_lease(spark, LC.lease_file_at(idx))
+    q = _run_stream(make_stream())
+    assert not q.isActive
+    ref = str(tmp_path / "ref_idx")
+    all_docs = spark.createDataFrame(
+        DOCS_S1 + DOCS_S2, "doc_id long, text string"
+    )
+    BI.build_bm25_index(all_docs, ref, n_buckets=8)
+    got = _ranked(BI.bm25_topk_indexed(spark, idx, qs, k=5).collect())
+    want = _ranked(BI.bm25_topk_indexed(spark, ref, qs, k=5).collect())
+    assert got == want
+
+
+def test_index_stream_mid_batch_abort_then_replay_converges(
+    spark, frames, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5: a lease landing MID-foreachBatch (after the
+    append's pre-check, before its last write) aborts that batch's
+    append with a full rollback, fails the query loudly, and the
+    checkpoint replay after the lease clears re-admits the SAME batch id
+    cleanly (clear-then-write idempotency) — the final index equals the
+    all-batch build."""
+    from pyspark.errors import StreamingQueryException
+
+    docs, _, qs = frames
+    src = str(tmp_path / "src")
+    _write_stream_src(spark, src, [DOCS_S1, DOCS_S2])
+    idx = str(tmp_path / "s_idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    BI.build_bm25_index(empty, idx, n_buckets=8)
+
+    real_stats = BI._stats_frame
+    calls = {"n": 0}
+
+    def lease_lands_mid_first_batch(new_docs, text_col):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            LC.write_lease(spark, LC.lease_file_at(idx), [])
+        return real_stats(new_docs, text_col)
+
+    monkeypatch.setattr(BI, "_stats_frame", lease_lands_mid_first_batch)
+
+    def make_stream():
+        return BI.index_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*"),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(
+        StreamingQueryException, match="leased this index mid-append"
+    ):
+        _run_stream(make_stream())
+    monkeypatch.undo()
+
+    # the aborted batch rolled back whole — nothing admitted
+    assert BI.list_bm25_increments(spark, idx) == []
+
+    LC.clear_lease(spark, LC.lease_file_at(idx))
+    q = _run_stream(make_stream())
+    assert not q.isActive
+    assert BI.list_bm25_increments(spark, idx) == [
+        "b000000000000",
+        "b000000000001",
+    ]
+    ref = str(tmp_path / "ref_idx")
+    BI.build_bm25_index(
+        spark.createDataFrame(DOCS_S1 + DOCS_S2, "doc_id long, text string"),
+        ref,
+        n_buckets=8,
+    )
+    got = _ranked(BI.bm25_topk_indexed(spark, idx, qs, k=5).collect())
+    want = _ranked(BI.bm25_topk_indexed(spark, ref, qs, k=5).collect())
+    assert got == want
+
+
+def test_admission_stream_lease_fails_fast_then_replay_converges(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5, admission-topology edition: a compaction
+    lease landing between two micro-batches of
+    ``admit_stream_exact_against_index`` fails the query loudly (the
+    exact index's append fail-fast propagates through foreachBatch) and
+    the checkpoint restart after the lease clears converges — survivors
+    output and index state equal the uninterrupted run's."""
+    from pyspark.errors import StreamingQueryException
+
+    from bigdataproject_formula1_telemetry_spark.streaming import (
+        curation as SC,
+    )
+
+    src = str(tmp_path / "src")
+    _write_stream_src(
+        spark,
+        src,
+        [
+            [(200, "admission stream first batch text")],
+            [(201, "admission stream second batch text"),
+             (202, "admission stream first batch text")],  # exact dup of 200
+        ],
+    )
+    eidx = str(tmp_path / "eidx")
+    EI.build_exact_index(
+        spark.createDataFrame(
+            [(199, "pre-existing base corpus document")],
+            "doc_id long, text string",
+        ),
+        eidx,
+        expected_items=10_000,
+    )
+    out = str(tmp_path / "out")
+
+    real_append = EI.append_exact_index
+    calls = {"n": 0}
+
+    def lease_lands_after_first_batch(*a, **k):
+        real_append(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            LC.write_lease(spark, LC.lease_file_at(eidx), [])
+
+    monkeypatch.setattr(EI, "append_exact_index", lease_lands_after_first_batch)
+    # the topology imports the symbol inside its closure body per batch
+    import bigdataproject_formula1_telemetry_spark.operators.exact_index as _ei_mod
+
+    assert _ei_mod is EI
+
+    def make_stream():
+        return SC.admit_stream_exact_against_index(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*"),
+            eidx,
+            out,
+            str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(
+        StreamingQueryException, match="compaction lease is held"
+    ):
+        _run_stream(make_stream())
+    monkeypatch.undo()
+
+    LC.clear_lease(spark, LC.lease_file_at(eidx))
+    q = _run_stream(make_stream())
+    assert not q.isActive
+    # doc 202 (exact dup of the batch-one survivor 200) was dropped by
+    # the shared index state; 200 and 201 survived exactly once
+    rows = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert rows == [200, 201]
+    # and the index itself rejects a re-sent copy of every survivor
+    probe = spark.createDataFrame(
+        [(300, "admission stream first batch text"),
+         (301, "admission stream second batch text")],
+        "doc_id long, text string",
+    )
+    assert EI.dedup_exact_against_index(spark, probe, eidx).count() == 0
 
 
 def test_semantic_index_sibling_lease_guards(spark, tmp_path):

@@ -808,6 +808,81 @@ def test_contamination_report_mmr_diversifies_evidence(spark):
         assert r["score"] == pytest.approx(pool[r["doc_id"]], abs=1e-12)
 
 
+def test_contamination_report_served_from_bm25_index(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (SCALING r12 residual 1): ``bm25_index_path=`` serves the
+    report's retrieval leg from the materialized index — identical
+    report end-to-end (plain AND MMR forms), scan-form ``bm25_topk``
+    never invoked, and the annotation legs' corpus scan narrowed to the
+    report's own rows via a PUSHED isin id filter."""
+    import re
+
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as BI,
+        retrieval as RTmod,
+    )
+
+    fam = "solar panel efficiency degrades under partial shading conditions"
+    rows = [
+        (0, fam),
+        (1, fam),
+        (2, fam + " extra"),
+        (3, "panel mounting hardware galvanized steel rails shading"),
+        (4, "unrelated cooking pasta recipe with garlic and oil"),
+        (5, "battery storage rounds out solar generation after sunset"),
+    ]
+    dpath = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        dpath
+    )
+    docs = spark.read.parquet(dpath)  # parquet-backed: pushdown visible
+    bench = spark.createDataFrame(
+        [(1, "solar panel efficiency shading"), (2, "battery storage solar")],
+        "bench_id long, text string",
+    )
+    idx = str(tmp_path / "bm25idx")
+    BI.build_bm25_index(docs, idx, n_buckets=8)
+
+    def _key(rows_):
+        return sorted(
+            (
+                r["bench_id"], r["rank"], r["doc_id"],
+                round(r["score"], 9), r["contam_ngrams"],
+                None if r["cos_sim"] is None else round(r["cos_sim"], 9),
+            )
+            for r in rows_
+        )
+
+    for kw in ({}, {"mmr_lambda": 0.5}):
+        want = _key(
+            P.contamination_report(
+                docs, bench, k=3, bench_id_col="bench_id",
+                score_round=6, **kw,
+            ).collect()
+        )
+        # the indexed form must never touch the scan-form retrieval
+        real_topk = RTmod.bm25_topk
+
+        def boom(*a, **k):
+            raise AssertionError("scan-form bm25_topk called on indexed path")
+
+        monkeypatch.setattr(RTmod, "bm25_topk", boom)
+        rep = P.contamination_report(
+            docs, bench, k=3, bench_id_col="bench_id",
+            score_round=6, bm25_index_path=idx, **kw,
+        )
+        got = _key(rep.collect())
+        monkeypatch.setattr(RTmod, "bm25_topk", real_topk)
+        assert got == want and got, kw
+        # the annotation legs read the corpus through a pushed literal
+        # id filter (the report's own rows), not a full scan
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PushedFilters: \[[^\]]*In\(doc_id", plan), plan[
+            :2000
+        ]
+
+
 def test_contamination_report_validates_fetch_k(spark):
     """ADVICE r11: with mmr_lambda set, fetch_k must EXCEED k — fetch_k
     < k silently under-returns and fetch_k == k gives MMR no pool beyond

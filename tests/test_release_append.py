@@ -875,6 +875,79 @@ def test_release_maintains_bm25_serving_index(spark, tmp_path, monkeypatch):
     assert served_form() == before
 
 
+def test_release_contamination_report_serves_from_release_index(
+    spark, tmp_path, monkeypatch
+):
+    """r13: the steady-state release audit — ``contamination_report``
+    over the released chunk rows with ``bm25_index_path=`` pointing at
+    the index the release train itself maintains.  Equal to the
+    scan-form report after base + increment, with the scan-form
+    retrieval never invoked."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        retrieval as RTmod,
+    )
+
+    base_docs = spark.createDataFrame(
+        [
+            _doc(1, "alpha retrieval article words"),
+            _doc(2, "beta retrieval article words"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "rel")
+    bidx = str(tmp_path / "bm25idx")
+    P.corpus_release(
+        base_docs, root, bm25_index_path=bidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+    )
+    P.corpus_release_append(
+        spark.createDataFrame(
+            [_doc(10, "delta increment retrieval words")],
+            "doc_id long, text string",
+        ),
+        root, "inc0", bm25_index_path=bidx,
+        chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2,
+        refresh_card=False,
+    )
+    bench = spark.createDataFrame(
+        [(7, "alpha retrieval words"), (8, "delta increment")],
+        "bench_id long, text string",
+    )
+    chunks = P._bm25_chunk_rows(P.read_release(spark, root), "doc_id")
+
+    def _key(rows_):
+        return sorted(
+            (
+                r["bench_id"], r["rank"], r["chunk_id"],
+                round(r["score"], 9), r["contam_ngrams"],
+                None if r["cos_sim"] is None else round(r["cos_sim"], 9),
+            )
+            for r in rows_
+        )
+
+    want = _key(
+        P.contamination_report(
+            chunks, bench, k=3, id_col="chunk_id",
+            bench_id_col="bench_id", score_round=6,
+        ).collect()
+    )
+    monkeypatch.setattr(
+        RTmod, "bm25_topk",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("scan-form retrieval on the indexed path")
+        ),
+    )
+    got = _key(
+        P.contamination_report(
+            chunks, bench, k=3, id_col="chunk_id",
+            bench_id_col="bench_id", score_round=6,
+            bm25_index_path=bidx,
+        ).collect()
+    )
+    monkeypatch.undo()
+    assert got == want and got
+
+
 def test_release_abort_rollback_leg_failure_never_masks_abort(
     spark, tmp_path, monkeypatch
 ):

@@ -710,6 +710,95 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- indexed contamination report at 500k docs (--contamidx only) ---
+    # r13 (SCALING r12 residual 1): contamination_report served from the
+    # materialized bm25 index vs the scan form, over the full 500k
+    # corpus.  The scan form pays three corpus passes (bm25 tf/df, the
+    # gram explode, the embedding mapInPandas over ALL docs); the
+    # indexed form reads the query vocabulary's postings buckets and
+    # then annotates ONLY the report's own rows (pushed isin id filter).
+    # Reports must be identical (portably-rounded ranking both sides;
+    # the replica families are exact score ties broken by doc_id).
+    if "--contamidx" in sys.argv:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            bm25_index as BX,
+        )
+
+        norm = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        bench = (
+            distinct.where((F.col("doc_id") % (REPLICAS * 333)) == 0)
+            .select("doc_id", norm.alias("__t"))
+            .where(F.size("__t") >= 9)
+            .select(
+                (F.col("doc_id") / REPLICAS).cast("long").alias("bench_id"),
+                F.array_join(F.slice("__t", 4, 6), " ").alias("text"),
+            )
+            .limit(15)
+            .localCheckpoint(eager=True)
+        )
+        nb = bench.count()
+        idx = os.path.join(OUT, "contamidx")
+        shutil.rmtree(idx, ignore_errors=True)
+        print(f"  contamidx: building index over {n:,} docs ...", flush=True)
+        t0 = time.time()
+        BX.build_bm25_index(distinct, idx, n_buckets=64)
+        build_s = time.time() - t0
+
+        def _key(rows_):
+            return sorted(
+                (
+                    r["bench_id"], r["rank"], r["doc_id"],
+                    round(r["score"], 9), r["contam_ngrams"],
+                    None if r["cos_sim"] is None else round(r["cos_sim"], 9),
+                )
+                for r in rows_
+            )
+
+        # shingle_n=2 so the gram annotation BITES on 6-token bench
+        # snippets (8-grams need >= 8 tokens; the q57 fold's lesson)
+        common = dict(
+            k=5, bench_id_col="bench_id", score_round=6, shingle_n=2
+        )
+        t0 = time.time()
+        scan = _key(
+            pipelines.contamination_report(
+                distinct, bench, **common
+            ).collect()
+        )
+        scan_s = time.time() - t0
+        t0 = time.time()
+        served = _key(
+            pipelines.contamination_report(
+                distinct, bench, bm25_index_path=idx, **common
+            ).collect()
+        )
+        idx_s = time.time() - t0
+        grams_bite = sum(1 for r in served if r[4] > 0)
+        results["contamidx_n_bench"] = nb
+        results["contamidx_rows"] = len(served)
+        results["contamidx_build_s"] = round(build_s, 2)
+        results["contamidx_scan_s"] = round(scan_s, 2)
+        results["contamidx_serve_s"] = round(idx_s, 2)
+        results["contamidx_speedup"] = round(scan_s / idx_s, 2)
+        results["contamidx_identical"] = served == scan
+        results["contamidx_gram_rows"] = grams_bite
+        results["contamidx_ok"] = bool(
+            served == scan and len(served) == nb * 5 and grams_bite > 0
+        )
+        print(
+            f"  contamidx build {build_s:.1f} s; report scan {scan_s:.2f} s "
+            f"vs indexed {idx_s:.2f} s ({results['contamidx_speedup']}x); "
+            f"identical {results['contamidx_identical']}; "
+            f"gram rows {grams_bite}/{len(served)}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- fully-indexed hybrid serving at 500k docs (--hybidx only) ---
     # r12 certification of the knn_ivf_materialized matmul-kernel
     # rewrite at scale: BM25 postings index + hashed-embedding IVF
