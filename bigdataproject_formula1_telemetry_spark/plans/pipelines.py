@@ -832,6 +832,234 @@ def corpus_card(
     return card
 
 
+def corpus_card_partial(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """One increment's MERGEABLE datasheet partial (r13) — the
+    incremental face of :func:`corpus_card`.  At 100 TB the card
+    recompute is the expensive half of a release append (it re-reads
+    EVERY released row); this computes one increment's contribution in
+    O(increment) as tidy ``(section, key, value double, sketch binary)``
+    rows that :func:`merge_card_partials` combines in O(#increments):
+
+    - sums (size docs/tokens/chars, pii counts, per-language counts,
+      per-domain counts, contamination doc counts) merge exactly —
+      every one is algebraic and per-doc independent (the
+      contamination gates judge each doc against a FIXED broadcast
+      benchmark, so pass the SAME benchmark to every partial);
+    - distinct counts (exact-dup content hashes, corpus-distinct
+      13-grams) ride as Apache DataSketches HLL sketches
+      (``hll_sketch_agg``): sketch state is a register MAX, so the
+      union of per-increment sketches IS the sketch of the union —
+      bit-for-bit, order-independent (pinned in tests).
+
+    NOT in partials — and therefore absent from an incrementally
+    maintained card — are the sections that are fundamentally
+    non-mergeable: quality/perplexity percentiles (order statistics
+    under a CORPUS-trained LM: the model itself drifts as the corpus
+    grows) and semantic-duplicate families (clusters span increments).
+    Refresh those on a schedule with the full :func:`corpus_card`;
+    the split is exactly Datasheets-for-Datasets practice for living
+    datasets (algebraic sections per delta, model-backed sections per
+    audit)."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    spark = docs.sparkSession
+    t = F.col(text_col)
+    pii = T.pii_counts(t)
+    key = F.when(t.isNotNull(), F.md5(t)).otherwise(F.lit("\x00null"))
+    out_schema = (
+        "section string, key string, value double, sketch binary"
+    )
+    glob = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("docs"),
+        F.sum(T.token_count(t)).cast("double").alias("tokens"),
+        F.sum(F.length(t)).cast("double").alias("chars"),
+        F.sum(pii["email"]).cast("double").alias("pii_emails"),
+        F.sum(pii["ipv4"]).cast("double").alias("pii_ipv4"),
+        F.sum(pii["phone"]).cast("double").alias("pii_phones"),
+        F.hll_sketch_agg(key).alias("__dup_sk"),
+    ).first()
+    ng = docs.select(
+        F.explode(T.shingles_ngrams(t, 13)).alias("__g")
+    ).select(F.xxhash64("__g").alias("__h"))
+    ngrow = ng.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.hll_sketch_agg("__h").alias("__sk"),
+    ).first()
+    rows = [
+        ("size", "docs", glob["docs"], None),
+        ("size", "tokens", glob["tokens"], None),
+        ("size", "chars", glob["chars"], None),
+        ("pii", "pii_emails", glob["pii_emails"], None),
+        ("pii", "pii_ipv4", glob["pii_ipv4"], None),
+        ("pii", "pii_phones", glob["pii_phones"], None),
+        ("diversity", "ngrams_13", ngrow["__n"], None),
+    ]
+    # an empty frame aggregates to NULL sketches — omit the rows (the
+    # merge treats a missing sketch as contributing nothing, exactly
+    # like an empty increment contributes nothing to a sum)
+    if glob["__dup_sk"] is not None:
+        rows.append(("dup", "exact_dup_hll", None, bytes(glob["__dup_sk"])))
+    if ngrow["__sk"] is not None:
+        rows.append(
+            ("diversity", "distinct_13gram_hll", None, bytes(ngrow["__sk"]))
+        )
+    if benchmark is not None:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            dedup as DD,
+            embed as EM,
+        )
+
+        nh = (
+            DD.contamination_hits(
+                docs, benchmark, text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col,
+            ).count()
+        )
+        ns = (
+            EM.semantic_contamination_pairs(
+                docs, benchmark, threshold=0.95,
+                text_col=text_col, id_col=id_col,
+                bench_text_col=bench_text_col,
+            )
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+        rows += [
+            ("contamination", "contam_ngram_docs", float(nh), None),
+            ("contamination", "contam_semantic_docs", float(ns), None),
+        ]
+    partial = spark.createDataFrame(rows, out_schema)
+    if lang_col is not None and lang_col in docs.columns:
+        partial = partial.unionByName(
+            docs.groupBy(F.col(lang_col).alias("key"))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                F.lit("lang").alias("section"),
+                "key",
+                "value",
+                F.lit(None).cast("binary").alias("sketch"),
+            )
+        )
+    if "url" in docs.columns:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            urls as UR,
+        )
+
+        partial = partial.unionByName(
+            UR.url_parts(docs.select(id_col, "url"))
+            .groupBy(F.col("domain").alias("key"))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                F.lit("domains").alias("section"),
+                "key",
+                "value",
+                F.lit(None).cast("binary").alias("sketch"),
+            )
+        )
+    return partial
+
+
+def merge_card_partials(partials: DataFrame) -> DataFrame:
+    """Combine :func:`corpus_card_partial` rows (any number of
+    increments, unioned or read from a partials table) into card rows
+    — same tidy ``(section, key, value)`` shape and same key names as
+    :func:`corpus_card` for every covered section, so downstream
+    consumers (``sinks.write_html_report``, the release invariants)
+    read both interchangeably.  The merge is ONE groupBy over
+    already-reduced rows (a few dozen per increment) — O(#increments),
+    never a corpus scan; sums add, HLL sketches union losslessly
+    (``hll_union_agg``: register max — associative, commutative,
+    identical to the one-shot sketch, pinned in tests), and the derived
+    rows (dup fraction, distinct-gram fraction, domain concentration)
+    are recomputed from the merged components exactly as
+    ``corpus_card`` derives them."""
+    spark = partials.sparkSession
+    sums = (
+        partials.where(F.col("sketch").isNull())
+        .groupBy("section", "key")
+        .agg(F.sum("value").alias("value"))
+    )
+    sketches = (
+        partials.where(F.col("sketch").isNotNull())
+        .groupBy("section", "key")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast(
+                "double"
+            ).alias("est")
+        )
+    )
+    scal = {
+        (r["section"], r["key"]): r["value"]
+        for r in sums.where(
+            F.col("section").isin("size", "diversity")
+        ).collect()
+    }
+    est = {
+        (r["section"], r["key"]): r["est"]
+        for r in sketches.collect()
+        if r["est"] is not None
+    }
+    docs_n = scal.get(("size", "docs"), 0.0) or 0.0
+    ngrams = scal.get(("diversity", "ngrams_13"), 0.0) or 0.0
+    derived = [
+        (
+            "dup",
+            "exact_dup_frac_approx",
+            (1.0 - est[("dup", "exact_dup_hll")] / docs_n)
+            if docs_n > 0 and ("dup", "exact_dup_hll") in est
+            else None,
+        ),
+        ("diversity", "ngrams_13", ngrams),
+        (
+            "diversity",
+            "distinct_13gram_frac_approx",
+            (est[("diversity", "distinct_13gram_hll")] / ngrams)
+            if ngrams > 0 and ("diversity", "distinct_13gram_hll") in est
+            else None,
+        ),
+    ]
+    card = sums.where(
+        ~(F.col("section") == F.lit("diversity"))
+        & ~(F.col("section") == F.lit("domains"))
+    ).unionByName(
+        spark.createDataFrame(
+            derived, "section string, key string, value double"
+        )
+    )
+    dom = sums.where(F.col("section") == F.lit("domains"))
+    if not dom.isEmpty():
+        dsum = dom.where(F.col("key").isNotNull()).agg(
+            F.count(F.lit(1)).cast("double").alias("distinct_domains"),
+            (F.max("value") / F.sum("value")).alias("top_domain_frac"),
+        ).first()
+        card = card.unionByName(
+            spark.createDataFrame(
+                [
+                    ("domains", "distinct_domains", dsum["distinct_domains"]),
+                    ("domains", "top_domain_frac", dsum["top_domain_frac"]),
+                ],
+                "section string, key string, value double",
+            )
+        ).unionByName(
+            dom.orderBy(F.col("value").desc(), F.col("key").asc())
+            .limit(10)
+            .select(
+                F.lit("domains").alias("section"),
+                F.coalesce(F.col("key"), F.lit("<no-host>")).alias("key"),
+                "value",
+            )
+        )
+    return card
+
+
 def contamination_report(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -1301,7 +1529,7 @@ def corpus_release(
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    for stale in ("increments", "manifest_full"):
+    for stale in ("increments", "manifest_full", "card_partials"):
         fs.delete(jvm.org.apache.hadoop.fs.Path(_os.path.join(path, stale)), True)
     released = spark.read.parquet(_os.path.join(path, "data"))
     if bm25_index_path is not None:
@@ -1323,6 +1551,18 @@ def corpus_release(
         lang_col=None,
         benchmark=benchmark,
         id_col=id_col,
+    )
+    # the base's MERGEABLE card partial (r13): written unconditionally
+    # so the release can switch to refresh_card="incremental" appends
+    # at any point — partials always mirror the released content (every
+    # append writes its own, whatever card mode it runs).  Partials are
+    # benchmark-free in the release train: the contamination section
+    # stays a full-card/audit feature, so an incrementally-merged card
+    # never claims a corpus-wide count only the base was gated for.
+    corpus_card_partial(
+        released, text_col="chunk_text", lang_col=None, id_col=id_col
+    ).write.mode("overwrite").parquet(
+        _os.path.join(path, "card_partials", "base")
     )
     # packing section: what the data loader actually consumes — bin
     # counts, mean fill against the budget, and the oversize tail (a
@@ -1448,7 +1688,7 @@ def corpus_release_append(
     minhash_kwargs: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    refresh_card: bool = True,
+    refresh_card: "bool | str" = True,
     auto_compact_at: int | None = 32,
     bm25_index_path: str | None = None,
     **curate_kwargs,
@@ -1484,6 +1724,23 @@ def corpus_release_append(
     An all-duplicates increment (a re-crawl) is NORMAL: nothing is
     written, the indexes roll back any prior partial state for this
     id, and the manifest is left as-is.
+
+    ``refresh_card`` (r13) takes three values.  ``True`` recomputes the
+    full :func:`corpus_card` over every released row — O(corpus), the
+    only mode that refreshes the quality/perplexity sections.
+    ``"incremental"`` merges the release's MERGEABLE card partials
+    (:func:`merge_card_partials`) — O(increment + #increments), exact
+    for every sum section and sketch-exact for the distinct counts;
+    the quality/ppl sections are absent until the next ``True``
+    refresh (schedule one, the datasheet-maintenance split).
+    ``False`` defers entirely.  Whatever the mode, EVERY append writes
+    its increment's partial (O(increment), next to the admission work)
+    so partials always mirror the released content and any later
+    append may choose ``"incremental"`` — and compaction needs no
+    partial maintenance at all, because partials are CONTENT-based:
+    folding moves rows between directories without changing the
+    corpus, so the merge over base + every appended id stays correct
+    across folds.
 
     ``auto_compact_at`` makes the compaction cadence ENGINE behavior
     instead of an operator runbook note: when the post-append count of
@@ -1618,6 +1875,15 @@ def corpus_release_append(
         # under a fresh id: docs the compaction DID manage to fold land
         # twice and the next dedup pass removes them — benign, loud.
         fs.delete(jvm.org.apache.hadoop.fs.Path(inc_dir), True)
+        # a PRIOR attempt of this id may have published a card partial;
+        # this attempt aborts before writing its own, so clear the
+        # stale one — partials must mirror the released content
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                _os.path.join(path, "card_partials", increment_id)
+            ),
+            True,
+        )
         none = survivors.limit(0)
         # every rollback leg runs under try/except: a leg CAN itself
         # raise (that index's OWN compaction lease held, or its folded
@@ -1676,6 +1942,31 @@ def corpus_release_append(
             )
         )
 
+    # card partial for THIS increment (r13): written on EVERY append —
+    # O(increment), a rounding error next to the admission work — so
+    # the partials table always mirrors the released content whatever
+    # card mode this append runs.  Guarded on the base partial existing
+    # (a release built before incremental cards has no partials trail;
+    # its appends keep full-refresh semantics untouched).
+    part_root = _os.path.join(path, "card_partials")
+    jvm2 = spark._jvm
+    fs2 = jvm2.org.apache.hadoop.fs.Path(part_root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    has_partials = fs2.exists(
+        jvm2.org.apache.hadoop.fs.Path(_os.path.join(part_root, "base"))
+    )
+    if has_partials:
+        pdir = _os.path.join(part_root, increment_id)
+        fs2.delete(jvm2.org.apache.hadoop.fs.Path(pdir), True)
+        if n_admitted > 0:
+            corpus_card_partial(
+                spark.read.parquet(_os.path.join(inc_dir, "data")),
+                text_col="chunk_text",
+                lang_col=None,
+                id_col=id_col,
+            ).write.mode("overwrite").parquet(pdir)
+
     # self-driving maintenance: once the live (unfolded) increment count
     # reaches the threshold, fold — compact_release refreshes both
     # manifests itself, so the separate refresh below is skipped.  NEVER
@@ -1703,7 +1994,42 @@ def corpus_release_append(
     # rows).  ``refresh_card=False`` defers it for high-frequency
     # trains (refresh on a schedule instead); the manifest is always
     # refreshed — it is the consumer contract, and it is cheap.
-    if refresh_card:
+    if refresh_card == "incremental":
+        if not has_partials:
+            raise ValueError(
+                "corpus_release_append(refresh_card='incremental'): this "
+                "release has no card-partials trail (built before "
+                "incremental cards) — run one refresh_card=True append "
+                "first, or re-release; partials are then maintained "
+                "automatically"
+            )
+        # completeness: every LIVE increment must have its partial
+        # (folded ones are content-covered by their own partials, which
+        # compaction never deletes; an aborted id has neither dir)
+        have = {
+            st.getPath().getName()
+            for st in fs2.listStatus(
+                jvm2.org.apache.hadoop.fs.Path(part_root)
+            )
+        }
+        live = [
+            i
+            for i in list_release_increments(spark, path)
+            if i not in _read_folded_marker(spark, path)
+        ]
+        missing = [i for i in live if i not in have]
+        if missing:
+            raise ValueError(
+                "corpus_release_append(refresh_card='incremental'): "
+                f"card partial missing for increment(s) {missing} — the "
+                "partials trail was tampered with or partially deleted; "
+                "run refresh_card=True to restore a correct card"
+            )
+        card = merge_card_partials(
+            spark.read.parquet(_os.path.join(part_root, "*"))
+        )
+        card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
+    elif refresh_card:
         released = read_release(spark, path)
         card = corpus_card(
             released, text_col="chunk_text", lang_col=None, id_col=id_col

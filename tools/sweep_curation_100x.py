@@ -710,6 +710,74 @@ def main() -> None:
         spark.stop()
         return
 
+    # --- incremental card maintenance at 500k docs (--cardinc only) ---
+    # r13: corpus_card over 500k released-scale rows vs the incremental
+    # path's marginal cost per append — partial over ONE 5k-doc
+    # increment + merge with the (ingest-time, already-written) base
+    # partial.  The merged sum rows must equal the full card's exactly;
+    # the sketch-backed fractions within estimator tolerance.
+    if "--cardinc" in sys.argv:
+        inc = distinct.where(F.col("doc_id") % 100 == 7)  # ~5k docs
+        base = distinct.where(F.col("doc_id") % 100 != 7)
+        t0 = time.time()
+        full = {
+            (r["section"], r["key"]): r["value"]
+            for r in pipelines.corpus_card(
+                distinct, lang_col=None
+            ).collect()
+        }
+        full_s = time.time() - t0
+        # base partial = ingest-time cost (written during release build)
+        t0 = time.time()
+        base_part = pipelines.corpus_card_partial(base, lang_col=None)
+        base_part.write.mode("overwrite").parquet(f"{OUT}/card_base_part")
+        base_part_s = time.time() - t0
+        # the marginal per-append cost: increment partial + merge
+        t0 = time.time()
+        inc_part = pipelines.corpus_card_partial(inc, lang_col=None)
+        merged = {
+            (r["section"], r["key"]): r["value"]
+            for r in pipelines.merge_card_partials(
+                spark.read.parquet(f"{OUT}/card_base_part").unionByName(
+                    inc_part
+                )
+            ).collect()
+        }
+        inc_s = time.time() - t0
+        sums_ok = all(
+            merged[k] == full[k]
+            for k in (("size", "docs"), ("size", "tokens"), ("size", "chars"),
+                      ("pii", "pii_emails"), ("diversity", "ngrams_13"))
+        )
+        dup_rel = abs(
+            merged[("dup", "exact_dup_frac_approx")]
+            - full[("dup", "exact_dup_frac_approx")]
+        )
+        div_rel = abs(
+            merged[("diversity", "distinct_13gram_frac_approx")]
+            - full[("diversity", "distinct_13gram_frac_approx")]
+        ) / max(full[("diversity", "distinct_13gram_frac_approx")], 1e-9)
+        results["cardinc_full_card_s"] = round(full_s, 2)
+        results["cardinc_base_partial_s"] = round(base_part_s, 2)
+        results["cardinc_append_refresh_s"] = round(inc_s, 2)
+        results["cardinc_speedup"] = round(full_s / inc_s, 2)
+        results["cardinc_sums_exact"] = bool(sums_ok)
+        results["cardinc_dup_abs_delta"] = round(dup_rel, 6)
+        results["cardinc_div_rel_delta"] = round(div_rel, 6)
+        results["cardinc_ok"] = bool(
+            sums_ok and dup_rel < 0.05 and div_rel < 0.05
+        )
+        print(
+            f"  cardinc full card {full_s:.1f} s vs per-append refresh "
+            f"{inc_s:.1f} s ({results['cardinc_speedup']}x; base partial "
+            f"{base_part_s:.1f} s is ingest-time); sums exact {sums_ok}; "
+            f"dup Δ {dup_rel:.4f}, diversity relΔ {div_rel:.4f}",
+            flush=True,
+        )
+        print(json.dumps(results))
+        spark.stop()
+        return
+
     # --- indexed contamination report at 500k docs (--contamidx only) ---
     # r13 (SCALING r12 residual 1): contamination_report served from the
     # materialized bm25 index vs the scan form, over the full 500k
