@@ -839,6 +839,7 @@ def corpus_card_partial(
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
+    token_budget: float | None = None,
 ) -> DataFrame:
     """One increment's MERGEABLE datasheet partial (r13) — the
     incremental face of :func:`corpus_card`.  At 100 TB the card
@@ -866,7 +867,16 @@ def corpus_card_partial(
     Refresh those on a schedule with the full :func:`corpus_card`;
     the split is exactly Datasheets-for-Datasets practice for living
     datasets (algebraic sections per delta, model-backed sections per
-    audit)."""
+    audit).
+
+    ``token_budget`` (with packed chunk rows — ``pack_shard``/
+    ``seq_id``/``n_tokens``/``oversize`` columns present) adds the
+    PACKING section's mergeable components: bins never span increments
+    (each increment packs separately), so bin counts, fills, and
+    oversize flags sum, and the merged mean/occupancy derive from the
+    summed components exactly as ``corpus_release`` derives them
+    inline.  Component rows carry ``__``-prefixed keys the merge
+    consumes and never emits."""
     from bigdataproject_formula1_telemetry_spark.operators import text as T
 
     spark = docs.sparkSession
@@ -910,6 +920,36 @@ def corpus_card_partial(
         rows.append(
             ("diversity", "distinct_13gram_hll", None, bytes(ngrow["__sk"]))
         )
+    if token_budget is not None and {
+        "pack_shard", "seq_id", "n_tokens", "oversize"
+    } <= set(docs.columns):
+        bins = docs.groupBy("pack_shard", "seq_id").agg(
+            F.sum("n_tokens").alias("__fill"),
+            F.max(F.col("oversize").cast("int")).alias("__over"),
+        )
+        pk = bins.agg(
+            F.count(F.lit(1)).cast("double").alias("n_sequences"),
+            F.sum("__fill").cast("double").alias("__sum_fill"),
+            F.sum(
+                F.when(F.col("__over") == 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("double").alias("__n_nonover"),
+            F.sum(
+                F.when(
+                    F.col("__over") == 0,
+                    F.col("__fill") / F.lit(float(token_budget)),
+                )
+            ).cast("double").alias("__sum_occ"),
+            F.sum("__over").cast("double").alias("oversize_sequences"),
+        ).first()
+        rows += [
+            ("packing", "n_sequences", pk["n_sequences"], None),
+            ("packing", "__sum_fill", pk["__sum_fill"], None),
+            ("packing", "__n_nonover", pk["__n_nonover"], None),
+            ("packing", "__sum_occ", pk["__sum_occ"], None),
+            ("packing", "oversize_sequences", pk["oversize_sequences"], None),
+            ("packing", "__budget_sum", float(token_budget), None),
+            ("packing", "__budget_n", 1.0, None),
+        ]
     if benchmark is not None:
         from bigdataproject_formula1_telemetry_spark.operators import (
             dedup as DD,
@@ -999,7 +1039,7 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
     scal = {
         (r["section"], r["key"]): r["value"]
         for r in sums.where(
-            F.col("section").isin("size", "diversity")
+            F.col("section").isin("size", "diversity", "packing")
         ).collect()
     }
     est = {
@@ -1026,9 +1066,32 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
             else None,
         ),
     ]
+    n_seq = scal.get(("packing", "n_sequences"))
+    if n_seq:
+        n_nonover = scal.get(("packing", "__n_nonover")) or 0.0
+        derived += [
+            (
+                "packing",
+                "mean_seq_tokens",
+                (scal[("packing", "__sum_fill")] or 0.0) / n_seq,
+            ),
+            (
+                "packing",
+                "occupancy",
+                (scal[("packing", "__sum_occ")] / n_nonover)
+                if n_nonover > 0
+                else None,
+            ),
+            (
+                "packing",
+                "token_budget",
+                scal[("packing", "__budget_sum")]
+                / scal[("packing", "__budget_n")],
+            ),
+        ]
     card = sums.where(
-        ~(F.col("section") == F.lit("diversity"))
-        & ~(F.col("section") == F.lit("domains"))
+        ~F.col("section").isin("diversity", "domains")
+        & ~F.col("key").startswith("__")
     ).unionByName(
         spark.createDataFrame(
             derived, "section string, key string, value double"
@@ -1560,7 +1623,8 @@ def corpus_release(
     # stays a full-card/audit feature, so an incrementally-merged card
     # never claims a corpus-wide count only the base was gated for.
     corpus_card_partial(
-        released, text_col="chunk_text", lang_col=None, id_col=id_col
+        released, text_col="chunk_text", lang_col=None, id_col=id_col,
+        token_budget=float(curate_kwargs.get("token_budget", 1024)),
     ).write.mode("overwrite").parquet(
         _os.path.join(path, "card_partials", "base")
     )
@@ -1779,6 +1843,43 @@ def corpus_release_append(
             "compaction completes — or, if it crashed, after a "
             "compact_release retry supersedes the stale lease"
         )
+    if refresh_card == "incremental":
+        # fail FAST, before any write: an unusable partials trail must
+        # not surface only after the increment has published
+        jvm0 = spark._jvm
+        proot = _os.path.join(path, "card_partials")
+        fs0 = jvm0.org.apache.hadoop.fs.Path(proot).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs0.exists(
+            jvm0.org.apache.hadoop.fs.Path(_os.path.join(proot, "base"))
+        ):
+            raise ValueError(
+                "corpus_release_append(refresh_card='incremental'): this "
+                "release has no card-partials trail (built before "
+                "incremental cards) — run rebuild_card_partials(spark, "
+                "path) once (or one refresh_card=True append after a "
+                "re-release); partials are then maintained automatically"
+            )
+        have = {
+            st.getPath().getName()
+            for st in fs0.listStatus(jvm0.org.apache.hadoop.fs.Path(proot))
+        }
+        missing = [
+            i
+            for i in list_release_increments(spark, path)
+            if i not in _read_folded_marker(spark, path)
+            and i != increment_id  # a retried id rewrites its own
+            and i not in have
+        ]
+        if missing:
+            raise ValueError(
+                "corpus_release_append(refresh_card='incremental'): "
+                f"card partial missing for increment(s) {missing} — the "
+                "partials trail was tampered with or partially deleted; "
+                "run rebuild_card_partials(spark, path) to restore it "
+                "(or refresh_card=True for a one-off full card)"
+            )
 
     gated = new_docs
     if exact_index_path is not None:
@@ -1965,6 +2066,7 @@ def corpus_release_append(
                 text_col="chunk_text",
                 lang_col=None,
                 id_col=id_col,
+                token_budget=float(curate_kwargs.get("token_budget", 1024)),
             ).write.mode("overwrite").parquet(pdir)
 
     # self-driving maintenance: once the live (unfolded) increment count
@@ -1995,36 +2097,9 @@ def corpus_release_append(
     # trains (refresh on a schedule instead); the manifest is always
     # refreshed — it is the consumer contract, and it is cheap.
     if refresh_card == "incremental":
-        if not has_partials:
-            raise ValueError(
-                "corpus_release_append(refresh_card='incremental'): this "
-                "release has no card-partials trail (built before "
-                "incremental cards) — run one refresh_card=True append "
-                "first, or re-release; partials are then maintained "
-                "automatically"
-            )
-        # completeness: every LIVE increment must have its partial
-        # (folded ones are content-covered by their own partials, which
-        # compaction never deletes; an aborted id has neither dir)
-        have = {
-            st.getPath().getName()
-            for st in fs2.listStatus(
-                jvm2.org.apache.hadoop.fs.Path(part_root)
-            )
-        }
-        live = [
-            i
-            for i in list_release_increments(spark, path)
-            if i not in _read_folded_marker(spark, path)
-        ]
-        missing = [i for i in live if i not in have]
-        if missing:
-            raise ValueError(
-                "corpus_release_append(refresh_card='incremental'): "
-                f"card partial missing for increment(s) {missing} — the "
-                "partials trail was tampered with or partially deleted; "
-                "run refresh_card=True to restore a correct card"
-            )
+        # readiness was validated up front (fail fast, before anything
+        # published); this append's own partial landed above, so the
+        # trail is complete by induction
         card = merge_card_partials(
             spark.read.parquet(_os.path.join(part_root, "*"))
         )
@@ -2041,6 +2116,47 @@ def corpus_release_append(
         "admitted_docs": n_admitted,
         "compacted_increments": n_compacted,
     }
+
+
+def rebuild_card_partials(
+    spark, path: str, id_col: str = "doc_id", token_budget: float = 1024.0
+) -> int:
+    """One-time migration/repair for the incremental-card trail: wipe
+    ``path/card_partials`` and rebuild it from the release's CURRENT
+    layout — one base partial over ``path/data`` (which already
+    contains everything compaction folded) plus one partial per live
+    increment.  Content-complete by construction, whatever mix of
+    pre-incremental appends, tampering, or folds came before; O(corpus)
+    once, after which every append maintains the trail in
+    O(increment).  Returns the number of partials written.  Pass the
+    release's ``token_budget`` so the packing section's components
+    match the card's."""
+    import os as _os
+
+    jvm = spark._jvm
+    root = _os.path.join(path, "card_partials")
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root), True)
+
+    def _write(docs, name):
+        corpus_card_partial(
+            docs, text_col="chunk_text", lang_col=None, id_col=id_col,
+            token_budget=token_budget,
+        ).write.mode("overwrite").parquet(_os.path.join(root, name))
+
+    _write(spark.read.parquet(_os.path.join(path, "data")), "base")
+    n = 1
+    folded = _read_folded_marker(spark, path)
+    for inc in list_release_increments(spark, path):
+        if inc in folded:
+            continue  # its rows are in path/data — covered by base
+        d = _os.path.join(path, "increments", inc, "data")
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
+            _write(spark.read.parquet(d), inc)
+            n += 1
+    return n
 
 
 def list_release_increments(spark, path: str) -> list[str]:

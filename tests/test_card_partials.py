@@ -171,6 +171,27 @@ def test_release_incremental_card(spark, tmp_path):
     )
     assert os.path.exists(os.path.join(root, "card_partials", "base"))
 
+    # the base release's card and the merged base partial agree on the
+    # PACKING section exactly (same bins, same budget, same derivations)
+    base_card = {
+        (r["section"], r["key"]): r["value"]
+        for r in spark.read.parquet(os.path.join(root, "card")).collect()
+    }
+    base_merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            spark.read.parquet(os.path.join(root, "card_partials", "base"))
+        ).collect()
+    }
+    for key in [
+        ("packing", "n_sequences"),
+        ("packing", "oversize_sequences"),
+        ("packing", "token_budget"),
+    ]:
+        assert base_merged[key] == base_card[key], key
+    for key in [("packing", "mean_seq_tokens"), ("packing", "occupancy")]:
+        assert base_merged[key] == pytest.approx(base_card[key], rel=1e-12)
+
     out1 = P.corpus_release_append(
         _rel_docs(spark, [(10, "gamma increment words")]),
         root, "inc0", refresh_card="incremental", **kw,
@@ -181,6 +202,20 @@ def test_release_incremental_card(spark, tmp_path):
     n_rel = P.read_release(spark, root).count()
     assert card1[("size", "docs")] == float(n_rel)
     assert ("quality", "q_p50") not in card1  # incremental omits it
+    # packing merged across base + increment: bins sum per source (each
+    # increment packs separately — its bins are distinct sequences)
+    inc_bins = (
+        spark.read.parquet(
+            os.path.join(root, "increments", "inc0", "data")
+        )
+        .select("pack_shard", "seq_id")
+        .distinct()
+        .count()
+    )
+    assert card1[("packing", "n_sequences")] == base_card[
+        ("packing", "n_sequences")
+    ] + float(inc_bins)
+    assert card1[("packing", "token_budget")] == float(kw["token_budget"])
 
     # a FULL refresh interleaves (quality back), partial still written
     out2 = P.corpus_release_append(
@@ -301,6 +336,20 @@ def test_incremental_mode_guards(spark, tmp_path, monkeypatch):
             _rel_docs(spark, [(13, "zeta words")]), root, "inc3",
             refresh_card="incremental", **kw,
         )
+    # ... and rebuild_card_partials repairs it in place: base + every
+    # live increment gets a partial, after which incremental mode works
+    n_parts = P.rebuild_card_partials(
+        spark, root, token_budget=float(kw["token_budget"])
+    )
+    assert n_parts == 1 + len(P.list_release_increments(spark, root))
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(14, "eta words")]), root, "inc4",
+        refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    assert card[("size", "docs")] == float(P.read_release(spark, root).count())
 
     # abort rolls the partial back: lease lands mid-append
     root2 = str(tmp_path / "rel2")
