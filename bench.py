@@ -685,6 +685,51 @@ def main() -> None:
     timings["etl_resample_warehouse"] = round(etl_sec, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # ── Mode-normalized readings (VERDICT r13 item 1) ────────────────
+    # The grading driver's single post-close run exhibits a machine-
+    # level slow mode with NON-uniform per-entry multipliers (SCALING
+    # r13 adjudication: 0.84–3.55×, not Python workers, not stage
+    # density) — absolute bands re-pinned every round kept losing to a
+    # fresh worst-case sample on a different entry pair.  The
+    # instrument: a CANARY set of pure-JVM TPC-H entries whose plans
+    # never change, with per-entry session medians pinned in
+    # tools/bench_calibration.json.  canary_mult = median over canaries
+    # of (this run's wall / pinned median) measures THIS run's mode
+    # intensity; queries_normalized divides every entry by it, so
+    # normalized bands (pinned from shaped sessions, where the mult ≈ 1
+    # by construction) separate "the machine was slow" from "the plan
+    # regressed".  tools/normalize_bench.py applies the same math to
+    # any recorded bench line.
+    canary_mult = None
+    normalized = None
+    cal_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "bench_calibration.json",
+    )
+    if os.path.exists(cal_path):
+        with open(cal_path) as fh:
+            cal = json.load(fh)
+        if abs(sf - cal.get("sf", 0.1)) > 1e-9:
+            cal = {"canaries": [], "session_median": {}}  # wrong SF: skip
+        infl = sorted(
+            timings[k] / cal["session_median"][k]
+            for k in cal["canaries"]
+            if k in timings and cal["session_median"].get(k)
+        )
+        if infl:
+            mid = len(infl) // 2
+            canary_mult = round(
+                infl[mid]
+                if len(infl) % 2
+                else (infl[mid - 1] + infl[mid]) / 2.0,
+                4,
+            )
+            normalized = {
+                k: round(v / canary_mult, 3) for k, v in timings.items()
+            }
+
     print(
         json.dumps(
             {
@@ -692,6 +737,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary_mult": canary_mult,
+                "queries_normalized": normalized,
                 "sf": sf,
                 "etl_input_rows": n_bronze,
                 "etl_rows_per_sec": round(n_bronze / etl_sec, 1),

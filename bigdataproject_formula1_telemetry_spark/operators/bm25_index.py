@@ -247,7 +247,15 @@ def append_bm25_index(
         os.path.join(path, "stats"),
         os.path.join(path, "terms"),
     ]
-    for t in tables:
+    # retry clear order: the COMMIT MARKER (stats) goes FIRST (ADVICE
+    # r13) — clearing postings/terms while the old stats row still
+    # stands would leave a commit-complete id with no postings in the
+    # window, and a concurrent compaction listing its fold set there
+    # would fold stats/terms into base with no postings (inflated
+    # n_docs).  Stats-first means the id stops being commit-complete
+    # before any other partition is touched, so the compactor's gate
+    # skips it for the whole retry.
+    for t in (tables[1], tables[0], tables[2]):
         _clear_inc_partition(spark, t, increment_id)
     # stats LAST: it is the append's COMMIT MARKER (always exactly one
     # row, even for an empty increment) — the compactor folds only ids
@@ -485,6 +493,54 @@ def list_bm25_increments(spark: SparkSession, path: str) -> list[str]:
         if name.startswith("inc="):
             out.append(name[len("inc=") :])
     return sorted(out)
+
+
+def expire_bm25_increments(
+    spark: SparkSession, path: str, keep: "callable | list[str]"
+) -> list[str]:
+    """Retention for the materialized BM25 index — the
+    ``minhash_index.expire_increments`` twin (VERDICT r13 item 4):
+    delete every ``inc=`` partition whose id is NOT kept, across ALL
+    THREE tables (postings, stats, terms) so df, n_docs/avgdl, and the
+    postings always describe the same surviving corpus.  ``keep`` is a
+    predicate over the increment id (or an explicit list); ``base`` is
+    ALWAYS kept — rebuild to rotate it.  Returns the expired ids.
+    Metadata-only (partition deletes, no data scan); expired documents'
+    scores simply disappear from serving, and a from-scratch build over
+    the surviving docs serves identically (pinned in tests).
+
+    Fails fast while a compaction lease is held (deleting partitions
+    mid-fold would tear the compactor's scan).  Clear order per id is
+    COMMIT MARKER FIRST (stats, then postings, then terms): the id
+    stops being commit-complete before any data table is torn, so a
+    compaction starting mid-expire can never fold a half-deleted
+    increment (the retry-clear rule, ADVICE r13)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    if LC.read_lease(spark, LC.lease_file_at(path)) is not None:
+        raise ValueError(
+            "expire_bm25_increments: a compaction lease is held on "
+            "this index; retry after the compaction completes"
+        )
+    kept = (
+        (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
+        else keep
+    )
+    # candidate ids from the UNION of all three tables' partition
+    # listings (not just postings): a crashed earlier expire may have
+    # cleared postings but not terms, and a retry must still see — and
+    # finish clearing — the torn id (a terms/ partition without its
+    # postings would inflate served df)
+    present: set[str] = set()
+    for t in ("postings", "stats", "terms"):
+        present.update(LC.list_inc_ids(spark, os.path.join(path, t)))
+    expired = sorted(i for i in present if i != "base" and not kept(i))
+    for inc in expired:
+        for t in ("stats", "postings", "terms"):
+            _clear_inc_partition(spark, os.path.join(path, t), inc)
+    return expired
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> int:

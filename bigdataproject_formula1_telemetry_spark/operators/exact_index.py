@@ -372,8 +372,11 @@ def append_exact_index(
     _, m_bits, k = _load_bloom(spark, path)
     normalize = _read_normalize(spark, path)
     tables = [os.path.join(path, "hashes"), os.path.join(path, "bloom")]
-    _clear_inc_partition(spark, tables[0], increment_id)
+    # retry clear order: COMMIT MARKER (bloom) first (ADVICE r13, bm25
+    # twin) — the id must stop being commit-complete before hashes is
+    # touched, or a concurrent compaction could fold a torn increment
     _clear_inc_partition(spark, tables[1], increment_id)
+    _clear_inc_partition(spark, tables[0], increment_id)
     hf = _hash_frame(new_docs, text_col, id_col, normalize).localCheckpoint(
         eager=True
     )

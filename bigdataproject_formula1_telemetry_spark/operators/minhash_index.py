@@ -231,8 +231,11 @@ def append_minhash_index(
         spark, lease, "append_minhash_index", increment_id=increment_id
     )
     tables = [os.path.join(path, "sigs"), os.path.join(path, "banded")]
-    _clear_inc_partition(spark, tables[0], increment_id)
+    # retry clear order: COMMIT MARKER (banded) first (ADVICE r13, bm25
+    # twin) — the id must stop being commit-complete before sigs is
+    # touched, or a concurrent compaction could fold a torn increment
     _clear_inc_partition(spark, tables[1], increment_id)
+    _clear_inc_partition(spark, tables[0], increment_id)
     sig = _sig_frame(new_docs, text_col, id_col, num_hashes, shingle_n)
     sig.withColumn("inc", F.lit(increment_id)).write.mode(
         "append"
@@ -410,7 +413,13 @@ def expire_increments(
         if i != "base" and not kept(i)
     ]
     for inc in expired:
-        for t in tables:
+        # clear in REVERSE write order — the append's COMMIT MARKER is
+        # its last-written table, so it must be the first partition to
+        # go: the id stops being commit-complete before any data table
+        # is torn, and a compaction starting mid-expire (expire holds no
+        # lease) can never fold a half-deleted increment (ADVICE r13,
+        # the retry-clear twin)
+        for t in reversed(tables):
             _clear_inc_partition(spark, os.path.join(path, t), inc)
     return expired
 

@@ -1069,6 +1069,26 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
     n_seq = scal.get(("packing", "n_sequences"))
     if n_seq:
         n_nonover = scal.get(("packing", "__n_nonover")) or 0.0
+        # each partial carries its OWN budget as one __budget_sum row
+        # (with __budget_n = 1), so min/max/distinct over the raw rows
+        # is exact per-increment.  Averaging differing budgets would
+        # report a budget no increment used, and the occupancy sum
+        # would mix fills normalized against different denominators
+        # (ADVICE r13) — emit min/max + a mixed sentinel and NULL the
+        # occupancy instead of silently blending.
+        brow = (
+            partials.where(
+                (F.col("section") == F.lit("packing"))
+                & (F.col("key") == F.lit("__budget_sum"))
+            )
+            .agg(
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+                F.count_distinct("value").cast("double").alias("n"),
+            )
+            .first()
+        )
+        mixed = brow["n"] is not None and brow["n"] > 1
         derived += [
             (
                 "packing",
@@ -1079,16 +1099,18 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
                 "packing",
                 "occupancy",
                 (scal[("packing", "__sum_occ")] / n_nonover)
-                if n_nonover > 0
+                if n_nonover > 0 and not mixed
                 else None,
             ),
-            (
-                "packing",
-                "token_budget",
-                scal[("packing", "__budget_sum")]
-                / scal[("packing", "__budget_n")],
-            ),
         ]
+        if mixed:
+            derived += [
+                ("packing", "token_budget_min", brow["lo"]),
+                ("packing", "token_budget_max", brow["hi"]),
+                ("packing", "mixed_token_budgets", brow["n"]),
+            ]
+        else:
+            derived.append(("packing", "token_budget", brow["lo"]))
     card = sums.where(
         ~F.col("section").isin("diversity", "domains")
         & ~F.col("key").startswith("__")
@@ -1865,10 +1887,12 @@ def corpus_release_append(
             st.getPath().getName()
             for st in fs0.listStatus(jvm0.org.apache.hadoop.fs.Path(proot))
         }
+        folded0 = _read_folded_marker(spark, path)
+        live0 = list_release_increments(spark, path)
         missing = [
             i
-            for i in list_release_increments(spark, path)
-            if i not in _read_folded_marker(spark, path)
+            for i in live0
+            if i not in folded0
             and i != increment_id  # a retried id rewrites its own
             and i not in have
         ]
@@ -1878,6 +1902,27 @@ def corpus_release_append(
                 f"card partial missing for increment(s) {missing} — the "
                 "partials trail was tampered with or partially deleted; "
                 "run rebuild_card_partials(spark, path) to restore it "
+                "(or refresh_card=True for a one-off full card)"
+            )
+        # orphan partials are as corrupting as missing ones (ADVICE
+        # r13): a partial whose id is neither the base, a live
+        # increment, a FOLDED id (those partials legitimately outlive
+        # their directories — the base partial predates the fold), nor
+        # this append's own id would fold content nobody released into
+        # the card.  The known producer of orphans was
+        # expire_release_increment (fixed to delete its partial), but
+        # the trail must refuse to merge ANY unexplained extra.
+        orphans = sorted(
+            have - {"base", increment_id} - set(live0) - folded0
+        )
+        if orphans:
+            raise ValueError(
+                "corpus_release_append(refresh_card='incremental'): "
+                f"orphan card partial(s) {orphans} — their ids are "
+                "neither the base, a live increment, nor a folded "
+                "increment, so merging them would overcount the card "
+                "(expired-then-retained partial, or tampering); run "
+                "rebuild_card_partials(spark, path) to reset the trail "
                 "(or refresh_card=True for a one-off full card)"
             )
 
@@ -2378,6 +2423,20 @@ def expire_release_increment(spark, path: str, increment_id: str) -> None:
     )
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(p, True)
+    # drop the increment's card partial WITH its data (ADVICE r13):
+    # the incremental card merges card_partials/* — a partial that
+    # outlives its expired increment would silently fold the expired
+    # docs/tokens/pii/sketch counts back into every incremental card.
+    # Safe to delete unconditionally here: expire refuses folded ids
+    # above, and FOLDED increments are the only ones whose partials
+    # must outlive their directories (the base partial predates the
+    # fold).
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            _os.path.join(path, "card_partials", increment_id)
+        ),
+        True,
+    )
     _refresh_manifest_full(spark, path)
 
 

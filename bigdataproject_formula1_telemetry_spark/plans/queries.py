@@ -2264,9 +2264,17 @@ def q54_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[float(x) for x in rng.standard_normal(64)] for _ in range(8)]
         for _ in range(4)
     ]
-    kept = sim.near_dedup_cosine(emb, planes, threshold=0.95)
+    # storage="memory" (r14): the default persist(DISK_ONLY) barrier's
+    # block-manager disk round trip is this entry's measured variance
+    # source — 1.8x min-to-max spread within ONE quiet session, and the
+    # component the driver's machine mode inflates (the r13 driver
+    # reading stayed +14% above the canary-NORMALIZED band; q55's was
+    # fully mode-explained).  MEMORY_AND_DISK is faster and tight
+    # (probe: near leg 1.435-2.631 -> 1.340-1.387 s), same lineage
+    # semantics, spills under pressure (tools/probe_q54_storage.py).
+    kept = sim.near_dedup_cosine(emb, planes, threshold=0.95, storage="memory")
     sem = SD.semantic_dedup(
-        emb, _Q54_CENTS, threshold=0.2, keep="min_id"
+        emb, _Q54_CENTS, threshold=0.2, keep="min_id", storage="memory"
     ).select("vec_id").withColumn("__sk", F.lit(True))
     return (
         kept.select("vec_id")

@@ -380,3 +380,154 @@ def test_index_equals_scan_on_random_corpora(spark, tmp_path, case):
     )
     want = _ranked(RT.bm25_topk(d, qs, k=4, score_round=6).collect())
     assert got == want
+
+
+def test_expire_drops_all_three_tables_and_serves_survivors(
+    spark, frames, tmp_path
+):
+    """VERDICT r13 item 4: expiring a bm25 increment drops its
+    postings/stats/terms partitions TOGETHER, and serving over the
+    survivors equals a from-scratch build over the surviving docs
+    (the minhash ``expire_increments`` twin)."""
+    import os
+
+    a, b, qs = frames
+    c = spark.createDataFrame(
+        [(20, "retention keeps only the freshest spark increment")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "exp_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc0")
+    BI.append_bm25_index(c, path, increment_id="inc1")
+    assert BI.expire_bm25_increments(spark, path, keep=["inc1"]) == ["inc0"]
+    for t in ("postings", "stats", "terms"):
+        assert not os.path.exists(os.path.join(path, t, "inc=inc0")), t
+        assert os.path.exists(os.path.join(path, t, "inc=inc1")), t
+        assert os.path.exists(os.path.join(path, t, "inc=base")), t
+    assert BI.list_bm25_increments(spark, path) == ["base", "inc1"]
+    fresh = str(tmp_path / "fresh_idx")
+    BI.build_bm25_index(a.unionByName(c), fresh, n_buckets=8)
+    got = _ranked(BI.bm25_topk_indexed(spark, path, qs, k=5).collect())
+    want = _ranked(BI.bm25_topk_indexed(spark, fresh, qs, k=5).collect())
+    assert got == want
+    # base is never expirable; a held compaction lease fails fast
+    assert BI.expire_bm25_increments(spark, path, keep=lambda i: False) == [
+        "inc1"
+    ]
+    assert BI.list_bm25_increments(spark, path) == ["base"]
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+    with pytest.raises(ValueError, match="compaction lease"):
+        BI.expire_bm25_increments(spark, path, keep=[])
+    LC.clear_lease(spark, LC.lease_file_at(path))
+
+
+def test_expire_retry_converges_after_mid_clear_crash(
+    spark, frames, tmp_path, monkeypatch
+):
+    """A crash between an expire's per-table clears leaves a torn id;
+    the RETRY must still see it (candidates come from the union of all
+    three tables' listings, not just postings) and finish the clear —
+    a surviving terms/ partition without its postings would inflate
+    served df."""
+    import os
+
+    a, b, qs = frames
+    path = str(tmp_path / "torn_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc0")
+
+    real = BI._clear_inc_partition
+    calls = []
+
+    def crashy(spark_, table_dir, inc):
+        calls.append(os.path.basename(table_dir))
+        real(spark_, table_dir, inc)
+        if len(calls) == 2:  # after stats + postings, before terms
+            raise RuntimeError("injected crash mid-expire")
+
+    monkeypatch.setattr(BI, "_clear_inc_partition", crashy)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        BI.expire_bm25_increments(spark, path, keep=[])
+    monkeypatch.undo()
+    # commit marker (stats) went FIRST, so the torn id is not
+    # commit-complete in the crash window
+    assert calls[:2] == ["stats", "postings"]
+    assert not os.path.exists(os.path.join(path, "stats", "inc=inc0"))
+    assert os.path.exists(os.path.join(path, "terms", "inc=inc0"))
+    # retry finds the terms-only orphan and finishes the job
+    assert BI.expire_bm25_increments(spark, path, keep=[]) == ["inc0"]
+    assert not os.path.exists(os.path.join(path, "terms", "inc=inc0"))
+    plain = str(tmp_path / "plain_idx")
+    BI.build_bm25_index(a, plain, n_buckets=8)
+    assert _ranked(
+        BI.bm25_topk_indexed(spark, path, qs, k=5).collect()
+    ) == _ranked(BI.bm25_topk_indexed(spark, plain, qs, k=5).collect())
+
+
+def test_retry_clears_commit_marker_first(spark, frames, tmp_path, monkeypatch):
+    """ADVICE r13: a same-id append RETRY clears the commit-marker
+    table (stats) before postings/terms — a crash (or concurrent
+    compaction snapshot) between the clears must never observe a
+    commit-complete id whose postings are already gone (that fold
+    would inflate served n_docs with no matching postings)."""
+    import os
+
+    a, b, qs = frames
+    path = str(tmp_path / "retry_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    BI.append_bm25_index(b, path, increment_id="inc0")
+
+    real = BI._clear_inc_partition
+    calls = []
+
+    def crashy(spark_, table_dir, inc):
+        calls.append(os.path.basename(table_dir))
+        real(spark_, table_dir, inc)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash between retry clears")
+
+    monkeypatch.setattr(BI, "_clear_inc_partition", crashy)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        BI.append_bm25_index(b, path, increment_id="inc0")  # retry
+    monkeypatch.undo()
+    assert calls == ["stats"]
+    # the torn id is NOT commit-complete: stats gone, postings present
+    assert not os.path.exists(os.path.join(path, "stats", "inc=inc0"))
+    assert os.path.exists(os.path.join(path, "postings", "inc=inc0"))
+    # so a compaction folds NOTHING of it (commit gate), and the stale
+    # postings ride whole into the next generation untouched
+    assert BI.compact_bm25_index(spark, path) == 0
+    # the retry itself converges: clears finish, the rewritten
+    # increment serves exactly as a from-scratch build
+    BI.append_bm25_index(b, path, increment_id="inc0")
+    fresh = str(tmp_path / "fresh_idx")
+    BI.build_bm25_index(a.unionByName(b), fresh, n_buckets=8)
+    assert _ranked(
+        BI.bm25_topk_indexed(spark, path, qs, k=5).collect()
+    ) == _ranked(BI.bm25_topk_indexed(spark, fresh, qs, k=5).collect())
+
+
+def test_pre_r13_layout_refused_with_rebuild_hint(spark, frames, tmp_path):
+    """VERDICT r13 item 4: an index missing the ``terms/`` lexicon
+    (pre-r13 layout) is refused loudly with the rebuild hint, and a
+    rebuild restores serving."""
+    import shutil
+    import os
+
+    a, _, qs = frames
+    path = str(tmp_path / "old_idx")
+    BI.build_bm25_index(a, path, n_buckets=8)
+    shutil.rmtree(os.path.join(path, "terms"))
+    with pytest.raises(ValueError, match="pre-r13"):
+        BI.bm25_topk_indexed(spark, path, qs, k=3).collect()
+    BI.build_bm25_index(a, path, n_buckets=8)  # the hinted rebuild
+    plain = str(tmp_path / "plain_idx")
+    BI.build_bm25_index(a, plain, n_buckets=8)
+    assert _ranked(
+        BI.bm25_topk_indexed(spark, path, qs, k=3).collect()
+    ) == _ranked(BI.bm25_topk_indexed(spark, plain, qs, k=3).collect())

@@ -381,3 +381,125 @@ def test_incremental_mode_guards(spark, tmp_path, monkeypatch):
     assert card[("size", "docs")] == float(
         P.read_release(spark, root2).count()
     )
+
+
+def test_expire_drops_card_partial_and_card_stays_truthful(spark, tmp_path):
+    """ADVICE r13 (medium): expire_release_increment must delete the
+    increment's card partial with its data — a surviving partial would
+    silently fold the expired docs back into every incremental card."""
+    root = str(tmp_path / "rel")
+    kw = dict(chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2)
+    P.corpus_release(_rel_docs(spark, [(1, "alpha base words")]), root, **kw)
+    for i, w in enumerate(["gamma words", "delta words"]):
+        P.corpus_release_append(
+            _rel_docs(spark, [(10 + i, w)]), root, f"inc{i}",
+            refresh_card="incremental", **kw,
+        )
+    P.expire_release_increment(spark, root, "inc0")
+    assert not os.path.exists(os.path.join(root, "card_partials", "inc0"))
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(20, "zeta words")]), root, "inc2",
+        refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    # ground truth: the released content EXCLUDES the expired docs
+    assert card[("size", "docs")] == float(P.read_release(spark, root).count())
+
+
+def test_orphan_card_partial_refused(spark, tmp_path):
+    """ADVICE r13: the readiness check flags ORPHAN partials (id is
+    neither base, a live increment, nor a folded id), not just missing
+    ones — merging an orphan would overcount the card undetectably."""
+    import shutil
+
+    root = str(tmp_path / "rel")
+    kw = dict(chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2)
+    P.corpus_release(_rel_docs(spark, [(1, "alpha base words")]), root, **kw)
+    P.corpus_release_append(
+        _rel_docs(spark, [(10, "gamma words")]), root, "inc0",
+        refresh_card="incremental", **kw,
+    )
+    # plant an orphan: a partial whose increment was never released
+    shutil.copytree(
+        os.path.join(root, "card_partials", "inc0"),
+        os.path.join(root, "card_partials", "ghost"),
+    )
+    with pytest.raises(ValueError, match="orphan card partial"):
+        P.corpus_release_append(
+            _rel_docs(spark, [(11, "delta words")]), root, "inc1",
+            refresh_card="incremental", **kw,
+        )
+    # rebuild resets the trail (ghost gone) and incremental mode resumes
+    P.rebuild_card_partials(spark, root, token_budget=float(kw["token_budget"]))
+    assert not os.path.exists(os.path.join(root, "card_partials", "ghost"))
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(12, "epsilon words")]), root, "inc2",
+        refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    assert card[("size", "docs")] == float(P.read_release(spark, root).count())
+    # FOLDED ids' partials are NOT orphans (they legitimately outlive
+    # their directories — the base partial predates the fold)
+    assert P.compact_release(spark, root) >= 1
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(13, "eta words")]), root, "inc3",
+        refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    assert card[("size", "docs")] == float(P.read_release(spark, root).count())
+
+
+def _packed_docs(spark, ids, n_tokens=8):
+    return spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta words here", 0, i, n_tokens, False)
+            for i in ids
+        ],
+        "doc_id long, text string, pack_shard int, seq_id long, "
+        "n_tokens long, oversize boolean",
+    )
+
+
+def test_mixed_token_budgets_not_averaged(spark):
+    """ADVICE r13 (low): partials packed under DIFFERING token budgets
+    must not merge into a mean budget nobody used — the merge emits
+    min/max + a mixed sentinel and NULLs the occupancy (whose summands
+    were normalized against different denominators)."""
+    pa = P.corpus_card_partial(
+        _packed_docs(spark, [1, 2]), lang_col=None, token_budget=64.0
+    )
+    pb = P.corpus_card_partial(
+        _packed_docs(spark, [3]), lang_col=None, token_budget=128.0
+    )
+    merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(pa.unionByName(pb)).collect()
+    }
+    assert ("packing", "token_budget") not in merged
+    assert merged[("packing", "token_budget_min")] == 64.0
+    assert merged[("packing", "token_budget_max")] == 128.0
+    assert merged[("packing", "mixed_token_budgets")] == 2.0
+    assert merged[("packing", "occupancy")] is None
+    # the mergeable component sums are untouched by the sentinel
+    assert merged[("packing", "n_sequences")] == 3.0
+    assert merged[("packing", "mean_seq_tokens")] == 8.0
+
+    # uniform budgets: unchanged contract — one exact token_budget row,
+    # occupancy derived, no sentinels
+    pc = P.corpus_card_partial(
+        _packed_docs(spark, [4]), lang_col=None, token_budget=64.0
+    )
+    uni = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(pa.unionByName(pc)).collect()
+    }
+    assert uni[("packing", "token_budget")] == 64.0
+    assert uni[("packing", "occupancy")] == pytest.approx(8.0 / 64.0)
+    assert ("packing", "token_budget_min") not in uni
+    assert ("packing", "mixed_token_budgets") not in uni

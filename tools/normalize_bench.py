@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Mode-normalize recorded bench readings (VERDICT r13 item 1).
+
+The grading driver's single post-close bench run exhibits a machine-
+level slow mode with NON-uniform per-entry multipliers (SCALING r13:
+0.84-3.55x across entries on bit-identical code; mechanism probed —
+not Python workers, not stage density).  Two consecutive rounds the
+single driver run landed exactly two unchanged-code entries above
+bands that had been re-pinned THAT round; absolute bands cannot
+converge against a mode that supplies a fresh worst-case sample per
+round.
+
+The instrument: a fixed CANARY set of pure-JVM TPC-H entries whose
+plans never change, with per-entry shaped-session medians pinned in
+``tools/bench_calibration.json``.  For any recorded run,
+
+    inflation_e  = wall_e / session_median_e          (canaries only)
+    canary_mult  = median_e(inflation_e)
+    normalized_e = wall_e / canary_mult               (every entry)
+
+A shaped session normalizes to itself (mult ~ 1); a slow-mode driver
+run's shared machine component divides out.  Normalized bands (pinned
+from shaped sessions under the same math) then separate "the machine
+was slow" from "the plan regressed": a normalized reading above band
+is entry-specific inflation the shared mode does NOT explain.
+
+Usage:
+    python tools/normalize_bench.py BENCH_r13.json [BENCH_r12.json ...]
+    python tools/normalize_bench.py tools/driver_shape_runs/session_1_r13.stdout.log
+
+Accepts driver BENCH_r{N}.json files ({"parsed": {...}}), raw bench
+stdout lines, and session logs; prints one table per input with the
+band verdict per entry when ``bands_normalized`` is pinned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CAL_PATH = os.path.join(HERE, "bench_calibration.json")
+
+
+def load_queries(path: str) -> dict:
+    """Extract the per-entry walls from any recorded bench artifact."""
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        d = json.loads(text)
+        if "parsed" in d:  # driver BENCH_r{N}.json
+            return d["parsed"]["queries"]
+        if "queries" in d:
+            return d["queries"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():  # session/stdout log: first JSON line
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)["queries"]
+    raise SystemExit(f"no bench JSON line found in {path}")
+
+
+def canary_mult(queries: dict, cal: dict) -> float:
+    infl = sorted(
+        queries[k] / cal["session_median"][k]
+        for k in cal["canaries"]
+        if k in queries and cal["session_median"].get(k)
+    )
+    if not infl:
+        raise SystemExit("no canary entries present in this run")
+    mid = len(infl) // 2
+    return infl[mid] if len(infl) % 2 else (infl[mid - 1] + infl[mid]) / 2.0
+
+
+def main() -> None:
+    with open(CAL_PATH) as fh:
+        cal = json.load(fh)
+    bands = cal.get("bands_normalized") or {}
+    for path in sys.argv[1:]:
+        q = load_queries(path)
+        mult = canary_mult(q, cal)
+        print(f"\n== {path}  canary_mult={mult:.3f} ==")
+        print(f"{'entry':30s} {'wall':>8s} {'norm':>8s} {'band':>13s}  verdict")
+        n_out = 0
+        for k in sorted(q):
+            norm = q[k] / mult
+            if k in bands:
+                lo, hi = bands[k]
+                verdict = "in" if lo <= norm <= hi else (
+                    "OVER" if norm > hi else "UNDER"
+                )
+                n_out += verdict != "in"
+                band_s = f"{lo:.2f}-{hi:.2f}"
+            else:
+                verdict, band_s = "-", "-"
+            print(f"{k:30s} {q[k]:8.3f} {norm:8.3f} {band_s:>13s}  {verdict}")
+        if bands:
+            print(f"out of normalized band: {n_out}")
+
+
+if __name__ == "__main__":
+    main()
