@@ -474,6 +474,50 @@ def list_increments(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def expire_exact_increments(
+    spark: SparkSession, path: str, keep: "callable | list[str]"
+) -> list[str]:
+    """Retention for the exact-dedup admission index — the
+    ``minhash_index.expire_increments`` twin (r14, completing the index
+    family: minhash r11, bm25 r14): delete every ``inc=`` partition
+    whose id is NOT kept, across BOTH tables (hashes and the Bloom
+    sidecar) so membership pruning and the exact join always describe
+    the same surviving horizon.  ``keep`` is a predicate over the
+    increment id (or an explicit list); ``base`` is ALWAYS kept —
+    rebuild to rotate it.  Returns the expired ids.  Expired documents
+    simply become admissible again (the dedup-horizon policy).
+
+    Fails fast while a compaction lease is held.  Per id the clear
+    order is COMMIT MARKER FIRST (bloom, then hashes — the append
+    writes bloom last), so a compaction starting mid-expire can never
+    fold a half-deleted increment; candidates come from the UNION of
+    both tables' listings so a crashed expire's torn id (bloom gone,
+    hashes still present would over-admit nothing, but hashes gone with
+    bloom present would false-positive-prune against ghosts) is still
+    seen — and finished — by the retry."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    if LC.read_lease(spark, LC.lease_file_at(path)) is not None:
+        raise ValueError(
+            "expire_exact_increments: a compaction lease is held on "
+            "this index; retry after the compaction completes"
+        )
+    kept = (
+        (lambda i: i in set(keep)) if isinstance(keep, (list, set, tuple))
+        else keep
+    )
+    present: set[str] = set()
+    for t in ("hashes", "bloom"):
+        present.update(LC.list_inc_ids(spark, os.path.join(path, t)))
+    expired = sorted(i for i in present if i != "base" and not kept(i))
+    for inc in expired:
+        for t in ("bloom", "hashes"):
+            _clear_inc_partition(spark, os.path.join(path, t), inc)
+    return expired
+
+
 def compact_exact_index(spark: SparkSession, path: str) -> int:
     """Fold every ``inc=`` partition into a fresh ``base`` — the
     exact-dedup twin of ``minhash_index.compact_index`` (same

@@ -3241,6 +3241,77 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents WHERE doc_id % 3 <> 0
         ) n ON o.doc_id = n.doc_id
       ) GROUP BY change
+      UNION ALL
+      -- incrementally-merged datasheet card: the Spark side runs the
+      -- REAL corpus_card_partial + merge_card_partials over a 3-way
+      -- doc_id split; the oracle recomputes the mergeable sums in ONE
+      -- pass over the union (the merge contract).  The hll/* rows are
+      -- Spark-side ±5% band assertions against true distinct counts
+      -- (the q50 pattern) — the oracle states the expected verdict.
+      SELECT 'card_merge' AS section, key, sort_key, n, total FROM (
+        WITH cm_base AS (
+          SELECT doc_id, text, lang,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> x <> '') AS toks,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        w -> w <> '') AS words
+          FROM documents
+        ), cm_grams AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(words) <= 12 THEN [array_to_string(words, ' ')]
+                 ELSE list_transform(range(1, len(words) - 11),
+                        i -> array_to_string(words[i : i + 12], ' '))
+            END) AS g
+          FROM cm_base
+        )
+        SELECT 'size/docs' AS key, CAST(1 AS BIGINT) AS sort_key,
+               count(*) AS n, CAST(count(*) AS DOUBLE) AS total
+        FROM documents
+        UNION ALL
+        SELECT 'size/tokens', CAST(2 AS BIGINT),
+               CAST(sum(len(toks)) AS BIGINT),
+               CAST(sum(len(toks)) AS DOUBLE)
+        FROM cm_base
+        UNION ALL
+        SELECT 'size/chars', CAST(3 AS BIGINT),
+               CAST(sum(length(text)) AS BIGINT),
+               CAST(sum(length(text)) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'pii/emails', CAST(4 AS BIGINT),
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+                 AS BIGINT),
+               CAST(sum(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+                 AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'pii/ipv4', CAST(5 AS BIGINT),
+               CAST(sum(len(regexp_extract_all(text,
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT),
+               CAST(sum(len(regexp_extract_all(text,
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'diversity/ngrams_13', CAST(6 AS BIGINT),
+               CAST(sum(len(g)) AS BIGINT), CAST(sum(len(g)) AS DOUBLE)
+        FROM cm_grams
+        UNION ALL
+        SELECT 'hll/dup_frac_ok', CAST(7 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(1 AS DOUBLE)
+        UNION ALL
+        SELECT 'hll/gram_frac_ok', CAST(8 AS BIGINT),
+               CAST(1 AS BIGINT), CAST(1 AS DOUBLE)
+        UNION ALL
+        SELECT 'lang/' || lang,
+               CAST(8 + row_number() OVER (ORDER BY lang) AS BIGINT),
+               n, CAST(n AS DOUBLE)
+        FROM (
+          SELECT lang, count(*) AS n FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang
+        )
+      )
     )
     ORDER BY section, sort_key, key
     """,
@@ -3807,6 +3878,82 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Incrementally-merged datasheet card (r14, VERDICT r13 item 3) as
+    # a driver-checked section: the documents table split into THREE
+    # "increments" (doc_id % 3) runs the REAL corpus_card_partial +
+    # merge_card_partials machinery, and the oracle recomputes every
+    # emitted mergeable sum from ONE pass over the union — the property
+    # under test is exactly the merge's contract (partials over a
+    # partition sum to the union's totals, order-independent).
+    # pii_phones is not emitted (its lookbehind/lookahead regex is not
+    # RE2-portable, so DuckDB cannot recompute it); the domains section
+    # rides pytest-only (registered-domain suffix logic).  The two
+    # HLL-backed rows are asserted as ±5% bands against true distinct
+    # counts computed independently in both engines (the q50 pattern:
+    # DataSketches HLL at the default lgK is ~1-2% RSE, so the band
+    # fails only on real estimator/merge damage).
+    parts3 = [
+        P.corpus_card_partial(
+            docs.where(F.col("doc_id") % 3 == k),
+            text_col="text",
+            lang_col="lang",
+            id_col="doc_id",
+        )
+        for k in range(3)
+    ]
+    cm = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            parts3[0].unionByName(parts3[1]).unionByName(parts3[2])
+        ).collect()
+    }
+    true_dup = (
+        docs.select(
+            F.when(F.col("text").isNotNull(), F.md5("text"))
+            .otherwise(F.lit("\x00null"))
+            .alias("__k")
+        )
+        .distinct()
+        .count()
+    )
+    true_grams = (
+        docs.select(
+            F.explode(T.shingles_ngrams(F.col("text"), 13)).alias("__g")
+        )
+        .distinct()
+        .count()
+    )
+    est_dup = (1.0 - cm[("dup", "exact_dup_frac_approx")]) * cm[
+        ("size", "docs")
+    ]
+    est_gram = cm[("diversity", "distinct_13gram_frac_approx")] * cm[
+        ("diversity", "ngrams_13")
+    ]
+    dup_ok = true_dup > 0 and abs(est_dup / true_dup - 1.0) <= 0.05
+    gram_ok = true_grams > 0 and abs(est_gram / true_grams - 1.0) <= 0.05
+    cm_rows = [
+        ("size/docs", 1, cm[("size", "docs")]),
+        ("size/tokens", 2, cm[("size", "tokens")]),
+        ("size/chars", 3, cm[("size", "chars")]),
+        ("pii/emails", 4, cm[("pii", "pii_emails")]),
+        ("pii/ipv4", 5, cm[("pii", "pii_ipv4")]),
+        ("diversity/ngrams_13", 6, cm[("diversity", "ngrams_13")]),
+        ("hll/dup_frac_ok", 7, 1.0 if dup_ok else 0.0),
+        ("hll/gram_frac_ok", 8, 1.0 if gram_ok else 0.0),
+    ] + [
+        (f"lang/{k}", 9 + i, cm[("lang", k)])
+        for i, k in enumerate(
+            sorted(k for (s, k) in cm if s == "lang" and k is not None)
+        )
+    ]
+    card_merge = spark.createDataFrame(
+        [
+            ("card_merge", key, sk, int(v), float(v))
+            for key, sk, v in cm_rows
+        ],
+        "section string, key string, sort_key long, n long, total double",
+    )
+
     # O3 head/tail caps + A8 union of the two sorted-limit frames
     head = (
         ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -3849,6 +3996,7 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mmr)
         .unionByName(ir_metrics)
         .unionByName(diff)
+        .unionByName(card_merge)
         .orderBy("section", "sort_key", "key")
     )
 

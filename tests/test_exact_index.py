@@ -323,3 +323,54 @@ def test_rebuild_onto_used_path_drops_stale_increments(spark, tmp_path):
     )
     kept = EI.dedup_exact_against_index(spark, probe, path)
     assert [r["doc_id"] for r in kept.collect()] == [100]
+
+
+def test_expire_exact_increments_drops_both_tables(spark, exact_idx, tmp_path):
+    """r14 (the minhash/bm25 expire twin): expiring an increment drops
+    its hashes AND bloom partitions together, expired docs become
+    admissible again, and survivors stay rejected."""
+    import os
+
+    path, docs = exact_idx
+    inc0 = spark.createDataFrame(
+        [Row(doc_id=9400, text="horizon doc zero")]
+    )
+    inc1 = spark.createDataFrame(
+        [Row(doc_id=9401, text="horizon doc one")]
+    )
+    EI.append_exact_index(inc0, path, increment_id="inc0")
+    EI.append_exact_index(inc1, path, increment_id="inc1")
+    assert EI.expire_exact_increments(spark, path, keep=["inc1"]) == ["inc0"]
+    for t in ("hashes", "bloom"):
+        assert not os.path.exists(os.path.join(path, t, "inc=inc0")), t
+        assert os.path.exists(os.path.join(path, t, "inc=inc1")), t
+        assert os.path.exists(os.path.join(path, t, "inc=base")), t
+    # expired doc is admissible again; survivor and base stay rejected
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="horizon doc zero"),
+            Row(doc_id=2, text="horizon doc one"),
+            Row(doc_id=3, text=docs.orderBy("doc_id").first()["text"]),
+            Row(doc_id=4, text="genuinely fresh probe text"),
+        ]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in EI.dedup_exact_against_index(
+            spark, probe, path, "text", "doc_id"
+        ).collect()
+    )
+    assert got == [1, 4]
+    # base never expires; a compaction lease fails fast
+    assert EI.expire_exact_increments(spark, path, keep=lambda i: False) == [
+        "inc1"
+    ]
+    assert EI.list_increments(spark, path) == ["base"]
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        index_lifecycle as LC,
+    )
+
+    LC.write_lease(spark, LC.lease_file_at(path), ["base"])
+    with pytest.raises(ValueError, match="compaction lease"):
+        EI.expire_exact_increments(spark, path, keep=[])
+    LC.clear_lease(spark, LC.lease_file_at(path))
