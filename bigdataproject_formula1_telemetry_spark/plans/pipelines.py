@@ -2148,6 +2148,42 @@ def corpus_release_append(
         card = merge_card_partials(
             spark.read.parquet(_os.path.join(part_root, "*"))
         )
+        # carry the NON-MERGEABLE sections forward (r14): the previous
+        # card's model-backed rows (quality/perplexity percentiles —
+        # and semantic families, when a release computes them) are
+        # absent from the merge, so overwriting with the merged card
+        # alone would make them VANISH from the published card on the
+        # first incremental append.  Instead they ride forward verbatim
+        # with one ``(section, "__stale", 1.0)`` marker row per carried
+        # section — "as of the last full refresh" — which a
+        # ``refresh_card=True`` append clears by recomputing them.
+        # This is exactly Datasheets-for-Datasets practice for living
+        # datasets: algebraic sections per delta, model-backed sections
+        # per scheduled audit, staleness stated rather than implied.
+        card_dir = _os.path.join(path, "card")
+        if fs2.exists(jvm2.org.apache.hadoop.fs.Path(card_dir)):
+            merged_secs = {
+                r["section"]
+                for r in card.select("section").distinct().collect()
+            }
+            # collect (tiny, already-reduced rows): the card dir is
+            # about to be overwritten, and Spark refuses plans that
+            # read a path they overwrite
+            carried = [
+                (r["section"], r["key"], r["value"])
+                for r in spark.read.parquet(card_dir).collect()
+                if r["section"] not in merged_secs and r["key"] != "__stale"
+            ]
+            if carried:
+                marks = [
+                    (s, "__stale", 1.0) for s in {c[0] for c in carried}
+                ]
+                card = card.unionByName(
+                    spark.createDataFrame(
+                        carried + sorted(marks),
+                        "section string, key string, value double",
+                    )
+                )
         card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
     elif refresh_card:
         released = read_release(spark, path)
@@ -2387,13 +2423,32 @@ def _refresh_manifest_full(spark, path: str) -> None:
     _swap_staged(spark, staged, final)
 
 
-def expire_release_increment(spark, path: str, increment_id: str) -> None:
+def expire_release_increment(
+    spark,
+    path: str,
+    increment_id: str,
+    minhash_index_path: str | None = None,
+    exact_index_path: str | None = None,
+    bm25_index_path: str | None = None,
+) -> None:
     """Retention: drop one increment from the release (its directory)
     and refresh ``manifest_full`` — the data-side twin of
-    ``minhash_index.expire_increments``.  NOTE: expiring the DATA does
-    not expire the ADMISSION (the indexes still reject re-sends of the
-    expired docs); expire the matching index increments too if the
-    policy is "admissible again"."""
+    ``minhash_index.expire_increments``.
+
+    Pass the release's paired index roots (r14) to expire the MATCHING
+    index increments in the same call — the release train appends to
+    every index under the release's own increment id, so retention is
+    one ``keep = everything but this id`` expire per index.  Without
+    them, expiring the DATA does not expire the ADMISSION (the indexes
+    keep rejecting re-sends of the expired docs — conservative, never
+    corrupting) and the bm25 SERVING index keeps ranking the expired
+    chunks — so pass ``bm25_index_path`` whenever the release maintains
+    one.  Order is data first, indexes last: a crash in between leaves
+    the conservative state (gone from the release, still inadmissible),
+    and retrying the expire converges (the data delete is idempotent;
+    an index expire whose partitions are already gone is a no-op).
+    Each index expire fails fast on that index's own compaction lease —
+    retry after its compaction completes."""
     import os as _os
 
     if increment_id in _read_folded_marker(spark, path):
@@ -2438,6 +2493,25 @@ def expire_release_increment(spark, path: str, increment_id: str) -> None:
         True,
     )
     _refresh_manifest_full(spark, path)
+    keep_others = lambda i: i != increment_id  # noqa: E731
+    if exact_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.exact_index import (
+            expire_exact_increments,
+        )
+
+        expire_exact_increments(spark, exact_index_path, keep_others)
+    if minhash_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.minhash_index import (
+            expire_increments,
+        )
+
+        expire_increments(spark, minhash_index_path, keep_others)
+    if bm25_index_path is not None:
+        from bigdataproject_formula1_telemetry_spark.operators.bm25_index import (
+            expire_bm25_increments,
+        )
+
+        expire_bm25_increments(spark, bm25_index_path, keep_others)
 
 
 def compact_release(spark, path: str) -> int:

@@ -201,7 +201,11 @@ def test_release_incremental_card(spark, tmp_path):
     }
     n_rel = P.read_release(spark, root).count()
     assert card1[("size", "docs")] == float(n_rel)
-    assert ("quality", "q_p50") not in card1  # incremental omits it
+    # the non-mergeable quality section is CARRIED from the base
+    # release's full card, verbatim, tagged stale (r14) — it must not
+    # vanish from the published card on an incremental append
+    assert card1[("quality", "q_p50")] == base_card[("quality", "q_p50")]
+    assert card1[("quality", "__stale")] == 1.0
     # packing merged across base + increment: bins sum per source (each
     # increment packs separately — its bins are distinct sequences)
     inc_bins = (
@@ -226,6 +230,7 @@ def test_release_incremental_card(spark, tmp_path):
         (r["section"], r["key"]): r["value"] for r in out2["card"].collect()
     }
     assert ("quality", "q_p50") in card2
+    assert ("quality", "__stale") not in card2  # full refresh: fresh again
     assert os.path.exists(os.path.join(root, "card_partials", "inc1"))
 
     # back to incremental: covers BOTH prior increments
@@ -239,6 +244,9 @@ def test_release_incremental_card(spark, tmp_path):
     n_rel = P.read_release(spark, root).count()
     assert card3[("size", "docs")] == float(n_rel)
     assert card3[("size", "docs")] > card2[("size", "docs")]
+    # quality carried from the LAST FULL refresh (card2), re-tagged
+    assert card3[("quality", "q_p50")] == card2[("quality", "q_p50")]
+    assert card3[("quality", "__stale")] == 1.0
     # size agreement with a from-scratch full card over read_release
     full = {
         (r["section"], r["key"]): r["value"]

@@ -1048,3 +1048,76 @@ def test_bench_shape_appends_never_auto_compact(spark, tmp_path):
         "bench0", "bench1", "bench2"
     ]
     assert P._read_folded_marker(spark, root) == set()
+
+
+def test_expire_release_increment_expires_paired_indexes(spark, tmp_path):
+    """r14: expire_release_increment(minhash/exact/bm25 paths) drops the
+    MATCHING index increments with the data — the expired docs become
+    admissible again and the bm25 serving index stops ranking their
+    chunks (served == scan over the surviving release)."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        bm25_index as BI,
+        exact_index as EI,
+        retrieval as RT,
+    )
+
+    base_docs = spark.createDataFrame(
+        [
+            _doc(1, "alpha retention article words"),
+            _doc(2, "beta retention article words"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "rel")
+    bidx = str(tmp_path / "bm25idx")
+    eidx = str(tmp_path / "eidx")
+    kw = dict(chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2)
+    P.corpus_release(base_docs, root, bm25_index_path=bidx, **kw)
+    EI.build_exact_index(base_docs, eidx, expected_items=1_000)
+
+    ttl_docs = spark.createDataFrame(
+        [_doc(10, "short lived retention words")], "doc_id long, text string"
+    )
+    P.corpus_release_append(
+        ttl_docs, root, "ttl0", bm25_index_path=bidx,
+        exact_index_path=eidx, refresh_card=False, **kw,
+    )
+    assert "ttl0" in BI.list_bm25_increments(spark, bidx)
+    assert "ttl0" in EI.list_increments(spark, eidx)
+
+    P.expire_release_increment(
+        spark, root, "ttl0", exact_index_path=eidx, bm25_index_path=bidx
+    )
+    assert "ttl0" not in P.list_release_increments(spark, root)
+    assert "ttl0" not in BI.list_bm25_increments(spark, bidx)
+    assert "ttl0" not in EI.list_increments(spark, eidx)
+
+    # the serving index matches a scan over the SURVIVING release
+    qs = spark.createDataFrame(
+        [("qa", "alpha retention"), ("qb", "short lived")],
+        "query_id string, text string",
+    )
+    chunks = P._bm25_chunk_rows(P.read_release(spark, root), "doc_id")
+    scan = sorted(
+        map(
+            tuple,
+            RT.bm25_topk(
+                chunks, qs, k=3, id_col="chunk_id", score_round=6
+            ).collect(),
+        )
+    )
+    served = sorted(
+        map(
+            tuple,
+            BI.bm25_topk_indexed(spark, bidx, qs, k=3, score_round=6).collect(),
+        )
+    )
+    assert served == scan and served
+    assert not any("10#" in str(t[1]) for t in served)
+
+    # the expired docs are ADMISSIBLE again (the dedup-horizon policy)
+    out = P.corpus_release_append(
+        ttl_docs, root, "ttl1", bm25_index_path=bidx,
+        exact_index_path=eidx, refresh_card=False, **kw,
+    )
+    assert out["admitted_docs"] == 1
