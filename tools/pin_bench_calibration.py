@@ -36,16 +36,27 @@ CAL_PATH = os.path.join(HERE, "bench_calibration.json")
 
 
 def load_queries(path: str) -> dict:
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if line.startswith("{") and '"queries"' in line:
-                return json.loads(line)["queries"]
-    raise SystemExit(f"no bench JSON line in {path}")
+    """Session logs AND driver BENCH_r{N}.json — same loader as
+    normalize_bench."""
+    sys.path.insert(0, HERE)
+    from normalize_bench import load_queries as _lq
+
+    return _lq(path)
 
 
 def main() -> None:
-    logs = sys.argv[1:]
+    args = sys.argv[1:]
+    slow_samples: list[str] = []
+    exclude: set[str] = set()
+    logs: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--slow-sample":
+            slow_samples.append(args[i + 1]); i += 2
+        elif args[i] == "--exclude":
+            exclude |= set(args[i + 1].split(",")); i += 2
+        else:
+            logs.append(args[i]); i += 1
     if len(logs) < 3:
         raise SystemExit("need >= 3 session logs to pin medians/bands")
     with open(CAL_PATH) as fh:
@@ -65,16 +76,48 @@ def main() -> None:
         mid = len(infl) // 2
         m = infl[mid] if len(infl) % 2 else (infl[mid - 1] + infl[mid]) / 2
         norm_sessions.append({k: v / m for k, v in s.items()})
+    # the band rule, in normalized space — the MIRROR of the raw rule:
+    # bottom from the sessions, top from max(sessions, recorded driver
+    # slow samples).  Even after dividing out the shared canary mode, a
+    # driver run carries per-entry RESIDUAL spread (the mode's
+    # multipliers are non-uniform); folding recorded driver samples
+    # into the top keeps an unchanged entry from being re-flagged for
+    # the same residual every round, while --exclude drops entries
+    # whose plan changed since the sample (their old residual would be
+    # a silent widening).
+    slow_norm: dict[str, float] = {}
+    for p in slow_samples:
+        q = load_queries(p)
+        infl = sorted(q[c] / med[c] for c in cal["canaries"] if c in q)
+        mid = len(infl) // 2
+        m = infl[mid] if len(infl) % 2 else (infl[mid - 1] + infl[mid]) / 2
+        for k, v in q.items():
+            if k in exclude:
+                continue
+            slow_norm[k] = max(slow_norm.get(k, 0.0), v / m)
     bands = {
         k: [
             round(0.85 * min(ns[k] for ns in norm_sessions if k in ns), 3),
-            round(1.15 * max(ns[k] for ns in norm_sessions if k in ns), 3),
+            round(
+                1.15
+                * max(
+                    max(ns[k] for ns in norm_sessions if k in ns),
+                    slow_norm.get(k, 0.0),
+                ),
+                3,
+            ),
         ]
         for k in keys
     }
     cal["session_median"] = med
     cal["bands_normalized"] = bands
-    cal["pinned_from"] = ", ".join(os.path.basename(p) for p in logs)
+    cal["pinned_from"] = ", ".join(os.path.basename(p) for p in logs) + (
+        "; slow samples: "
+        + ", ".join(os.path.basename(p) for p in slow_samples)
+        + (f" (excluded: {sorted(exclude)})" if exclude else "")
+        if slow_samples
+        else ""
+    )
     with open(CAL_PATH, "w") as fh:
         json.dump(cal, fh, indent=1, sort_keys=True)
     print(f"pinned {len(med)} medians + bands from {len(logs)} sessions")
