@@ -11,7 +11,7 @@ pool disappears), and partitionBy replaces the hand-built hive paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdataproject_formula1_telemetry_spark import functions as FN
@@ -607,6 +607,83 @@ def web_curation_kwargs(
     return kw
 
 
+_QUALITY_HIST_BINS = 100
+
+
+def _quality_bin(t) -> Column:
+    """Fixed-bin index of the heuristic quality score over [0, 1]
+    (bin width 1/``_QUALITY_HIST_BINS``; the score's top edge 1.0
+    clamps into the last bin).  NULL text stays NULL — unscored rows
+    are excluded from the histogram on both engines, because the
+    score expression is undefined on NULL (its token count degrades
+    to a sentinel, not a quality)."""
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    q = T.quality_score(t)
+    return F.when(
+        t.isNotNull(),
+        F.least(
+            F.floor(q * _QUALITY_HIST_BINS).cast("int"),
+            F.lit(_QUALITY_HIST_BINS - 1),
+        ),
+    )
+
+
+def _quality_hist_aggs() -> list[Column]:
+    """One conditional count per bin over a pre-projected ``__qbin``
+    column — the histogram rides the SAME aggregate pass as the other
+    global measures (no extra corpus scan); a fixed binning is what
+    makes quality percentiles mergeable across increments."""
+    return [
+        F.sum(F.when(F.col("__qbin") == i, 1).otherwise(0))
+        .cast("double")
+        .alias(f"__qh_{i:02d}")
+        for i in range(_QUALITY_HIST_BINS)
+    ]
+
+
+def _quality_hist_from_row(row) -> dict[int, float]:
+    """Sparse {bin: count} from an aggregate row carrying the
+    ``__qh_NN`` fields (empty frame → NULL sums → empty dict)."""
+    out = {}
+    for i in range(_QUALITY_HIST_BINS):
+        v = row[f"__qh_{i:02d}"]
+        if v:
+            out[i] = float(v)
+    return out
+
+
+def _quality_percentile_rows(bins: dict[int, float]) -> list[tuple]:
+    """Derive ``quality_hist`` card rows (n_scored + p10/p50/p90) from
+    summed fixed-bin counts.  Ranks are PURE INTEGER math
+    (``ceil(p*n)`` as ``(num*n + den-1) // den``) and the reported
+    value is the bin midpoint, so the derivation is bit-reproducible
+    across engines and |reported − exact percentile| ≤ half a bin
+    width (0.005 at 100 bins)."""
+    n = int(sum(bins.values()))
+    if n <= 0:
+        return []
+    rows = [("quality_hist", "n_scored", float(n))]
+    items = sorted(bins.items())
+    for key, num, den in (
+        ("q_p10_approx", 1, 10),
+        ("q_p50_approx", 1, 2),
+        ("q_p90_approx", 9, 10),
+    ):
+        tgt = (num * n + den - 1) // den
+        cum = 0
+        b = items[-1][0]
+        for i, c in items:
+            cum += int(c)
+            if cum >= tgt:
+                b = i
+                break
+        rows.append(
+            ("quality_hist", key, (b + 0.5) / _QUALITY_HIST_BINS)
+        )
+    return rows
+
+
 def corpus_card(
     docs: DataFrame,
     text_col: str = "text",
@@ -661,7 +738,13 @@ def corpus_card(
 
     key = F.when(t.isNotNull(), F.md5(t)).otherwise(F.lit("\x00null"))
     qtiles = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
-    glob = docs.agg(
+    # fixed-bin quality histogram rides the same aggregate pass; the
+    # derived ``quality_hist`` rows are emitted by the full card too so
+    # an incrementally merged card and a full refresh agree on the
+    # section (merged == full, pinned in tests)
+    dq = docs.withColumn("__qbin", _quality_bin(t))
+    glob = dq.agg(
+        *_quality_hist_aggs(),
         F.count(F.lit(1)).cast("double").alias("docs"),
         F.sum(T.token_count(t)).cast("double").alias("tokens"),
         F.sum(F.length(t)).cast("double").alias("chars"),
@@ -680,6 +763,7 @@ def corpus_card(
         F.col("_q")[1].alias("q_p50"),
         F.col("_q")[2].alias("q_p90"),
         "exact_dup_frac_approx", "pii_emails", "pii_ipv4", "pii_phones",
+        *[f"__qh_{i:02d}" for i in range(_QUALITY_HIST_BINS)],
     )
     pplq = ppl.agg(F.percentile_approx("ppl", qtiles).alias("_p")).select(
         F.col("_p")[0].alias("ppl_p10"),
@@ -693,7 +777,16 @@ def corpus_card(
         "exact_dup_frac_approx": "dup",
         "pii_emails": "pii", "pii_ipv4": "pii", "pii_phones": "pii",
     }
-    card = _rows(sections, glob).unionByName(_rows(sections, pplq))
+    grow = glob.first().asDict()
+    card = docs.sparkSession.createDataFrame(
+        [
+            (sections[k], k, float(v) if v is not None else None)
+            for k, v in grow.items()
+            if not k.startswith("__qh_")
+        ]
+        + _quality_percentile_rows(_quality_hist_from_row(grow)),
+        schema="section string, key string, value double",
+    ).unionByName(_rows(sections, pplq))
     if lang_col is not None and lang_col in docs.columns:
         langs = docs.groupBy(F.col(lang_col).alias("key")).agg(
             F.count(F.lit(1)).cast("double").alias("value")
@@ -859,15 +952,25 @@ def corpus_card_partial(
       union of per-increment sketches IS the sketch of the union —
       bit-for-bit, order-independent (pinned in tests).
 
-    NOT in partials — and therefore absent from an incrementally
+    Order statistics are not mergeable, but a FIXED-bin histogram of
+    them is (r14): the ``quality_hist`` section carries sparse
+    100-bin counts of the heuristic quality score over [0, 1] (bin
+    width 0.01, same scan, 100 conditional sums — no extra pass), and
+    the merge derives p10/p50/p90 from the summed counts by pure
+    integer rank math, so an incrementally maintained card reports
+    FRESH approximate quality percentiles (error ≤ half a bin width)
+    instead of only stale-carried exact ones.
+
+    NOT in partials — and therefore stale-carried in an incrementally
     maintained card — are the sections that are fundamentally
-    non-mergeable: quality/perplexity percentiles (order statistics
-    under a CORPUS-trained LM: the model itself drifts as the corpus
-    grows) and semantic-duplicate families (clusters span increments).
-    Refresh those on a schedule with the full :func:`corpus_card`;
-    the split is exactly Datasheets-for-Datasets practice for living
-    datasets (algebraic sections per delta, model-backed sections per
-    audit).
+    non-mergeable even through a fixed binning: perplexity percentiles
+    (order statistics under a CORPUS-trained LM: the model itself
+    drifts as the corpus grows, so per-increment bins are scored by
+    DIFFERENT models) and semantic-duplicate families (clusters span
+    increments).  Refresh those on a schedule with the full
+    :func:`corpus_card`; the split is exactly
+    Datasheets-for-Datasets practice for living datasets (algebraic
+    sections per delta, model-backed sections per audit).
 
     ``token_budget`` (with packed chunk rows — ``pack_shard``/
     ``seq_id``/``n_tokens``/``oversize`` columns present) adds the
@@ -886,7 +989,11 @@ def corpus_card_partial(
     out_schema = (
         "section string, key string, value double, sketch binary"
     )
+    # quality-score bin, projected ONCE so the 100 conditional sums
+    # below share the expression instead of re-evaluating the score
+    docs = docs.withColumn("__qbin", _quality_bin(t))
     glob = docs.agg(
+        *_quality_hist_aggs(),
         F.count(F.lit(1)).cast("double").alias("docs"),
         F.sum(T.token_count(t)).cast("double").alias("tokens"),
         F.sum(F.length(t)).cast("double").alias("chars"),
@@ -910,6 +1017,13 @@ def corpus_card_partial(
         ("pii", "pii_ipv4", glob["pii_ipv4"], None),
         ("pii", "pii_phones", glob["pii_phones"], None),
         ("diversity", "ngrams_13", ngrow["__n"], None),
+    ]
+    # sparse quality-score bin counts (merge-internal: summed across
+    # increments, then merge_card_partials derives the percentiles and
+    # never emits the raw bins)
+    rows += [
+        ("quality_hist", f"b{i:02d}", v, None)
+        for i, v in sorted(_quality_hist_from_row(glob).items())
     ]
     # an empty frame aggregates to NULL sketches — omit the rows (the
     # merge treats a missing sketch as contributing nothing, exactly
@@ -1039,7 +1153,9 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
     scal = {
         (r["section"], r["key"]): r["value"]
         for r in sums.where(
-            F.col("section").isin("size", "diversity", "packing")
+            F.col("section").isin(
+                "size", "diversity", "packing", "quality_hist"
+            )
         ).collect()
     }
     est = {
@@ -1049,7 +1165,15 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
     }
     docs_n = scal.get(("size", "docs"), 0.0) or 0.0
     ngrams = scal.get(("diversity", "ngrams_13"), 0.0) or 0.0
-    derived = [
+    # summed fixed-bin quality counts → fresh approximate percentiles
+    # (the mergeable face of an order statistic; bins never leave the
+    # merge)
+    qbins = {
+        int(k[1:]): v
+        for (s, k), v in scal.items()
+        if s == "quality_hist" and k.startswith("b") and v
+    }
+    derived = list(_quality_percentile_rows(qbins)) + [
         (
             "dup",
             "exact_dup_frac_approx",
@@ -1112,7 +1236,7 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         else:
             derived.append(("packing", "token_budget", brow["lo"]))
     card = sums.where(
-        ~F.col("section").isin("diversity", "domains")
+        ~F.col("section").isin("diversity", "domains", "quality_hist")
         & ~F.col("key").startswith("__")
     ).unionByName(
         spark.createDataFrame(

@@ -3253,9 +3253,36 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, text, lang,
             list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         x -> x <> '') AS toks,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x <> '') AS lower_toks,
             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                         w -> w <> '') AS words
           FROM documents
+        ), cm_q AS (
+          -- per-doc fixed quality bin: same scalar IEEE math as the
+          -- Spark score (probe: tools/probe_quality_hist_margins.py
+          -- pins per-doc bit-identity at every SF)
+          SELECT CAST(least(floor(
+            ((least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0)
+              + (1.0 - least(CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(
+                          text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE) * 5.0
+                   ELSE 0.0 END, 1.0)))
+             + least(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(lower_toks,
+                        w -> list_contains(
+                          ['the','and','of','to','is'], w)))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10.0
+                 ELSE 0.0 END, 1.0)) / 3.0
+            * 100), 99) AS BIGINT) AS b
+          FROM cm_base WHERE text IS NOT NULL
+        ), cm_qn AS (
+          SELECT count(*) AS n FROM cm_q
+        ), cm_qcum AS (
+          SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM (
+            SELECT b, count(*) AS c FROM cm_q GROUP BY b
+          )
         ), cm_grams AS (
           SELECT doc_id, list_distinct(
             CASE WHEN len(words) <= 12 THEN [array_to_string(words, ' ')]
@@ -3304,8 +3331,25 @@ def q32_fingerprint_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'hll/gram_frac_ok', CAST(8 AS BIGINT),
                CAST(1 AS BIGINT), CAST(1 AS DOUBLE)
         UNION ALL
+        SELECT 'quality/n_scored', CAST(9 AS BIGINT),
+               n, CAST(n AS DOUBLE) FROM cm_qn
+        UNION ALL
+        -- smallest bin whose cumulative count reaches ceil(p*n), the
+        -- pure-integer rank ((num*n + den-1) // den) the merge uses
+        SELECT 'quality/p10_bin', CAST(10 AS BIGINT),
+               min(b), CAST(min(b) AS DOUBLE)
+        FROM cm_qcum, cm_qn WHERE cum >= (n + 9) // 10
+        UNION ALL
+        SELECT 'quality/p50_bin', CAST(11 AS BIGINT),
+               min(b), CAST(min(b) AS DOUBLE)
+        FROM cm_qcum, cm_qn WHERE cum >= (n + 1) // 2
+        UNION ALL
+        SELECT 'quality/p90_bin', CAST(12 AS BIGINT),
+               min(b), CAST(min(b) AS DOUBLE)
+        FROM cm_qcum, cm_qn WHERE cum >= (9 * n + 9) // 10
+        UNION ALL
         SELECT 'lang/' || lang,
-               CAST(8 + row_number() OVER (ORDER BY lang) AS BIGINT),
+               CAST(12 + row_number() OVER (ORDER BY lang) AS BIGINT),
                n, CAST(n AS DOUBLE)
         FROM (
           SELECT lang, count(*) AS n FROM documents
@@ -3940,8 +3984,29 @@ def q57_report_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("diversity/ngrams_13", 6, cm[("diversity", "ngrams_13")]),
         ("hll/dup_frac_ok", 7, 1.0 if dup_ok else 0.0),
         ("hll/gram_frac_ok", 8, 1.0 if gram_ok else 0.0),
+        # merged fixed-bin quality percentiles (r14): the BIN INDEX is
+        # the integer-exact essence (the reported value is just
+        # (bin + 0.5) / 100), so the oracle recomputes the bins by its
+        # own cumulative integer-rank walk over the union — a
+        # histogram-merge or rank-math bug lands in a different bin
+        ("quality/n_scored", 9, cm[("quality_hist", "n_scored")]),
+        (
+            "quality/p10_bin",
+            10,
+            float(int(cm[("quality_hist", "q_p10_approx")] * 100)),
+        ),
+        (
+            "quality/p50_bin",
+            11,
+            float(int(cm[("quality_hist", "q_p50_approx")] * 100)),
+        ),
+        (
+            "quality/p90_bin",
+            12,
+            float(int(cm[("quality_hist", "q_p90_approx")] * 100)),
+        ),
     ] + [
-        (f"lang/{k}", 9 + i, cm[("lang", k)])
+        (f"lang/{k}", 13 + i, cm[("lang", k)])
         for i, k in enumerate(
             sorted(k for (s, k) in cm if s == "lang" and k is not None)
         )

@@ -511,3 +511,110 @@ def test_mixed_token_budgets_not_averaged(spark):
     assert uni[("packing", "occupancy")] == pytest.approx(8.0 / 64.0)
     assert ("packing", "token_budget_min") not in uni
     assert ("packing", "mixed_token_budgets") not in uni
+
+
+def test_quality_hist_merged_equals_full(spark, docs):
+    """The fixed-bin quality percentiles (r14) make an order statistic
+    mergeable: the merged card's quality_hist rows equal the full
+    card's bit-for-bit (integer bin counts sum exactly; both sides
+    derive with the same integer rank math and report bin midpoints),
+    and the raw bin rows never leak out of the merge."""
+    full = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.corpus_card(docs).collect()
+    }
+    parts = [
+        P.corpus_card_partial(docs.where(F.col("doc_id") % 3 == k))
+        for k in range(3)
+    ]
+    merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+        ).collect()
+    }
+    for key in ("n_scored", "q_p10_approx", "q_p50_approx", "q_p90_approx"):
+        assert merged[("quality_hist", key)] == full[
+            ("quality_hist", key)
+        ], key
+    for cm in (full, merged):
+        assert not any(
+            s == "quality_hist" and k.startswith("b") for s, k in cm
+        )
+    # partials DO carry the raw sparse bins (that's the mergeable state)
+    praw = [
+        r["key"]
+        for r in parts[0].collect()
+        if r["section"] == "quality_hist"
+    ]
+    assert praw and all(k.startswith("b") for k in praw)
+
+
+def test_quality_hist_error_bound(spark, docs):
+    """Reported approx percentile sits within half a bin width (0.005)
+    of the exact rank statistic ceil(p*n) over the true scores."""
+    import math
+
+    from bigdataproject_formula1_telemetry_spark.operators import text as T
+
+    merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            P.corpus_card_partial(docs)
+        ).collect()
+    }
+    scores = sorted(
+        r[0]
+        for r in docs.where(F.col("text").isNotNull())
+        .select(T.quality_score(F.col("text")))
+        .collect()
+    )
+    n = len(scores)
+    assert merged[("quality_hist", "n_scored")] == float(n)
+    for key, p in (
+        ("q_p10_approx", 0.1),
+        ("q_p50_approx", 0.5),
+        ("q_p90_approx", 0.9),
+    ):
+        exact = scores[math.ceil(p * n) - 1]
+        assert abs(merged[("quality_hist", key)] - exact) <= 0.005 + 1e-12
+
+
+def test_quality_hist_null_text_excluded(spark):
+    """NULL text is unscored (the score expression is undefined on it):
+    excluded from the histogram on every path, while the size section
+    still counts the row."""
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox. the end is near, and all of it."),
+         (2, None), (3, "and so it goes on and on")],
+        "doc_id long, text string",
+    )
+    merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            P.corpus_card_partial(d, lang_col=None)
+        ).collect()
+    }
+    assert merged[("size", "docs")] == 3.0
+    assert merged[("quality_hist", "n_scored")] == 2.0
+    full = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.corpus_card(d, lang_col=None).collect()
+    }
+    assert full[("quality_hist", "n_scored")] == 2.0
+
+
+def test_quality_hist_all_null_text_omits_section(spark):
+    """An increment with no scorable text contributes no quality_hist
+    rows — and a merge over only such partials emits no section (the
+    same empty-increment contract as the HLL sketch rows)."""
+    d = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    part = P.corpus_card_partial(d, lang_col=None)
+    assert not [
+        r for r in part.collect() if r["section"] == "quality_hist"
+    ]
+    merged = {
+        (r["section"], r["key"])
+        for r in P.merge_card_partials(part).collect()
+    }
+    assert not any(s == "quality_hist" for s, _ in merged)
