@@ -653,23 +653,21 @@ def _quality_hist_from_row(row) -> dict[int, float]:
     return out
 
 
-def _quality_percentile_rows(bins: dict[int, float]) -> list[tuple]:
-    """Derive ``quality_hist`` card rows (n_scored + p10/p50/p90) from
-    summed fixed-bin counts.  Ranks are PURE INTEGER math
-    (``ceil(p*n)`` as ``(num*n + den-1) // den``) and the reported
-    value is the bin midpoint, so the derivation is bit-reproducible
-    across engines and |reported − exact percentile| ≤ half a bin
-    width (0.005 at 100 bins)."""
+def _hist_percentile_rows(
+    bins: dict[int, float], section: str, prefix: str, value_of
+) -> list[tuple]:
+    """Derive ``(section, key, value)`` card rows (n_scored +
+    p10/p50/p90) from summed fixed-bin counts.  Ranks are PURE INTEGER
+    math (``ceil(p*n)`` as ``(num*n + den-1) // den``) and the
+    reported value is ``value_of(bin)`` (a bin midpoint in the
+    measure's space), so the derivation is bit-reproducible across
+    engines and the error is bounded by half a bin width."""
     n = int(sum(bins.values()))
     if n <= 0:
         return []
-    rows = [("quality_hist", "n_scored", float(n))]
+    rows = [(section, "n_scored", float(n))]
     items = sorted(bins.items())
-    for key, num, den in (
-        ("q_p10_approx", 1, 10),
-        ("q_p50_approx", 1, 2),
-        ("q_p90_approx", 9, 10),
-    ):
+    for pname, num, den in (("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)):
         tgt = (num * n + den - 1) // den
         cum = 0
         b = items[-1][0]
@@ -678,10 +676,50 @@ def _quality_percentile_rows(bins: dict[int, float]) -> list[tuple]:
             if cum >= tgt:
                 b = i
                 break
-        rows.append(
-            ("quality_hist", key, (b + 0.5) / _QUALITY_HIST_BINS)
-        )
+        rows.append((section, f"{prefix}{pname}_approx", value_of(b)))
     return rows
+
+
+def _quality_percentile_rows(bins: dict[int, float]) -> list[tuple]:
+    """quality_hist derivation: bin midpoints over [0, 1] (error ≤
+    0.005 at 100 bins)."""
+    return _hist_percentile_rows(
+        bins,
+        "quality_hist",
+        "q_",
+        lambda b: (b + 0.5) / _QUALITY_HIST_BINS,
+    )
+
+
+# perplexity histogram under a FROZEN reference LM (r14): log-space
+# bins, ln(ppl) ∈ [0, 20) at width 0.1 (ppl is ≥ 1 by construction —
+# it's exp(-mean(logp)) with logp ≤ 0), top bin clamps the unk-heavy
+# tail.  Percentile error ≤ half a bin in ln-space ⇒ ≤ ~5.1% relative
+# on the reported value.
+_PPL_HIST_BINS = 200
+_PPL_HIST_LN_WIDTH = 0.1
+
+
+def _ppl_bin(ppl: Column) -> Column:
+    return F.least(
+        F.floor(F.log(ppl) / _PPL_HIST_LN_WIDTH).cast("int"),
+        F.lit(_PPL_HIST_BINS - 1),
+    )
+
+
+def _ppl_percentile_rows(bins: dict[int, float]) -> list[tuple]:
+    """ppl_hist derivation: bin midpoints mapped back from ln-space.
+    Only meaningful when every contributing partial scored under the
+    SAME frozen reference model (the release train guarantees this by
+    persisting the model beside the release)."""
+    import math
+
+    return _hist_percentile_rows(
+        bins,
+        "ppl_hist",
+        "ppl_",
+        lambda b: math.exp((b + 0.5) * _PPL_HIST_LN_WIDTH),
+    )
 
 
 def corpus_card(
@@ -933,6 +971,7 @@ def corpus_card_partial(
     benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     token_budget: float | None = None,
+    ppl_model: DataFrame | None = None,
 ) -> DataFrame:
     """One increment's MERGEABLE datasheet partial (r13) — the
     incremental face of :func:`corpus_card`.  At 100 TB the card
@@ -961,16 +1000,28 @@ def corpus_card_partial(
     FRESH approximate quality percentiles (error ≤ half a bin width)
     instead of only stale-carried exact ones.
 
+    ``ppl_model`` (r14) extends the same move to the perplexity axis:
+    score this increment under a FROZEN reference unigram LM (the
+    public CCNet practice — Wenzek et al. 2020 score every shard
+    under one fixed KenLM, precisely so scores stay comparable as the
+    corpus grows) and histogram ``ln(ppl)`` into fixed log-space bins
+    (``ppl_hist`` section).  Because the model never drifts, the bins
+    sum across increments; the release train persists the base-trained
+    model beside the release and passes it to every partial.  This is
+    a DIFFERENT statistic from the full card's corpus-trained
+    perplexity percentiles (reference-relative vs self-descriptive) —
+    both are published, the full-card one via scheduled refresh.
+
     NOT in partials — and therefore stale-carried in an incrementally
     maintained card — are the sections that are fundamentally
-    non-mergeable even through a fixed binning: perplexity percentiles
-    (order statistics under a CORPUS-trained LM: the model itself
-    drifts as the corpus grows, so per-increment bins are scored by
-    DIFFERENT models) and semantic-duplicate families (clusters span
-    increments).  Refresh those on a schedule with the full
-    :func:`corpus_card`; the split is exactly
-    Datasheets-for-Datasets practice for living datasets (algebraic
-    sections per delta, model-backed sections per audit).
+    non-mergeable even through a fixed binning: CORPUS-trained
+    perplexity percentiles (the model itself drifts as the corpus
+    grows, so per-increment bins would be scored by DIFFERENT models)
+    and semantic-duplicate families (clusters span increments).
+    Refresh those on a schedule with the full :func:`corpus_card`;
+    the split is exactly Datasheets-for-Datasets practice for living
+    datasets (algebraic sections per delta, model-backed sections per
+    audit).
 
     ``token_budget`` (with packed chunk rows — ``pack_shard``/
     ``seq_id``/``n_tokens``/``oversize`` columns present) adds the
@@ -1025,6 +1076,32 @@ def corpus_card_partial(
         ("quality_hist", f"b{i:02d}", v, None)
         for i, v in sorted(_quality_hist_from_row(glob).items())
     ]
+    if ppl_model is not None:
+        # frozen-reference perplexity bins: one explode + broadcast
+        # LM join + two-level count over THIS increment only.  Scored
+        # per released ROW (a synthetic row id, not ``id_col`` — in
+        # the release train rows are CHUNKS sharing a doc_id, and the
+        # distribution a consumer trains on is over sequences), and
+        # token-less rows are unscored, matching doc_perplexity's
+        # contract.  The row id never leaves the plan, so its
+        # nondeterminism across retries is irrelevant — only the bin
+        # counts are kept.
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            lm as L,
+        )
+
+        rows += [
+            ("ppl_hist", f"b{int(r['__b']):03d}", float(r["__c"]), None)
+            for r in L.doc_perplexity(
+                docs.withColumn("__rid", F.monotonically_increasing_id()),
+                ppl_model,
+                text_col=text_col,
+                id_cols=("__rid",),
+            )
+            .groupBy(_ppl_bin(F.col("ppl")).alias("__b"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+            .collect()
+        ]
     # an empty frame aggregates to NULL sketches — omit the rows (the
     # merge treats a missing sketch as contributing nothing, exactly
     # like an empty increment contributes nothing to a sum)
@@ -1154,7 +1231,7 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         (r["section"], r["key"]): r["value"]
         for r in sums.where(
             F.col("section").isin(
-                "size", "diversity", "packing", "quality_hist"
+                "size", "diversity", "packing", "quality_hist", "ppl_hist"
             )
         ).collect()
     }
@@ -1173,7 +1250,15 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         for (s, k), v in scal.items()
         if s == "quality_hist" and k.startswith("b") and v
     }
-    derived = list(_quality_percentile_rows(qbins)) + [
+    pbins = {
+        int(k[1:]): v
+        for (s, k), v in scal.items()
+        if s == "ppl_hist" and k.startswith("b") and v
+    }
+    derived = (
+        list(_quality_percentile_rows(qbins))
+        + list(_ppl_percentile_rows(pbins))
+    ) + [
         (
             "dup",
             "exact_dup_frac_approx",
@@ -1236,7 +1321,9 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         else:
             derived.append(("packing", "token_budget", brow["lo"]))
     card = sums.where(
-        ~F.col("section").isin("diversity", "domains", "quality_hist")
+        ~F.col("section").isin(
+            "diversity", "domains", "quality_hist", "ppl_hist"
+        )
         & ~F.col("key").startswith("__")
     ).unionByName(
         spark.createDataFrame(
@@ -1738,7 +1825,7 @@ def corpus_release(
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    for stale in ("increments", "manifest_full", "card_partials"):
+    for stale in ("increments", "manifest_full", "card_partials", "ppl_model"):
         fs.delete(jvm.org.apache.hadoop.fs.Path(_os.path.join(path, stale)), True)
     released = spark.read.parquet(_os.path.join(path, "data"))
     if bm25_index_path is not None:
@@ -1761,6 +1848,21 @@ def corpus_release(
         benchmark=benchmark,
         id_col=id_col,
     )
+    # FROZEN reference LM (r14): trained once on the base release and
+    # persisted beside it, so every future increment's card partial
+    # scores perplexity under the SAME model — that's what makes the
+    # ppl_hist bins mergeable (CCNet practice: one fixed reference LM,
+    # scores comparable across shards and over time).  Vocab-capped, so
+    # the artifact is broadcast-small.
+    from bigdataproject_formula1_telemetry_spark.operators import lm as _L
+
+    ref_lm = _L.unigram_lm(
+        released, text_col="chunk_text", vocab_size=50_000
+    )
+    ref_lm.write.mode("overwrite").parquet(
+        _os.path.join(path, "ppl_model")
+    )
+    ref_lm = spark.read.parquet(_os.path.join(path, "ppl_model"))
     # the base's MERGEABLE card partial (r13): written unconditionally
     # so the release can switch to refresh_card="incremental" appends
     # at any point — partials always mirror the released content (every
@@ -1771,6 +1873,7 @@ def corpus_release(
     corpus_card_partial(
         released, text_col="chunk_text", lang_col=None, id_col=id_col,
         token_budget=float(curate_kwargs.get("token_budget", 1024)),
+        ppl_model=ref_lm,
     ).write.mode("overwrite").parquet(
         _os.path.join(path, "card_partials", "base")
     )
@@ -2230,12 +2333,25 @@ def corpus_release_append(
         pdir = _os.path.join(part_root, increment_id)
         fs2.delete(jvm2.org.apache.hadoop.fs.Path(pdir), True)
         if n_admitted > 0:
+            # frozen reference LM (r14): score this increment under
+            # the base-trained model when the release carries one, so
+            # the merged card's ppl_hist stays comparable across every
+            # increment.  A pre-r14 release has no model — its partials
+            # simply omit the section (graceful, like pre-incremental
+            # releases omit the whole trail).
+            ref_dir = _os.path.join(path, "ppl_model")
+            ref_lm = (
+                spark.read.parquet(ref_dir)
+                if fs2.exists(jvm2.org.apache.hadoop.fs.Path(ref_dir))
+                else None
+            )
             corpus_card_partial(
                 spark.read.parquet(_os.path.join(inc_dir, "data")),
                 text_col="chunk_text",
                 lang_col=None,
                 id_col=id_col,
                 token_budget=float(curate_kwargs.get("token_budget", 1024)),
+                ppl_model=ref_lm,
             ).write.mode("overwrite").parquet(pdir)
 
     # self-driving maintenance: once the live (unfolded) increment count
@@ -2345,10 +2461,19 @@ def rebuild_card_partials(
     )
     fs.delete(jvm.org.apache.hadoop.fs.Path(root), True)
 
+    # rebuild under the release's frozen reference LM when present, so
+    # rebuilt partials carry the same ppl_hist bins an append would
+    ref_dir = _os.path.join(path, "ppl_model")
+    ref_lm = (
+        spark.read.parquet(ref_dir)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(ref_dir))
+        else None
+    )
+
     def _write(docs, name):
         corpus_card_partial(
             docs, text_col="chunk_text", lang_col=None, id_col=id_col,
-            token_budget=token_budget,
+            token_budget=token_budget, ppl_model=ref_lm,
         ).write.mode("overwrite").parquet(_os.path.join(root, name))
 
     _write(spark.read.parquet(_os.path.join(path, "data")), "base")

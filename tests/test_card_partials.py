@@ -618,3 +618,144 @@ def test_quality_hist_all_null_text_omits_section(spark):
         for r in P.merge_card_partials(part).collect()
     }
     assert not any(s == "quality_hist" for s, _ in merged)
+
+
+def test_ppl_hist_merge_is_associative(spark, docs):
+    """Under ONE frozen reference model, per-part ppl_hist bins sum to
+    the whole's bins — merging split partials equals merging one
+    partial of the union, bit-for-bit (the mergeability the frozen
+    model buys; a drifting model would break this by construction)."""
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    ref = L.unigram_lm(docs, vocab_size=1000)
+    parts = [
+        P.corpus_card_partial(
+            docs.where(F.col("doc_id") % 3 == k), ppl_model=ref
+        )
+        for k in range(3)
+    ]
+    merged = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+        ).collect()
+        if r["section"] == "ppl_hist"
+    }
+    whole = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            P.corpus_card_partial(docs, ppl_model=ref)
+        ).collect()
+        if r["section"] == "ppl_hist"
+    }
+    assert merged and merged == whole
+    # raw ln-bins stay merge-internal
+    assert not any(k.startswith("b") for _, k in merged)
+
+
+def test_release_ppl_hist_frozen_reference(spark, tmp_path):
+    """The release train persists the base-trained reference LM and
+    every increment partial scores under it: the merged card's
+    ppl_hist covers ALL released chunks, sits within half a log-bin of
+    the exact rank statistic, survives compaction unchanged, and a
+    rebuilt trail reproduces it."""
+    import math
+
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    root = str(tmp_path / "rel")
+    kw = dict(chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2)
+    P.corpus_release(
+        _rel_docs(spark, [(1, "alpha base words"), (2, "beta base words")]),
+        root,
+        **kw,
+    )
+    assert os.path.exists(os.path.join(root, "ppl_model"))
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(10, "gamma increment words")]),
+        root, "inc0", refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    ref = spark.read.parquet(os.path.join(root, "ppl_model"))
+    # per released ROW (chunk) — the unit a consumer trains on
+    ppls = sorted(
+        r["ppl"]
+        for r in L.doc_perplexity(
+            P.read_release(spark, root).withColumn(
+                "__rid", F.monotonically_increasing_id()
+            ),
+            ref,
+            text_col="chunk_text",
+            id_cols=("__rid",),
+        ).collect()
+    )
+    n = len(ppls)
+    assert card[("ppl_hist", "n_scored")] == float(n)
+    for key, p in (
+        ("ppl_p10_approx", 0.1),
+        ("ppl_p50_approx", 0.5),
+        ("ppl_p90_approx", 0.9),
+    ):
+        exact = ppls[math.ceil(p * n) - 1]
+        assert (
+            abs(math.log(card[("ppl_hist", key)]) - math.log(exact))
+            <= 0.05 + 1e-12
+        ), key
+
+    # compaction folds the increment; the merged section is invariant
+    assert P.compact_release(spark, root) == 1
+    out2 = P.corpus_release_append(
+        _rel_docs(spark, [(11, "delta increment words")]),
+        root, "inc1", refresh_card="incremental", **kw,
+    )
+    card2 = {
+        (r["section"], r["key"]): r["value"] for r in out2["card"].collect()
+    }
+    assert card2[("ppl_hist", "n_scored")] == float(
+        P.read_release(spark, root).count()
+    )
+
+    # a rebuilt trail reproduces the same merged section
+    P.rebuild_card_partials(
+        spark, root, token_budget=float(kw["token_budget"])
+    )
+    rebuilt = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(
+            spark.read.parquet(os.path.join(root, "card_partials", "*"))
+        ).collect()
+        if r["section"] == "ppl_hist"
+    }
+    assert rebuilt == {
+        k: v for k, v in card2.items() if k[0] == "ppl_hist"
+    }
+
+
+def test_release_without_ppl_model_omits_section(spark, tmp_path):
+    """A pre-r14 release (no persisted reference model) keeps working:
+    appends write partials without the section and the merged card
+    simply lacks ppl_hist — no crash, no partial section."""
+    import shutil
+
+    root = str(tmp_path / "rel")
+    kw = dict(chunk_tokens=16, overlap=0, token_budget=64, n_pack_shards=2)
+    P.corpus_release(
+        _rel_docs(spark, [(1, "alpha base words")]), root, **kw
+    )
+    shutil.rmtree(os.path.join(root, "ppl_model"))
+    # the base partial was written WITH the model — rebuild the trail
+    # as the migration path a pre-r14 release would take
+    P.rebuild_card_partials(
+        spark, root, token_budget=float(kw["token_budget"])
+    )
+    out = P.corpus_release_append(
+        _rel_docs(spark, [(10, "gamma increment words")]),
+        root, "inc0", refresh_card="incremental", **kw,
+    )
+    card = {
+        (r["section"], r["key"]): r["value"] for r in out["card"].collect()
+    }
+    assert not any(s == "ppl_hist" for s, _ in card)
+    assert ("quality_hist", "q_p50_approx") in card  # model-free: intact
