@@ -610,16 +610,22 @@ def web_curation_kwargs(
 _QUALITY_HIST_BINS = 100
 
 
-def _quality_bin(t) -> Column:
+def _quality_bin(t, q: Column | None = None) -> Column:
     """Fixed-bin index of the heuristic quality score over [0, 1]
     (bin width 1/``_QUALITY_HIST_BINS``; the score's top edge 1.0
     clamps into the last bin).  NULL text stays NULL — unscored rows
     are excluded from the histogram on both engines, because the
     score expression is undefined on NULL (its token count degrades
-    to a sentinel, not a quality)."""
-    from bigdataproject_formula1_telemetry_spark.operators import text as T
+    to a sentinel, not a quality).  Pass ``q`` (an already-projected
+    score column) when the plan evaluates the score anyway — the
+    score's token/regex work dominates the histogram's cost, so it
+    must never be computed twice in one pass."""
+    if q is None:
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            text as T,
+        )
 
-    q = T.quality_score(t)
+        q = T.quality_score(t)
     return F.when(
         t.isNotNull(),
         F.least(
@@ -730,6 +736,7 @@ def corpus_card(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     semantic: tuple | None = None,
+    lm_model: DataFrame | None = None,
 ) -> DataFrame:
     """Dataset datasheet for a (curated) document corpus — the summary
     artifact a training-data release ships with (public practice:
@@ -760,7 +767,16 @@ def corpus_card(
     t = F.col(text_col)
     q = T.quality_score(t)
     pii = T.pii_counts(t)
-    model = L.unigram_lm(docs, text_col=text_col, vocab_size=50_000)
+    # ``lm_model``: a caller that has ALREADY trained the (same-recipe)
+    # unigram LM passes it in to avoid a second train pass — the
+    # release train does, because its frozen reference model at BASE
+    # time is trained on exactly these docs with exactly these params,
+    # so the card's "self-trained" semantics are unchanged there.
+    model = (
+        lm_model
+        if lm_model is not None
+        else L.unigram_lm(docs, text_col=text_col, vocab_size=50_000)
+    )
     ppl = L.doc_perplexity(docs, model, text_col=text_col).select("ppl")
 
     def _rows(sections: dict[str, str], df: DataFrame) -> DataFrame:
@@ -779,14 +795,19 @@ def corpus_card(
     # fixed-bin quality histogram rides the same aggregate pass; the
     # derived ``quality_hist`` rows are emitted by the full card too so
     # an incrementally merged card and a full refresh agree on the
-    # section (merged == full, pinned in tests)
-    dq = docs.withColumn("__qbin", _quality_bin(t))
+    # section (merged == full, pinned in tests).  The score is
+    # projected ONCE and feeds both the percentile sketch and the bin
+    # column — its token/regex work is the expensive part, not the
+    # bin sums.
+    dq = docs.withColumn("__q", q).withColumn(
+        "__qbin", _quality_bin(t, q=F.col("__q"))
+    )
     glob = dq.agg(
         *_quality_hist_aggs(),
         F.count(F.lit(1)).cast("double").alias("docs"),
         F.sum(T.token_count(t)).cast("double").alias("tokens"),
         F.sum(F.length(t)).cast("double").alias("chars"),
-        F.percentile_approx(q, qtiles).alias("_q"),
+        F.percentile_approx(F.col("__q"), qtiles).alias("_q"),
         (
             1.0
             - F.approx_count_distinct(key, 0.02).cast("double")
@@ -1841,28 +1862,28 @@ def corpus_release(
             bm25_index_path,
             id_col="chunk_id",
         )
+    # FROZEN reference LM (r14): trained once on the base release and
+    # persisted beside it, so every future increment's card partial
+    # scores perplexity under the SAME model — that's what makes the
+    # ppl_hist bins mergeable (CCNet practice: one fixed reference LM,
+    # scores comparable across shards and over time).  Vocab-capped, so
+    # the artifact is broadcast-small.  At base time this model IS the
+    # card's self-trained model (same docs, same recipe), so it feeds
+    # the card's perplexity leg too — ONE train pass, not two.
+    from bigdataproject_formula1_telemetry_spark.operators import lm as _L
+
+    _L.unigram_lm(
+        released, text_col="chunk_text", vocab_size=50_000
+    ).write.mode("overwrite").parquet(_os.path.join(path, "ppl_model"))
+    ref_lm = spark.read.parquet(_os.path.join(path, "ppl_model"))
     card = corpus_card(
         released,
         text_col="chunk_text",
         lang_col=None,
         benchmark=benchmark,
         id_col=id_col,
+        lm_model=ref_lm,
     )
-    # FROZEN reference LM (r14): trained once on the base release and
-    # persisted beside it, so every future increment's card partial
-    # scores perplexity under the SAME model — that's what makes the
-    # ppl_hist bins mergeable (CCNet practice: one fixed reference LM,
-    # scores comparable across shards and over time).  Vocab-capped, so
-    # the artifact is broadcast-small.
-    from bigdataproject_formula1_telemetry_spark.operators import lm as _L
-
-    ref_lm = _L.unigram_lm(
-        released, text_col="chunk_text", vocab_size=50_000
-    )
-    ref_lm.write.mode("overwrite").parquet(
-        _os.path.join(path, "ppl_model")
-    )
-    ref_lm = spark.read.parquet(_os.path.join(path, "ppl_model"))
     # the base's MERGEABLE card partial (r13): written unconditionally
     # so the release can switch to refresh_card="incremental" appends
     # at any point — partials always mirror the released content (every
