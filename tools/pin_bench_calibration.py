@@ -46,15 +46,25 @@ def load_queries(path: str) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
-    slow_samples: list[str] = []
-    exclude: set[str] = set()
+    # (path, per-sample excludes): an --exclude AFTER a --slow-sample
+    # attaches to that sample; an --exclude BEFORE any sample is
+    # global.  Per-sample matters because different recorded runs
+    # predate different plan changes (e.g. the r13 driver run measured
+    # the pre-fix q54 plan, while same-round session logs did not).
+    slow_samples: list[tuple[str, set]] = []
+    global_exclude: set[str] = set()
     logs: list[str] = []
     i = 0
     while i < len(args):
         if args[i] == "--slow-sample":
-            slow_samples.append(args[i + 1]); i += 2
+            slow_samples.append((args[i + 1], set())); i += 2
         elif args[i] == "--exclude":
-            exclude |= set(args[i + 1].split(",")); i += 2
+            excl = set(args[i + 1].split(","))
+            if slow_samples:
+                slow_samples[-1][1].update(excl)
+            else:
+                global_exclude |= excl
+            i += 2
         else:
             logs.append(args[i]); i += 1
     if len(logs) < 3:
@@ -86,13 +96,13 @@ def main() -> None:
     # whose plan changed since the sample (their old residual would be
     # a silent widening).
     slow_norm: dict[str, float] = {}
-    for p in slow_samples:
+    for p, excl in slow_samples:
         q = load_queries(p)
         infl = sorted(q[c] / med[c] for c in cal["canaries"] if c in q)
         mid = len(infl) // 2
         m = infl[mid] if len(infl) % 2 else (infl[mid - 1] + infl[mid]) / 2
         for k, v in q.items():
-            if k in exclude:
+            if k in excl or k in global_exclude:
                 continue
             slow_norm[k] = max(slow_norm.get(k, 0.0), v / m)
     bands = {
@@ -113,8 +123,13 @@ def main() -> None:
     cal["bands_normalized"] = bands
     cal["pinned_from"] = ", ".join(os.path.basename(p) for p in logs) + (
         "; slow samples: "
-        + ", ".join(os.path.basename(p) for p in slow_samples)
-        + (f" (excluded: {sorted(exclude)})" if exclude else "")
+        + ", ".join(
+            os.path.basename(p)
+            + (f" (excluded: {sorted(excl)})" if excl else "")
+            for p, excl in slow_samples
+        )
+        + (f"; global excluded: {sorted(global_exclude)}"
+           if global_exclude else "")
         if slow_samples
         else ""
     )
