@@ -1123,6 +1123,22 @@ def corpus_card_partial(
             .agg(F.count(F.lit(1)).cast("double").alias("__c"))
             .collect()
         ]
+        # content fingerprint of the model this partial scored under:
+        # bins from DIFFERENT reference models are incomparable, and
+        # nothing else records which model produced them — the merge
+        # refuses to blend mixed fingerprints (the mixed-token-budget
+        # rule's twin).  Order-independent sum of bounded row hashes
+        # (coherence check, not crypto), exactly representable as a
+        # double.
+        fp = ppl_model.agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("tok", "logp", "unk_logp"),
+                    F.lit(2_147_483_647),
+                )
+            ).alias("__fp")
+        ).first()["__fp"]
+        rows.append(("ppl_hist", "__model_fp", float(fp or 0), None))
     # an empty frame aggregates to NULL sketches — omit the rows (the
     # merge treats a missing sketch as contributing nothing, exactly
     # like an empty increment contributes nothing to a sum)
@@ -1276,9 +1292,27 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         for (s, k), v in scal.items()
         if s == "ppl_hist" and k.startswith("b") and v
     }
+    ppl_rows: list[tuple] = []
+    if pbins:
+        # refuse to blend bins scored under DIFFERENT reference models
+        # (a swapped <release>/ppl_model would otherwise merge
+        # incomparable log-bins with no trace) — the
+        # mixed-token-budget rule's twin: emit a sentinel, derive
+        # nothing
+        fpr = (
+            partials.where(
+                (F.col("section") == F.lit("ppl_hist"))
+                & (F.col("key") == F.lit("__model_fp"))
+            )
+            .agg(F.count_distinct("value").cast("double").alias("n"))
+            .first()
+        )
+        if fpr["n"] is not None and fpr["n"] > 1:
+            ppl_rows = [("ppl_hist", "mixed_reference_models", fpr["n"])]
+        else:
+            ppl_rows = list(_ppl_percentile_rows(pbins))
     derived = (
-        list(_quality_percentile_rows(qbins))
-        + list(_ppl_percentile_rows(pbins))
+        list(_quality_percentile_rows(qbins)) + ppl_rows
     ) + [
         (
             "dup",

@@ -759,3 +759,39 @@ def test_release_without_ppl_model_omits_section(spark, tmp_path):
     }
     assert not any(s == "ppl_hist" for s, _ in card)
     assert ("quality_hist", "q_p50_approx") in card  # model-free: intact
+
+
+def test_ppl_hist_mixed_reference_models_refused(spark, docs):
+    """Bins scored under different reference models are incomparable:
+    the merge detects mismatched model fingerprints, derives NO ppl
+    percentiles, and emits a mixed_reference_models sentinel (the
+    mixed-token-budget rule's twin).  Same-model merges are untouched
+    and the fingerprint row never leaks into the card."""
+    from bigdataproject_formula1_telemetry_spark.operators import lm as L
+
+    ref_a = L.unigram_lm(docs, vocab_size=1000)
+    ref_b = L.unigram_lm(docs.where(F.col("doc_id") % 2 == 0), vocab_size=50)
+    pa = P.corpus_card_partial(
+        docs.where(F.col("doc_id") % 2 == 0), ppl_model=ref_a
+    )
+    pb_same = P.corpus_card_partial(
+        docs.where(F.col("doc_id") % 2 == 1), ppl_model=ref_a
+    )
+    pb_other = P.corpus_card_partial(
+        docs.where(F.col("doc_id") % 2 == 1), ppl_model=ref_b
+    )
+    same = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(pa.unionByName(pb_same)).collect()
+    }
+    assert ("ppl_hist", "ppl_p50_approx") in same
+    assert ("ppl_hist", "mixed_reference_models") not in same
+    assert not any(k == "__model_fp" for _, k in same)
+    mixed = {
+        (r["section"], r["key"]): r["value"]
+        for r in P.merge_card_partials(pa.unionByName(pb_other)).collect()
+    }
+    assert mixed[("ppl_hist", "mixed_reference_models")] == 2.0
+    assert not any(
+        s == "ppl_hist" and k.startswith("ppl_p") for s, k in mixed
+    )
