@@ -108,6 +108,27 @@ def _gumbel_u(hash_col):
     return F.least(F.greatest(u, F.lit(2.0**-64)), F.lit(1.0 - 2.0**-53))
 
 
+def _bucket_counts(
+    docs: DataFrame, text_col: str, dim: int, salt: str, use_bigrams: bool
+) -> DataFrame:
+    """The fit's distributed half: explode → bucket → map-side-combined
+    count; ≤ ``dim`` rows out."""
+    return (
+        docs.select(F.explode(_ngrams(text_col, use_bigrams)).alias("ng"))
+        .select(_bucket(F.col("ng"), dim, salt).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _model_from_counts(pairs, dim: int, alpha: float) -> np.ndarray:
+    counts = np.zeros(dim, dtype=np.float64)
+    for b, c in pairs:
+        counts[int(b)] = float(c)
+    total = counts.sum()
+    return np.log((counts + alpha) / (total + alpha * dim))
+
+
 def fit_hashed_ngram_model(
     docs: DataFrame,
     text_col: str = "text",
@@ -125,18 +146,10 @@ def fit_hashed_ngram_model(
         raise ValueError(f"dim must be >= 2, got {dim}")
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (unseen buckets), got {alpha}")
-    rows = (
-        docs.select(F.explode(_ngrams(text_col, use_bigrams)).alias("ng"))
-        .select(_bucket(F.col("ng"), dim, salt).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    rows = _bucket_counts(docs, text_col, dim, salt, use_bigrams).collect()
+    return _model_from_counts(
+        ((r["b"], r["c"]) for r in rows), dim, alpha
     )
-    counts = np.zeros(dim, dtype=np.float64)
-    for r in rows:
-        counts[int(r["b"])] = float(r["c"])
-    total = counts.sum()
-    return np.log((counts + alpha) / (total + alpha * dim))
 
 
 def dsir_log_weights(
@@ -199,10 +212,30 @@ def dsir_select(
     a second fitting pass."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    p = fit_hashed_ngram_model(target, text_col, dim, salt, use_bigrams)
-    q = fit_hashed_ngram_model(
-        raw if raw_model_docs is None else raw_model_docs,
-        text_col, dim, salt, use_bigrams,
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    # BOTH model fits in ONE action (r14 optimization round): the
+    # target and raw count passes are independent, so unioning them
+    # under a model tag lets their scans schedule concurrently and pays
+    # one driver round trip instead of two sequential ones (guide §2.6
+    # — overlap independent jobs).  The resulting arrays are identical
+    # to two fit_hashed_ngram_model calls.
+    both = (
+        _bucket_counts(target, text_col, dim, salt, use_bigrams)
+        .select(F.lit(0).alias("__m"), "b", "c")
+        .unionByName(
+            _bucket_counts(
+                raw if raw_model_docs is None else raw_model_docs,
+                text_col, dim, salt, use_bigrams,
+            ).select(F.lit(1).alias("__m"), "b", "c")
+        )
+        .collect()
+    )
+    p = _model_from_counts(
+        ((r["b"], r["c"]) for r in both if r["__m"] == 0), dim, 1.0
+    )
+    q = _model_from_counts(
+        ((r["b"], r["c"]) for r in both if r["__m"] == 1), dim, 1.0
     )
     w = dsir_log_weights(
         raw, p, q, text_col=text_col, id_col=id_col, salt=salt,

@@ -839,34 +839,55 @@ def hybrid_topk_indexed(
     if k < 1:
         raise ValueError(f"hybrid_topk_indexed: k must be >= 1, got {k}")
     fetch_k = fetch_k if fetch_k is not None else max(2 * k, 20)
-    lex = BI.bm25_topk_indexed(
-        spark, bm25_path, queries, k=fetch_k,
-        query_id_col=query_id_col, query_text_col=query_text_col,
-        score_round=score_round,
-    ).select(query_id_col, id_col, "rank")
 
-    # the IVF family convention: BOTH the query frame and the inverted
-    # file carry (vec_id, embedding) — build the file as
-    # hashed_embedding(docs) -> select(doc_id AS vec_id, __v AS embedding)
-    qemb = EM.hashed_embedding(
-        queries.select(query_id_col, query_text_col),
-        text_col=query_text_col, out_col="__v", dim=dim, salt=salt,
-    ).select(
-        F.col(query_id_col).alias("vec_id"), F.col("__v").alias("embedding")
-    )
-    wsem = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    sem = (
-        SIM.knn_ivf_materialized(
-            spark, ivf_path, qemb, list(map(list, centroids)),
-            k=fetch_k, nprobe=nprobe, id_col="vec_id", vec_col="embedding",
-            query_id_col=query_id_col,
+    # Each leg's CONSTRUCTION runs driver-side jobs before the fused
+    # plan ever executes (lexical: index meta read + query-vocabulary
+    # collect; semantic: the query embedding collect + probe math), and
+    # they are independent — so build the legs in two driver threads
+    # (guide §2.6: overlap independent jobs; r14 optimization round).
+    # The returned plans are identical to the sequential construction.
+    def _lex() -> DataFrame:
+        return BI.bm25_topk_indexed(
+            spark, bm25_path, queries, k=fetch_k,
+            query_id_col=query_id_col, query_text_col=query_text_col,
+            score_round=score_round,
+        ).select(query_id_col, id_col, "rank")
+
+    def _sem() -> DataFrame:
+        # the IVF family convention: BOTH the query frame and the
+        # inverted file carry (vec_id, embedding) — build the file as
+        # hashed_embedding(docs) -> select(doc_id AS vec_id, __v AS
+        # embedding)
+        qemb = EM.hashed_embedding(
+            queries.select(query_id_col, query_text_col),
+            text_col=query_text_col, out_col="__v", dim=dim, salt=salt,
+        ).select(
+            F.col(query_id_col).alias("vec_id"),
+            F.col("__v").alias("embedding"),
         )
-        .where(F.col("cos_sim").isNotNull())
-        .withColumn("rank", F.row_number().over(wsem))
-        .select(query_id_col, F.col("neighbor_id").alias(id_col), "rank")
-    )
+        wsem = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            SIM.knn_ivf_materialized(
+                spark, ivf_path, qemb, list(map(list, centroids)),
+                k=fetch_k, nprobe=nprobe, id_col="vec_id",
+                vec_col="embedding", query_id_col=query_id_col,
+            )
+            .where(F.col("cos_sim").isNotNull())
+            .withColumn("rank", F.row_number().over(wsem))
+            .select(query_id_col, F.col("neighbor_id").alias(id_col), "rank")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(inheritable_thread_target(_lex))
+        sem_f = pool.submit(inheritable_thread_target(_sem))
+        lex = lex_f.result()
+        sem = sem_f.result()
     fused = rrf_fuse(
         [lex, sem], k=rrf_k, query_id_col=query_id_col, id_col=id_col
     )

@@ -728,6 +728,66 @@ def _ppl_percentile_rows(bins: dict[int, float]) -> list[tuple]:
     )
 
 
+def _scalar_leg(
+    agg_df: DataFrame,
+    leg: str,
+    doubles: list[str],
+    sketches: list[str] | None = None,
+) -> DataFrame:
+    """One already-reduced aggregate row → tidy ``(leg, key, value,
+    sketch)`` rows, built as EXPRESSIONS (no collect).  Independent
+    measurement legs union into ONE Spark action instead of paying one
+    sequential driver round trip each — the guide §2.6 idle-capacity
+    overlap, done inside a single job: the legs' scans schedule
+    concurrently, and per-job fixed overhead is paid once.  Measured on
+    the release train (probe_release_stage_costs): the increment card
+    partial was 4.15 s for a 500-doc increment — almost all sequential
+    job overhead, not data."""
+    structs = [
+        F.struct(
+            F.lit(k).alias("key"),
+            F.col(k).cast("double").alias("value"),
+            F.lit(None).cast("binary").alias("sketch"),
+        )
+        for k in doubles
+    ] + [
+        F.struct(
+            F.lit(k).alias("key"),
+            F.lit(None).cast("double").alias("value"),
+            F.col(k).alias("sketch"),
+        )
+        for k in (sketches or [])
+    ]
+    return agg_df.select(F.explode(F.array(*structs)).alias("r")).select(
+        F.lit(leg).alias("leg"),
+        F.col("r.key").alias("key"),
+        F.col("r.value").alias("value"),
+        F.col("r.sketch").alias("sketch"),
+    )
+
+
+def _kv_leg(df: DataFrame, leg: str, key: Column, value: Column) -> DataFrame:
+    """A many-row leg (e.g. per-bin counts) in the same union schema."""
+    return df.select(
+        F.lit(leg).alias("leg"),
+        key.cast("string").alias("key"),
+        value.cast("double").alias("value"),
+        F.lit(None).cast("binary").alias("sketch"),
+    )
+
+
+def _collect_legs(legs: list[DataFrame]) -> dict:
+    """Union every leg, run ONE action, and return
+    ``{leg: {key: (value, sketch)}}``."""
+    it = legs[0]
+    for leg in legs[1:]:
+        it = it.unionByName(leg)
+    out: dict = {}
+    for r in it.collect():
+        out.setdefault(r["leg"], {})[r["key"]] = (r["value"], r["sketch"])
+    return out
+
+
 def corpus_card(
     docs: DataFrame,
     text_col: str = "text",
@@ -779,17 +839,6 @@ def corpus_card(
     )
     ppl = L.doc_perplexity(docs, model, text_col=text_col).select("ppl")
 
-    def _rows(sections: dict[str, str], df: DataFrame) -> DataFrame:
-        # one aggregate row → tidy long form (section looked up per key)
-        pairs = df.first().asDict()
-        return docs.sparkSession.createDataFrame(
-            [
-                (sections[k], k, float(v) if v is not None else None)
-                for k, v in pairs.items()
-            ],
-            schema="section string, key string, value double",
-        )
-
     key = F.when(t.isNotNull(), F.md5(t)).otherwise(F.lit("\x00null"))
     qtiles = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
     # fixed-bin quality histogram rides the same aggregate pass; the
@@ -835,24 +884,30 @@ def corpus_card(
         "ppl_p10": "quality", "ppl_p50": "quality", "ppl_p90": "quality",
         "exact_dup_frac_approx": "dup",
         "pii_emails": "pii", "pii_ipv4": "pii", "pii_phones": "pii",
+        "contam_ngram_docs": "contamination",
+        "contam_semantic_docs": "contamination",
+        "sem_dup_families": "dup", "sem_dup_frac": "dup",
+        "ngrams_13": "diversity",
+        "distinct_13gram_frac_approx": "diversity",
+        "distinct_domains": "domains", "top_domain_frac": "domains",
     }
-    grow = glob.first().asDict()
-    card = docs.sparkSession.createDataFrame(
-        [
-            (sections[k], k, float(v) if v is not None else None)
-            for k, v in grow.items()
-            if not k.startswith("__qh_")
-        ]
-        + _quality_percentile_rows(_quality_hist_from_row(grow)),
-        schema="section string, key string, value double",
-    ).unionByName(_rows(sections, pplq))
-    if lang_col is not None and lang_col in docs.columns:
-        langs = docs.groupBy(F.col(lang_col).alias("key")).agg(
-            F.count(F.lit(1)).cast("double").alias("value")
-        )
-        card = card.unionByName(
-            langs.select(F.lit("lang").alias("section"), "key", "value")
-        )
+    # Each global measure is an independent already-reduced leg; they
+    # union into ONE collect so the full-card refresh pays one Spark
+    # action (scans scheduled concurrently) instead of one sequential
+    # job per section — the aggregate expressions are unchanged.
+    legs = [
+        _scalar_leg(
+            glob,
+            "glob",
+            [
+                "docs", "tokens", "chars", "q_p10", "q_p50", "q_p90",
+                "exact_dup_frac_approx",
+                "pii_emails", "pii_ipv4", "pii_phones",
+            ]
+            + [f"__qh_{i:02d}" for i in range(_QUALITY_HIST_BINS)],
+        ),
+        _scalar_leg(pplq, "ppl", ["ppl_p10", "ppl_p50", "ppl_p90"]),
+    ]
     if benchmark is not None:
         # contamination accounting vs an eval set: verbatim (8-gram) and
         # order-invariant (hashed-BoW cosine) overlap counts — the two
@@ -879,13 +934,8 @@ def corpus_card(
             .distinct()
             .agg(F.count(F.lit(1)).cast("double").alias("contam_semantic_docs"))
         )
-        csec = {
-            "contam_ngram_docs": "contamination",
-            "contam_semantic_docs": "contamination",
-        }
-        card = card.unionByName(_rows(csec, ngram_docs)).unionByName(
-            _rows(csec, sem_docs)
-        )
+        legs.append(_scalar_leg(ngram_docs, "contam_ngram", ["contam_ngram_docs"]))
+        legs.append(_scalar_leg(sem_docs, "contam_sem", ["contam_semantic_docs"]))
     if semantic is not None:
         # semantic-duplicate accounting (``semantic=(centroids,
         # threshold)``): family counts over hashed-BoW embeddings via
@@ -911,8 +961,7 @@ def corpus_card(
                 "sem_dup_frac"
             ),
         )
-        ssec = {"sem_dup_families": "dup", "sem_dup_frac": "dup"}
-        card = card.unionByName(_rows(ssec, srow))
+        legs.append(_scalar_leg(srow, "semdup", ["sem_dup_families", "sem_dup_frac"]))
     # diversity / memorization-risk telemetry (r7): the corpus-distinct
     # fraction of per-doc-distinct 13-grams (Lee et al. 2022's dedup
     # analyses report long-n-gram duplication as the memorization
@@ -934,15 +983,12 @@ def corpus_card(
         .otherwise(F.lit(None))
         .alias("distinct_13gram_frac_approx"),
     )
-    card = card.unionByName(
-        _rows(
-            {
-                "ngrams_13": "diversity",
-                "distinct_13gram_frac_approx": "diversity",
-            },
-            drow,
+    legs.append(
+        _scalar_leg(
+            drow, "diversity", ["ngrams_13", "distinct_13gram_frac_approx"]
         )
     )
+    dom = None
     if "url" in docs.columns:
         # provenance section for web corpora (r7): registered-domain
         # concentration — distinct domains, top-domain share, and the
@@ -967,12 +1013,40 @@ def corpus_card(
             F.count(F.lit(1)).cast("double").alias("distinct_domains"),
             (F.max("value") / F.sum("value")).alias("top_domain_frac"),
         )
+        legs.append(
+            _scalar_leg(dsum, "domains", ["distinct_domains", "top_domain_frac"])
+        )
+    got = _collect_legs(legs)
+    glob_v = got["glob"]
+    scalar_rows = [
+        (sections[k], k, float(v) if v is not None else None)
+        for k, (v, _s) in glob_v.items()
+        if not k.startswith("__qh_")
+    ] + _quality_percentile_rows(
+        {
+            int(k[len("__qh_"):]): float(v)
+            for k, (v, _s) in glob_v.items()
+            if k.startswith("__qh_") and v
+        }
+    )
+    for leg in ("ppl", "contam_ngram", "contam_sem", "semdup", "diversity",
+                "domains"):
+        scalar_rows += [
+            (sections[k], k, float(v) if v is not None else None)
+            for k, (v, _s) in got.get(leg, {}).items()
+        ]
+    card = docs.sparkSession.createDataFrame(
+        scalar_rows, schema="section string, key string, value double"
+    )
+    if lang_col is not None and lang_col in docs.columns:
+        langs = docs.groupBy(F.col(lang_col).alias("key")).agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        )
         card = card.unionByName(
-            _rows(
-                {"distinct_domains": "domains", "top_domain_frac": "domains"},
-                dsum,
-            )
-        ).unionByName(
+            langs.select(F.lit("lang").alias("section"), "key", "value")
+        )
+    if dom is not None:
+        card = card.unionByName(
             dom.orderBy(F.col("value").desc(), F.col("domain").asc())
             .limit(10)
             .select(
@@ -1064,7 +1138,13 @@ def corpus_card_partial(
     # quality-score bin, projected ONCE so the 100 conditional sums
     # below share the expression instead of re-evaluating the score
     docs = docs.withColumn("__qbin", _quality_bin(t))
-    glob = docs.agg(
+    # Every measurement below is an independent already-reduced leg;
+    # they union into ONE collect (one Spark action) so the legs'
+    # scans schedule concurrently and per-job overhead is paid once —
+    # measured 4.15 s → sub-second for an increment-sized partial
+    # (probe_release_stage_costs, r14 optimization round).  The
+    # aggregate EXPRESSIONS are bit-identical to the sequential form.
+    glob_agg = docs.agg(
         *_quality_hist_aggs(),
         F.count(F.lit(1)).cast("double").alias("docs"),
         F.sum(T.token_count(t)).cast("double").alias("tokens"),
@@ -1073,30 +1153,33 @@ def corpus_card_partial(
         F.sum(pii["ipv4"]).cast("double").alias("pii_ipv4"),
         F.sum(pii["phone"]).cast("double").alias("pii_phones"),
         F.hll_sketch_agg(key).alias("__dup_sk"),
-    ).first()
+    )
+    legs = [
+        _scalar_leg(
+            glob_agg,
+            "glob",
+            [
+                "docs", "tokens", "chars",
+                "pii_emails", "pii_ipv4", "pii_phones",
+            ]
+            + [f"__qh_{i:02d}" for i in range(_QUALITY_HIST_BINS)],
+            ["__dup_sk"],
+        )
+    ]
     ng = docs.select(
         F.explode(T.shingles_ngrams(t, 13)).alias("__g")
     ).select(F.xxhash64("__g").alias("__h"))
-    ngrow = ng.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.hll_sketch_agg("__h").alias("__sk"),
-    ).first()
-    rows = [
-        ("size", "docs", glob["docs"], None),
-        ("size", "tokens", glob["tokens"], None),
-        ("size", "chars", glob["chars"], None),
-        ("pii", "pii_emails", glob["pii_emails"], None),
-        ("pii", "pii_ipv4", glob["pii_ipv4"], None),
-        ("pii", "pii_phones", glob["pii_phones"], None),
-        ("diversity", "ngrams_13", ngrow["__n"], None),
-    ]
-    # sparse quality-score bin counts (merge-internal: summed across
-    # increments, then merge_card_partials derives the percentiles and
-    # never emits the raw bins)
-    rows += [
-        ("quality_hist", f"b{i:02d}", v, None)
-        for i, v in sorted(_quality_hist_from_row(glob).items())
-    ]
+    legs.append(
+        _scalar_leg(
+            ng.agg(
+                F.count(F.lit(1)).cast("double").alias("__n"),
+                F.hll_sketch_agg("__h").alias("__sk"),
+            ),
+            "ngram",
+            ["__n"],
+            ["__sk"],
+        )
+    )
     if ppl_model is not None:
         # frozen-reference perplexity bins: one explode + broadcast
         # LM join + two-level count over THIS increment only.  Scored
@@ -1111,9 +1194,8 @@ def corpus_card_partial(
             lm as L,
         )
 
-        rows += [
-            ("ppl_hist", f"b{int(r['__b']):03d}", float(r["__c"]), None)
-            for r in L.doc_perplexity(
+        pb = (
+            L.doc_perplexity(
                 docs.withColumn("__rid", F.monotonically_increasing_id()),
                 ppl_model,
                 text_col=text_col,
@@ -1121,8 +1203,8 @@ def corpus_card_partial(
             )
             .groupBy(_ppl_bin(F.col("ppl")).alias("__b"))
             .agg(F.count(F.lit(1)).cast("double").alias("__c"))
-            .collect()
-        ]
+        )
+        legs.append(_kv_leg(pb, "ppl_bin", F.col("__b"), F.col("__c")))
         # content fingerprint of the model this partial scored under:
         # bins from DIFFERENT reference models are incomparable, and
         # nothing else records which model produced them — the merge
@@ -1130,45 +1212,101 @@ def corpus_card_partial(
         # rule's twin).  Order-independent sum of bounded row hashes
         # (coherence check, not crypto), exactly representable as a
         # double.
-        fp = ppl_model.agg(
-            F.sum(
-                F.pmod(
-                    F.xxhash64("tok", "logp", "unk_logp"),
-                    F.lit(2_147_483_647),
-                )
-            ).alias("__fp")
-        ).first()["__fp"]
-        rows.append(("ppl_hist", "__model_fp", float(fp or 0), None))
-    # an empty frame aggregates to NULL sketches — omit the rows (the
-    # merge treats a missing sketch as contributing nothing, exactly
-    # like an empty increment contributes nothing to a sum)
-    if glob["__dup_sk"] is not None:
-        rows.append(("dup", "exact_dup_hll", None, bytes(glob["__dup_sk"])))
-    if ngrow["__sk"] is not None:
-        rows.append(
-            ("diversity", "distinct_13gram_hll", None, bytes(ngrow["__sk"]))
+        legs.append(
+            _scalar_leg(
+                ppl_model.agg(
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64("tok", "logp", "unk_logp"),
+                            F.lit(2_147_483_647),
+                        )
+                    ).alias("__fp")
+                ),
+                "fp",
+                ["__fp"],
+            )
         )
-    if token_budget is not None and {
+    has_packing = token_budget is not None and {
         "pack_shard", "seq_id", "n_tokens", "oversize"
-    } <= set(docs.columns):
+    } <= set(docs.columns)
+    if has_packing:
         bins = docs.groupBy("pack_shard", "seq_id").agg(
             F.sum("n_tokens").alias("__fill"),
             F.max(F.col("oversize").cast("int")).alias("__over"),
         )
-        pk = bins.agg(
-            F.count(F.lit(1)).cast("double").alias("n_sequences"),
-            F.sum("__fill").cast("double").alias("__sum_fill"),
-            F.sum(
-                F.when(F.col("__over") == 0, F.lit(1)).otherwise(F.lit(0))
-            ).cast("double").alias("__n_nonover"),
-            F.sum(
-                F.when(
-                    F.col("__over") == 0,
-                    F.col("__fill") / F.lit(float(token_budget)),
-                )
-            ).cast("double").alias("__sum_occ"),
-            F.sum("__over").cast("double").alias("oversize_sequences"),
-        ).first()
+        legs.append(
+            _scalar_leg(
+                bins.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_sequences"),
+                    F.sum("__fill").cast("double").alias("__sum_fill"),
+                    F.sum(
+                        F.when(F.col("__over") == 0, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double").alias("__n_nonover"),
+                    F.sum(
+                        F.when(
+                            F.col("__over") == 0,
+                            F.col("__fill") / F.lit(float(token_budget)),
+                        )
+                    ).cast("double").alias("__sum_occ"),
+                    F.sum("__over").cast("double").alias(
+                        "oversize_sequences"
+                    ),
+                ),
+                "packing",
+                [
+                    "n_sequences", "__sum_fill", "__n_nonover",
+                    "__sum_occ", "oversize_sequences",
+                ],
+            )
+        )
+    got = _collect_legs(legs)
+    glob = {k: v for k, (v, _s) in got["glob"].items()}
+    ngrow = {k: v for k, (v, _s) in got["ngram"].items()}
+    rows = [
+        ("size", "docs", glob["docs"], None),
+        ("size", "tokens", glob["tokens"], None),
+        ("size", "chars", glob["chars"], None),
+        ("pii", "pii_emails", glob["pii_emails"], None),
+        ("pii", "pii_ipv4", glob["pii_ipv4"], None),
+        ("pii", "pii_phones", glob["pii_phones"], None),
+        ("diversity", "ngrams_13", ngrow["__n"], None),
+    ]
+    # sparse quality-score bin counts (merge-internal: summed across
+    # increments, then merge_card_partials derives the percentiles and
+    # never emits the raw bins)
+    rows += [
+        ("quality_hist", f"b{i:02d}", float(v), None)
+        for i, v in sorted(
+            (int(k[len("__qh_"):]), glob[k])
+            for k in glob
+            if k.startswith("__qh_")
+        )
+        if v
+    ]
+    if ppl_model is not None:
+        rows += [
+            ("ppl_hist", f"b{int(b):03d}", float(c), None)
+            for b, c in sorted(
+                ((int(k), v) for k, (v, _s) in got.get("ppl_bin", {}).items())
+            )
+        ]
+        fp = got["fp"]["__fp"][0]
+        rows.append(("ppl_hist", "__model_fp", float(fp or 0), None))
+    # an empty frame aggregates to NULL sketches — omit the rows (the
+    # merge treats a missing sketch as contributing nothing, exactly
+    # like an empty increment contributes nothing to a sum)
+    dup_sk = got["glob"]["__dup_sk"][1]
+    if dup_sk is not None:
+        rows.append(("dup", "exact_dup_hll", None, bytes(dup_sk)))
+    ng_sk = got["ngram"]["__sk"][1]
+    if ng_sk is not None:
+        rows.append(
+            ("diversity", "distinct_13gram_hll", None, bytes(ng_sk))
+        )
+    if has_packing:
+        pk = {k: v for k, (v, _s) in got["packing"].items()}
         rows += [
             ("packing", "n_sequences", pk["n_sequences"], None),
             ("packing", "__sum_fill", pk["__sum_fill"], None),
@@ -1255,27 +1393,50 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         .groupBy("section", "key")
         .agg(F.sum("value").alias("value"))
     )
-    sketches = (
-        partials.where(F.col("sketch").isNotNull())
-        .groupBy("section", "key")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast(
-                "double"
-            ).alias("est")
-        )
+    # ONE probe action collects every scalar the derivations below need
+    # (summed bins, sketch estimates, budget min/max/distinct, model-
+    # fingerprint distinct count, domains presence) instead of five
+    # sequential driver round trips — the values are identical, the
+    # per-job overhead is paid once.  ``est`` guards on ``> 0``: a
+    # union over a group with no sketches estimates 0 (a real sketch
+    # always estimates ≥ 1; empty increments omit their sketch row).
+    probe_agg = partials.groupBy("section", "key").agg(
+        F.sum("value").alias("value"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count_distinct("value").cast("double").alias("nd"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("double")
+        .alias("est"),
     )
+    probe = probe_agg.where(
+        F.col("section").isin(
+            "size", "diversity", "packing", "quality_hist", "ppl_hist",
+            "dup",
+        )
+    ).unionByName(
+        partials.where(F.col("section") == F.lit("domains"))
+        .limit(1)
+        .select(
+            F.lit("__has_domains").alias("section"),
+            F.lit("").alias("key"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            F.lit(None).cast("double").alias("nd"),
+            F.lit(None).cast("double").alias("est"),
+        )
+    ).collect()
+    by_key = {(r["section"], r["key"]): r for r in probe}
     scal = {
-        (r["section"], r["key"]): r["value"]
-        for r in sums.where(
-            F.col("section").isin(
-                "size", "diversity", "packing", "quality_hist", "ppl_hist"
-            )
-        ).collect()
+        (s, k): r["value"]
+        for (s, k), r in by_key.items()
+        if s in ("size", "diversity", "packing", "quality_hist", "ppl_hist")
     }
     est = {
-        (r["section"], r["key"]): r["est"]
-        for r in sketches.collect()
-        if r["est"] is not None
+        (s, k): r["est"]
+        for (s, k), r in by_key.items()
+        if r["est"] is not None and r["est"] > 0
     }
     docs_n = scal.get(("size", "docs"), 0.0) or 0.0
     ngrams = scal.get(("diversity", "ngrams_13"), 0.0) or 0.0
@@ -1299,16 +1460,10 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         # incomparable log-bins with no trace) — the
         # mixed-token-budget rule's twin: emit a sentinel, derive
         # nothing
-        fpr = (
-            partials.where(
-                (F.col("section") == F.lit("ppl_hist"))
-                & (F.col("key") == F.lit("__model_fp"))
-            )
-            .agg(F.count_distinct("value").cast("double").alias("n"))
-            .first()
-        )
-        if fpr["n"] is not None and fpr["n"] > 1:
-            ppl_rows = [("ppl_hist", "mixed_reference_models", fpr["n"])]
+        fpr = by_key.get(("ppl_hist", "__model_fp"))
+        n_models = fpr["nd"] if fpr is not None else None
+        if n_models is not None and n_models > 1:
+            ppl_rows = [("ppl_hist", "mixed_reference_models", n_models)]
         else:
             ppl_rows = list(_ppl_percentile_rows(pbins))
     derived = (
@@ -1340,18 +1495,12 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         # would mix fills normalized against different denominators
         # (ADVICE r13) — emit min/max + a mixed sentinel and NULL the
         # occupancy instead of silently blending.
-        brow = (
-            partials.where(
-                (F.col("section") == F.lit("packing"))
-                & (F.col("key") == F.lit("__budget_sum"))
-            )
-            .agg(
-                F.min("value").alias("lo"),
-                F.max("value").alias("hi"),
-                F.count_distinct("value").cast("double").alias("n"),
-            )
-            .first()
-        )
+        _b = by_key.get(("packing", "__budget_sum"))
+        brow = {
+            "lo": _b["lo"] if _b is not None else None,
+            "hi": _b["hi"] if _b is not None else None,
+            "n": _b["nd"] if _b is not None else 0.0,
+        }
         mixed = brow["n"] is not None and brow["n"] > 1
         derived += [
             (
@@ -1386,7 +1535,7 @@ def merge_card_partials(partials: DataFrame) -> DataFrame:
         )
     )
     dom = sums.where(F.col("section") == F.lit("domains"))
-    if not dom.isEmpty():
+    if ("__has_domains", "") in by_key:
         dsum = dom.where(F.col("key").isNotNull()).agg(
             F.count(F.lit(1)).cast("double").alias("distinct_domains"),
             (F.max("value") / F.sum("value")).alias("top_domain_frac"),
@@ -1910,58 +2059,27 @@ def corpus_release(
         released, text_col="chunk_text", vocab_size=50_000
     ).write.mode("overwrite").parquet(_os.path.join(path, "ppl_model"))
     ref_lm = spark.read.parquet(_os.path.join(path, "ppl_model"))
-    card = corpus_card(
-        released,
-        text_col="chunk_text",
-        lang_col=None,
-        benchmark=benchmark,
-        id_col=id_col,
-        lm_model=ref_lm,
+    # Card + base card partial + packing section in ONE fused action
+    # (r14 optimization round): the sequential form re-scanned the
+    # released rows nine times across seven driver round trips — see
+    # ``_release_card_and_partial``.  The partial (r13) is written
+    # unconditionally so the release can switch to
+    # refresh_card="incremental" appends at any point; it stays
+    # benchmark-free (contamination is a full-card/audit feature), and
+    # the packing section is what the data loader actually consumes —
+    # bin counts, mean fill against the budget, and the oversize tail.
+    budget = float(curate_kwargs.get("token_budget", 1024))
+    card_rows, partial_rows = _release_card_and_partial(
+        released, budget, ref_lm, id_col=id_col, benchmark=benchmark
     )
-    # the base's MERGEABLE card partial (r13): written unconditionally
-    # so the release can switch to refresh_card="incremental" appends
-    # at any point — partials always mirror the released content (every
-    # append writes its own, whatever card mode it runs).  Partials are
-    # benchmark-free in the release train: the contamination section
-    # stays a full-card/audit feature, so an incrementally-merged card
-    # never claims a corpus-wide count only the base was gated for.
-    corpus_card_partial(
-        released, text_col="chunk_text", lang_col=None, id_col=id_col,
-        token_budget=float(curate_kwargs.get("token_budget", 1024)),
-        ppl_model=ref_lm,
+    spark.createDataFrame(
+        partial_rows,
+        "section string, key string, value double, sketch binary",
     ).write.mode("overwrite").parquet(
         _os.path.join(path, "card_partials", "base")
     )
-    # packing section: what the data loader actually consumes — bin
-    # counts, mean fill against the budget, and the oversize tail (a
-    # lone chunk larger than the budget monopolizes its bin).  One
-    # two-level aggregate over the released rows.
-    budget = float(curate_kwargs.get("token_budget", 1024))
-    bins = released.groupBy("pack_shard", "seq_id").agg(
-        F.sum("n_tokens").alias("__fill"),
-        F.max(F.col("oversize").cast("int")).alias("__over"),
-    )
-    pk = bins.agg(
-        F.count(F.lit(1)).cast("double").alias("n_sequences"),
-        F.avg("__fill").alias("mean_seq_tokens"),
-        (
-            F.avg(
-                F.when(F.col("__over") == 0, F.col("__fill") / F.lit(budget))
-            )
-        ).alias("occupancy"),
-        F.sum("__over").cast("double").alias("oversize_sequences"),
-    ).first()
-    card = card.unionByName(
-        spark.createDataFrame(
-            [
-                ("packing", "n_sequences", pk["n_sequences"]),
-                ("packing", "mean_seq_tokens", pk["mean_seq_tokens"]),
-                ("packing", "occupancy", pk["occupancy"]),
-                ("packing", "oversize_sequences", pk["oversize_sequences"]),
-                ("packing", "token_budget", budget),
-            ],
-            schema="section string, key string, value double",
-        )
+    card = spark.createDataFrame(
+        card_rows, schema="section string, key string, value double"
     )
     # provenance: the curation config ships WITH the release (one-row
     # json table at path/config), and the card carries its hash — two
@@ -2002,6 +2120,280 @@ def corpus_release(
         "manifest": manifest,
         "card": spark.read.parquet(_os.path.join(path, "card")),
     }
+
+
+def _release_card_and_partial(
+    released: DataFrame,
+    token_budget: float,
+    ref_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "chunk_text",
+    benchmark: DataFrame | None = None,
+    bench_text_col: str = "text",
+) -> tuple[list[tuple], list[tuple]]:
+    """Fused card + base-partial + packing measurement for
+    ``corpus_release`` (r14 optimization round): the sequential form
+    re-scanned the released rows NINE times across seven driver round
+    trips (card glob / card ppl / card ngram / partial glob / partial
+    ngram / partial ppl-bins / packing ×2); here every leg unions into
+    ONE action, and the legs that compute the same measure for both
+    artifacts (glob row-level sums, the 13-gram explode, the packing
+    two-level aggregate) run ONCE as a superset aggregate — 5 scans in
+    1 job.  Every aggregate expression is bit-identical to
+    :func:`corpus_card` / :func:`corpus_card_partial`; the card's
+    packing means derive from the partial's sums exactly as Spark's
+    ``avg`` derives them (final ``sum/count`` division).
+
+    Returns ``(card_rows, partial_rows)`` — plain tuples in the same
+    row order the unfused functions emit."""
+    from bigdataproject_formula1_telemetry_spark.operators import (
+        lm as L,
+        text as T,
+    )
+
+    t = F.col(text_col)
+    pii = T.pii_counts(t)
+    key = F.when(t.isNotNull(), F.md5(t)).otherwise(F.lit("\x00null"))
+    qtiles = F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+    dq = released.withColumn("__q", T.quality_score(t)).withColumn(
+        "__qbin", _quality_bin(t, q=F.col("__q"))
+    )
+    qh_cols = [f"__qh_{i:02d}" for i in range(_QUALITY_HIST_BINS)]
+    glob_super = dq.agg(
+        *_quality_hist_aggs(),
+        F.count(F.lit(1)).cast("double").alias("docs"),
+        F.sum(T.token_count(t)).cast("double").alias("tokens"),
+        F.sum(F.length(t)).cast("double").alias("chars"),
+        F.percentile_approx(F.col("__q"), qtiles).alias("_q"),
+        (
+            1.0
+            - F.approx_count_distinct(key, 0.02).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_frac_approx"),
+        F.sum(pii["email"]).cast("double").alias("pii_emails"),
+        F.sum(pii["ipv4"]).cast("double").alias("pii_ipv4"),
+        F.sum(pii["phone"]).cast("double").alias("pii_phones"),
+        F.hll_sketch_agg(key).alias("__dup_sk"),
+    ).select(
+        "docs", "tokens", "chars",
+        F.col("_q")[0].alias("q_p10"),
+        F.col("_q")[1].alias("q_p50"),
+        F.col("_q")[2].alias("q_p90"),
+        "exact_dup_frac_approx", "pii_emails", "pii_ipv4", "pii_phones",
+        *qh_cols,
+        "__dup_sk",
+    )
+    ng = released.select(
+        F.explode(T.shingles_ngrams(t, 13)).alias("__g")
+    ).select(F.xxhash64("__g").alias("__h"))
+    ng_super = ng.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.approx_count_distinct("__h", 0.02).cast("double").alias("__d"),
+        F.hll_sketch_agg("__h").alias("__sk"),
+    )
+    pplq = (
+        L.doc_perplexity(released, ref_lm, text_col=text_col)
+        .select("ppl")
+        .agg(F.percentile_approx("ppl", qtiles).alias("_p"))
+        .select(
+            F.col("_p")[0].alias("ppl_p10"),
+            F.col("_p")[1].alias("ppl_p50"),
+            F.col("_p")[2].alias("ppl_p90"),
+        )
+    )
+    pb = (
+        L.doc_perplexity(
+            released.withColumn("__rid", F.monotonically_increasing_id()),
+            ref_lm,
+            text_col=text_col,
+            id_cols=("__rid",),
+        )
+        .groupBy(_ppl_bin(F.col("ppl")).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    fp_agg = ref_lm.agg(
+        F.sum(
+            F.pmod(F.xxhash64("tok", "logp", "unk_logp"), F.lit(2_147_483_647))
+        ).alias("__fp")
+    )
+    bins = released.groupBy("pack_shard", "seq_id").agg(
+        F.sum("n_tokens").alias("__fill"),
+        F.max(F.col("oversize").cast("int")).alias("__over"),
+    )
+    pk_super = bins.agg(
+        F.count(F.lit(1)).cast("double").alias("n_sequences"),
+        F.sum("__fill").cast("double").alias("__sum_fill"),
+        F.sum(
+            F.when(F.col("__over") == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("double").alias("__n_nonover"),
+        F.sum(
+            F.when(
+                F.col("__over") == 0,
+                F.col("__fill") / F.lit(float(token_budget)),
+            )
+        ).cast("double").alias("__sum_occ"),
+        F.sum("__over").cast("double").alias("oversize_sequences"),
+    )
+    legs = [
+        _scalar_leg(
+            glob_super,
+            "glob",
+            [
+                "docs", "tokens", "chars", "q_p10", "q_p50", "q_p90",
+                "exact_dup_frac_approx",
+                "pii_emails", "pii_ipv4", "pii_phones",
+            ]
+            + qh_cols,
+            ["__dup_sk"],
+        ),
+        _scalar_leg(ng_super, "ngram", ["__n", "__d"], ["__sk"]),
+        _scalar_leg(pplq, "ppl", ["ppl_p10", "ppl_p50", "ppl_p90"]),
+        _kv_leg(pb, "ppl_bin", F.col("__b"), F.col("__c")),
+        _scalar_leg(fp_agg, "fp", ["__fp"]),
+        _scalar_leg(
+            pk_super,
+            "packing",
+            [
+                "n_sequences", "__sum_fill", "__n_nonover",
+                "__sum_occ", "oversize_sequences",
+            ],
+        ),
+    ]
+    if benchmark is not None:
+        # the card's contamination section (the partial stays benchmark-
+        # free by the release train's contract) — same expressions as
+        # corpus_card, riding the same single action
+        from bigdataproject_formula1_telemetry_spark.operators import (
+            dedup as DD,
+            embed as EM,
+        )
+
+        legs.append(
+            _scalar_leg(
+                DD.contamination_hits(
+                    released, benchmark, text_col=text_col, id_col=id_col,
+                    bench_text_col=bench_text_col,
+                ).agg(
+                    F.count(F.lit(1)).cast("double").alias(
+                        "contam_ngram_docs"
+                    )
+                ),
+                "contam_ngram",
+                ["contam_ngram_docs"],
+            )
+        )
+        legs.append(
+            _scalar_leg(
+                EM.semantic_contamination_pairs(
+                    released, benchmark, threshold=0.95,
+                    text_col=text_col, id_col=id_col,
+                    bench_text_col=bench_text_col,
+                )
+                .select(id_col)
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).cast("double").alias(
+                        "contam_semantic_docs"
+                    )
+                ),
+                "contam_sem",
+                ["contam_semantic_docs"],
+            )
+        )
+    got = _collect_legs(legs)
+    glob = {k: v for k, (v, _s) in got["glob"].items()}
+    ngrow = {k: v for k, (v, _s) in got["ngram"].items()}
+    pk = {k: v for k, (v, _s) in got["packing"].items()}
+    qbins = {
+        int(k[len("__qh_"):]): float(v)
+        for k, v in glob.items()
+        if k.startswith("__qh_") and v
+    }
+    card_sections = {
+        "docs": "size", "tokens": "size", "chars": "size",
+        "q_p10": "quality", "q_p50": "quality", "q_p90": "quality",
+        "ppl_p10": "quality", "ppl_p50": "quality", "ppl_p90": "quality",
+        "exact_dup_frac_approx": "dup",
+        "pii_emails": "pii", "pii_ipv4": "pii", "pii_phones": "pii",
+    }
+    n_seq = pk["n_sequences"] or 0.0
+    n_nonover = pk["__n_nonover"] or 0.0
+    card_rows = (
+        [
+            (card_sections[k], k, float(v) if v is not None else None)
+            for k, v in glob.items()
+            if not k.startswith("__")  # __qh_* bins + the __dup_sk sketch
+        ]
+        + _quality_percentile_rows(qbins)
+        + [
+            (card_sections[k], k, float(v) if v is not None else None)
+            for k, (v, _s) in got["ppl"].items()
+        ]
+        + [
+            ("contamination", k, float(v) if v is not None else None)
+            for leg in ("contam_ngram", "contam_sem")
+            for k, (v, _s) in got.get(leg, {}).items()
+        ]
+        + [
+            ("diversity", "ngrams_13", ngrow["__n"]),
+            (
+                "diversity",
+                "distinct_13gram_frac_approx",
+                (ngrow["__d"] / ngrow["__n"])
+                if ngrow["__n"] and ngrow["__n"] > 0
+                else None,
+            ),
+            ("packing", "n_sequences", pk["n_sequences"]),
+            (
+                "packing",
+                "mean_seq_tokens",
+                ((pk["__sum_fill"] or 0.0) / n_seq) if n_seq > 0 else None,
+            ),
+            (
+                "packing",
+                "occupancy",
+                (pk["__sum_occ"] / n_nonover) if n_nonover > 0 else None,
+            ),
+            ("packing", "oversize_sequences", pk["oversize_sequences"]),
+            ("packing", "token_budget", float(token_budget)),
+        ]
+    )
+    partial_rows = [
+        ("size", "docs", glob["docs"], None),
+        ("size", "tokens", glob["tokens"], None),
+        ("size", "chars", glob["chars"], None),
+        ("pii", "pii_emails", glob["pii_emails"], None),
+        ("pii", "pii_ipv4", glob["pii_ipv4"], None),
+        ("pii", "pii_phones", glob["pii_phones"], None),
+        ("diversity", "ngrams_13", ngrow["__n"], None),
+    ] + [
+        ("quality_hist", f"b{i:02d}", v, None) for i, v in sorted(qbins.items())
+    ] + [
+        ("ppl_hist", f"b{int(b):03d}", float(c), None)
+        for b, c in sorted(
+            ((int(k), v) for k, (v, _s) in got.get("ppl_bin", {}).items())
+        )
+    ]
+    fp = got["fp"]["__fp"][0]
+    partial_rows.append(("ppl_hist", "__model_fp", float(fp or 0), None))
+    dup_sk = got["glob"]["__dup_sk"][1]
+    if dup_sk is not None:
+        partial_rows.append(("dup", "exact_dup_hll", None, bytes(dup_sk)))
+    ng_sk = got["ngram"]["__sk"][1]
+    if ng_sk is not None:
+        partial_rows.append(
+            ("diversity", "distinct_13gram_hll", None, bytes(ng_sk))
+        )
+    partial_rows += [
+        ("packing", "n_sequences", pk["n_sequences"], None),
+        ("packing", "__sum_fill", pk["__sum_fill"], None),
+        ("packing", "__n_nonover", pk["__n_nonover"], None),
+        ("packing", "__sum_occ", pk["__sum_occ"], None),
+        ("packing", "oversize_sequences", pk["oversize_sequences"], None),
+        ("packing", "__budget_sum", float(token_budget), None),
+        ("packing", "__budget_n", 1.0, None),
+    ]
+    return card_rows, partial_rows
 
 
 def read_release(spark, path: str) -> DataFrame:
