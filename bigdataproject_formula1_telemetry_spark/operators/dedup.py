@@ -26,7 +26,7 @@ logger = logging.getLogger(__name__)
 _BARRIER_REGISTRY: list[DataFrame] = []
 
 
-def _barrier(df: DataFrame, storage: str = "persist") -> DataFrame:
+def _barrier(df: DataFrame, storage: str = "memory") -> DataFrame:
     """Materialization / optimizer barrier between dedup pipeline stages.
 
     The barrier is load-bearing for performance: Catalyst's
@@ -34,16 +34,23 @@ def _barrier(df: DataFrame, storage: str = "persist") -> DataFrame:
     into every downstream consumer without one (measured 40× blowup).
     Storage backends trade speed for cluster fault-tolerance:
 
-    - ``"persist"`` (default): ``persist(DISK_ONLY)``.  Lazy, keeps
-      lineage (lost partitions recompute), still an optimizer barrier
-      because the cached subtree is replaced before optimization — and
-      measured 2.4× FASTER than localCheckpoint on the 5k-doc pipeline
-      (lazy persists pipeline into consumers; localCheckpoint runs an
-      eager materialization job per barrier).  Also the right choice for
-      long 100 TB runs where executor loss is expected.
+    - ``"memory"`` (default since r15): ``persist(MEMORY_AND_DISK)``.
+      Lazy, keeps lineage (lost partitions recompute), still an
+      optimizer barrier because the cached subtree is replaced before
+      optimization.  Default rationale (r14/r15, guide §5): the r14
+      q54 probe measured the DISK_ONLY round trip costing 1.8× within
+      one quiet session, and MEMORY_AND_DISK is never worse — blocks
+      that exceed the storage pool spill to disk, i.e. it degrades TO
+      ``"persist"`` under memory pressure, with the same lineage-based
+      fault tolerance at 100 TB (storage memory is bounded by
+      ``spark.memory.fraction``; eviction, not OOM).
+    - ``"persist"``: ``persist(DISK_ONLY)`` — the pre-r15 default; as
+      above, data always on disk (measured 2.4× FASTER than
+      localCheckpoint on the 5k-doc pipeline — lazy persists pipeline
+      into consumers; localCheckpoint runs an eager materialization job
+      per barrier).
     - ``"local_checkpoint"``: eager, executor-local blocks, lineage
       truncated — a lost executor fails the job.
-    - ``"memory"``: ``persist(MEMORY_AND_DISK)`` — as persist, hot data.
     - ``"none"``: no barrier (A/B testing the optimizer blowup only).
 
     Persisted barriers are tracked in ``_BARRIER_REGISTRY``; call
@@ -158,7 +165,7 @@ def shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """(id, h) hashed distinct-shingle sets, materialized behind a lineage
     barrier (see ``_barrier``; default ``persist(DISK_ONLY)``).
@@ -327,7 +334,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     sh: DataFrame | None = None,
-    storage: str = "persist",
+    storage: str = "memory",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
@@ -435,7 +442,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     sh: DataFrame | None = None,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join shingle sets to the
     (id_a, id_b) pairs and compute |∩|/|∪| with array intrinsics.
@@ -569,7 +576,7 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    storage: str = "persist",
+    storage: str = "memory",
     max_bucket_size: int | None = None,
     collapse_exact: bool | None = None,
 ) -> DataFrame:
@@ -605,7 +612,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
-    storage: str = "persist",
+    storage: str = "memory",
     driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, component)
@@ -750,7 +757,7 @@ def near_dedup_clustered(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    storage: str = "persist",
+    storage: str = "memory",
     max_bucket_size: int | None = None,
     collapse_exact: bool | None = None,
 ) -> DataFrame:
@@ -787,7 +794,7 @@ def duplicate_clusters(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    storage: str = "persist",
+    storage: str = "memory",
     max_bucket_size: int | None = None,
     collapse_exact: bool | None = None,
 ) -> DataFrame:
@@ -906,7 +913,7 @@ def simhash_table(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_n: int = 2,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """(id, simhash64) fingerprints: shingle → hash once behind a lineage
     barrier, then the unrolled per-bit vote."""
@@ -1139,7 +1146,7 @@ def near_dedup_simhash(
     max_hamming: int = 3,
     bits: int = 64,
     shingle_n: int = 2,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """SimHash near-dedup, end to end: fingerprint → pigeonhole-banded
     exact hamming pairs (guaranteed recall at ``max_hamming``) → greedy

@@ -122,7 +122,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "low_centroid_sim",
     max_cluster_size: int = 1_000_000,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """SemDeDup over ``df[vec_col]``: keep one member of every
     within-cluster semantic-duplicate group, drop the rest; rows whose
@@ -417,7 +417,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int = 1_000_000,
-    storage: str = "persist",
+    storage: str = "memory",
     max_pairs_per_cluster: int = 10_000_000,
 ) -> DataFrame:
     """Within-cluster semantic duplicate pairs: (id_a, id_b, cos_sim)

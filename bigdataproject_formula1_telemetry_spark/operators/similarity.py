@@ -501,7 +501,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """Embedding near-duplicate candidate pairs: vectors sharing a
     sign-LSH bucket in ANY of the L tables are candidates (bucket-keyed
@@ -524,7 +524,7 @@ def cosine_dup_pairs(
 
     The banded (id, v, t, b) frame comes from ONE Arrow matmul over all
     tables' planes (``_signlsh_assigner``) and sits behind a ``storage``
-    lineage barrier (default ``persist(DISK_ONLY)``, see
+    lineage barrier (default ``persist(MEMORY_AND_DISK)``, see
     ``dedup._barrier``): it feeds both sides of the self-join, which
     without the barrier would re-run the bucketing — and with the
     interpreted per-plane expression form this stage dominated the whole
@@ -1101,7 +1101,7 @@ def near_dedup_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
-    storage: str = "persist",
+    storage: str = "memory",
 ) -> DataFrame:
     """Embedding-cosine near-dedup (north-star): sign-LSH candidates →
     exact cosine verify → greedy keep-lowest-id, mirroring

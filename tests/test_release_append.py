@@ -978,18 +978,25 @@ def test_release_abort_rollback_leg_failure_never_masks_abort(
     )
     EI.build_exact_index(base_docs, eidx, expected_items=10_000)
 
-    # both leases land mid-append, AFTER the exact-index admission (so
-    # the main append path is clean) and before the post-write re-check:
-    # the release lease triggers the abort; the exact index's own lease
-    # makes the rollback's empty exact append raise
-    real_chunks = P._bm25_chunk_rows
+    # both leases land mid-append, AFTER every index admission (the
+    # admissions run overlapped since r15, so the only deterministic
+    # "after admissions, before re-check" instant is the re-check's own
+    # lease read — injected via the second _read_compaction_lease call:
+    # the first is the pre-write fail-fast check, the second is the
+    # post-write re-check): the release lease triggers the abort; the
+    # exact index's own lease makes the rollback's empty exact append
+    # raise
+    real_lease_read = P._read_compaction_lease
+    calls = {"n": 0}
 
-    def leases_land(packed, id_col):
-        P._write_compaction_lease(spark, root, ["incRACE"])
-        LC.write_lease(spark, LC.lease_file_at(eidx), ["base"])
-        return real_chunks(packed, id_col)
+    def leases_land_at_recheck(spark_, path_):
+        calls["n"] += 1
+        if path_ == root and calls["n"] == 2:
+            P._write_compaction_lease(spark_, root, ["incRACE"])
+            LC.write_lease(spark_, LC.lease_file_at(eidx), ["base"])
+        return real_lease_read(spark_, path_)
 
-    monkeypatch.setattr(P, "_bm25_chunk_rows", leases_land)
+    monkeypatch.setattr(P, "_read_compaction_lease", leases_land_at_recheck)
     with pytest.raises(
         RuntimeError, match="leased this id mid-append"
     ) as excinfo:
