@@ -774,13 +774,33 @@ def _kv_leg(df: DataFrame, leg: str, key: Column, value: Column) -> DataFrame:
 
 
 def _collect_legs(legs: list[DataFrame]) -> dict:
-    """Union every leg, run ONE action, and return
-    ``{leg: {key: (value, sketch)}}``."""
-    it = legs[0]
-    for leg in legs[1:]:
-        it = it.unionByName(leg)
+    """Collect every measurement leg CONCURRENTLY (one driver thread per
+    leg) and return ``{leg: {key: (value, sketch)}}``.
+
+    r14 fused the legs into one union action (one driver round trip
+    instead of N sequential).  r15 measured the union's single big plan
+    carrying its own tax — Catalyst plans and AQE re-plans the whole
+    8-subtree union as one query, and the per-run cost is fixed
+    overhead, not data: the full-card union collected in 2.59 s at
+    sf0.1 vs 1.42 s for the same legs as concurrent per-leg collects
+    (guide §2.6 — the scheduler interleaves the small jobs exactly like
+    the union interleaved their stages, while each plan stays small).
+    Rows collected are identical either way."""
+    if len(legs) == 1:
+        rows = legs[0].collect()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            futures = [
+                pool.submit(inheritable_thread_target(leg.collect))
+                for leg in legs
+            ]
+            rows = [r for f in futures for r in f.result()]
     out: dict = {}
-    for r in it.collect():
+    for r in rows:
         out.setdefault(r["leg"], {})[r["key"]] = (r["value"], r["sketch"])
     return out
 
@@ -2066,15 +2086,6 @@ def corpus_release(
     card_rows, partial_rows = _release_card_and_partial(
         released, budget, ref_lm, id_col=id_col, benchmark=benchmark
     )
-    spark.createDataFrame(
-        partial_rows,
-        "section string, key string, value double, sketch binary",
-    ).write.mode("overwrite").parquet(
-        _os.path.join(path, "card_partials", "base")
-    )
-    card = spark.createDataFrame(
-        card_rows, schema="section string, key string, value double"
-    )
     # provenance: the curation config ships WITH the release (one-row
     # json table at path/config), and the card carries its hash — two
     # releases with the same card hash row were curated identically,
@@ -2100,16 +2111,37 @@ def corpus_release(
     }
     config_json = _json.dumps(config, sort_keys=True)
     config_hash = _hl.md5(config_json.encode()).hexdigest()
-    spark.createDataFrame(
-        [(config_json, config_hash)], "config_json string, config_md5 string"
-    ).write.mode("overwrite").parquet(_os.path.join(path, "config"))
-    card = card.unionByName(
+    card = spark.createDataFrame(
+        card_rows, schema="section string, key string, value double"
+    ).unionByName(
         spark.createDataFrame(
             [("provenance", f"config_md5:{config_hash}", 1.0)],
             schema="section string, key string, value double",
         )
     )
-    card.write.mode("overwrite").parquet(_os.path.join(path, "card"))
+    # the three tail artifacts (base card partial, config, card) are
+    # tiny already-reduced tables at DISJOINT paths whose contents are
+    # all in hand (the card needs only the config HASH, computed
+    # driver-side above, not the config WRITE) — write them overlapped
+    # (guide §2.6, r15: three sequential tiny-parquet commits were
+    # ~1.7 s of pure commit latency per release)
+    _run_overlapped(
+        [
+            lambda: spark.createDataFrame(
+                partial_rows,
+                "section string, key string, value double, sketch binary",
+            ).write.mode("overwrite").parquet(
+                _os.path.join(path, "card_partials", "base")
+            ),
+            lambda: spark.createDataFrame(
+                [(config_json, config_hash)],
+                "config_json string, config_md5 string",
+            ).write.mode("overwrite").parquet(_os.path.join(path, "config")),
+            lambda: card.write.mode("overwrite").parquet(
+                _os.path.join(path, "card")
+            ),
+        ]
+    )
     return {
         "manifest": manifest,
         "card": spark.read.parquet(_os.path.join(path, "card")),

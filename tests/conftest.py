@@ -29,7 +29,15 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(master="local[4]", shuffle_partitions=4)
+    # local[8] (r15): the suite is serial and its Spark work is tiny-data
+    # many-jobs — 8 cores measured 1.14× on the slowest file vs local[4]
+    # with identical results (no test asserts partition counts); the
+    # driver's verify window is the binding constraint (VERDICT r14
+    # item 1).  Override with TEST_SPARK_MASTER for A/B runs.
+    s = get_spark(
+        master=os.environ.get("TEST_SPARK_MASTER", "local[8]"),
+        shuffle_partitions=4,
+    )
     yield s
     s.stop()
 

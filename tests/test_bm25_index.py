@@ -362,6 +362,7 @@ def _corpus_case(draw):
     ],
 )
 @given(case=_corpus_case())
+@pytest.mark.slowtier
 def test_index_equals_scan_on_random_corpora(spark, tmp_path, case):
     """Random adversarial corpora (unicode, punctuation runs, empty and
     NULL texts, likely exact-duplicate docs under the tiny vocabulary):

@@ -55,6 +55,7 @@ def _card_map(rows):
     }
 
 
+@pytest.mark.slowtier
 def test_partial_merge_is_associative(spark, docs):
     """merge(partial(A), partial(B), partial(C)) == merge(partial(A∪B∪C))
     row-for-row: sums exactly, sketch estimates exactly (HLL union is
@@ -273,6 +274,7 @@ def test_release_incremental_card(spark, tmp_path):
     assert card4[("size", "docs")] == float(P.read_release(spark, root).count())
 
 
+@pytest.mark.slowtier
 def test_release_incremental_card_survives_compaction(spark, tmp_path):
     """Partials are content-based: after compact_release folds every
     increment into the base, the incremental card is unchanged (the
@@ -310,6 +312,7 @@ def test_release_incremental_card_survives_compaction(spark, tmp_path):
     assert card[("size", "docs")] > before_docs
 
 
+@pytest.mark.slowtier
 def test_incremental_mode_guards(spark, tmp_path, monkeypatch):
     """No-partials-trail and tampered-trail both refuse loudly; an
     aborted append leaves no partial behind."""
@@ -416,6 +419,7 @@ def test_expire_drops_card_partial_and_card_stays_truthful(spark, tmp_path):
     assert card[("size", "docs")] == float(P.read_release(spark, root).count())
 
 
+@pytest.mark.slowtier
 def test_orphan_card_partial_refused(spark, tmp_path):
     """ADVICE r13: the readiness check flags ORPHAN partials (id is
     neither base, a live increment, nor a folded id), not just missing
@@ -620,6 +624,7 @@ def test_quality_hist_all_null_text_omits_section(spark):
     assert not any(s == "quality_hist" for s, _ in merged)
 
 
+@pytest.mark.slowtier
 def test_ppl_hist_merge_is_associative(spark, docs):
     """Under ONE frozen reference model, per-part ppl_hist bins sum to
     the whole's bins — merging split partials equals merging one
@@ -761,6 +766,7 @@ def test_release_without_ppl_model_omits_section(spark, tmp_path):
     assert ("quality_hist", "q_p50_approx") in card  # model-free: intact
 
 
+@pytest.mark.slowtier
 def test_ppl_hist_mixed_reference_models_refused(spark, docs):
     """Bins scored under different reference models are incomparable:
     the merge detects mismatched model fingerprints, derives NO ppl

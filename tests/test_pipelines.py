@@ -274,6 +274,7 @@ def test_write_training_shards(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(pack_shard" in plan
 
 
+@pytest.mark.slowtier
 def test_curate_documents_all_gates_compose(spark):
     """Every published-recipe gate ON at once: the flagship composition
     must still produce a valid packed corpus, and each gate must have
@@ -575,6 +576,7 @@ def test_curate_documents_fineweb_gate(spark):
     assert set(out["doc_id"]) == {1}
 
 
+@pytest.mark.slowtier
 def test_web_curation_preset_end_to_end(spark):
     """The reference web preset runs end-to-end on a synthetic crawl:
     the article-shaped page survives every published gate, nav-only and

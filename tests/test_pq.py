@@ -449,6 +449,7 @@ def test_ivfpq_heavy_ties_layout_invariant(spark):
     assert fam == sorted(fam)
 
 
+@pytest.mark.slowtier
 def test_pq_train_many_partitions_invariance(spark, emb):
     """The executor-side groupBy(m, c) pre-reduce must be invariant to
     the corpus partitioning and exactly deterministic on an identical
@@ -473,6 +474,7 @@ def test_pq_train_many_partitions_invariance(spark, emb):
     ]
 
 
+@pytest.mark.slowtier
 def test_opq_train_many_partitions_invariance(spark, emb):
     """The pid-bucket pre-reduce of the OPQ cross-covariance partials
     must be invariant to the corpus partitioning (rotation R compared

@@ -307,6 +307,7 @@ def _release_rows(spark, root):
     )
 
 
+@pytest.mark.slowtier
 def test_compact_crash_window_never_double_counts(spark, tmp_path, monkeypatch):
     """Fault injection for the compaction crash window: kill the job
     AFTER the base data swap but BEFORE the folded increment dirs are
@@ -400,6 +401,7 @@ def test_rerelease_clears_stale_increments(spark, tmp_path):
     assert "first crash article" not in texts and "crashy base" not in texts
 
 
+@pytest.mark.slowtier
 def test_append_then_compact_after_crashed_cleanup(spark, tmp_path, monkeypatch):
     """The trickiest interleaving: a compaction crashes between its data
     swap and its increment cleanup, and a NEW increment is appended
@@ -511,6 +513,7 @@ def test_auto_compact_keeps_reader_scan_count_bounded(spark, tmp_path):
     assert P._read_folded_marker(spark, root) == {f"inc{i}" for i in range(8)}
 
 
+@pytest.mark.slowtier
 def test_append_rejects_folded_id_across_compaction_generations(
     spark, tmp_path
 ):
@@ -541,6 +544,7 @@ def test_append_rejects_folded_id_across_compaction_generations(
         )
 
 
+@pytest.mark.slowtier
 def test_append_of_folding_id_fails_fast_during_compaction(
     spark, tmp_path, monkeypatch
 ):
@@ -592,6 +596,7 @@ def test_append_of_folding_id_fails_fast_during_compaction(
     assert P.compact_release(spark, root) == 1
 
 
+@pytest.mark.slowtier
 def test_stale_lease_blocks_then_retry_supersedes(spark, tmp_path, monkeypatch):
     """A compaction that crashes mid-fold leaves its lease in place: the
     folding ids stay blocked (their fold state is unknown — crash was
@@ -658,6 +663,7 @@ def test_stale_lease_blocks_then_retry_supersedes(spark, tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.slowtier
 def test_compaction_folds_only_its_listing_snapshot(spark, tmp_path, monkeypatch):
     """TOCTOU pin: the fold unions exactly the increments captured by the
     compaction's ONE directory listing.  An increment appended AFTER the
@@ -698,6 +704,7 @@ def test_compaction_folds_only_its_listing_snapshot(spark, tmp_path, monkeypatch
     assert _release_rows(spark, root) == rows
 
 
+@pytest.mark.slowtier
 def test_lease_landing_mid_append_aborts_and_rolls_back(
     spark, tmp_path, monkeypatch
 ):
@@ -948,6 +955,7 @@ def test_release_contamination_report_serves_from_release_index(
     assert got == want and got
 
 
+@pytest.mark.slowtier
 def test_release_abort_rollback_leg_failure_never_masks_abort(
     spark, tmp_path, monkeypatch
 ):

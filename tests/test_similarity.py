@@ -636,6 +636,7 @@ def test_arrow_knn_heavy_ties_layout_invariant(spark):
     assert [r["neighbor_id"] for r in ivf] == list(range(10))
 
 
+@pytest.mark.slowtier
 def test_ivf_centroids_many_partitions_invariance(spark, emb):
     """The executor-side groupBy(c) pre-reduce must not change the
     result vs other partitionings of the same rows (the pca.py
