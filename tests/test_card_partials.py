@@ -394,6 +394,7 @@ def test_incremental_mode_guards(spark, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slowtier
 def test_expire_drops_card_partial_and_card_stays_truthful(spark, tmp_path):
     """ADVICE r13 (medium): expire_release_increment must delete the
     increment's card partial with its data — a surviving partial would

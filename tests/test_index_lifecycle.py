@@ -474,6 +474,7 @@ def test_crash_before_marker_write_still_blocks_folded_id(
         BI.append_bm25_index(late, path, increment_id="inc0")
 
 
+@pytest.mark.slowtier
 def test_superseded_stale_lease_marks_folded_ids_before_overwrite(
     spark, frames, tmp_path, monkeypatch
 ):

@@ -706,6 +706,7 @@ def test_corpus_card_semantic_dup_section(spark):
     assert rows["sem_dup_frac"] >= 5 / 15 - 1e-9
 
 
+@pytest.mark.slowtier
 def test_curate_documents_d4_gate(spark):
     """semdedup=(spec, threshold, keep_fraction) = full D4: the
     diversification stage thins the survivors beyond the dedup-only

@@ -342,6 +342,7 @@ def test_compact_crash_window_never_double_counts(spark, tmp_path, monkeypatch):
     assert sum(int(r["n_chunks"]) for r in mf.collect()) == len(expected)
 
 
+@pytest.mark.slowtier
 def test_append_rejects_reuse_of_folded_increment_id(spark, tmp_path):
     """After compaction the marker makes readers skip the folded ids
     forever — reusing one for NEW content would silently hide its rows,
@@ -371,6 +372,7 @@ def test_append_rejects_reuse_of_folded_increment_id(spark, tmp_path):
     assert "fresh content new id" in texts
 
 
+@pytest.mark.slowtier
 def test_expire_refuses_folded_increment(spark, tmp_path):
     """Expiring a folded increment must refuse loudly: its rows live in
     the base after compaction, so deleting the (possibly still present)
@@ -381,6 +383,7 @@ def test_expire_refuses_folded_increment(spark, tmp_path):
         P.expire_release_increment(spark, root, "inc0")
 
 
+@pytest.mark.slowtier
 def test_rerelease_clears_stale_increments(spark, tmp_path):
     """`corpus_release` onto a previously-used root is a FRESH artifact:
     increments (and manifest_full) from the old release must not leak
@@ -484,9 +487,9 @@ def test_auto_compact_keeps_reader_scan_count_bounded(spark, tmp_path):
         base_docs, root, chunk_tokens=16, overlap=0, token_budget=64,
         n_pack_shards=2,
     )
-    threshold = 4
+    threshold = 3
     fired_at = []
-    for i in range(9):
+    for i in range(7):
         prev = _release_rows(spark, root)
         res = P.corpus_release_append(
             spark.createDataFrame(
@@ -507,10 +510,10 @@ def test_auto_compact_keeps_reader_scan_count_bounded(spark, tmp_path):
             fired_at.append((i, res["compacted_increments"]))
             # a fold collapses the reader back to the single-scan base
             assert _reader_scans(spark, root) == 1
-    # live counts 1,2,3,4 → fold 4; 1,2,3,4 → fold 4; 1
-    assert fired_at == [(3, 4), (7, 4)]
+    # live counts 1,2,3 → fold 3; 1,2,3 → fold 3; 1
+    assert fired_at == [(2, 3), (5, 3)]
     # the folded ids stay permanently reserved across generations
-    assert P._read_folded_marker(spark, root) == {f"inc{i}" for i in range(8)}
+    assert P._read_folded_marker(spark, root) == {f"inc{i}" for i in range(6)}
 
 
 @pytest.mark.slowtier
@@ -882,6 +885,7 @@ def test_release_maintains_bm25_serving_index(spark, tmp_path, monkeypatch):
     assert served_form() == before
 
 
+@pytest.mark.slowtier
 def test_release_contamination_report_serves_from_release_index(
     spark, tmp_path, monkeypatch
 ):
@@ -1065,6 +1069,7 @@ def test_bench_shape_appends_never_auto_compact(spark, tmp_path):
     assert P._read_folded_marker(spark, root) == set()
 
 
+@pytest.mark.slowtier
 def test_expire_release_increment_expires_paired_indexes(spark, tmp_path):
     """r14: expire_release_increment(minhash/exact/bm25 paths) drops the
     MATCHING index increments with the data — the expired docs become

@@ -475,6 +475,7 @@ def _run_exact_admission(spark, src, index_path, out_path, ckpt):
     assert not q.isActive
 
 
+@pytest.mark.slowtier
 def test_admit_stream_exact_shares_state_and_replays(spark, tmp_path, corpus_pdf):
     """Exact-dedup streaming admission against the Bloom-backed index:
     equals the sequential batch API on the same increments, and a full
@@ -585,6 +586,7 @@ def test_admission_stats_rows_and_replay_idempotence(spark, tmp_path, corpus_pdf
     assert stats2["n_admitted"].tolist() == stats["n_admitted"].tolist()
 
 
+@pytest.mark.slowtier
 def test_admit_stream_semantic_shares_state_and_replays(spark, tmp_path):
     """SEMANTIC streaming admission (the third axis of the admission
     triangle): equals the sequential incremental_semantic_dedup batch
